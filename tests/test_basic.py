@@ -1,0 +1,117 @@
+"""Slice-0 end-to-end: catalog + AGGREGATE + implicit GROUP BY + AT (ALL*)
+on decomposable measures (SURVEY.md §7 order-of-work step 1).
+
+Golden values from /root/reference/test/sql/measures.test:12-35, :722-729,
+:1447-1458.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture()
+def sales_v(ys, sales):
+    ys.sql(
+        "CREATE VIEW sales_v AS SELECT year, region, "
+        "SUM(amount) AS MEASURE revenue FROM sales"
+    )
+    return ys
+
+
+def rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_basic_aggregate(sales_v):
+    df = sales_v.sql("SELECT year, region, AGGREGATE(revenue) AS rev FROM sales_v")
+    assert rows(df) == [
+        (2022, "EU", 50.0),
+        (2022, "US", 100.0),
+        (2023, "EU", 75.0),
+        (2023, "US", 150.0),
+    ]
+
+
+def test_grand_total_no_dims(sales_v):
+    df = sales_v.sql("SELECT AGGREGATE(revenue) AS rev FROM sales_v")
+    assert rows(df) == [(375.0,)]
+
+
+def test_at_all(sales_v):
+    df = sales_v.sql(
+        "SELECT year, region, AGGREGATE(revenue) AS rev, "
+        "AGGREGATE(revenue) AT (ALL) AS total FROM sales_v"
+    )
+    assert rows(df) == [
+        (2022, "EU", 50.0, 375.0),
+        (2022, "US", 100.0, 375.0),
+        (2023, "EU", 75.0, 375.0),
+        (2023, "US", 150.0, 375.0),
+    ]
+
+
+def test_at_all_dim(sales_v):
+    # measures.test:722-729 shape: yearly total per (year, region)
+    df = sales_v.sql(
+        "SELECT year, region, AGGREGATE(revenue) AS rev, "
+        "AGGREGATE(revenue) AT (ALL region) AS year_total FROM sales_v"
+    )
+    assert rows(df) == [
+        (2022, "EU", 50.0, 150.0),
+        (2022, "US", 100.0, 150.0),
+        (2023, "EU", 75.0, 225.0),
+        (2023, "US", 150.0, 225.0),
+    ]
+
+
+def test_pct_of_total(sales_v):
+    df = sales_v.sql(
+        "SELECT year, region, "
+        "AGGREGATE(revenue) / AGGREGATE(revenue) AT (ALL) * 100 AS pct "
+        "FROM sales_v ORDER BY year, region"
+    )
+    got = [(r[0], r[1], round(r[2], 2)) for r in df.collect()]
+    assert got == [
+        (2022, "EU", 13.33),
+        (2022, "US", 26.67),
+        (2023, "EU", 20.0),
+        (2023, "US", 40.0),
+    ]
+
+
+def test_at_where(sales_v):
+    # AT (WHERE ...) replaces the context filter and is NOT correlated
+    df = sales_v.sql(
+        "SELECT year, AGGREGATE(revenue) AT (WHERE region = 'US') AS us_rev "
+        "FROM sales_v GROUP BY year"
+    )
+    assert rows(df) == [(2022, 250.0), (2023, 250.0)]
+
+
+def test_at_set(sales_v):
+    df = sales_v.sql(
+        "SELECT year, AGGREGATE(revenue) AS rev, "
+        "AGGREGATE(revenue) AT (SET year = year - 1) AS prev_rev "
+        "FROM sales_v GROUP BY year"
+    )
+    assert rows(df) == [(2022, 150.0, None), (2023, 225.0, 150.0)]
+
+
+def test_visible_with_where(sales_v):
+    df = sales_v.sql(
+        "SELECT region, AGGREGATE(revenue) AS rev, "
+        "AGGREGATE(revenue) AT (ALL) AS total, "
+        "AGGREGATE(revenue) AT (VISIBLE) AS vis "
+        "FROM sales_v WHERE year = 2023 GROUP BY region"
+    )
+    # AT (ALL) ignores outer WHERE (375); VISIBLE honors it per-group
+    assert rows(df) == [("EU", 75.0, 375.0, 75.0), ("US", 150.0, 375.0, 150.0)]
+
+
+def test_where_filters_groups(sales_v):
+    df = sales_v.sql(
+        "SELECT year, region, AGGREGATE(revenue) AS rev FROM sales_v "
+        "WHERE year = 2023"
+    )
+    assert rows(df) == [(2023, "EU", 75.0), (2023, "US", 150.0)]

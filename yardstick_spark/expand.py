@@ -1,0 +1,798 @@
+"""Measure-query expansion: AGGREGATE()/AT rewriting into Spark SQL.
+
+This is the Spark-first replacement for the reference's expansion pipeline
+(/root/reference/yardstick-rs/src/sql/measures.rs:7110-7592
+expand_aggregate_with_at).  Semantics are identical — every measure
+reference is evaluated against its view's *base relation* in a context
+derived from the calling query (correlation dims + SET pins + filter) —
+but the emitted plan shape is different:
+
+reference:  correlated scalar subquery per call site
+this engine: shared grouped-aggregate CTE per distinct context,
+             null-safe (<=>) LEFT JOIN into the calling query, value
+             referenced through any_value()
+
+The join shape is what the reference itself calls the preferred plan
+(build_non_decomposable_join_plan, measures.rs:5249-5402) and is the only
+shape that scales on Spark: Catalyst turns the small grouped sides into
+broadcast joins, and identical contexts are computed once instead of per
+call site.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from .catalog import MeasureCatalog, ResolvedMeasure
+from .modifiers import (
+    EvalContext,
+    Modifier,
+    Set as SetMod,
+    compute_context,
+    dimension_in_group_by,
+    parse_at_content,
+    resolve_current_in_expr,
+)
+from .parser import (
+    SelectInfo,
+    group_by_uses_grouping_sets,
+    parse_select,
+    resolve_group_by_cols,
+)
+from .sqlutil import (
+    find_first_top_level_keyword,
+    find_matching_paren,
+    find_top_level_keyword,
+    is_word_boundary,
+    iter_identifiers,
+    next_nonspace,
+    normalize_dim_key,
+    normalize_ws,
+    replace_identifiers,
+    skip_code_unit,
+    split_top_level,
+    strip_qualifiers,
+    unquote_ident,
+)
+
+DEFAULT_CONTEXT_MARKER = "/*YS_DEFAULT*/"
+
+
+@dataclass
+class ExpandResult:
+    sql: str
+    had_aggregate: bool = False
+    error: str | None = None
+    warnings: list[str] = field(default_factory=list)
+
+
+@dataclass
+class AggregateSite:
+    measure_raw: str  # verbatim content of AGGREGATE(...)
+    measure_name: str  # unqualified lookup name
+    modifiers: list[Modifier]
+    start: int
+    end: int  # end of the whole AGGREGATE(..) AT (..) chain (excl marker)
+    default_context: bool = False
+
+
+@dataclass
+class CtxSpec:
+    """One shared evaluation-context subquery."""
+
+    alias: str
+    value_exprs: list[str]  # aggregate expressions to compute
+    value_aliases: list[str]
+    inner_keys: list[str]  # expressions over the base relation
+    outer_keys: list[str]  # expressions over the calling query's FROM
+    base_sql: str
+    filter_sql: str | None
+    window_specs: list[tuple[str, str] | None] = None  # (expr, measure) per value
+
+    def key(self) -> tuple:
+        return (
+            normalize_ws(self.base_sql).lower(),
+            tuple(normalize_ws(k).lower() for k in self.inner_keys),
+            tuple(normalize_ws(k).lower() for k in self.outer_keys),
+            normalize_ws(self.filter_sql or "").lower(),
+        )
+
+
+# -- sugar rewrites ------------------------------------------------------------
+
+
+def expand_curly_braces(sql: str) -> str:
+    """`{m}` -> `AGGREGATE(m)` (measures.rs:994-1018)."""
+    out: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        j = skip_code_unit(sql, i)
+        if j > i:
+            out.append(sql[i:j])
+            i = j
+            continue
+        if sql[i] == "{":
+            m = re.match(r"\{(\w+)\}", sql[i:])
+            if m:
+                out.append(f"AGGREGATE({m.group(1)})")
+                i += m.end()
+                continue
+        out.append(sql[i])
+        i += 1
+    return "".join(out)
+
+
+_SIMPLE_REF_RE = re.compile(
+    r'^\s*((?:[A-Za-z_][\w$]*|"[^"]+")\s*\.\s*)?([A-Za-z_][\w$]*|"[^"]+")\s*$'
+)
+
+
+def parse_simple_measure_ref(expr: str) -> tuple[str | None, str] | None:
+    m = _SIMPLE_REF_RE.match(expr)
+    if not m:
+        return None
+    qual = m.group(1)
+    qual = unquote_ident(qual.rstrip().rstrip(".").strip()) if qual else None
+    return qual, unquote_ident(m.group(2))
+
+
+def rewrite_measure_at_refs(sql: str, known: set[str]) -> str:
+    """`m AT (...)` -> `AGGREGATE(m) AT (...)` (measures.rs:834-951)."""
+    if not known:
+        return sql
+    upper = sql.upper()
+    repls: list[tuple[int, int, str]] = []
+    i, n = 0, len(sql)
+    while i < n:
+        j = skip_code_unit(sql, i)
+        if j > i:
+            i = j
+            continue
+        if upper.startswith("AT", i) and is_word_boundary(sql, i, i + 2):
+            k = next_nonspace(sql, i + 2)
+            if k < n and sql[k] == "(":
+                b = _find_previous_ref_bounds(sql, i)
+                if b:
+                    token = sql[b[0]: b[1]].strip()
+                    ref = parse_simple_measure_ref(token)
+                    if ref and ref[1].lower() in known:
+                        repls.append((b[0], b[1], f"AGGREGATE({token})"))
+            i += 2
+            continue
+        i += 1
+    for s, e, r in sorted(repls, key=lambda x: -x[0]):
+        sql = sql[:s] + r + sql[e:]
+    return sql
+
+
+def _find_previous_ref_bounds(sql: str, at_pos: int) -> tuple[int, int] | None:
+    """Bounds of the identifier token chain immediately before AT."""
+    i = at_pos - 1
+    while i >= 0 and sql[i].isspace():
+        i -= 1
+    if i < 0:
+        return None
+    end = i + 1
+    if sql[i] == ")":
+        return None  # `...) AT (` — function call, handled as AGGREGATE chain
+    while i >= 0 and (sql[i].isalnum() or sql[i] in '_."$'):
+        i -= 1
+    start = i + 1
+    if start >= end:
+        return None
+    return start, end
+
+
+def rewrite_implicit_measure_refs(
+    sql: str, info: SelectInfo, measures_for_query: set[str]
+) -> str:
+    """Bare `revenue` as a top-level SELECT item ->
+    `AGGREGATE(revenue) /*YS_DEFAULT*/` (measures.rs:495-786; paper default
+    context: ignores outer WHERE — measures.test:3267-3283)."""
+    repls: list[tuple[int, int, str]] = []
+    for it in info.items:
+        if it.is_aggregate or it.is_star or it.has_aggregate_call or it.is_literal:
+            continue
+        ref = parse_simple_measure_ref(it.expr)
+        if not ref or ref[1].lower() not in measures_for_query:
+            continue
+        if re.search(r"\sAT\s*\(", it.text, re.IGNORECASE):
+            continue
+        new = f"AGGREGATE({it.expr.strip()}) {DEFAULT_CONTEXT_MARKER}"
+        if it.alias:
+            new += f" AS {it.alias}"
+        else:
+            new += f" AS {ref[1]}"
+        repls.append((it.start, it.end, new + " "))
+    for s, e, r in sorted(repls, key=lambda x: -x[0]):
+        sql = sql[:s] + r + sql[e:]
+    return sql
+
+
+# -- AGGREGATE call-site scanning ----------------------------------------------
+
+_AGG_START_RE = re.compile(r"\bAGGREGATE\s*\(", re.IGNORECASE)
+
+
+def find_aggregate_sites(sql: str) -> list[AggregateSite]:
+    sites: list[AggregateSite] = []
+    i, n = 0, len(sql)
+    upper = sql.upper()
+    while i < n:
+        j = skip_code_unit(sql, i)
+        if j > i:
+            i = j
+            continue
+        if upper.startswith("AGGREGATE", i) and is_word_boundary(sql, i, i + 9):
+            k = next_nonspace(sql, i + 9)
+            if k < n and sql[k] == "(":
+                close = find_matching_paren(sql, k)
+                if close is None:
+                    i += 9
+                    continue
+                content = sql[k + 1 : close]
+                if len(split_top_level(content)) != 1:
+                    # DuckDB's native aggregate(list, 'fn') — don't intercept
+                    # (S13, no_semantic_prefix.test:2151-2181)
+                    i = close + 1
+                    continue
+                ref = parse_simple_measure_ref(content)
+                if ref is None:
+                    i = close + 1
+                    continue
+                end = close + 1
+                modifiers: list[Modifier] = []
+                while True:
+                    p = next_nonspace(sql, end)
+                    if p < n and upper.startswith("AT", p) and is_word_boundary(sql, p, p + 2):
+                        q = next_nonspace(sql, p + 2)
+                        if q < n and sql[q] == "(":
+                            c2 = find_matching_paren(sql, q)
+                            if c2 is None:
+                                break
+                            modifiers.extend(parse_at_content(sql[q + 1 : c2]))
+                            end = c2 + 1
+                            continue
+                    break
+                default_ctx = False
+                p = next_nonspace(sql, end)
+                if sql.startswith(DEFAULT_CONTEXT_MARKER, p):
+                    default_ctx = True
+                    end = p + len(DEFAULT_CONTEXT_MARKER)
+                sites.append(
+                    AggregateSite(
+                        measure_raw=content.strip(),
+                        measure_name=ref[1],
+                        modifiers=modifiers,
+                        start=i,
+                        end=end,
+                        default_context=default_ctx,
+                    )
+                )
+                i = end
+                continue
+            i += 9
+            continue
+        i += 1
+    return sites
+
+
+def has_aggregate_function(sql: str) -> bool:
+    i, n = 0, len(sql)
+    upper = sql.upper()
+    while i < n:
+        j = skip_code_unit(sql, i)
+        if j > i:
+            i = j
+            continue
+        if upper.startswith("AGGREGATE", i) and is_word_boundary(sql, i, i + 9):
+            k = next_nonspace(sql, i + 9)
+            if k < n and sql[k] == "(":
+                return True
+            i += 9
+            continue
+        i += 1
+    return False
+
+
+# -- CTE recursion (S3, measures.rs:2113-2251) ---------------------------------
+
+
+def expand_cte_queries(sql: str, expander) -> tuple[str, bool, list[str]]:
+    stripped = sql.lstrip()
+    offset = len(sql) - len(stripped)
+    if not stripped.upper().startswith("WITH") or not is_word_boundary(
+        stripped, 0, 4
+    ):
+        return sql, False, []
+    i = offset + 4
+    had = False
+    warnings: list[str] = []
+    out = sql
+    shift = 0
+    n = len(sql)
+    while True:
+        m = re.match(r'\s*(RECURSIVE\s+)?([A-Za-z_][\w$]*|"[^"]+")\s*(\([^)]*\)\s*)?AS\s*\(',
+                     sql[i:], re.IGNORECASE)
+        if not m:
+            break
+        open_pos = i + m.end() - 1
+        close = find_matching_paren(sql, open_pos)
+        if close is None:
+            break
+        body = sql[open_pos + 1 : close]
+        res = expander(body)
+        if res.sql != body:
+            had = had or res.had_aggregate
+            warnings.extend(res.warnings)
+            out = out[: open_pos + 1 + shift] + res.sql + out[close + shift :]
+            shift += len(res.sql) - len(body)
+        else:
+            had = had or res.had_aggregate
+            warnings.extend(res.warnings)
+        k = next_nonspace(sql, close + 1)
+        if k < n and sql[k] == ",":
+            i = k + 1
+            continue
+        # main query begins at k
+        main = sql[k:]
+        res = expander(main)
+        if res.sql != main:
+            had = had or res.had_aggregate
+            warnings.extend(res.warnings)
+            out = out[: k + shift] + res.sql
+        else:
+            had = had or res.had_aggregate
+            warnings.extend(res.warnings)
+        return out, had, warnings
+    return out, had, warnings
+
+
+# -- main expansion -------------------------------------------------------------
+
+
+class QueryExpander:
+    def __init__(self, catalog: MeasureCatalog, view_columns=None, strict: bool = False):
+        self.catalog = catalog
+        self.view_columns = view_columns or (lambda name: None)
+        self.strict = strict
+
+    # .. helpers ..
+
+    def _source_dim_names(self, view_name: str) -> set[str]:
+        v = self.catalog.get(view_name)
+        if not v:
+            return set()
+        dims: set[str] = set(v.dimension_exprs.keys())
+        for col in v.group_by_cols:
+            dims.add(normalize_dim_key(col))
+        cols = self.view_columns(view_name)
+        if cols:
+            measure_names = {m.column_name.lower() for m in v.measures}
+            dims.update(c.lower() for c in cols if c.lower() not in measure_names)
+        return dims
+
+    def expand(self, sql: str) -> ExpandResult:
+        # CTE recursion first
+        body, had_cte, cte_warnings = expand_cte_queries(sql, self.expand)
+        if body != sql:
+            res = ExpandResult(body, had_aggregate=had_cte)
+            res.warnings = cte_warnings
+            return res
+
+        known = self.catalog.known_measure_names()
+        out = expand_curly_braces(sql)
+        out = rewrite_measure_at_refs(out, known)
+
+        info = parse_select(out)
+        if info is not None and known:
+            by_view = self.catalog.measures_by_view()
+            measures_here: set[str] = set()
+            for t in info.tables:
+                measures_here |= by_view.get(t.name.lower(), set())
+            if not info.tables:
+                measures_here = set()
+            if measures_here:
+                new = rewrite_implicit_measure_refs(out, info, measures_here)
+                if new != out:
+                    out = new
+                    info = parse_select(out)
+
+        if not has_aggregate_function(out):
+            return ExpandResult(out, had_aggregate=(out != sql))
+        if info is None:
+            return ExpandResult(out, had_aggregate=True)
+
+        sites = find_aggregate_sites(out)
+        if not sites:
+            return ExpandResult(out, had_aggregate=(out != sql))
+
+        return self._expand_select(out, info, sites)
+
+    # .. the core ..
+
+    def _expand_select(
+        self, sql: str, info: SelectInfo, sites: list[AggregateSite]
+    ) -> ExpandResult:
+        warnings: list[str] = []
+        primary = info.primary_table
+        primary_name = primary.name if primary else ""
+        group_by_cols = resolve_group_by_cols(info) if info.group_by else []
+        dim_cols = [
+            it.expr
+            for it in info.items
+            if not it.is_aggregate and not it.is_star and not it.is_literal
+            and not it.has_aggregate_call
+        ]
+        effective_dims = group_by_cols if info.group_by else dim_cols
+        outer_where = info.where
+
+        # SET validation (measures.rs:6350-6374)
+        for site in sites:
+            for m in site.modifiers:
+                if isinstance(m, SetMod) and "(" not in m.dim:
+                    dim_name = m.dim.split(".")[-1].strip()
+                    if _mentions_ident_outside_current(m.expr, dim_name) and not dimension_in_group_by(
+                        m.dim, effective_dims
+                    ):
+                        return ExpandResult(
+                            sql,
+                            had_aggregate=True,
+                            error=(
+                                f"AT (SET {m.dim} = {m.expr}) references {dim_name}, "
+                                f"but the query does not group by {dim_name}. Add "
+                                f"{dim_name} to SELECT/GROUP BY or use a constant SET value."
+                            ),
+                        )
+
+        uses_grouping_sets = group_by_uses_grouping_sets(info)
+
+        ctxs: dict[tuple, CtxSpec] = {}
+        replacements: list[tuple[int, int, str]] = []
+        ctx_counter = 0
+
+        for site in sorted(sites, key=lambda s: -s.start):
+            resolved = self.catalog.resolve(site.measure_name, primary_name)
+            if resolved is None:
+                replacements.append(
+                    (site.start, site.end, f"SUM({site.measure_name})")
+                )
+                continue
+
+            eval_dims = self._filter_dims_for_measure(
+                effective_dims, resolved, info
+            )
+            if (
+                not eval_dims
+                and effective_dims
+                and resolved.source_view.lower() == primary_name.lower()
+            ):
+                eval_dims = list(effective_dims)
+
+            # outer WHERE visible to this measure's recompute, stripped of
+            # source-view qualifiers (strip_at_where_qualifiers)
+            allowed_quals = self._allowed_qualifiers(resolved, info)
+            where_for_measure = (
+                strip_qualifiers(outer_where, allowed_quals) if outer_where else None
+            )
+
+            def resolve_set_value(dim: str, expr: str) -> str:
+                return resolve_current_in_expr(expr, effective_dims, outer_where)
+
+            if site.default_context:
+                ctx = EvalContext(corr_dims=list(eval_dims), filter_sql=None,
+                                  grand_total=not eval_dims)
+            else:
+                ctx = compute_context(
+                    site.modifiers, eval_dims, where_for_measure, resolve_set_value
+                )
+
+            # plain window-measure passthrough: aggregate the materialized
+            # view column (measures.rs:7516-7523)
+            if resolved.is_window and not site.modifiers and not site.default_context:
+                replacements.append(
+                    (site.start, site.end,
+                     f"{resolved.agg_fn}({site.measure_name})")
+                )
+                continue
+
+            spec, value_alias = self._ctx_for(
+                ctxs, resolved, ctx, info, ctx_counter
+            )
+            ctx_counter = len(ctxs)
+            value_ref = f"{spec.alias}.{value_alias}"
+            wrapped = f"any_value({value_ref})"
+            if self._needs_zero_coalesce(resolved, ctx, outer_where):
+                wrapped = f"coalesce({wrapped}, 0)"
+            replacements.append((site.start, site.end, wrapped))
+
+        out = sql
+        for s, e, r in replacements:
+            out = out[:s] + r + out[e:]
+
+        if ctxs:
+            if uses_grouping_sets:
+                warnings.append(
+                    "AT modifiers combined with ROLLUP/CUBE correlate on the "
+                    "output group values per output row"
+                )
+            out = self._attach_joins(out, list(ctxs.values()))
+
+        # implicit GROUP BY (S1, measures.rs:7562-7576)
+        if (
+            find_top_level_keyword(out, "GROUP BY") is None
+            and dim_cols
+        ):
+            stop = find_first_top_level_keyword(
+                out, 0, ["HAVING", "QUALIFY", "WINDOW", "ORDER BY", "LIMIT", "OFFSET"]
+            )
+            semi = out.rstrip()
+            trailing_semi = semi.endswith(";")
+            if stop:
+                insert = stop[0]
+                out = (
+                    out[:insert].rstrip()
+                    + " GROUP BY "
+                    + ", ".join(dim_cols)
+                    + " "
+                    + out[insert:]
+                )
+            else:
+                body = semi[:-1] if trailing_semi else out.rstrip()
+                out = body.rstrip() + " GROUP BY " + ", ".join(dim_cols) + (";" if trailing_semi else "")
+        return ExpandResult(out, had_aggregate=True, warnings=warnings)
+
+    def _allowed_qualifiers(self, resolved: ResolvedMeasure, info: SelectInfo) -> set[str]:
+        quals = {resolved.source_view.lower()}
+        for t in info.tables:
+            if t.name.lower() == resolved.source_view.lower():
+                quals.add(t.effective.lower())
+        return quals
+
+    def _filter_dims_for_measure(
+        self, dims: list[str], resolved: ResolvedMeasure, info: SelectInfo
+    ) -> list[str]:
+        """Keep query dims that belong to the measure's source view
+        (filter_group_by_cols_for_measure + source-dim retention,
+        measures.rs:7266-7304)."""
+        source_dims = self._source_dim_names(resolved.source_view)
+        allowed = self._allowed_qualifiers(resolved, info)
+        out: list[str] = []
+        for col in dims:
+            ref = parse_simple_measure_ref(col)
+            if ref and ref[0]:
+                if ref[0].lower() in allowed or ref[1].lower() in source_dims:
+                    out.append(col)
+                continue
+            key = normalize_dim_key(col)
+            if (
+                not source_dims
+                or key in source_dims
+                or key in resolved.dimension_exprs
+                or any(_mentions_ident(col, d) for d in source_dims)
+            ):
+                out.append(col)
+        return out
+
+    def _needs_zero_coalesce(
+        self, resolved: ResolvedMeasure, ctx: EvalContext, outer_where: str | None
+    ) -> bool:
+        """A LEFT JOIN miss yields NULL where the reference's correlated
+        subquery computes an aggregate over zero rows.  Only COUNT-rooted
+        expressions differ (COUNT() over empty = 0), and only contexts that
+        can actually miss (SET translations / replaced filters)."""
+        expr = resolved.eval_expression
+        if not re.match(r"\s*COUNT\s*\(", expr, re.IGNORECASE):
+            return False
+        if ctx.set_conditions:
+            return True
+        if ctx.filter_sql is not None and ctx.corr_dims and (
+            outer_where is None
+            or normalize_ws(ctx.filter_sql).lower()
+            != normalize_ws(strip_qualifiers(outer_where)).lower()
+        ):
+            return True
+        return False
+
+    def _ctx_for(
+        self,
+        ctxs: dict[tuple, CtxSpec],
+        resolved: ResolvedMeasure,
+        ctx: EvalContext,
+        info: SelectInfo,
+        counter: int,
+    ) -> tuple[CtxSpec, str]:
+        base_sql = (
+            resolved.base_relation_sql
+            or (f"SELECT * FROM {resolved.base_table}" if resolved.base_table else None)
+            or f"SELECT * FROM {resolved.source_view}"
+        )
+
+        inner_keys: list[str] = []
+        outer_keys: list[str] = []
+        if not ctx.grand_total:
+            for dim in ctx.corr_dims:
+                inner_keys.append(self._inner_expr_for_dim(dim, resolved))
+                outer_keys.append(self._outer_expr_for_dim(dim, info))
+            for dim, value in ctx.set_conditions:
+                inner_keys.append(self._inner_expr_for_dim(dim, resolved))
+                outer_keys.append(value)
+
+        filter_sql = None
+        if ctx.filter_sql:
+            filter_sql = strip_qualifiers(
+                ctx.filter_sql, self._allowed_qualifiers(resolved, info) | {"_inner"}
+            )
+            filter_sql = self._apply_dim_exprs(filter_sql, resolved)
+
+        probe = CtxSpec(
+            alias="",
+            value_exprs=[],
+            value_aliases=[],
+            inner_keys=inner_keys,
+            outer_keys=outer_keys,
+            base_sql=base_sql,
+            filter_sql=filter_sql,
+        )
+        key = probe.key()
+        spec = ctxs.get(key)
+        if spec is None:
+            probe.alias = f"__ys_ctx{len(ctxs)}"
+            probe.window_specs = []
+            ctxs[key] = spec = probe
+
+        expr = self._apply_dim_exprs(resolved.eval_expression, resolved)
+        window_spec = None
+        if resolved.is_window:
+            window_spec = (expr, resolved.source_view)
+        # reuse identical value expressions
+        for va, ve, ws in zip(spec.value_aliases, spec.value_exprs, spec.window_specs):
+            if normalize_ws(ve).lower() == normalize_ws(expr).lower() and (
+                (ws is None) == (window_spec is None)
+            ):
+                return spec, va
+        alias = f"__ys_v{len(spec.value_aliases)}"
+        spec.value_exprs.append(expr)
+        spec.value_aliases.append(alias)
+        spec.window_specs.append(window_spec)
+        return spec, alias
+
+    def _inner_expr_for_dim(self, dim: str, resolved: ResolvedMeasure) -> str:
+        key = normalize_dim_key(dim)
+        mapped = resolved.dimension_exprs.get(key)
+        if mapped and normalize_dim_key(mapped) != key:
+            return mapped
+        if "(" in dim:
+            return strip_qualifiers(dim)
+        return dim.split(".")[-1].strip()
+
+    def _outer_expr_for_dim(self, dim: str, info: SelectInfo) -> str:
+        return dim
+
+    def _apply_dim_exprs(self, expr: str, resolved: ResolvedMeasure) -> str:
+        """Replace view dimension aliases with their defining expressions so
+        the text is valid over the raw base relation
+        (qualify_where_for_inner_with_dimensions)."""
+        mapping = {
+            k: f"({v})"
+            for k, v in resolved.dimension_exprs.items()
+            if normalize_dim_key(v) != k
+        }
+        if not mapping:
+            return expr
+        return replace_identifiers(expr, mapping)
+
+    def _attach_joins(self, sql: str, specs: list[CtxSpec]) -> str:
+        info = parse_select(sql)
+        assert info is not None and info.from_end is not None
+        joins: list[str] = []
+        for spec in specs:
+            ctx_sql = self._render_ctx_sql(spec)
+            if spec.inner_keys:
+                conds = " AND ".join(
+                    f"{spec.alias}.__ys_k{i} <=> ({outer})"
+                    for i, outer in enumerate(spec.outer_keys)
+                )
+            else:
+                conds = "TRUE"
+            joins.append(f" LEFT JOIN ({ctx_sql}) AS {spec.alias} ON {conds}")
+        insert = info.from_end
+        return sql[:insert].rstrip() + "".join(joins) + " " + sql[insert:]
+
+    def _render_ctx_sql(self, spec: CtxSpec) -> str:
+        key_items = [
+            f"{k} AS __ys_k{i}" for i, k in enumerate(spec.inner_keys)
+        ]
+        where = f" WHERE {spec.filter_sql}" if spec.filter_sql else ""
+        has_window = any(ws is not None for ws in spec.window_specs)
+        if not has_window:
+            value_items = [
+                f"{e} AS {a}" for e, a in zip(spec.value_exprs, spec.value_aliases)
+            ]
+            select = ", ".join(key_items + value_items)
+            group = (
+                " GROUP BY " + ", ".join(f"__ys_k{i}" for i in range(len(spec.inner_keys)))
+                if spec.inner_keys
+                else ""
+            )
+            return f"SELECT {select} FROM ({spec.base_sql}){where}{group}"
+        # window-measure recompute: evaluate window rows per context
+        # partition, then enforce single-valuedness (N4,
+        # measures.rs:5233-5247; error contract measures.test:2977-3033)
+        row_items = list(key_items)
+        for idx, (e, a) in enumerate(zip(spec.value_exprs, spec.value_aliases)):
+            ws = spec.window_specs[idx]
+            if ws is None:
+                row_items.append(f"{e} AS __ys_raw{idx}")
+            else:
+                row_items.append(
+                    f"{_inject_partition(e, [f'__ys_k{i}' for i in range(len(spec.inner_keys))], spec.inner_keys)} AS __ys_raw{idx}"
+                )
+        inner = f"SELECT {', '.join(row_items)} FROM ({spec.base_sql}){where}"
+        outer_vals = []
+        for idx, a in enumerate(spec.value_aliases):
+            ws = spec.window_specs[idx]
+            if ws is None:
+                outer_vals.append(f"any_value(__ys_raw{idx}) AS {a}")
+            else:
+                measure = "window measure"
+                outer_vals.append(
+                    f"CASE WHEN count(distinct __ys_raw{idx}) "
+                    f"+ (CASE WHEN count(*) > count(__ys_raw{idx}) THEN 1 ELSE 0 END) > 1 "
+                    f"THEN raise_error('Window measure returned multiple values "
+                    f"for the evaluation context') "
+                    f"ELSE any_value(__ys_raw{idx}) END AS {a}"
+                )
+        keys_sel = [f"__ys_k{i}" for i in range(len(spec.inner_keys))]
+        group = " GROUP BY " + ", ".join(keys_sel) if keys_sel else ""
+        sel = ", ".join(keys_sel + outer_vals)
+        return f"SELECT {sel} FROM ({inner}){group}"
+
+
+def _inject_partition(window_expr: str, keys: list[str], raw_keys: list[str]) -> str:
+    """Inject PARTITION BY <context keys> into the measure's OVER clause so
+    the window evaluates within each correlation group."""
+    if not raw_keys:
+        return window_expr
+    m = re.search(r"\bOVER\s*\(", window_expr, re.IGNORECASE)
+    if not m:
+        return window_expr
+    open_pos = m.end() - 1
+    close = find_matching_paren(window_expr, open_pos)
+    if close is None:
+        return window_expr
+    inside = window_expr[open_pos + 1 : close].strip()
+    keys_sql = ", ".join(raw_keys)
+    if re.match(r"^PARTITION\s+BY\b", inside, re.IGNORECASE):
+        new_inside = re.sub(
+            r"^PARTITION\s+BY\b",
+            f"PARTITION BY {keys_sql},",
+            inside,
+            flags=re.IGNORECASE,
+        )
+    elif inside:
+        new_inside = f"PARTITION BY {keys_sql} {inside}"
+    else:
+        new_inside = f"PARTITION BY {keys_sql}"
+    return window_expr[: open_pos + 1] + new_inside + window_expr[close:]
+
+
+def _mentions_ident(expr: str, name: str) -> bool:
+    low = name.lower()
+    return any(t.lower() == low for _, _, t in iter_identifiers(expr))
+
+
+def _mentions_ident_outside_current(expr: str, name: str) -> bool:
+    """expr mentions `name` not immediately preceded by CURRENT."""
+    low = name.lower()
+    idents = list(iter_identifiers(expr))
+    for idx, (start, end, t) in enumerate(idents):
+        if t.lower() != low:
+            continue
+        if idx > 0 and idents[idx - 1][2].upper() == "CURRENT":
+            between = expr[idents[idx - 1][1] : start]
+            if between.strip() == "":
+                continue
+        return True
+    return False
