@@ -96,43 +96,57 @@ class MeasureCatalog:
             for k, v in self.views.items()
         }
 
-    def resolve(self, measure_name: str, default_table: str) -> ResolvedMeasure | None:
+    def resolve(
+        self,
+        measure_name: str,
+        default_table: str,
+        overrides: dict[str, "MeasureView"] | None = None,
+    ) -> ResolvedMeasure | None:
         """Resolution prefers the query's primary table, then any view
         (multi-fact JOIN support — measures.rs:4931-4994).  Returns None
-        when the measure is unknown (caller decides the SUM fallback)."""
-        from .ddl import extract_agg_function, expand_derived_measure_expr
-
+        when the measure is unknown (caller decides the SUM fallback).
+        `overrides` substitutes specific views (e.g. a `main.`-qualified
+        read reaching a permanent view shadowed by a batch TEMP)."""
         candidates: list[tuple[MeasureView, ViewMeasure]] = []
-        primary = self.get(default_table) if default_table else None
+        key = self._key(default_table) if default_table else ""
+        primary = (overrides or {}).get(key) or (self.get(default_table) if default_table else None)
         if primary:
             m = primary.find_measure(measure_name)
             if m:
                 candidates.append((primary, m))
         if not candidates:
-            for v in self.views.values():
+            for k, v in self.views.items():
+                v = (overrides or {}).get(k, v)
                 m = v.find_measure(measure_name)
                 if m:
                     candidates.append((v, m))
                     break
         if not candidates:
             return None
-        v, m = candidates[0]
-        derived = None
-        from .ddl import extract_aggregation_function
+        return build_resolved(*candidates[0])
 
-        if extract_aggregation_function(m.expression) is None:
-            expanded = expand_derived_measure_expr(m.expression, v)
-            if expanded != m.expression:
-                derived = expanded
-        return ResolvedMeasure(
-            agg_fn=extract_agg_function(m.expression),
-            source_view=v.view_name,
-            derived_expr=derived,
-            is_decomposable=m.is_decomposable,
-            is_window=m.is_window,
-            base_table=v.base_table,
-            base_relation_sql=v.base_relation_sql,
-            dimension_exprs=v.dimension_exprs,
-            view_group_by_cols=v.group_by_cols,
-            expression=m.expression,
-        )
+
+def build_resolved(v: MeasureView, m: ViewMeasure) -> ResolvedMeasure:
+    from .ddl import (
+        expand_derived_measure_expr,
+        extract_agg_function,
+        extract_aggregation_function,
+    )
+
+    derived = None
+    if extract_aggregation_function(m.expression) is None:
+        expanded = expand_derived_measure_expr(m.expression, v)
+        if expanded != m.expression:
+            derived = expanded
+    return ResolvedMeasure(
+        agg_fn=extract_agg_function(m.expression),
+        source_view=v.view_name,
+        derived_expr=derived,
+        is_decomposable=m.is_decomposable,
+        is_window=m.is_window,
+        base_table=v.base_table,
+        base_relation_sql=v.base_relation_sql,
+        dimension_exprs=v.dimension_exprs,
+        view_group_by_cols=v.group_by_cols,
+        expression=m.expression,
+    )

@@ -388,10 +388,12 @@ _DROP_VIEW_RE = re.compile(
 )
 
 
-def parse_drop_view(sql: str) -> tuple[str, bool] | None:
-    """Return (view_name, if_exists) when sql is a DROP VIEW (D2)."""
+def parse_drop_view(sql: str) -> tuple[str, bool, str | None] | None:
+    """Return (view_name, if_exists, qualifier) when sql is a DROP VIEW (D2)."""
     m = _DROP_VIEW_RE.match(sql)
     if not m:
         return None
-    name = unquote_ident(m.group(2).split(".")[-1])
-    return name, bool(m.group(1))
+    parts = m.group(2).split(".")
+    name = unquote_ident(parts[-1])
+    qualifier = unquote_ident(parts[-2]) if len(parts) > 1 else None
+    return name, bool(m.group(1)), qualifier

@@ -59,12 +59,17 @@ from .sqlutil import (
 DEFAULT_CONTEXT_MARKER = "/*YS_DEFAULT*/"
 
 
+class _SubqueryExpandError(Exception):
+    pass
+
+
 @dataclass
 class ExpandResult:
     sql: str
     had_aggregate: bool = False
     error: str | None = None
     warnings: list[str] = field(default_factory=list)
+    used_views: set[str] = field(default_factory=set)
 
 
 @dataclass
@@ -353,10 +358,14 @@ def expand_cte_queries(sql: str, expander) -> tuple[str, bool, list[str]]:
 
 
 class QueryExpander:
-    def __init__(self, catalog: MeasureCatalog, view_columns=None, strict: bool = False):
+    def __init__(self, catalog: MeasureCatalog, view_columns=None, strict: bool = False,
+                 permanent_overrides=None):
         self.catalog = catalog
         self.view_columns = view_columns or (lambda name: None)
         self.strict = strict
+        # view-name -> permanent MeasureView currently shadowed by a batch
+        # TEMP view; used for `main.`-qualified reads
+        self.permanent_overrides = permanent_overrides or {}
 
     # .. helpers ..
 
@@ -375,15 +384,24 @@ class QueryExpander:
 
     def expand(self, sql: str) -> ExpandResult:
         # CTE recursion first
+        self._used_views: set[str] = getattr(self, "_used_views", set())
         body, had_cte, cte_warnings = expand_cte_queries(sql, self.expand)
         if body != sql:
             res = ExpandResult(body, had_aggregate=had_cte)
             res.warnings = cte_warnings
+            res.used_views = set(self._used_views)
             return res
 
         known = self.catalog.known_measure_names()
         out = expand_curly_braces(sql)
-        out = rewrite_measure_at_refs(out, known)
+        try:
+            out = self._expand_yardstick_tablefn(out)
+            out = rewrite_measure_at_refs(out, known)
+            out = self._expand_subqueries(out)
+        except _SubqueryExpandError as e:
+            return self._merge_pending(
+                ExpandResult(out, had_aggregate=True, error=str(e),
+                             used_views=set(self._used_views)))
 
         info = parse_select(out)
         if info is not None and known:
@@ -400,15 +418,112 @@ class QueryExpander:
                     info = parse_select(out)
 
         if not has_aggregate_function(out):
-            return ExpandResult(out, had_aggregate=(out != sql))
+            return self._merge_pending(
+                ExpandResult(out, had_aggregate=(out != sql),
+                             used_views=set(self._used_views)))
         if info is None:
-            return ExpandResult(out, had_aggregate=True)
+            return self._merge_pending(
+                ExpandResult(out, had_aggregate=True,
+                             used_views=set(self._used_views)))
 
         sites = find_aggregate_sites(out)
         if not sites:
-            return ExpandResult(out, had_aggregate=(out != sql))
+            return self._merge_pending(
+                ExpandResult(out, had_aggregate=(out != sql),
+                             used_views=set(self._used_views)))
 
-        return self._expand_select(out, info, sites)
+        res = self._expand_select(out, info, sites)
+        res.used_views |= self._used_views
+        return self._merge_pending(res)
+
+    def _merge_pending(self, res: ExpandResult) -> ExpandResult:
+        pending = getattr(self, "_pending_warnings", [])
+        for w in pending:
+            if w not in res.warnings:
+                res.warnings.append(w)
+        self._pending_warnings = []
+        return res
+
+    def _expand_yardstick_tablefn(self, sql: str) -> str:
+        """`SELECT * FROM yardstick('sql' [, warnings])` — the reference's
+        wrapper table function (cpp:228-312, Q7).  Expand the embedded SQL
+        and inline it as a derived table."""
+        out = sql
+        while True:
+            m = re.search(r"\byardstick\s*\(", out, re.IGNORECASE)
+            if not m:
+                return out
+            close = find_matching_paren(out, m.end() - 1)
+            if close is None:
+                return out
+            args = split_top_level(out[m.end(): close])
+            first = args[0].strip()
+            if not (first.startswith("'") and first.endswith("'")):
+                return out
+            inner_sql = first[1:-1].replace("''", "'")
+            res = self.expand(inner_sql)
+            self._used_views |= res.used_views
+            if res.error:
+                raise_err = res.error
+                out = (
+                    out[: m.start()]
+                    + f"(SELECT raise_error('{raise_err}'))"
+                    + out[close + 1 :]
+                )
+                continue
+            for w in res.warnings:
+                self._pending_warnings = getattr(self, "_pending_warnings", [])
+                if w not in self._pending_warnings:
+                    self._pending_warnings.append(w)
+            out = out[: m.start()] + f"({res.sql})" + out[close + 1 :]
+
+    def _expand_subqueries(self, sql: str) -> str:
+        """Recursively expand parenthesized sub-SELECTs that contain
+        AGGREGATE() calls — FROM-clause derived tables, scalar subqueries
+        (reference: top_level_parenthesized_query_body_range +
+        per-statement recursion, measures.rs:7111-7134)."""
+        out = sql
+        pos = 0
+        while True:
+            found = None
+            i, n = pos, len(out)
+            while i < n:
+                j = skip_code_unit(out, i)
+                if j > i:
+                    i = j
+                    continue
+                if out[i] == "(":
+                    k = next_nonspace(out, i + 1)
+                    upper = out.upper()
+                    if (
+                        upper.startswith("SELECT", k)
+                        and is_word_boundary(out, k, k + 6)
+                    ) or (
+                        upper.startswith("WITH", k)
+                        and is_word_boundary(out, k, k + 4)
+                    ):
+                        close = find_matching_paren(out, i)
+                        if close is not None:
+                            content = out[i + 1 : close]
+                            if has_aggregate_function(content):
+                                found = (i, close, content)
+                                break
+                            pos_next = close + 1
+                            i = pos_next
+                            continue
+                i += 1
+            if not found:
+                return out
+            start, close, content = found
+            res = self.expand(content)
+            self._pending_warnings = getattr(self, "_pending_warnings", [])
+            for w in res.warnings:
+                if w not in self._pending_warnings:
+                    self._pending_warnings.append(w)
+            if res.error:
+                raise _SubqueryExpandError(res.error)
+            out = out[: start + 1] + res.sql + out[close:]
+            pos = start + 1 + len(res.sql) + 1
 
     # .. the core ..
 
@@ -452,13 +567,22 @@ class QueryExpander:
         replacements: list[tuple[int, int, str]] = []
         ctx_counter = 0
 
+        use_permanent = bool(
+            primary and primary.qualifier and primary.qualifier.lower() == "main"
+            and self.permanent_overrides
+        )
         for site in sorted(sites, key=lambda s: -s.start):
-            resolved = self.catalog.resolve(site.measure_name, primary_name)
+            resolved = self.catalog.resolve(
+                site.measure_name,
+                primary_name,
+                overrides=self.permanent_overrides if use_permanent else None,
+            )
             if resolved is None:
                 replacements.append(
                     (site.start, site.end, f"SUM({site.measure_name})")
                 )
                 continue
+            self._used_views.add(resolved.source_view.lower())
 
             eval_dims = self._filter_dims_for_measure(
                 effective_dims, resolved, info
@@ -487,6 +611,19 @@ class QueryExpander:
                 ctx = compute_context(
                     site.modifiers, eval_dims, where_for_measure, resolve_set_value
                 )
+
+            from .warnings_analyzer import warning_for_at_all
+
+            w = warning_for_at_all(
+                site.measure_name,
+                site.modifiers,
+                outer_where,
+                eval_dims,
+                self._source_dim_names(resolved.source_view),
+                allowed_quals,
+            )
+            if w and w not in warnings:
+                warnings.append(w)
 
             # plain window-measure passthrough: aggregate the materialized
             # view column (measures.rs:7516-7523)

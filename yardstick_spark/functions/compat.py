@@ -102,7 +102,12 @@ def normalize_expr_to_spark(sql: str) -> str:
 _DIV_INT_RE = re.compile(r"//")
 
 
+_MAIN_SCHEMA_RE = re.compile(r'\bmain\s*\.\s*(?=[A-Za-z_"])', re.IGNORECASE)
+
+
 def normalize_statement_to_spark(sql: str) -> str:
-    """Statement-level normalizations beyond function renames."""
+    """Statement-level normalizations beyond function renames:
+    DuckDB's default `main.` schema qualifier has no Spark counterpart."""
     out = normalize_expr_to_spark(sql)
+    out = _MAIN_SCHEMA_RE.sub("", out)
     return out

@@ -63,6 +63,7 @@ class SelectItem:
 class TableRef:
     name: str  # unqualified table/view name
     alias: str | None
+    qualifier: str | None = None  # schema qualifier, e.g. "main"
 
     @property
     def effective(self) -> str:
@@ -360,10 +361,12 @@ def _parse_join_chain(info: SelectInfo, text: str) -> None:
         if not m:
             continue
         qname = m.group(1)
-        name = unquote_ident(qname.split(".")[-1])
+        parts = qname.split(".")
+        name = unquote_ident(parts[-1])
+        qualifier = unquote_ident(parts[-2]) if len(parts) > 1 else None
         rest = s[m.end():].strip()
         alias = _parse_alias(rest)
-        info.tables.append(TableRef(name=name, alias=alias))
+        info.tables.append(TableRef(name=name, alias=alias, qualifier=qualifier))
 
 
 def _parse_alias(rest: str) -> str | None:

@@ -27,6 +27,21 @@ class YardstickError(Exception):
     pass
 
 
+import re as _re
+
+_CTAS_RE = _re.compile(
+    r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?TABLE\s+"
+    r"(?:IF\s+NOT\s+EXISTS\s+)?(?:[A-Za-z_][\w$]*|\"[^\"]+\")"
+    r"(?:\.(?:[A-Za-z_][\w$]*|\"[^\"]+\"))*\s+AS\b",
+    _re.IGNORECASE,
+)
+_INSERT_SELECT_RE = _re.compile(
+    r"^\s*INSERT\s+(?:INTO|OVERWRITE)\s+(?:TABLE\s+)?(?:[A-Za-z_][\w$]*|\"[^\"]+\")"
+    r"(?:\.(?:[A-Za-z_][\w$]*|\"[^\"]+\"))*\s*(?:\([^)]*\)\s*)?(?=SELECT|WITH)",
+    _re.IGNORECASE,
+)
+
+
 def split_statements(sql: str) -> list[str]:
     """Split a batch on top-level semicolons, respecting strings/comments/
     dollar-quotes (reference: src/yardstick_extension.cpp:358-454)."""
@@ -67,24 +82,70 @@ class MeasureSession:
             return None
 
     def _expander(self) -> QueryExpander:
-        return QueryExpander(self.catalog, view_columns=self._view_columns)
+        overrides = {
+            name: shadowed
+            for name, shadowed in getattr(self, "_batch_temp_views", {}).items()
+            if shadowed is not None
+        }
+        return QueryExpander(
+            self.catalog,
+            view_columns=self._view_columns,
+            permanent_overrides=overrides,
+        )
 
     # -- entry points -----------------------------------------------------
 
     def sql(self, text: str) -> DataFrame | None:
         """Execute one statement or a batch; returns the DataFrame of the
         last executable statement.  Catalog changes roll back if a later
-        statement in the batch fails (cpp:566-691 snapshot semantics)."""
+        statement in the batch fails, and TEMP measure views live only for
+        the batch that creates them and must be consumed by an AGGREGATE()
+        in a non-returned statement (D3 batch rules,
+        src/yardstick_extension.cpp:566-691, :1498-1754)."""
         statements = split_statements(text)
         snap = self.catalog.snapshot()
+        self._batch_temp_views: dict[str, object] = {}
+        self._batch_temp_used: set[str] = set()
+        self._batch_temp_returned: set[str] = set()
         result: DataFrame | None = None
         try:
             for stmt in statements:
                 result = self._run_one(stmt)
+            temps = self._batch_temp_views
+            if temps:
+                unused = set(temps) - self._batch_temp_used
+                if unused or self._batch_temp_returned:
+                    raise YardstickError(
+                        "TEMPORARY AS MEASURE views must be used in the same "
+                        "statement batch as AGGREGATE()"
+                    )
         except Exception:
             self.catalog.restore(snap)
+            self._cleanup_batch_temps()
             raise
+        self._cleanup_batch_temps()
         return result
+
+    def _cleanup_batch_temps(self) -> None:
+        """TEMP measure views evaporate at batch end; shadowed permanent
+        views (and their Spark definitions) are restored."""
+        temps = getattr(self, "_batch_temp_views", {})
+        for name, shadowed in temps.items():
+            self.catalog.drop(name)
+            try:
+                self.spark.catalog.dropTempView(name)
+            except Exception:
+                pass
+            if shadowed is not None:
+                self.catalog.register(shadowed)
+                try:
+                    self.spark.sql(
+                        f"CREATE OR REPLACE TEMPORARY VIEW {shadowed.view_name} "
+                        f"AS {shadowed.base_query}"
+                    )
+                except Exception:
+                    pass
+        self._batch_temp_views = {}
 
     def rewrite(self, text: str) -> str:
         """Return the rewritten Spark SQL without executing (debugging /
@@ -96,42 +157,106 @@ class MeasureSession:
 
     def _run_one(self, stmt: str) -> DataFrame | None:
         self.last_warnings = []
-        upper = stmt.lstrip().upper()
+        from .sqlutil import convert_dollar_quotes, strip_leading_comments
+
+        stmt = strip_leading_comments(convert_dollar_quotes(stmt))
+        upper = stmt.upper()
 
         # SEMANTIC prefix compatibility (Q6)
         if upper.startswith("SEMANTIC "):
-            stmt = stmt.lstrip()[len("SEMANTIC "):]
-            upper = stmt.lstrip().upper()
+            stmt = stmt[len("SEMANTIC "):]
+            upper = stmt.upper()
 
         if upper.startswith("CREATE"):
             cv = process_create_view(stmt)
             if cv.is_measure_view and cv.view is not None:
                 clean = normalize_statement_to_spark(cv.clean_sql)
                 clean = self._spark_view_ddl(clean, cv.is_replace, cv.is_temp)
+                if cv.is_temp:
+                    key = cv.view.view_name.lower()
+                    if key not in self._batch_temp_views:
+                        # OR REPLACE of a batch temp keeps the original
+                        # shadow record (measures.test:612-631)
+                        self._batch_temp_views[key] = self.catalog.get(key)
                 df = self.spark.sql(clean)
                 self.catalog.register(cv.view)
                 return df
+            # CTAS with measure queries in the body (S4,
+            # cpp:1935-1958 / no_semantic_prefix.test:2112-2148)
+            ctas = _CTAS_RE.match(stmt)
+            if ctas:
+                from .sqlutil import strip_leading_comments as _slc
+
+                body = stmt[ctas.end():]
+                if _slc(body).upper().startswith(("SELECT", "WITH", "(")):
+                    expanded = self._expand_body(_slc(body))
+                    return self.spark.sql(stmt[: ctas.end()] + " " + expanded)
             return self.spark.sql(self._spark_view_ddl(stmt, cv.is_replace, cv.is_temp)
                                   if "VIEW" in upper else stmt)
 
+        ins = _INSERT_SELECT_RE.match(stmt)
+        if ins:
+            body = stmt[ins.end():]
+            expanded = self._expand_body(body)
+            return self.spark.sql(stmt[: ins.end()] + expanded)
+
+        # plain SELECT: temp measure views "cannot be returned directly"
+        if upper.startswith(("SELECT", "WITH", "(")):
+            expanded = self._expand_body(stmt, returned=True)
+            return self.spark.sql(expanded)
+
         drop = parse_drop_view(stmt)
         if drop is not None:
-            name, if_exists = drop
+            name, if_exists, qualifier = drop
+            key = name.lower()
+            temps = getattr(self, "_batch_temp_views", {})
+            if key in temps:
+                shadowed = temps[key]
+                if qualifier and qualifier.lower() == "main":
+                    # qualified drop removes the shadowed permanent; the
+                    # batch TEMP stays visible (measures.test:528-548)
+                    temps[key] = None
+                    return None
+                # dropping the TEMP re-exposes the shadowed permanent
+                # (measures.test:509-526)
+                del temps[key]
+                self.catalog.drop(key)
+                if shadowed is not None:
+                    self.catalog.register(shadowed)
+                    self.spark.sql(
+                        f"CREATE OR REPLACE TEMPORARY VIEW {shadowed.view_name} "
+                        f"AS {shadowed.base_query}"
+                    )
+                else:
+                    try:
+                        self.spark.catalog.dropTempView(name)
+                    except Exception:
+                        pass
+                return None
             self.catalog.drop(name)
             return self.spark.sql(
                 f"DROP VIEW {'IF EXISTS ' if if_exists else ''}{name}"
             )
 
-        res = self._expander().expand(stmt)
+        return self.spark.sql(self._expand_body(stmt))
+
+    def _expand_body(self, body: str, returned: bool = False) -> str:
+        res = self._expander().expand(body)
+        self.last_sql = res.sql
         if res.error:
             raise YardstickError(res.error)
+        temps = getattr(self, "_batch_temp_views", {})
+        for v in res.used_views:
+            if v in temps:
+                (self._batch_temp_returned if returned
+                 else self._batch_temp_used).add(v)
         for w in res.warnings:
             self.last_warnings.append(w)
             if self.warnings_as_errors:
                 raise YardstickError(w)
             if self.collect_warnings:
-                _warnings.warn(w, stacklevel=3)
-        return self.spark.sql(normalize_statement_to_spark(res.sql))
+                _warnings.warn(w, stacklevel=4)
+        return normalize_statement_to_spark(res.sql)
 
     def _spark_view_ddl(self, sql: str, is_replace: bool, is_temp: bool) -> str:
         """Spark's in-memory catalog can't persist plain views without a

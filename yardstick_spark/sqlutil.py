@@ -327,6 +327,52 @@ def normalize_dim_key(col: str) -> str:
     return t.split(".")[-1].strip().strip('"').lower()
 
 
+def convert_dollar_quotes(sql: str) -> str:
+    """DuckDB dollar-quoted strings ($tag$..$tag$) -> standard quoted."""
+    out: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "$":
+            m = re.match(r"\$[A-Za-z0-9_]*\$", sql[i:])
+            if m:
+                tag = m.group(0)
+                j = sql.find(tag, i + len(tag))
+                if j >= 0:
+                    body = sql[i + len(tag): j]
+                    out.append("'" + body.replace("'", "''") + "'")
+                    i = j + len(tag)
+                    continue
+        j = skip_code_unit(sql, i)
+        if j > i:
+            out.append(sql[i:j])
+            i = j
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def strip_leading_comments(sql: str) -> str:
+    """Drop leading whitespace/comments so statement classification sees
+    the first code token."""
+    i, n = 0, len(sql)
+    while i < n:
+        if sql[i].isspace():
+            i += 1
+            continue
+        if sql[i] == "-" and i + 1 < n and sql[i + 1] == "-":
+            j = sql.find("\n", i + 2)
+            i = n if j < 0 else j + 1
+            continue
+        if sql[i] == "/" and i + 1 < n and sql[i + 1] == "*":
+            j = sql.find("*/", i + 2)
+            i = n if j < 0 else j + 2
+            continue
+        break
+    return sql[i:]
+
+
 def unquote_ident(name: str) -> str:
     t = name.strip()
     for q in ('"', "`"):
