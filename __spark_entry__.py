@@ -1,38 +1,573 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` — flagship measure query on sf0.001.
+`queries()` — one callable per implemented operator (SURVEY.md §2 measure
+semantics + the LLM-pipeline operators in yardstick_spark.llm).
+`oracle_sql()` — equivalent ANSI SQL for DuckDB over the same parquet
+views.  Names/aliases match the Spark side exactly; float measures are
+rounded identically on both sides so the value-hash compare is stable.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from pyspark.sql import DataFrame, SparkSession
 
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+_SESSIONS: dict = {}
+
+
+def _ys(spark: SparkSession, sf_dir: str):
+    """Register parquet views + measure views once per (session, dir)."""
+    key = (id(spark), sf_dir)
+    if key in _SESSIONS:
+        return _SESSIONS[key]
+    from yardstick_spark import MeasureSession
+
+    # events.parquet stores TIMESTAMP(NANOS) which Spark's parquet reader
+    # rejects; read nanos as long and convert to a timestamp column.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if Path(p).exists():
+            df = spark.read.parquet(p)
+            if t == "events" and dict(df.dtypes).get("ts") == "bigint":
+                df = df.withColumn(
+                    "ts",
+                    __import__("pyspark.sql.functions", fromlist=["expr"]).expr(
+                        "timestamp_micros(ts div 1000)"
+                    ),
+                )
+            df.createOrReplaceTempView(t)
+    ys = MeasureSession(spark)
+    ys.collect_warnings = False
+    ys.sql(
+        "CREATE OR REPLACE VIEW lineitem_m AS SELECT "
+        "l_returnflag, l_linestatus, YEAR(l_shipdate) AS d_year, "
+        "MONTH(l_shipdate) AS ship_month, "
+        "SUM(l_extendedprice * (1 - l_discount)) AS MEASURE revenue, "
+        "SUM(l_quantity) AS MEASURE total_qty, "
+        "COUNT(*) AS MEASURE line_count, "
+        "revenue / total_qty AS MEASURE rev_per_unit "
+        "FROM lineitem"
+    )
+    ys.sql(
+        "CREATE OR REPLACE VIEW lineitem_nd AS SELECT "
+        "l_returnflag, l_linestatus, YEAR(l_shipdate) AS d_year, "
+        "COUNT(DISTINCT l_suppkey) AS MEASURE supp_count, "
+        "MEDIAN(l_quantity) AS MEASURE med_qty "
+        "FROM lineitem"
+    )
+    ys.sql(
+        "CREATE OR REPLACE VIEW orders_m AS SELECT "
+        "o_orderkey, o_orderstatus, o_orderpriority, "
+        "YEAR(o_orderdate) AS d_year, "
+        "SUM(o_totalprice) AS MEASURE order_rev, "
+        "COUNT(*) AS MEASURE order_count "
+        "FROM orders"
+    )
+    _SESSIONS[key] = ys
+    return ys
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: revenue share-of-total via AT (ALL) on sf0.001."""
+    ys = _ys(spark, "/root/testdata/sf0.001")
+    return ys.sql(
+        "SELECT d_year, l_returnflag, "
+        "ROUND(AGGREGATE(revenue), 2) AS rev, "
+        "ROUND(AGGREGATE(revenue) AT (ALL l_returnflag), 2) AS year_total, "
+        "ROUND(AGGREGATE(revenue) / AGGREGATE(revenue) AT (ALL) * 100, 4) AS pct "
+        "FROM lineitem_m GROUP BY d_year, l_returnflag"
+    )
+
+
+# ---------------------------------------------------------------------------
+# measure-engine queries: name -> measure SQL (run through MeasureSession)
+# ---------------------------------------------------------------------------
+
+_MEASURE_QUERIES: dict[str, str] = {
+    "m_agg_basic": (
+        "SELECT l_returnflag, l_linestatus, "
+        "ROUND(AGGREGATE(revenue), 2) AS revenue, "
+        "ROUND(AGGREGATE(total_qty), 2) AS total_qty, "
+        "AGGREGATE(line_count) AS line_count "
+        "FROM lineitem_m GROUP BY l_returnflag, l_linestatus"
+    ),
+    "m_grand_total": (
+        "SELECT ROUND(AGGREGATE(revenue), 2) AS revenue, "
+        "AGGREGATE(line_count) AS line_count FROM lineitem_m"
+    ),
+    "m_at_all_share": (
+        "SELECT l_returnflag, ROUND(AGGREGATE(revenue), 2) AS rev, "
+        "ROUND(AGGREGATE(revenue) AT (ALL), 2) AS total_rev, "
+        "ROUND(AGGREGATE(revenue) / AGGREGATE(revenue) AT (ALL) * 100, 4) AS pct "
+        "FROM lineitem_m GROUP BY l_returnflag"
+    ),
+    "m_at_all_dim": (
+        "SELECT d_year, l_returnflag, ROUND(AGGREGATE(revenue), 2) AS rev, "
+        "ROUND(AGGREGATE(revenue) AT (ALL l_returnflag), 2) AS year_total "
+        "FROM lineitem_m GROUP BY d_year, l_returnflag"
+    ),
+    "m_at_where": (
+        "SELECT d_year, ROUND(AGGREGATE(revenue), 2) AS rev, "
+        "ROUND(AGGREGATE(revenue) AT (WHERE l_returnflag = 'R'), 2) AS returned_rev "
+        "FROM lineitem_m GROUP BY d_year"
+    ),
+    "m_at_set_yoy": (
+        "SELECT d_year, ROUND(AGGREGATE(revenue), 2) AS rev, "
+        "ROUND(AGGREGATE(revenue) AT (SET d_year = d_year - 1), 2) AS prev_rev "
+        "FROM lineitem_m GROUP BY d_year"
+    ),
+    "m_at_visible": (
+        "SELECT l_returnflag, ROUND(AGGREGATE(revenue) AT (VISIBLE), 2) AS vis_rev, "
+        "ROUND(AGGREGATE(revenue) AT (ALL), 2) AS all_rev "
+        "FROM lineitem_m WHERE d_year >= 1997 GROUP BY l_returnflag"
+    ),
+    "m_at_chained": (
+        "SELECT d_year, l_returnflag, l_linestatus, "
+        "ROUND(AGGREGATE(revenue), 2) AS rev, "
+        "ROUND(AGGREGATE(revenue) AT (ALL l_returnflag l_linestatus), 2) AS year_total, "
+        "ROUND(AGGREGATE(revenue) AT (ALL l_returnflag) AT (ALL l_linestatus), 2) "
+        "AS year_total_chained "
+        "FROM lineitem_m GROUP BY d_year, l_returnflag, l_linestatus"
+    ),
+    "m_at_all_month": (
+        "SELECT l_returnflag, ship_month, ROUND(AGGREGATE(revenue), 2) AS rev, "
+        "ROUND(AGGREGATE(revenue) AT (ALL ship_month), 2) AS flag_total "
+        "FROM lineitem_m GROUP BY l_returnflag, ship_month"
+    ),
+    "m_derived_ratio": (
+        "SELECT l_returnflag, ROUND(AGGREGATE(rev_per_unit), 4) AS rev_per_unit "
+        "FROM lineitem_m GROUP BY l_returnflag"
+    ),
+    "m_implicit_default": (
+        "SELECT l_returnflag, total_qty "
+        "FROM lineitem_m WHERE d_year = 1998 GROUP BY l_returnflag"
+    ),
+    "m_having": (
+        "SELECT d_year, ROUND(AGGREGATE(revenue), 2) AS rev "
+        "FROM lineitem_m GROUP BY d_year "
+        "HAVING AGGREGATE(revenue) > 40000000"
+    ),
+    "m_multifact": (
+        "SELECT l.d_year AS d_year, ROUND(AGGREGATE(revenue), 2) AS rev, "
+        "ROUND(AGGREGATE(order_rev), 2) AS orev "
+        "FROM lineitem_m l JOIN orders_m o ON l.d_year = o.d_year "
+        "GROUP BY l.d_year"
+    ),
+    "m_fanout_immunity": (
+        "SELECT o.o_orderpriority AS prio, "
+        "ROUND(AGGREGATE(order_rev), 2) AS orev, "
+        "COUNT(*) AS joined_rows "
+        "FROM orders_m o JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+        "GROUP BY o.o_orderpriority"
+    ),
+    "m_nd_count_distinct": (
+        "SELECT l_returnflag, AGGREGATE(supp_count) AS supp_count "
+        "FROM lineitem_nd GROUP BY l_returnflag"
+    ),
+    "m_nd_median": (
+        "SELECT l_returnflag, ROUND(AGGREGATE(med_qty), 2) AS med_qty "
+        "FROM lineitem_nd GROUP BY l_returnflag"
+    ),
+    "m_nd_at_all": (
+        "SELECT l_returnflag, AGGREGATE(supp_count) AS supp_count, "
+        "AGGREGATE(supp_count) AT (ALL) AS supp_total "
+        "FROM lineitem_nd GROUP BY l_returnflag"
+    ),
+    "m_cte": (
+        "WITH yearly AS (SELECT d_year, ROUND(AGGREGATE(revenue), 2) AS rev "
+        "FROM lineitem_m GROUP BY d_year) "
+        "SELECT COUNT(*) AS n_years, ROUND(SUM(rev), 2) AS total FROM yearly"
+    ),
+    "m_groupby_all": (
+        "SELECT l_returnflag, l_linestatus, ROUND(AGGREGATE(revenue), 2) AS rev "
+        "FROM lineitem_m GROUP BY ALL"
+    ),
+    "m_topk": (
+        "SELECT d_year, ROUND(AGGREGATE(revenue), 2) AS rev "
+        "FROM lineitem_m GROUP BY d_year ORDER BY rev DESC LIMIT 3"
+    ),
+}
+
+
+def _measure_runner(sql: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _ys(spark, sf_dir).sql(sql)
+
+    return run
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline operators (DataFrame API)
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark, sf_dir):
+    _ys(spark, sf_dir)
+    return spark.table("documents")
+
+
+def _q_dedup_exact(spark, sf_dir):
+    from yardstick_spark.llm import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir)).select(
+        "doc_id", "content_hash", "keep_id", "is_duplicate"
+    )
+
+
+def _q_dedup_ngram(spark, sf_dir):
+    from yardstick_spark.llm import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), k=5, threshold=0.8)
+
+
+def _q_dedup_minhash(spark, sf_dir):
+    from yardstick_spark.llm import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _docs(spark, sf_dir), k=5, num_hashes=32, bands=8, threshold=0.5
+    )
+
+
+def _q_dedup_simhash(spark, sf_dir):
+    from yardstick_spark.llm import simhash64
+
+    return simhash64(_docs(spark, sf_dir))
+
+
+def _q_knn(spark, sf_dir):
+    from yardstick_spark.llm import brute_force_knn
+
+    _ys(spark, sf_dir)
+    emb = spark.table("embeddings")
+    return brute_force_knn(emb, emb.filter("vec_id < 5"), k=10)
+
+
+def _q_knn_lsh(spark, sf_dir):
+    from yardstick_spark.llm import lsh_bucketed_knn
+
+    _ys(spark, sf_dir)
+    emb = spark.table("embeddings")
+    return lsh_bucketed_knn(emb, emb.filter("vec_id < 5"), k=10)
+
+
+def _q_tokens(spark, sf_dir):
+    from yardstick_spark.llm import token_stats
+
+    return token_stats(_docs(spark, sf_dir))
+
+
+def _q_quality(spark, sf_dir):
+    from yardstick_spark.llm import quality_score
+
+    return quality_score(_docs(spark, sf_dir))
+
+
+def _q_langid(spark, sf_dir):
+    from yardstick_spark.llm import language_id
+
+    return language_id(_docs(spark, sf_dir))
+
+
+def _q_fingerprint(spark, sf_dir):
+    from yardstick_spark.llm import doc_fingerprint
+    from pyspark.sql import functions as F
+
+    fp = doc_fingerprint(_docs(spark, sf_dir))
+    return fp.select(
+        "doc_id",
+        "content_hash",
+        F.expr("size(fingerprint)").alias("n_prints"),
+        F.expr("fingerprint[0]").alias("min_print"),
+    )
+
+
+def _q_mm_decode(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from yardstick_spark.llm.multimodal import attach_media_column, decode_media
+
+    media = attach_media_column(_docs(spark, sf_dir))
+    decoded = decode_media(media, n_features=8, fake=True)
+    return decoded.groupBy("media_type").agg(
+        F.count("*").alias("n"),
+        F.sum("n_bytes").alias("total_bytes"),
+    )
+
+
+def _q_mm_frames(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from yardstick_spark.llm.multimodal import attach_media_column, frame_sample
+
+    media = attach_media_column(_docs(spark, sf_dir))
+    frames = frame_sample(media, every_ms=1000)
+    return frames.agg(
+        F.count("*").alias("n_frames"),
+        F.countDistinct("media_id").alias("n_videos"),
+    )
+
+
+def _q_events_tumbling(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    _ys(spark, sf_dir)
+    return (
+        spark.table("events")
+        .groupBy(
+            F.expr("CAST(date_trunc('hour', ts) AS STRING)").alias("bucket"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    out: dict[str, Callable] = {
+        name: _measure_runner(sql) for name, sql in _MEASURE_QUERIES.items()
+    }
+    out.update(
+        {
+            "dedup_exact": _q_dedup_exact,
+            "dedup_ngram_jaccard": _q_dedup_ngram,
+            "dedup_minhash_lsh": _q_dedup_minhash,
+            "dedup_simhash": _q_dedup_simhash,
+            "sim_knn_bruteforce": _q_knn,
+            "sim_knn_lsh": _q_knn_lsh,
+            "text_tokens": _q_tokens,
+            "text_quality": _q_quality,
+            "text_langid": _q_langid,
+            "text_fingerprint": _q_fingerprint,
+            "mm_decode": _q_mm_decode,
+            "mm_frame_sample": _q_mm_frames,
+            "events_tumbling": _q_events_tumbling,
+        }
+    )
+    return out
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles — plain ANSI SQL over the pre-registered parquet views
+# ---------------------------------------------------------------------------
+
+_REV = "SUM(l_extendedprice * (1 - l_discount))"
+_NORM_DOC = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+    o["m_agg_basic"] = f"""
+        SELECT l_returnflag, l_linestatus, ROUND({_REV}, 2) AS revenue,
+               ROUND(SUM(l_quantity), 2) AS total_qty, COUNT(*) AS line_count
+        FROM lineitem GROUP BY l_returnflag, l_linestatus"""
+    o["m_grand_total"] = f"""
+        SELECT ROUND({_REV}, 2) AS revenue, COUNT(*) AS line_count FROM lineitem"""
+    o["m_at_all_share"] = f"""
+        WITH g AS (SELECT l_returnflag, {_REV} AS r FROM lineitem GROUP BY 1),
+             t AS (SELECT SUM(r) AS tr FROM g)
+        SELECT l_returnflag, ROUND(r, 2) AS rev, ROUND(tr, 2) AS total_rev,
+               ROUND(r / tr * 100, 4) AS pct
+        FROM g CROSS JOIN t"""
+    o["m_at_all_dim"] = f"""
+        WITH g AS (SELECT YEAR(l_shipdate) AS d_year, l_returnflag, {_REV} AS r
+                   FROM lineitem GROUP BY 1, 2)
+        SELECT d_year, l_returnflag, ROUND(r, 2) AS rev,
+               ROUND(SUM(r) OVER (PARTITION BY d_year), 2) AS year_total
+        FROM g"""
+    o["m_at_where"] = f"""
+        WITH g AS (SELECT YEAR(l_shipdate) AS d_year, {_REV} AS r
+                   FROM lineitem GROUP BY 1),
+             w AS (SELECT {_REV} AS rr FROM lineitem WHERE l_returnflag = 'R')
+        SELECT d_year, ROUND(r, 2) AS rev, ROUND(rr, 2) AS returned_rev
+        FROM g CROSS JOIN w"""
+    o["m_at_set_yoy"] = f"""
+        WITH g AS (SELECT YEAR(l_shipdate) AS d_year, {_REV} AS r
+                   FROM lineitem GROUP BY 1)
+        SELECT g.d_year, ROUND(g.r, 2) AS rev, ROUND(p.r, 2) AS prev_rev
+        FROM g LEFT JOIN g p ON p.d_year = g.d_year - 1"""
+    o["m_at_visible"] = f"""
+        WITH v AS (SELECT l_returnflag, {_REV} AS r FROM lineitem
+                   WHERE YEAR(l_shipdate) >= 1997 GROUP BY 1),
+             t AS (SELECT {_REV} AS tr FROM lineitem)
+        SELECT l_returnflag, ROUND(r, 2) AS vis_rev, ROUND(tr, 2) AS all_rev
+        FROM v CROSS JOIN t"""
+    o["m_at_chained"] = f"""
+        WITH g AS (SELECT YEAR(l_shipdate) AS d_year, l_returnflag, l_linestatus,
+                          {_REV} AS r FROM lineitem GROUP BY 1, 2, 3)
+        SELECT d_year, l_returnflag, l_linestatus, ROUND(r, 2) AS rev,
+               ROUND(SUM(r) OVER (PARTITION BY d_year), 2) AS year_total,
+               ROUND(SUM(r) OVER (PARTITION BY d_year), 2) AS year_total_chained
+        FROM g"""
+    o["m_at_all_month"] = f"""
+        WITH g AS (SELECT l_returnflag, MONTH(l_shipdate) AS ship_month,
+                          {_REV} AS r FROM lineitem GROUP BY 1, 2)
+        SELECT l_returnflag, ship_month, ROUND(r, 2) AS rev,
+               ROUND(SUM(r) OVER (PARTITION BY l_returnflag), 2) AS flag_total
+        FROM g"""
+    o["m_derived_ratio"] = f"""
+        SELECT l_returnflag,
+               ROUND({_REV} / SUM(l_quantity), 4) AS rev_per_unit
+        FROM lineitem GROUP BY l_returnflag"""
+    o["m_implicit_default"] = """
+        WITH grp AS (SELECT DISTINCT l_returnflag FROM lineitem
+                     WHERE YEAR(l_shipdate) = 1998),
+             q AS (SELECT l_returnflag, SUM(l_quantity) AS tq
+                   FROM lineitem GROUP BY 1)
+        SELECT grp.l_returnflag, q.tq AS total_qty
+        FROM grp JOIN q USING (l_returnflag)"""
+    o["m_having"] = f"""
+        SELECT YEAR(l_shipdate) AS d_year, ROUND({_REV}, 2) AS rev
+        FROM lineitem GROUP BY 1 HAVING {_REV} > 40000000"""
+    o["m_multifact"] = f"""
+        WITH lg AS (SELECT YEAR(l_shipdate) AS d_year, {_REV} AS r
+                    FROM lineitem GROUP BY 1),
+             og AS (SELECT YEAR(o_orderdate) AS d_year, SUM(o_totalprice) AS orv
+                    FROM orders GROUP BY 1)
+        SELECT lg.d_year AS d_year, ROUND(lg.r, 2) AS rev, ROUND(og.orv, 2) AS orev
+        FROM lg JOIN og USING (d_year)"""
+    o["m_fanout_immunity"] = """
+        WITH g AS (SELECT o_orderpriority AS prio, ROUND(SUM(o_totalprice), 2)
+                   AS orev FROM orders GROUP BY 1),
+             j AS (SELECT o.o_orderpriority AS prio, COUNT(*) AS joined_rows
+                   FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                   GROUP BY 1)
+        SELECT j.prio, g.orev, j.joined_rows FROM j JOIN g USING (prio)"""
+    o["m_nd_count_distinct"] = """
+        SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS supp_count
+        FROM lineitem GROUP BY l_returnflag"""
+    o["m_nd_median"] = """
+        SELECT l_returnflag, ROUND(MEDIAN(l_quantity), 2) AS med_qty
+        FROM lineitem GROUP BY l_returnflag"""
+    o["m_nd_at_all"] = """
+        WITH t AS (SELECT COUNT(DISTINCT l_suppkey) AS st FROM lineitem)
+        SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS supp_count, t.st AS supp_total
+        FROM lineitem CROSS JOIN t GROUP BY l_returnflag, t.st"""
+    o["m_cte"] = f"""
+        WITH yearly AS (SELECT YEAR(l_shipdate) AS d_year, ROUND({_REV}, 2) AS rev
+                        FROM lineitem GROUP BY 1)
+        SELECT COUNT(*) AS n_years, ROUND(SUM(rev), 2) AS total FROM yearly"""
+    o["m_groupby_all"] = f"""
+        SELECT l_returnflag, l_linestatus, ROUND({_REV}, 2) AS rev
+        FROM lineitem GROUP BY 1, 2"""
+    o["m_topk"] = f"""
+        SELECT YEAR(l_shipdate) AS d_year, ROUND({_REV}, 2) AS rev
+        FROM lineitem GROUP BY 1 ORDER BY rev DESC LIMIT 3"""
+
+    # -- LLM-pipeline oracles (portable md5-based hashing) --
+    o["dedup_exact"] = f"""
+        WITH h AS (SELECT doc_id, md5({_NORM_DOC}) AS content_hash FROM documents)
+        SELECT doc_id, content_hash,
+               MIN(doc_id) OVER (PARTITION BY content_hash) AS keep_id,
+               doc_id <> MIN(doc_id) OVER (PARTITION BY content_hash) AS is_duplicate
+        FROM h"""
+    o["dedup_ngram_jaccard"] = f"""
+        WITH norm AS (SELECT doc_id AS id, {_NORM_DOC} AS t FROM documents),
+        sh AS (SELECT id, UNNEST(list_distinct([substring(t, i, 5)
+                   for i in range(1, greatest(1, length(t) - 4) + 1)])) AS sh
+               FROM norm),
+        sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+        pairs AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS common
+                  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+                  GROUP BY 1, 2)
+        SELECT id_a, id_b,
+               ROUND(common / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
+        FROM pairs
+        JOIN sizes sa ON sa.id = id_a
+        JOIN sizes sb ON sb.id = id_b
+        WHERE common / (sa.n_sh + sb.n_sh - common) >= 0.8"""
+    o["dedup_simhash"] = f"""
+        WITH norm AS (SELECT doc_id AS id,
+            list_filter(string_split({_NORM_DOC}, ' '), t -> t <> '') AS toks
+            FROM documents)
+        SELECT id,
+          list_aggregate(
+            list_transform(range(0, 60), i ->
+              CASE WHEN list_sum(list_transform(toks, t ->
+                CASE WHEN (CAST(CONCAT('0x', SUBSTRING(md5(t), 1, 15)) AS BIGINT)
+                           >> i) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+              THEN (CAST(1 AS BIGINT) << i) ELSE 0 END), 'sum') AS simhash
+        FROM norm"""
+    o["sim_knn_bruteforce"] = """
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        q AS (SELECT * FROM v WHERE vec_id < 5),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            ROUND(list_sum(list_transform(list_zip(q.e, c.e), x -> x[1] * x[2]))
+              / (sqrt(list_sum(list_transform(q.e, x -> x * x)))
+                 * sqrt(list_sum(list_transform(c.e, x -> x * x)))), 4) AS sim
+          FROM v c CROSS JOIN q WHERE c.vec_id <> q.vec_id)
+        SELECT query_id, neighbor_id, sim, rank FROM (
+          SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+          FROM scored) WHERE rank <= 10"""
+    o["text_tokens"] = f"""
+        WITH norm AS (SELECT doc_id, {_NORM_DOC} AS t FROM documents)
+        SELECT doc_id,
+               len(list_filter(string_split(t, ' '), x -> x <> '')) AS n_tokens,
+               CAST(ceil(length(t) / 4.0) AS BIGINT) AS n_subwords,
+               length(t) AS n_chars_norm
+        FROM norm"""
+    o["text_quality"] = f"""
+        WITH norm AS (SELECT doc_id, {_NORM_DOC} AS t FROM documents),
+        f AS (SELECT doc_id, t, greatest(length(t), 1) AS n,
+              length(regexp_replace(t, '[^a-z]', '', 'g')) AS alpha,
+              length(regexp_replace(t, '[^.,;:!?]', '', 'g')) AS punct,
+              list_filter(string_split(t, ' '), x -> x <> '') AS words
+              FROM norm)
+        SELECT doc_id, length(t) AS len_norm,
+               ROUND(alpha / CAST(n AS DOUBLE), 6) AS alpha_ratio,
+               ROUND(punct / CAST(n AS DOUBLE), 6) AS punct_ratio,
+               ROUND(list_sum(list_transform(words, w -> length(w)))
+                     / CAST(greatest(len(words), 1) AS DOUBLE), 6) AS mean_word_len,
+               ROUND(least(1.0, 0.4 * least(length(t) / 500.0, 1.0)
+                     + 0.4 * (alpha / CAST(n AS DOUBLE))
+                     + 0.2 * least(punct / CAST(greatest(len(words), 1) AS DOUBLE),
+                                   1.0)), 6) AS quality
+        FROM f"""
+    o["text_fingerprint"] = f"""
+        WITH norm AS (SELECT doc_id, {_NORM_DOC} AS t FROM documents),
+        w AS (SELECT doc_id, t,
+              list_filter(string_split(t, ' '), x -> x <> '') AS words FROM norm),
+        g AS (SELECT doc_id, t, [concat_ws(' ', words[i], words[i+1], words[i+2],
+                   words[i+3]) for i in range(1, greatest(1, len(words) - 3) + 1)]
+              AS grams FROM w),
+        h AS (SELECT doc_id, t, list_transform(grams, g ->
+                CAST(CONCAT('0x', SUBSTRING(md5(g), 1, 15)) AS BIGINT)) AS gh
+              FROM g),
+        m AS (SELECT doc_id, t, list_sort(list_distinct(
+                [list_min(gh[i:i+15]) for i in
+                 range(1, greatest(1, len(gh) - 15) + 1)])) AS fp
+              FROM h)
+        SELECT doc_id, md5(t) AS content_hash, len(fp) AS n_prints,
+               fp[1] AS min_print
+        FROM m"""
+    o["mm_decode"] = """
+        SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+               WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+               COUNT(*) AS n,
+               SUM(octet_length(CAST(text AS BLOB))) AS total_bytes
+        FROM documents GROUP BY 1"""
+    o["mm_frame_sample"] = """
+        SELECT SUM(CAST(floor(length(text) * 10 / 1000.0) AS BIGINT) + 1)
+                 AS n_frames,
+               COUNT(DISTINCT doc_id) AS n_videos
+        FROM documents WHERE doc_id % 3 = 2"""
+    o["events_tumbling"] = """
+        SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS bucket, event_type,
+               COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+        FROM events GROUP BY 1, 2"""
+    return o

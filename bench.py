@@ -1,0 +1,76 @@
+"""Benchmark harness: runs the __spark_entry__ query inventory at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Timing protocol: one warmup pass of a cheap query to absorb JVM/session
+startup, then each query timed as plan-build + execution to completion
+(df.count() via a noop write would also work; count() forces the full
+plan; collect() is avoided so driver materialization doesn't dominate).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entry
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.warehouse.dir", tempfile.mkdtemp(prefix="ys_wh_"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entry.queries()
+    # warmup: session + parquet views + measure views
+    entry._ys(spark, sf_dir)
+    spark.table("lineitem").count()
+
+    timings: dict[str, float] = {}
+    for name, fn in qs.items():
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, sf_dir)
+            df.count()
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as e:  # noqa: BLE001
+            print(f"# {name} failed: {type(e).__name__}: {str(e)[:150]}",
+                  file=sys.stderr)
+            timings[name] = -1.0
+
+    ok = {k: v for k, v in timings.items() if v >= 0}
+    total = round(sum(ok.values()), 4)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "total_query_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

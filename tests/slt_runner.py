@@ -166,16 +166,21 @@ class SltSession:
         if m:
             name = m.group(4).lower()
             cols = []
+            specs: list[tuple[str, str]] = []
             for c in split_top_level(m.group(5)):
                 c = c.strip()
                 mm = re.match(r'([A-Za-z_][\w$]*|"[^"]+")\s+(.*)$', c, re.DOTALL)
                 if mm:
-                    cols.append(f"`{mm.group(1)}` {map_types(mm.group(2).strip())}")
+                    typ = map_types(mm.group(2).strip())
+                    typ = re.sub(r"\s+(NOT\s+NULL|PRIMARY\s+KEY|UNIQUE).*$", "",
+                                 typ, flags=re.IGNORECASE | re.DOTALL)
+                    cols.append(f"`{mm.group(1)}` {typ}")
+                    specs.append((mm.group(1), typ))
             self.spark.sql(f"DROP TABLE IF EXISTS {name}")
             self.spark.sql(
                 f"CREATE TABLE {name} ({', '.join(cols)}) USING PARQUET"
             )
-            self.tables[name] = True
+            self.tables[name] = specs
             return True, None
         m = _INSERT_RE.match(stmt)
         if m:
@@ -185,7 +190,22 @@ class SltSession:
             values = convert_dollar_quotes(m.group(3).strip().rstrip(";"))
             values = _LIST_LITERAL_RE.sub(lambda mm: f"ARRAY({mm.group(1)})", values)
             cols = (m.group(2) or "").strip()
-            self.spark.sql(f"INSERT INTO {name} {cols} VALUES {values}")
+            specs = self.tables.get(name.lower())
+            if not cols and isinstance(specs, list) and specs:
+                # cast VALUES tuples to the declared column types (DuckDB
+                # implicitly casts '2024-01-01' to DATE; Spark's ANSI insert
+                # policy refuses) — route through an explicit SELECT CAST
+                src_cols = ", ".join(f"c{i}" for i in range(len(specs)))
+                casts = ", ".join(
+                    f"CAST(c{i} AS {typ}) AS `{col}`"
+                    for i, (col, typ) in enumerate(specs)
+                )
+                self.spark.sql(
+                    f"INSERT INTO {name} SELECT {casts} FROM "
+                    f"(VALUES {values}) AS _v({src_cols})"
+                )
+            else:
+                self.spark.sql(f"INSERT INTO {name} {cols} VALUES {values}")
             return True, None
         m = _DROP_TABLE_RE.match(stmt)
         if m and m.group(2).lower() in self.tables:

@@ -135,7 +135,9 @@ def build_resolved(v: MeasureView, m: ViewMeasure) -> ResolvedMeasure:
 
     derived = None
     if extract_aggregation_function(m.expression) is None:
-        expanded = expand_derived_measure_expr(m.expression, v)
+        expanded = expand_derived_measure_expr(
+            m.expression, v, frozenset({m.column_name.lower()})
+        )
         if expanded != m.expression:
             derived = expanded
     return ResolvedMeasure(

@@ -96,35 +96,33 @@ def extract_agg_function(expr: str) -> str:
     return (extract_aggregation_function(expr) or "sum").upper()
 
 
-def expand_derived_measure_expr(expr: str, view: MeasureView) -> str:
+def expand_derived_measure_expr(
+    expr: str, view: MeasureView, _exclude: frozenset = frozenset()
+) -> str:
     """Expand measure-name references inside a derived measure expression
     into their stored aggregate expressions, recursively
     (reference: expand_derived_measure_expr; e.g. profit = rev - cost_m
-    -> SUM(revenue) - SUM(cost))."""
-    out = expr
-    for _ in range(8):  # bounded recursion
-        replaced = _expand_once(out, view)
-        if replaced == out:
-            return out
-        out = replaced
-    return out
-
-
-def _expand_once(expr: str, view: MeasureView) -> str:
+    -> SUM(revenue) - SUM(cost)).  `_exclude` breaks self-reference cycles
+    — a measure whose expression mentions a same-named base column
+    (SUM(revenue) AS MEASURE revenue) must not re-expand itself."""
     by_name = {m.column_name.lower(): m for m in view.measures}
     pieces: list[str] = []
     last = 0
     for start, end, text in iter_identifiers(expr):
-        m = by_name.get(text.lower())
-        if m is None:
+        low = text.lower()
+        m = by_name.get(low)
+        if m is None or low in _exclude:
             continue
         k = next_nonspace(expr, end)
         if k < len(expr) and expr[k] in "(.":
             continue
         if extract_aggregation_function(m.expression) is None and find_aggregation_in_expression(m.expression) is None:
             continue
+        inner = expand_derived_measure_expr(
+            m.expression, view, _exclude | {low}
+        )
         pieces.append(expr[last:start])
-        pieces.append(f"({m.expression})")
+        pieces.append(f"({inner})")
         last = end
     pieces.append(expr[last:])
     return "".join(pieces)
@@ -232,7 +230,9 @@ def process_create_view(sql: str) -> CreateViewResult:
         non_decomp = is_non_decomposable(spark_expr)
         window = has_window_over(spark_expr)
         if non_decomp or window:
-            has_materialized = True
+            # window measures stay row-level — only true aggregates force
+            # GROUP BY ALL on the clean view (measures.rs:4554-4570)
+            has_materialized = has_materialized or not window
             replacements.append((expr_start, name_end, f"{spark_expr} AS {name}"))
         else:
             replacements.append((expr_start, name_end, f"CAST(NULL AS DOUBLE) AS {name}"))
@@ -271,6 +271,13 @@ def process_create_view(sql: str) -> CreateViewResult:
     group_by_cols = [
         c for c in group_by_cols if normalize_dim_key(c) not in measure_names
     ]
+    # measure placeholder columns are not dimensions — leaving them in
+    # would substitute NULL for same-named base columns inside measure
+    # expressions (financials fixture, measures.test:1964-2000)
+    dimension_exprs = {
+        k: v for k, v in dimension_exprs.items()
+        if normalize_dim_key(k) not in measure_names
+    }
 
     view = MeasureView(
         view_name=view_name or "",

@@ -261,7 +261,9 @@ def find_aggregate_sites(sql: str) -> list[AggregateSite]:
                             continue
                     break
                 default_ctx = False
-                p = next_nonspace(sql, end)
+                p = end
+                while p < n and sql[p].isspace():
+                    p += 1
                 if sql.startswith(DEFAULT_CONTEXT_MARKER, p):
                     default_ctx = True
                     end = p + len(DEFAULT_CONTEXT_MARKER)
@@ -635,13 +637,22 @@ class QueryExpander:
                 continue
 
             spec, value_alias = self._ctx_for(
-                ctxs, resolved, ctx, info, ctx_counter
+                ctxs, resolved, ctx, info, ctx_counter,
+                measure_name=site.measure_name,
             )
             ctx_counter = len(ctxs)
             value_ref = f"{spec.alias}.{value_alias}"
             wrapped = f"any_value({value_ref})"
             if self._needs_zero_coalesce(resolved, ctx, outer_where):
                 wrapped = f"coalesce({wrapped}, 0)"
+            if uses_grouping_sets and ctx.corr_dims:
+                # ROLLUP/CUBE subtotal rows have NULL dims; correlation on a
+                # NULL dim finds no group -> NULL measure (S6,
+                # measures.test:3267-3283)
+                guards = " + ".join(
+                    f"grouping({d})" for d in ctx.corr_dims
+                )
+                wrapped = f"(CASE WHEN {guards} > 0 THEN NULL ELSE {wrapped} END)"
             replacements.append((site.start, site.end, wrapped))
 
         out = sql
@@ -739,6 +750,7 @@ class QueryExpander:
         ctx: EvalContext,
         info: SelectInfo,
         counter: int,
+        measure_name: str | None = None,
     ) -> tuple[CtxSpec, str]:
         base_sql = (
             resolved.base_relation_sql
@@ -782,7 +794,7 @@ class QueryExpander:
         expr = self._apply_dim_exprs(resolved.eval_expression, resolved)
         window_spec = None
         if resolved.is_window:
-            window_spec = (expr, resolved.source_view)
+            window_spec = (expr, measure_name or resolved.source_view)
         # reuse identical value expressions
         for va, ve, ws in zip(spec.value_aliases, spec.value_exprs, spec.window_specs):
             if normalize_ws(ve).lower() == normalize_ws(expr).lower() and (
@@ -873,12 +885,12 @@ class QueryExpander:
             if ws is None:
                 outer_vals.append(f"any_value(__ys_raw{idx}) AS {a}")
             else:
-                measure = "window measure"
+                mname = ws[1]
                 outer_vals.append(
                     f"CASE WHEN count(distinct __ys_raw{idx}) "
                     f"+ (CASE WHEN count(*) > count(__ys_raw{idx}) THEN 1 ELSE 0 END) > 1 "
-                    f"THEN raise_error('Window measure returned multiple values "
-                    f"for the evaluation context') "
+                    f"THEN raise_error('Window measure {mname} returned multiple "
+                    f"values for the evaluation context') "
                     f"ELSE any_value(__ys_raw{idx}) END AS {a}"
                 )
         keys_sel = [f"__ys_k{i}" for i in range(len(spec.inner_keys))]

@@ -91,6 +91,55 @@ def normalize_expr_to_spark(sql: str) -> str:
                 fn = "percentile_cont" if low == "quantile_cont" else "percentile_disc"
                 return f"{fn}({parts[1]}) WITHIN GROUP (ORDER BY {parts[0]})"
             return None
+        if low == "product":
+            # Spark has no PRODUCT aggregate; sign-aware exp/sum/ln expansion
+            x = f"({args})"
+            return (
+                f"(CASE WHEN sum(CASE WHEN {x} = 0 THEN 1 ELSE 0 END) > 0 "
+                f"THEN 0.0 ELSE (CASE WHEN pmod(sum(CASE WHEN {x} < 0 THEN 1 "
+                f"ELSE 0 END), 2) = 1 THEN -1.0 ELSE 1.0 END) "
+                f"* exp(sum(ln(abs({x})))) END)"
+            )
+        if low == "entropy":
+            # Shannon entropy (log2) over the value distribution, via
+            # collect_list + array ops; fine for rewrite parity, not a
+            # big-data path (use groupBy counts at scale)
+            x = f"({args})"
+            lst = f"collect_list({x})"
+            p = (
+                f"CAST(size(filter({lst}, y -> y <=> v)) AS DOUBLE) / "
+                f"CAST(size({lst}) AS DOUBLE)"
+            )
+            return (
+                f"aggregate(transform(array_distinct({lst}), v -> {p}), "
+                f"CAST(0 AS DOUBLE), (acc, p) -> acc - p * log2(p))"
+            )
+        if low == "array_length" and len(split_top_level(args)) == 1:
+            return f"size({args})"
+        if low == "setseed":
+            return "CAST(NULL AS DOUBLE)"
+        if low in ("string_agg", "group_concat", "list", "array_agg", "listagg",
+                   "collect_list"):
+            fn = "listagg" if low in ("string_agg", "group_concat", "listagg") \
+                else "collect_list"
+            ob = re.search(r"\sORDER\s+BY\s", args, re.IGNORECASE)
+            if ob:
+                main = args[: ob.start()].strip()
+                order = args[ob.end():].strip()
+                if fn == "listagg":
+                    return f"listagg({main}) WITHIN GROUP (ORDER BY {order})"
+                # LIST(x ORDER BY k): sortable inline only when k is x itself
+                desc = bool(re.search(r"\bDESC\b", order, re.IGNORECASE))
+                key = re.sub(r"\b(ASC|DESC)\b", "", order, flags=re.IGNORECASE).strip()
+                if key.lower() == main.lower():
+                    return (
+                        f"sort_array(collect_list({main})"
+                        f"{', false' if desc else ''})"
+                    )
+                return f"collect_list({main})"
+            if fn != low:
+                return f"{fn}({args})"
+            return None
         renamed = _FN_RENAMES.get(low)
         if renamed and renamed != low:
             return f"{renamed}({args})"
@@ -105,9 +154,59 @@ _DIV_INT_RE = re.compile(r"//")
 _MAIN_SCHEMA_RE = re.compile(r'\bmain\s*\.\s*(?=[A-Za-z_"])', re.IGNORECASE)
 
 
+_GENSERIES_ALIASED_RE = re.compile(
+    r"\bgenerate_series\s*\(([^()]*)\)\s*(?:AS\s+)?"
+    r"([A-Za-z_]\w*)\s*\(\s*([A-Za-z_]\w*)\s*\)",
+    re.IGNORECASE,
+)
+_GENSERIES_BARE_RE = re.compile(
+    r"\bgenerate_series\s*\(([^()]*)\)", re.IGNORECASE
+)
+
+
+def _apply_value_corrections(sql: str) -> str:
+    """Rewrites whose output still contains the original function name —
+    must run exactly once, on the final statement, or they compound
+    (kurtosis-of-kurtosis)."""
+
+    def handler(name: str, args: str) -> str | None:
+        low = name.lower()
+        if low == "kurtosis":
+            # DuckDB KURTOSIS is the bias-corrected sample excess kurtosis;
+            # Spark's is population — apply the correction
+            x, n = f"({args})", f"CAST(count({args}) AS DOUBLE)"
+            return (
+                f"(({n} - 1.0) / (({n} - 2.0) * ({n} - 3.0)) "
+                f"* (({n} + 1.0) * kurtosis({x}) + 6.0))"
+            )
+        if low == "skewness":
+            x, n = f"({args})", f"CAST(count({args}) AS DOUBLE)"
+            return (
+                f"(skewness({x}) * sqrt({n} * ({n} - 1.0)) / ({n} - 2.0))"
+            )
+        return None
+
+    return _rewrite_calls(sql, handler)
+
+
 def normalize_statement_to_spark(sql: str) -> str:
     """Statement-level normalizations beyond function renames:
-    DuckDB's default `main.` schema qualifier has no Spark counterpart."""
+    DuckDB's default `main.` schema qualifier has no Spark counterpart,
+    and the generate_series table function becomes explode(sequence)."""
     out = normalize_expr_to_spark(sql)
+    out = _apply_value_corrections(out)
     out = _MAIN_SCHEMA_RE.sub("", out)
+    out = _GENSERIES_ALIASED_RE.sub(
+        lambda m: (
+            f"(SELECT explode(sequence({m.group(1)})) AS {m.group(3)}) "
+            f"AS {m.group(2)}"
+        ),
+        out,
+    )
+    out = _GENSERIES_BARE_RE.sub(
+        lambda m: (
+            f"(SELECT explode(sequence({m.group(1)})) AS generate_series)"
+        ),
+        out,
+    )
     return out

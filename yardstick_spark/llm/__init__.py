@@ -1,0 +1,23 @@
+"""Large-scale training-data pipeline operators (beyond reference parity).
+
+The reference (sidequery/yardstick) has no counterpart for these — they
+are greenfield Spark-first designs for the 100 TB data-pipeline use case:
+deduplication (exact / minhash-LSH / simhash / n-gram Jaccard),
+similarity search over embeddings, text analysis (language id, quality,
+tokens, fingerprints), and multimodal binary-column plumbing.
+"""
+
+from .dedup import (  # noqa: F401
+    exact_dedup,
+    minhash_signatures,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+from .similarity import brute_force_knn, lsh_bucketed_knn  # noqa: F401
+from .text import (  # noqa: F401
+    doc_fingerprint,
+    language_id,
+    quality_score,
+    token_stats,
+)

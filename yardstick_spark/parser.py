@@ -432,8 +432,10 @@ def resolve_group_by_cols(info: SelectInfo) -> list[str]:
         it.alias.lower(): it.expr for it in info.items if it.alias
     }
     out: list[str] = []
+    from .sqlutil import strip_comments
+
     for raw in split_top_level(content):
-        col = raw.strip()
+        col = strip_comments(raw.strip())
         if not col:
             continue
         if col.isdigit():

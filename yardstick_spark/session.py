@@ -40,6 +40,12 @@ _INSERT_SELECT_RE = _re.compile(
     r"(?:\.(?:[A-Za-z_][\w$]*|\"[^\"]+\"))*\s*(?:\([^)]*\)\s*)?(?=SELECT|WITH)",
     _re.IGNORECASE,
 )
+_CREATE_VIEW_AS_RE = _re.compile(
+    r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?VIEW\s+"
+    r"(?:IF\s+NOT\s+EXISTS\s+)?(?:[A-Za-z_][\w$]*|\"[^\"]+\")"
+    r"(?:\.(?:[A-Za-z_][\w$]*|\"[^\"]+\"))*\s*(?:\([^)]*\)\s*)?\s+AS\b",
+    _re.IGNORECASE,
+)
 
 
 def split_statements(sql: str) -> list[str]:
@@ -181,16 +187,20 @@ class MeasureSession:
                 df = self.spark.sql(clean)
                 self.catalog.register(cv.view)
                 return df
-            # CTAS with measure queries in the body (S4,
-            # cpp:1935-1958 / no_semantic_prefix.test:2112-2148)
-            ctas = _CTAS_RE.match(stmt)
+            # CTAS / CREATE VIEW with measure queries in the body (S4,
+            # cpp:1935-1958 / no_semantic_prefix.test:2112-2148;
+            # warning_persist_view measures.test:1115-1130)
+            ctas = _CTAS_RE.match(stmt) or _CREATE_VIEW_AS_RE.match(stmt)
             if ctas:
                 from .sqlutil import strip_leading_comments as _slc
 
                 body = stmt[ctas.end():]
                 if _slc(body).upper().startswith(("SELECT", "WITH", "(")):
                     expanded = self._expand_body(_slc(body))
-                    return self.spark.sql(stmt[: ctas.end()] + " " + expanded)
+                    head = stmt[: ctas.end()]
+                    if "VIEW" in head.upper():
+                        head = self._spark_view_ddl(head, cv.is_replace, cv.is_temp)
+                    return self.spark.sql(head + " " + expanded)
             return self.spark.sql(self._spark_view_ddl(stmt, cv.is_replace, cv.is_temp)
                                   if "VIEW" in upper else stmt)
 

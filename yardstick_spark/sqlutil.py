@@ -353,6 +353,34 @@ def convert_dollar_quotes(sql: str) -> str:
     return "".join(out)
 
 
+def strip_comments(sql: str) -> str:
+    """Remove -- and /* */ comments (string-safe); collapse to a space so
+    token boundaries survive.  Used on extracted expressions (dims, select
+    items) that may carry trailing inline comments into generated SQL."""
+    out: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "-" and i + 1 < n and sql[i + 1] == "-":
+            j = sql.find("\n", i + 2)
+            out.append(" ")
+            i = n if j < 0 else j + 1
+            continue
+        if c == "/" and i + 1 < n and sql[i + 1] == "*":
+            j = sql.find("*/", i + 2)
+            out.append(" ")
+            i = n if j < 0 else j + 2
+            continue
+        j = skip_code_unit(sql, i)
+        if j > i:
+            out.append(sql[i:j])
+            i = j
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out).strip()
+
+
 def strip_leading_comments(sql: str) -> str:
     """Drop leading whitespace/comments so statement classification sees
     the first code token."""
