@@ -489,6 +489,33 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sa ON sa.id = id_a
         JOIN sizes sb ON sb.id = id_b
         WHERE common / (sa.n_sh + sb.n_sh - common) >= 0.8"""
+    o["dedup_minhash_lsh"] = f"""
+        WITH norm AS (SELECT doc_id AS id, {_NORM_DOC} AS t FROM documents),
+        sets AS (SELECT id, list_distinct([substring(t, i, 5)
+                 for i in range(1, greatest(1, length(t) - 4) + 1)]) AS shs
+                 FROM norm),
+        hashed AS (SELECT id, list_transform(shs, s ->
+                   CAST(CONCAT('0x', SUBSTRING(md5(s), 1, 15)) AS BIGINT)
+                   % 2147483647) AS hs FROM sets),
+        sigs AS (SELECT id, [list_min(list_transform(hs, h ->
+                 ((2 * i + 1) * h + i * 40503 + 1) % 2147483647))
+                 for i in range(0, 32)] AS sig FROM hashed),
+        banded AS (SELECT id, sig, t.b AS band,
+                   md5(CAST(sig[t.b * 4 + 1 : t.b * 4 + 4] AS VARCHAR)) AS bhash
+                   FROM sigs, range(0, 8) t(b)),
+        cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                 FROM banded a JOIN banded b
+                 ON a.band = b.band AND a.bhash = b.bhash AND a.id < b.id)
+        SELECT id_a, id_b,
+               ROUND(list_sum(list_transform(list_zip(sa.sig, sb.sig),
+                     x -> CASE WHEN x[1] = x[2] THEN 1 ELSE 0 END))
+                     / len(sa.sig), 6) AS est_jaccard
+        FROM cand
+        JOIN sigs sa ON sa.id = id_a
+        JOIN sigs sb ON sb.id = id_b
+        WHERE list_sum(list_transform(list_zip(sa.sig, sb.sig),
+              x -> CASE WHEN x[1] = x[2] THEN 1 ELSE 0 END))
+              / len(sa.sig) >= 0.5"""
     o["dedup_simhash"] = f"""
         WITH norm AS (SELECT doc_id AS id,
             list_filter(string_split({_NORM_DOC}, ' '), t -> t <> '') AS toks

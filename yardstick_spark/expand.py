@@ -29,6 +29,7 @@ from .modifiers import (
     EvalContext,
     Modifier,
     Set as SetMod,
+    Where as WhereMod,
     compute_context,
     dimension_in_group_by,
     parse_at_content,
@@ -613,6 +614,20 @@ class QueryExpander:
                 ctx = compute_context(
                     site.modifiers, eval_dims, where_for_measure, resolve_set_value
                 )
+                # AT (WHERE d = outer.d) conjuncts that reference an outer
+                # alias are correlations, not filters (paper Listing 12;
+                # qualify_outer_reference measures.rs:3301-3329) — lower
+                # them to <=> join keys so Spark never sees a correlated
+                # subquery
+                if any(isinstance(m, WhereMod) for m in site.modifiers) \
+                        and ctx.filter_sql:
+                    corr, rest = _extract_filter_correlations(
+                        ctx.filter_sql, info
+                    )
+                    if corr:
+                        ctx.set_conditions = list(ctx.set_conditions) + corr
+                        ctx.filter_sql = rest
+                        ctx.grand_total = False
 
             from .warnings_analyzer import warning_for_at_all
 
@@ -642,6 +657,16 @@ class QueryExpander:
             )
             ctx_counter = len(ctxs)
             value_ref = f"{spec.alias}.{value_alias}"
+            in_where = (
+                info.where_start is not None
+                and site.start > info.where_start
+                and (info.where_end is None or site.end <= info.where_end)
+            )
+            if in_where:
+                # row-level context (paper Listing 12): the measure value
+                # joins per-row; no aggregation wrapper
+                replacements.append((site.start, site.end, value_ref))
+                continue
             wrapped = f"any_value({value_ref})"
             if self._needs_zero_coalesce(resolved, ctx, outer_where):
                 wrapped = f"coalesce({wrapped}, 0)"
@@ -667,9 +692,20 @@ class QueryExpander:
                 )
             out = self._attach_joins(out, list(ctxs.values()))
 
-        # implicit GROUP BY (S1, measures.rs:7562-7576)
+        # implicit GROUP BY (S1, measures.rs:7562-7576) — only when some
+        # site is in aggregation position; WHERE-only sites keep the
+        # query row-level (Listing 12)
+        has_agg_position_site = any(
+            not (
+                info.where_start is not None
+                and s.start > info.where_start
+                and (info.where_end is None or s.end <= info.where_end)
+            )
+            for s in sites
+        )
         if (
-            find_top_level_keyword(out, "GROUP BY") is None
+            has_agg_position_site
+            and find_top_level_keyword(out, "GROUP BY") is None
             and dim_cols
         ):
             stop = find_first_top_level_keyword(
@@ -689,7 +725,94 @@ class QueryExpander:
             else:
                 body = semi[:-1] if trailing_semi else out.rstrip()
                 out = body.rstrip() + " GROUP BY " + ", ".join(dim_cols) + (";" if trailing_semi else "")
+        out = self._collapse_multifact_relations(out, info, sites, sql)
         return ExpandResult(out, had_aggregate=True, warnings=warnings)
+
+    def _collapse_multifact_relations(
+        self, out: str, info: SelectInfo, sites, original_sql: str
+    ) -> str:
+        """Multi-fact scale optimization: when measure views are joined
+        purely to align their dimensions (every select item is a dim or an
+        AGGREGATE() site, no direct aggregates anywhere), the row-level
+        view join only determines WHICH dimension groups exist — measure
+        values come from the ctx joins against each base.  Joining two
+        base-cardinality views on a low-cardinality dim is then an
+        accidental O(n*m) blow-up; collapse each view relation to
+        SELECT DISTINCT <referenced dims> before the join.  Correctness:
+        groups and ctx correlations are unchanged (any_value over >=1 row
+        per group); skipped whenever a direct aggregate (COUNT(*), SUM of
+        a joined column, window fn) could observe row multiplicity."""
+        if len(info.tables) < 2:
+            return out
+        aliased = []
+        for t in info.tables:
+            if self.catalog.get(t.name) is None:
+                return out
+            if not t.alias:
+                return out
+            aliased.append(t)
+        for it in info.items:
+            if it.is_star or it.is_aggregate:
+                return out
+        # any aggregate/window function outside AGGREGATE() sites -> bail
+        from .ddl import find_aggregation_in_expression
+
+        masked = original_sql
+        for site in sorted(
+            find_aggregate_sites(original_sql), key=lambda s: -s.start
+        ):
+            masked = masked[: site.start] + "1" + masked[site.end:]
+        if find_aggregation_in_expression(masked) is not None:
+            return out
+        if re.search(r"\bOVER\s*\(", masked, re.IGNORECASE):
+            return out
+        # column references, from the FINAL sql (includes ctx join keys)
+        qualified: dict[str, set] = {}
+        unqualified: set = set()
+        idents = list(iter_identifiers(out))
+        for idx, (s, e, t) in enumerate(idents):
+            nxt = next_nonspace(out, e)
+            if nxt < len(out) and out[nxt] == ".":
+                continue  # this token is a qualifier
+            prev_q = None
+            is_alias_def = False
+            if idx > 0:
+                ps, pe, pt = idents[idx - 1]
+                between = out[pe:s]
+                if between.strip() == ".":
+                    prev_q = pt.lower()
+                elif pt.upper() == "AS" and between.strip() == "":
+                    is_alias_def = True  # output alias, not a column ref
+            if prev_q:
+                qualified.setdefault(prev_q, set()).add(t.lower())
+            elif not is_alias_def:
+                unqualified.add(t.lower())
+        new_out = out
+        for t in aliased:
+            cols = self.view_columns(t.name)
+            if not cols:
+                return out
+            cols_lower = {c.lower(): c for c in cols}
+            if unqualified & set(cols_lower):
+                continue  # ambiguous bare refs might belong to this view
+            refs = qualified.get(t.alias.lower(), set()) & set(cols_lower)
+            if not refs:
+                continue
+            proj = ", ".join(sorted(cols_lower[r] for r in refs))
+            pat = re.compile(
+                rf"\b(FROM|JOIN)\s+{re.escape(t.name)}\s+(?:AS\s+)?"
+                rf"{re.escape(t.alias)}\b",
+                re.IGNORECASE,
+            )
+            new_out = pat.sub(
+                lambda m: (
+                    f"{m.group(1)} (SELECT DISTINCT {proj} "
+                    f"FROM {t.name}) {t.alias}"
+                ),
+                new_out,
+                count=1,
+            )
+        return new_out
 
     def _allowed_qualifiers(self, resolved: ResolvedMeasure, info: SelectInfo) -> set[str]:
         quals = {resolved.source_view.lower()}
@@ -897,6 +1020,128 @@ class QueryExpander:
         group = " GROUP BY " + ", ".join(keys_sel) if keys_sel else ""
         sel = ", ".join(keys_sel + outer_vals)
         return f"SELECT {sel} FROM ({inner}){group}"
+
+
+def _split_top_level_and(cond: str) -> list[str]:
+    parts: list[str] = []
+    i, n, last, depth = 0, len(cond), 0, 0
+    upper = cond.upper()
+    while i < n:
+        j = skip_code_unit(cond, i)
+        if j > i:
+            i = j
+            continue
+        c = cond[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif (depth == 0 and upper.startswith("AND", i)
+              and is_word_boundary(cond, i, i + 3)):
+            parts.append(cond[last:i])
+            last = i + 3
+            i += 3
+            continue
+        i += 1
+    parts.append(cond[last:])
+    return [p for p in (x.strip() for x in parts) if p]
+
+
+def _has_top_level_or(cond: str) -> bool:
+    i, n, depth = 0, len(cond), 0
+    upper = cond.upper()
+    while i < n:
+        j = skip_code_unit(cond, i)
+        if j > i:
+            i = j
+            continue
+        c = cond[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif (depth == 0 and upper.startswith("OR", i)
+              and is_word_boundary(cond, i, i + 2)):
+            return True
+        i += 1
+    return False
+
+
+def _find_top_level_eq(expr: str) -> int | None:
+    i, n, depth = 0, len(expr), 0
+    while i < n:
+        j = skip_code_unit(expr, i)
+        if j > i:
+            i = j
+            continue
+        c = expr[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0 and c == "=":
+            prev = expr[i - 1] if i > 0 else ""
+            nxt = expr[i + 1] if i + 1 < n else ""
+            if prev in "<>!=" or nxt in "=>":
+                i += 1
+                continue
+            return i
+        i += 1
+    return None
+
+
+def _extract_filter_correlations(
+    cond: str, info: SelectInfo
+) -> tuple[list[tuple[str, str]], str | None]:
+    """Split an AT (WHERE ...) condition into (inner_expr, outer_expr)
+    correlation pairs (conjuncts of form `x = outer_alias.y`) and the
+    residual uncorrelated filter.  Qualified refs mean the OUTER row;
+    unqualified refs mean the evaluation relation (the reference's
+    qualify_outer_reference convention)."""
+    if _has_top_level_or(cond):
+        return [], cond
+    # only EXPLICIT table aliases mark outer-row references; a bare view
+    # name qualifier (`sales_v.region = 'US'`, measures.test:1381-1390)
+    # means the evaluation relation and is stripped like any inner ref
+    aliases = {t.alias.lower() for t in info.tables if t.alias}
+
+    def outer_qualified(side: str) -> bool:
+        idents = list(iter_identifiers(side))
+        for idx in range(len(idents) - 1):
+            s, e, t = idents[idx]
+            s2, _, _ = idents[idx + 1]
+            if side[e:s2].strip() == "." and t.lower() in aliases:
+                return True
+        return False
+
+    def references_column(side: str) -> bool:
+        for s, e, t in iter_identifiers(side):
+            k = next_nonspace(side, e)
+            if k < len(side) and side[k] == "(":
+                continue  # function call
+            if t.upper() in ("NULL", "TRUE", "FALSE", "DATE", "TIMESTAMP",
+                             "INTERVAL", "AND", "OR", "NOT"):
+                continue
+            return True
+        return False
+
+    corr: list[tuple[str, str]] = []
+    rest: list[str] = []
+    for part in _split_top_level_and(cond):
+        eq = _find_top_level_eq(part)
+        handled = False
+        if eq is not None:
+            lhs, rhs = part[:eq].strip(), part[eq + 1:].strip()
+            lo, ro = outer_qualified(lhs), outer_qualified(rhs)
+            if lo and not ro and references_column(rhs):
+                corr.append((rhs, lhs))
+                handled = True
+            elif ro and not lo and references_column(lhs):
+                corr.append((lhs, rhs))
+                handled = True
+        if not handled:
+            rest.append(part)
+    return corr, (" AND ".join(rest) if rest else None)
 
 
 def _inject_partition(window_expr: str, keys: list[str], raw_keys: list[str]) -> str:
