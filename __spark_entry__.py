@@ -75,6 +75,17 @@ def _ys(spark: SparkSession, sf_dir: str):
         "COUNT(*) AS MEASURE order_count "
         "FROM orders"
     )
+    ys.sql(
+        "CREATE OR REPLACE VIEW orders_w AS SELECT "
+        "o_orderstatus, "
+        "SUM(o_totalprice) OVER (PARTITION BY o_orderstatus) "
+        "AS MEASURE status_total "
+        "FROM orders"
+    )
+    ys.sql(
+        "CREATE OR REPLACE VIEW lineitem_rl AS SELECT *, "
+        "AVG(l_extendedprice) AS MEASURE avg_price FROM lineitem"
+    )
     _SESSIONS[key] = ys
     return ys
 
@@ -198,6 +209,21 @@ _MEASURE_QUERIES: dict[str, str] = {
         "SELECT d_year, ROUND(AGGREGATE(revenue), 2) AS rev "
         "FROM lineitem_m GROUP BY d_year ORDER BY rev DESC LIMIT 3"
     ),
+    "m_rollup": (
+        "SELECT d_year, l_returnflag, ROUND(AGGREGATE(revenue), 2) AS rev "
+        "FROM lineitem_m GROUP BY ROLLUP(d_year, l_returnflag)"
+    ),
+    "m_window_measure": (
+        "SELECT o_orderstatus, "
+        "ROUND(AGGREGATE(status_total) AT (WHERE o_orderstatus = 'F'), 2) "
+        "AS f_total FROM orders_w GROUP BY o_orderstatus"
+    ),
+    "m_row_level_listing12": (
+        "SELECT l.l_orderkey AS okey, l.l_linenumber AS lineno "
+        "FROM lineitem_rl l "
+        "WHERE l.l_extendedprice > "
+        "1.9 * l.avg_price AT (WHERE l_returnflag = l.l_returnflag)"
+    ),
 }
 
 
@@ -319,6 +345,44 @@ def _q_mm_frames(spark, sf_dir):
     )
 
 
+def _q_events_sessionize(spark, sf_dir):
+    from yardstick_spark.sources import read_table
+    from yardstick_spark.streaming import sessionize_batch
+
+    ev = read_table(spark, f"{sf_dir}/events.parquet")
+    return sessionize_batch(ev, gap_minutes=30).select(
+        "user_id", "session_seq", "n_events", "session_value"
+    )
+
+
+def _q_asof_join(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from yardstick_spark.operators import asof_join
+    from yardstick_spark.sources import read_table
+
+    ev = read_table(spark, f"{sf_dir}/events.parquet")
+    purchases = ev.filter("event_type = 'purchase'")
+    clicks = ev.filter("event_type = 'click'").select(
+        "user_id", "ts", F.col("value").alias("click_value")
+    )
+    return asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts"
+    ).select(
+        "event_id", F.round("click_value_asof", 2).alias("last_click_value")
+    )
+
+
+def _q_topk_per_group(spark, sf_dir):
+    from yardstick_spark.operators import top_k_per_group
+    from yardstick_spark.sources import read_table
+
+    ev = read_table(spark, f"{sf_dir}/events.parquet")
+    return top_k_per_group(
+        ev, ["event_type"], ["value", "event_id"], k=3
+    ).select("event_type", "event_id", "value")
+
+
 def _q_events_tumbling(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -355,6 +419,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "mm_decode": _q_mm_decode,
             "mm_frame_sample": _q_mm_frames,
             "events_tumbling": _q_events_tumbling,
+            "events_sessionize": _q_events_sessionize,
+            "ops_asof_join": _q_asof_join,
+            "ops_topk_per_group": _q_topk_per_group,
         }
     )
     return out
@@ -466,6 +533,50 @@ def oracle_sql() -> dict[str, str]:
     o["m_topk"] = f"""
         SELECT YEAR(l_shipdate) AS d_year, ROUND({_REV}, 2) AS rev
         FROM lineitem GROUP BY 1 ORDER BY rev DESC LIMIT 3"""
+    o["m_rollup"] = f"""
+        WITH b AS (SELECT YEAR(l_shipdate) AS d_year, l_returnflag,
+                   l_extendedprice, l_discount FROM lineitem)
+        SELECT d_year, l_returnflag,
+               CASE WHEN GROUPING(d_year) + GROUPING(l_returnflag) > 0
+                    THEN NULL ELSE ROUND({_REV}, 2) END AS rev
+        FROM b GROUP BY ROLLUP(d_year, l_returnflag)"""
+    o["m_window_measure"] = """
+        WITH f AS (SELECT SUM(o_totalprice) AS t FROM orders
+                   WHERE o_orderstatus = 'F')
+        SELECT o_orderstatus, ROUND(f.t, 2) AS f_total
+        FROM orders CROSS JOIN f GROUP BY o_orderstatus, f.t"""
+    o["m_row_level_listing12"] = """
+        WITH g AS (SELECT l_returnflag, AVG(l_extendedprice) AS ap
+                   FROM lineitem GROUP BY 1)
+        SELECT l.l_orderkey AS okey, l.l_linenumber AS lineno
+        FROM lineitem l JOIN g ON g.l_returnflag = l.l_returnflag
+        WHERE l.l_extendedprice > 1.9 * g.ap"""
+    o["events_sessionize"] = """
+        WITH g AS (
+          SELECT user_id, ts, value,
+            CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                 OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), s AS (
+          SELECT user_id, value,
+            SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS UNBOUNDED PRECEDING) AS session_seq
+          FROM g
+        )
+        SELECT user_id, session_seq, COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS session_value
+        FROM s GROUP BY user_id, session_seq"""
+    o["ops_asof_join"] = """
+        SELECT p.event_id, ROUND(c.value, 2) AS last_click_value
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts >= c.ts"""
+    o["ops_topk_per_group"] = """
+        SELECT event_type, event_id, value FROM (
+          SELECT event_type, event_id, value,
+                 row_number() OVER (PARTITION BY event_type
+                   ORDER BY value DESC, event_id DESC) AS rnk
+          FROM events) WHERE rnk <= 3"""
 
     # -- LLM-pipeline oracles (portable md5-based hashing) --
     o["dedup_exact"] = f"""

@@ -244,6 +244,8 @@ def format_value(v, t: str) -> str:
     if t == "I":
         if isinstance(v, bool):
             return "1" if v else "0"
+        if isinstance(v, float) and not v.is_integer():
+            return repr(v)  # DuckDB prints non-integral values as-is
         try:
             return str(int(v))
         except (TypeError, ValueError):

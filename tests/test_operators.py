@@ -1,0 +1,129 @@
+"""Operators beyond reference parity: as-of join (oracle: DuckDB's
+native ASOF JOIN), top-k per group, sessionization, streaming twins."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    from yardstick_spark.sources import read_table
+
+    return read_table(spark, "/root/testdata/sf0.01/events.parquet")
+
+
+def test_asof_join_matches_duckdb(spark, events):
+    from yardstick_spark.operators import asof_join
+
+    purchases = events.filter("event_type = 'purchase'")
+    clicks = events.filter("event_type = 'click'").select(
+        "user_id", "ts", F.col("value").alias("click_value")
+    )
+    got = (
+        asof_join(purchases, clicks, on="user_id",
+                  left_ts="ts", right_ts="ts")
+        .select("event_id", F.round("click_value_asof", 2).alias("cv"))
+    )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        "'/root/testdata/sf0.01/events.parquet'"
+    )
+    want = con.sql("""
+        SELECT p.event_id, ROUND(c.value, 2) AS cv
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+    """).fetchall()
+    assert sorted(map(tuple, got.collect())) == sorted(want)
+
+
+def test_topk_per_group(spark, events):
+    from yardstick_spark.operators import top_k_per_group
+
+    got = top_k_per_group(
+        events, ["event_type"], "value", k=3
+    ).groupBy("event_type").count().collect()
+    assert all(r["count"] == 3 for r in got)
+
+
+def test_sessionize_batch_matches_duckdb(spark, events):
+    from yardstick_spark.streaming import sessionize_batch
+
+    got = sessionize_batch(events, gap_minutes=30).select(
+        "user_id", "session_seq", "n_events", "session_value"
+    )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        "'/root/testdata/sf0.01/events.parquet'"
+    )
+    want = con.sql("""
+        WITH g AS (
+          SELECT user_id, ts, value,
+            CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                 OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), s AS (
+          SELECT user_id, value,
+            SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS UNBOUNDED PRECEDING) AS session_seq
+          FROM g
+        )
+        SELECT user_id, session_seq, COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS session_value
+        FROM s GROUP BY user_id, session_seq
+    """).fetchall()
+    assert sorted(map(tuple, got.collect())) == sorted(want)
+
+
+def test_streaming_tumbling_matches_batch(spark, tmp_path):
+    from yardstick_spark.streaming import (
+        stream_events,
+        tumbling_counts_batch,
+        tumbling_counts_stream,
+    )
+    from yardstick_spark.sources import read_table
+
+    sf = "/root/testdata/sf0.001"
+    stream = tumbling_counts_stream(stream_events(spark, sf), minutes=60)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("tumbling_test")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        tuple(r) for r in spark.table("tumbling_test").collect()
+    )
+    batch = tumbling_counts_batch(
+        read_table(spark, f"{sf}/events.parquet"), minutes=60
+    )
+    want = sorted(tuple(r) for r in batch.collect())
+    assert got == want
+
+
+def test_streaming_sessions_run(spark, tmp_path):
+    from yardstick_spark.streaming import sessionize_stream, stream_events
+
+    sf = "/root/testdata/sf0.001"
+    stream = sessionize_stream(stream_events(spark, sf), gap_minutes=30)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("sessions_test")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("sessions_test").count()
+    assert rows > 0

@@ -1,0 +1,91 @@
+"""Physical-plan hygiene: the shapes we rely on at 100 TB.
+
+- grand-total (AT (ALL)) contexts join via broadcast, not shuffle
+- parquet scans prune columns (ReadSchema) and push filters
+- multi-fact joins of measure views collapse to DISTINCT dim relations
+"""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def ysq(spark):
+    from yardstick_spark import MeasureSession
+    from yardstick_spark.sources import register_parquet_dir
+
+    register_parquet_dir(spark, "/root/testdata/sf0.001",
+                         ["lineitem", "orders"])
+    ys = MeasureSession(spark)
+    ys.collect_warnings = False
+    ys.sql(
+        "CREATE OR REPLACE VIEW li_m AS SELECT l_returnflag, "
+        "YEAR(l_shipdate) AS d_year, "
+        "SUM(l_extendedprice * (1 - l_discount)) AS MEASURE revenue "
+        "FROM lineitem"
+    )
+    ys.sql(
+        "CREATE OR REPLACE VIEW ord_m AS SELECT "
+        "YEAR(o_orderdate) AS d_year, "
+        "SUM(o_totalprice) AS MEASURE order_rev FROM orders"
+    )
+    return ys
+
+
+def test_grand_total_is_broadcast(ysq):
+    from yardstick_spark.plans import has_broadcast_join
+
+    df = ysq.sql(
+        "SELECT l_returnflag, AGGREGATE(revenue) AS r, "
+        "AGGREGATE(revenue) AT (ALL) AS t FROM li_m GROUP BY l_returnflag"
+    )
+    assert has_broadcast_join(df), "1-row grand total must broadcast"
+
+
+def test_scan_prunes_columns(ysq):
+    from yardstick_spark.plans import read_schema_columns
+
+    df = ysq.sql(
+        "SELECT l_returnflag, AGGREGATE(revenue) AS r "
+        "FROM li_m GROUP BY l_returnflag"
+    )
+    scans = read_schema_columns(df)
+    assert scans, "expected parquet scans in plan"
+    for cols in scans:
+        # revenue needs 4 cols; no scan should read the full 11-col table
+        assert len(cols) <= 5, f"unpruned scan: {cols}"
+
+
+def test_filter_pushdown_reaches_scan(ysq):
+    from yardstick_spark.plans import pushed_filters
+
+    df = ysq.sql(
+        "SELECT l_returnflag, AGGREGATE(revenue) AS r FROM li_m "
+        "WHERE l_returnflag = 'R' GROUP BY l_returnflag"
+    )
+    assert any("l_returnflag" in f for f in pushed_filters(df)), (
+        "dimension filter should push to the parquet scan"
+    )
+
+
+def test_multifact_collapses_to_distinct_dims(ysq):
+    sql = ysq.rewrite(
+        "SELECT l.d_year AS d_year, AGGREGATE(revenue) AS r, "
+        "AGGREGATE(order_rev) AS o FROM li_m l JOIN ord_m o2 "
+        "ON l.d_year = o2.d_year GROUP BY l.d_year"
+    )
+    assert "SELECT DISTINCT" in sql, (
+        "measure-view join should collapse to DISTINCT dims"
+    )
+
+
+def test_fanout_count_not_collapsed(ysq):
+    # COUNT(*) observes join multiplicity -> collapse must NOT fire
+    sql = ysq.rewrite(
+        "SELECT o2.d_year AS d_year, COUNT(*) AS n, "
+        "AGGREGATE(order_rev) AS o FROM ord_m o2 "
+        "JOIN lineitem l ON YEAR(l.l_shipdate) = o2.d_year "
+        "GROUP BY o2.d_year"
+    )
+    assert "SELECT DISTINCT" not in sql

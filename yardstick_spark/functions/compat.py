@@ -116,6 +116,27 @@ def normalize_expr_to_spark(sql: str) -> str:
             )
         if low == "array_length" and len(split_top_level(args)) == 1:
             return f"size({args})"
+        if low in ("aggregate", "list_aggregate", "list_aggr"):
+            # DuckDB's list-aggregate built-in `aggregate(l, 'fn')` — NOT
+            # the measure surface (S13, no_semantic_prefix.test:2151-2181);
+            # only a 2-arg form with a string-literal fn is rewritten
+            parts = [p.strip() for p in split_top_level(args)]
+            if len(parts) == 2 and parts[1].startswith("'") \
+                    and parts[1].endswith("'"):
+                lst, fn2 = parts[0], parts[1][1:-1].lower()
+                impl = {
+                    "sum": f"aggregate({lst}, CAST(0 AS DOUBLE), (a, x) -> a + x)",
+                    "min": f"array_min({lst})",
+                    "max": f"array_max({lst})",
+                    "avg": (f"aggregate({lst}, CAST(0 AS DOUBLE), "
+                            f"(a, x) -> a + x) / size({lst})"),
+                    "mean": (f"aggregate({lst}, CAST(0 AS DOUBLE), "
+                             f"(a, x) -> a + x) / size({lst})"),
+                    "count": f"size(filter({lst}, x -> x IS NOT NULL))",
+                }.get(fn2)
+                if impl:
+                    return impl
+            return None
         if low == "setseed":
             return "CAST(NULL AS DOUBLE)"
         if low in ("string_agg", "group_concat", "list", "array_agg", "listagg",
@@ -189,11 +210,56 @@ def _apply_value_corrections(sql: str) -> str:
     return _rewrite_calls(sql, handler)
 
 
+def convert_list_literals(sql: str) -> str:
+    """DuckDB `[1, 2, 3]` list literals -> ARRAY(1, 2, 3).  A `[` directly
+    after an identifier/closing bracket is indexing and is left alone."""
+    from ..sqlutil import skip_code_unit
+
+    res: list[str] = []
+    i, n, prev = 0, len(sql), ""
+    while i < n:
+        j = skip_code_unit(sql, i)
+        if j > i:
+            res.append(sql[i:j])
+            prev = sql[j - 1]
+            i = j
+            continue
+        c = sql[i]
+        if c == "[" and not (prev.isalnum() or prev in "_)]\"`'"):
+            depth, k = 0, i
+            close = None
+            while k < n:
+                jj = skip_code_unit(sql, k)
+                if jj > k:
+                    k = jj
+                    continue
+                if sql[k] == "[":
+                    depth += 1
+                elif sql[k] == "]":
+                    depth -= 1
+                    if depth == 0:
+                        close = k
+                        break
+                k += 1
+            if close is not None:
+                inner = convert_list_literals(sql[i + 1: close])
+                res.append(f"ARRAY({inner})")
+                prev = ")"
+                i = close + 1
+                continue
+        if not c.isspace():
+            prev = c
+        res.append(c)
+        i += 1
+    return "".join(res)
+
+
 def normalize_statement_to_spark(sql: str) -> str:
     """Statement-level normalizations beyond function renames:
     DuckDB's default `main.` schema qualifier has no Spark counterpart,
     and the generate_series table function becomes explode(sequence)."""
-    out = normalize_expr_to_spark(sql)
+    out = convert_list_literals(sql)
+    out = normalize_expr_to_spark(out)
     out = _apply_value_corrections(out)
     out = _MAIN_SCHEMA_RE.sub("", out)
     out = _GENSERIES_ALIASED_RE.sub(

@@ -1,0 +1,5 @@
+"""Relational operators Spark lacks natively, built as compositions of
+DataFrame primitives (SURVEY.md §7 phase 4 — beyond reference parity)."""
+
+from .asof import asof_join  # noqa: F401
+from .topk import top_k_per_group  # noqa: F401

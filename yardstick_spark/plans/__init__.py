@@ -1,0 +1,15 @@
+"""Physical-plan inspection helpers (scale hygiene).
+
+The measure rewrites are pre-planning (SURVEY.md §4 — Catalyst owns all
+optimization); these helpers let tests and operators ASSERT the plan
+shapes we rely on at 100 TB: grand totals broadcast, parquet scans prune
+columns and push filters, hot paths stay in whole-stage codegen.
+"""
+
+from .inspect import (  # noqa: F401
+    explain_str,
+    has_broadcast_join,
+    pushed_filters,
+    read_schema_columns,
+    whole_stage_codegen_ids,
+)

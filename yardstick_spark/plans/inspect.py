@@ -1,0 +1,46 @@
+"""Helpers over `df._jdf.queryExecution()` / explain text."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def explain_str(df: DataFrame, mode: str = "formatted") -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), mode
+    )
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in explain_str(df) or (
+        "BroadcastNestedLoopJoin" in explain_str(df)
+    )
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    txt = explain_str(df)
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters:\s*\[([^\]]*)\]", txt):
+        inner = m.group(1).strip()
+        if inner:
+            out.extend(p.strip() for p in inner.split(","))
+    return out
+
+
+def read_schema_columns(df: DataFrame) -> list[list[str]]:
+    """Column list of each parquet scan's ReadSchema (pruning check)."""
+    txt = explain_str(df)
+    out: list[list[str]] = []
+    for m in re.finditer(r"ReadSchema:\s*struct<([^>]*)>", txt):
+        cols = [
+            c.split(":")[0].strip() for c in m.group(1).split(",") if c.strip()
+        ]
+        out.append(cols)
+    return out
+
+
+def whole_stage_codegen_ids(df: DataFrame) -> int:
+    """Number of WholeStageCodegen spans (wider = fewer breaks)."""
+    return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", explain_str(df))))

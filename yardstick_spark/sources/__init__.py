@@ -1,0 +1,9 @@
+"""Source registration for the engine's table surface.
+
+The reference delegates all IO to DuckDB (SURVEY.md §2.7 — it has no
+scans of its own); this module is the Spark-side equivalent surface:
+parquet/csv/json directories registered as temp views with schema
+quirks handled (nanosecond timestamps), ready for measure views.
+"""
+
+from .register import register_parquet_dir, read_table  # noqa: F401

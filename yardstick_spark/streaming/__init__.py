@@ -1,0 +1,10 @@
+"""Structured Streaming operators (beyond reference parity — the
+reference has no streaming surface, SURVEY.md §2.7)."""
+
+from .windows import (  # noqa: F401
+    sessionize_batch,
+    sessionize_stream,
+    stream_events,
+    tumbling_counts_batch,
+    tumbling_counts_stream,
+)

@@ -1,0 +1,110 @@
+"""Event-time windowed aggregation and sessionization — each operator in
+a batch form (oracle-checkable against DuckDB) and a Structured
+Streaming form (watermark + window / session_window) that computes the
+same result under `trigger(availableNow)`.
+
+Streaming shapes: tumbling counts use `window()` + watermark (late rows
+beyond the watermark are dropped); sessions use `session_window()` whose
+state merges as gaps close — both are Spark's native incremental
+operators, no custom state needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet (schema pinned from a batch
+    read; nano timestamps read as long and converted)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    # FileStreamSource requires a directory; select the single table
+    # file via pathGlobFilter
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(raw.dtypes).get("ts") == "bigint":
+        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw
+
+
+def tumbling_counts_batch(events: DataFrame, minutes: int = 60) -> DataFrame:
+    """Per-window per-type counts + value sums (batch form)."""
+    return (
+        events.groupBy(
+            F.window("ts", f"{minutes} minutes").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type", "n", "total_value",
+        )
+    )
+
+
+def tumbling_counts_stream(events: DataFrame, minutes: int = 60,
+                           watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin: watermarked event-time tumbling windows.  In
+    append mode a window emits once the watermark passes its end."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", f"{minutes} minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type", "n", "total_value",
+        )
+    )
+
+
+def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessions per user (batch form): a new session starts
+    when the gap to the previous event exceeds `gap_minutes`.  One
+    shuffle on user_id; cumulative-sum window assigns session ids."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    is_new = F.when(
+        gap.isNull() | (gap > gap_minutes * 60), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        events.withColumn("__new", is_new)
+        .withColumn(
+            "session_seq",
+            F.sum("__new").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+    )
+
+
+def sessionize_stream(events: DataFrame, gap_minutes: int = 30,
+                      watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin via native session_window state merging."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.session_window("ts", f"{gap_minutes} minutes").alias("w"),
+            "user_id",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events", "session_value",
+        )
+    )
