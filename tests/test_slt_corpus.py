@@ -6,9 +6,9 @@ measures.test.  Set YS_SLT_FULL=1 to replay all three corpora
 
 Known-failing measures.test records (DuckDB host quirks / Spark planner
 limits, tracked in README):
-- 1184/1209: DuckDB "alias." namespace for select aliases in ORDER BY
 - 1236: LAG over an unordered window (+ random()-seeded fixture)
-- 1261/1285: correlated / IN subqueries inside ORDER BY
+- 1261/1285: correlated / IN subqueries inside ORDER BY (Spark supports
+  them in projections/filters only)
 """
 
 from __future__ import annotations
@@ -20,7 +20,7 @@ import pytest
 from slt_runner import run_corpus
 
 REF = "/root/reference/test/sql"
-KNOWN_FAILURES = {1184, 1209, 1236, 1261, 1285}
+KNOWN_FAILURES = {1236, 1261, 1285}
 
 
 @pytest.fixture()

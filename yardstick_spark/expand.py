@@ -726,7 +726,28 @@ class QueryExpander:
                 body = semi[:-1] if trailing_semi else out.rstrip()
                 out = body.rstrip() + " GROUP BY " + ", ".join(dim_cols) + (";" if trailing_semi else "")
         out = self._collapse_multifact_relations(out, info, sites, sql)
+        out = self._strip_alias_namespace(out, info)
         return ExpandResult(out, had_aggregate=True, warnings=warnings)
+
+    def _strip_alias_namespace(self, out: str, info: SelectInfo) -> str:
+        """DuckDB exposes select aliases under an `alias.` namespace
+        (`ORDER BY alias.year_total`, measures.test:1184-1194); Spark has
+        no such scope.  Strip the qualifier when no FROM relation is
+        actually named `alias` (a real table alias wins, :1196-1232)."""
+        if any(t.effective.lower() == "alias" or t.name.lower() == "alias"
+               for t in info.tables):
+            return out
+        select_aliases = {
+            it.alias.lower() for it in info.items if it.alias
+        }
+        if not select_aliases:
+            return out
+
+        def repl(m: "re.Match[str]") -> str:
+            name = m.group(1)
+            return name if name.lower() in select_aliases else m.group(0)
+
+        return re.sub(r"\balias\s*\.\s*([A-Za-z_]\w*)", repl, out)
 
     def _collapse_multifact_relations(
         self, out: str, info: SelectInfo, sites, original_sql: str

@@ -76,14 +76,23 @@ def lsh_bucketed_knn(corpus: DataFrame, queries: DataFrame, k: int = 10,
     """
     dim_df = corpus.select(F.size(vec_col).alias("d")).limit(1)
     dim = dim_df.first()["d"]
-    # plane p, dim i weight in {-1,+1} from portable hash parity
+    # hyperplane weights in {-1,+1} from md5 parity, PRECOMPUTED on the
+    # driver (they are constants — computing them per row re-ran
+    # n_planes*dim md5 calls inside the scan) and embedded as literals
+    import hashlib
+
+    def w(p: int, i: int) -> str:
+        h = hashlib.md5(f"{seed}:{p}:{i}".encode()).hexdigest()
+        return "1D" if int(h[:15], 16) & 1 else "-1D"
+
+    plane_arrays = ", ".join(
+        "array(" + ", ".join(w(p, i) for i in range(dim)) + ")"
+        for p in range(n_planes)
+    )
     plane = (
-        f"transform(sequence(0, {n_planes - 1}), p -> "
+        f"transform(array({plane_arrays}), ws -> "
         f"aggregate(zip_with(transform({vec_col}, x -> CAST(x AS DOUBLE)), "
-        f"transform(sequence(0, {dim - 1}), i -> "
-        f"IF((CAST(conv(substring(md5(concat('{seed}', ':', p, ':', i)), 1, 15), "
-        f"16, 10) AS BIGINT) & 1) = 1, 1D, -1D)), (x, w) -> x * w), "
-        f"0D, (s, v) -> s + v))"
+        f"ws, (x, wt) -> x * wt), 0D, (s, v) -> s + v))"
     )
     bucket = (
         f"aggregate(zip_with({plane}, sequence(0, {n_planes - 1}), "

@@ -443,7 +443,10 @@ def resolve_group_by_cols(info: SelectInfo) -> list[str]:
             if 0 <= idx < len(info.items):
                 out.append(info.items[idx].expr)
             continue
-        resolved = alias_map.get(normalize_dim_key(col))
+        # a QUALIFIED ref is a real table column, never a select alias
+        # (alias-collision rule, measures.test:1196-1232)
+        is_qualified = "." in re.sub(r"'[^']*'|\"[^\"]*\"", "", col)
+        resolved = None if is_qualified else alias_map.get(normalize_dim_key(col))
         if resolved is not None and normalize_dim_key(resolved) != normalize_dim_key(col):
             out.append(resolved)
         else:
