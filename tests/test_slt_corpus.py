@@ -4,11 +4,10 @@ Default: the fast peg_parser corpus plus the first 1000 lines of
 measures.test.  Set YS_SLT_FULL=1 to replay all three corpora
 (~6 min); `tests/slt_runner.py` is the standalone CLI.
 
-Known-failing measures.test records (DuckDB host quirks / Spark planner
-limits, tracked in README):
-- 1236: LAG over an unordered window (+ random()-seeded fixture)
-- 1261/1285: correlated / IN subqueries inside ORDER BY (Spark supports
-  them in projections/filters only)
+Known-failing measures.test record (tracked in README):
+- 1236: LAG over an unordered window reading a subquery's implicit row
+  order — Spark's execution model does not preserve subquery ORDER BY
+  into parent operators, so the semantics cannot be reproduced.
 """
 
 from __future__ import annotations
@@ -20,7 +19,7 @@ import pytest
 from slt_runner import run_corpus
 
 REF = "/root/reference/test/sql"
-KNOWN_FAILURES = {1236, 1261, 1285}
+KNOWN_FAILURES = {1236}
 
 
 @pytest.fixture()

@@ -727,6 +727,7 @@ class QueryExpander:
                 out = body.rstrip() + " GROUP BY " + ", ".join(dim_cols) + (";" if trailing_semi else "")
         out = self._collapse_multifact_relations(out, info, sites, sql)
         out = self._strip_alias_namespace(out, info)
+        out = _hoist_order_by_subqueries(out)
         return ExpandResult(out, had_aggregate=True, warnings=warnings)
 
     def _strip_alias_namespace(self, out: str, info: SelectInfo) -> str:
@@ -1041,6 +1042,121 @@ class QueryExpander:
         group = " GROUP BY " + ", ".join(keys_sel) if keys_sel else ""
         sel = ", ".join(keys_sel + outer_vals)
         return f"SELECT {sel} FROM ({inner}){group}"
+
+
+def _hoist_order_by_subqueries(sql: str) -> str:
+    """Spark's planner rejects subqueries inside ORDER BY (only filters /
+    projections / aggregations allowed; measures.test:1261, :1285).
+    Rewrite to a three-layer form where the sort keys are computed as
+    projected helper columns over the query's OUTPUT rows:
+
+        SELECT a, b FROM t x ORDER BY (SELECT v FROM s WHERE s.k = x.a)
+        -> SELECT a, b FROM (
+             SELECT __ys_qi.*, (SELECT v FROM s WHERE s.k = __ys_qi.a)
+                    AS __ys_ord0
+             FROM (SELECT a, b FROM t x) __ys_qi) __ys_q
+           ORDER BY __ys_ord0
+
+    Outer-alias refs inside the sort keys are re-qualified to __ys_qi's
+    output columns; `X IN (SELECT ...)` sort keys become scalar
+    count-comparisons (IN is likewise unsupported in projections)."""
+    info = parse_select(sql)
+    if info is None or info.order_by is None:
+        return sql
+    if not re.search(r"\(\s*SELECT\b", info.order_by, re.IGNORECASE):
+        return sql
+    ob_pos = find_top_level_keyword(sql, "ORDER BY")
+    if ob_pos is None:
+        return sql
+    ob_start = ob_pos + len("ORDER BY")
+    stop = find_first_top_level_keyword(sql, ob_start, ["LIMIT", "OFFSET"])
+    ob_end = stop[0] if stop else len(sql.rstrip().rstrip(";"))
+    tail = sql[ob_end:].rstrip().rstrip(";")
+    items = split_top_level(sql[ob_start:ob_end])
+
+    out_cols: list[str] = []
+    for it in info.items:
+        if it.is_star:
+            return sql  # cannot enumerate output columns
+        name = it.alias or it.expr.split(".")[-1].strip().strip('"`')
+        if not re.match(r"^[A-Za-z_]\w*$", name):
+            return sql
+        out_cols.append(name)
+    out_col_set = {c.lower() for c in out_cols}
+    aliases = {t.effective.lower() for t in info.tables}
+
+    def requalify(text: str, to: str) -> str | None:
+        """alias.col -> <to>col for inner table aliases; fails (None) if
+        the referenced col is not an output column."""
+        pieces: list[str] = []
+        last = 0
+        for m in re.finditer(r"\b([A-Za-z_]\w*)\s*\.\s*([A-Za-z_]\w*)", text):
+            if m.group(1).lower() not in aliases:
+                continue
+            if m.group(2).lower() not in out_col_set:
+                return None
+            pieces.append(text[last:m.start()])
+            pieces.append(f"{to}{m.group(2)}")
+            last = m.end()
+        pieces.append(text[last:])
+        return "".join(pieces)
+
+    helper_items: list[str] = []
+    new_order: list[str] = []
+    changed = False
+    for idx, raw in enumerate(items):
+        item = raw.strip()
+        m = re.search(r"\s+(ASC|DESC)(\s+NULLS\s+(FIRST|LAST))?\s*$",
+                      item, re.IGNORECASE)
+        suffix = item[m.start():] if m else ""
+        body = item[: m.start()] if m else item
+        if not re.search(r"\(\s*SELECT\b", body, re.IGNORECASE):
+            plain = requalify(body, "")
+            if plain is None:
+                return sql
+            new_order.append(plain + suffix)
+            continue
+        body = requalify(body, "__ys_qi.")
+        if body is None:
+            return sql
+        def in_repl(mm: "re.Match[str]") -> str:
+            x = mm.group(1)
+            # a bare output-column ref would be shadowed by the subquery's
+            # own scope — qualify it against the wrapped query
+            if re.match(r"^[A-Za-z_]\w*$", x) and x.lower() in out_col_set:
+                x = f"__ys_qi.{x}"
+            return (f"((SELECT count(*) FROM ({mm.group(2)}) __ys_in "
+                    f"WHERE __ys_in.{_first_select_col(mm.group(2))}"
+                    f" = {x}) > 0)")
+
+        body = re.sub(
+            r"(\S+)\s+IN\s*\(\s*(SELECT\b[^()]*(?:\([^()]*\)[^()]*)*)\)",
+            in_repl,
+            body,
+            flags=re.IGNORECASE,
+        )
+        alias = f"__ys_ord{idx}"
+        helper_items.append(f"{body} AS {alias}")
+        new_order.append(alias + suffix)
+        changed = True
+    if not changed:
+        return sql
+
+    inner = sql[:ob_pos].rstrip().rstrip(";")
+    return (
+        f"SELECT {', '.join(out_cols)} FROM ("
+        f"SELECT __ys_qi.*, {', '.join(helper_items)} "
+        f"FROM ({inner}) __ys_qi) __ys_q "
+        f"ORDER BY {', '.join(new_order)}{tail}"
+    )
+
+
+def _first_select_col(select_sql: str) -> str:
+    inf = parse_select(select_sql)
+    if inf and inf.items:
+        it = inf.items[0]
+        return it.alias or it.expr.split(".")[-1].strip().strip('"`')
+    return "col1"
 
 
 def _split_top_level_and(cond: str) -> list[str]:
