@@ -224,6 +224,53 @@ _MEASURE_QUERIES: dict[str, str] = {
         "WHERE l.l_extendedprice > "
         "1.9 * l.avg_price AT (WHERE l_returnflag = l.l_returnflag)"
     ),
+    # plain-SQL passthrough (no measures) — the engine surface must run
+    # ordinary analytics unchanged; TPC-H-shaped classics
+    "tpch_q1": (
+        "SELECT l_returnflag, l_linestatus, "
+        "ROUND(SUM(l_quantity), 2) AS sum_qty, "
+        "ROUND(SUM(l_extendedprice), 2) AS sum_base_price, "
+        "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+        "ROUND(AVG(l_quantity), 4) AS avg_qty, "
+        "ROUND(AVG(l_discount), 6) AS avg_disc, "
+        "COUNT(*) AS count_order "
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+        "GROUP BY l_returnflag, l_linestatus"
+    ),
+    "tpch_q3": (
+        "SELECT l.l_orderkey AS okey, "
+        "ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue, "
+        "CAST(o.o_orderdate AS STRING) AS odate "
+        "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
+        "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+        "WHERE c.c_mktsegment = 'BUILDING' "
+        "AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00' "
+        "AND l.l_shipdate > TIMESTAMP '1997-01-01 00:00:00' "
+        "GROUP BY l.l_orderkey, o.o_orderdate "
+        "ORDER BY revenue DESC, okey LIMIT 10"
+    ),
+    "tpch_q5": (
+        "SELECT n.n_name AS nation, "
+        "ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue "
+        "FROM customer c "
+        "JOIN orders o ON c.c_custkey = o.o_custkey "
+        "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+        "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+        "AND c.c_nationkey = s.s_nationkey "
+        "JOIN nation n ON s.s_nationkey = n.n_nationkey "
+        "JOIN region r ON n.n_regionkey = r.r_regionkey "
+        "WHERE r.r_name = 'ASIA' "
+        "AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' "
+        "AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00' "
+        "GROUP BY n.n_name"
+    ),
+    "tpch_q6": (
+        "SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue "
+        "FROM lineitem "
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' "
+        "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' "
+        "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
+    ),
 }
 
 
@@ -577,6 +624,98 @@ def oracle_sql() -> dict[str, str]:
                  row_number() OVER (PARTITION BY event_type
                    ORDER BY value DESC, event_id DESC) AS rnk
           FROM events) WHERE rnk <= 3"""
+    o["tpch_q1"] = """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               ROUND(AVG(l_quantity), 4) AS avg_qty,
+               ROUND(AVG(l_discount), 6) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus"""
+    o["tpch_q3"] = """
+        SELECT l.l_orderkey AS okey,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               CAST(o.o_orderdate AS VARCHAR) AS odate
+        FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+        AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        AND l.l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l.l_orderkey, o.o_orderdate
+        ORDER BY revenue DESC, okey LIMIT 10"""
+    o["tpch_q5"] = """
+        SELECT n.n_name AS nation,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         AND c.c_nationkey = s.s_nationkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n.n_name"""
+    o["tpch_q6"] = """
+        SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"""
+
+    # language-ID: the stopword-vote arithmetic is plain
+    # length/replace/CAST SQL — generate the oracle from the same marker
+    # tables the Spark operator uses
+    from yardstick_spark.llm.text import _LANG_MARKERS, _marker_hits
+
+    langs = list(_LANG_MARKERS)
+    hit_exprs = ", ".join(
+        f"{_marker_hits('t', ws)} AS hits_{lang}"
+        for lang, ws in _LANG_MARKERS.items()
+    )
+    best = "greatest(" + ", ".join(f"hits_{lang}" for lang in langs) + ")"
+    pred = f"CASE WHEN {best} <= 0 THEN 'und' " + " ".join(
+        f"WHEN hits_{lang} = {best} THEN '{lang}'" for lang in langs
+    ) + " END"
+    o["text_langid"] = f"""
+        WITH norm AS (SELECT doc_id, {_NORM_DOC} AS t FROM documents),
+        h AS (SELECT doc_id, {hit_exprs} FROM norm)
+        SELECT doc_id, {pred} AS pred_lang, {best} AS marker_hits FROM h"""
+
+    # LSH kNN: the hyperplane weights are deterministic (md5 parity) and
+    # embedded as literals on both engines, so the bucketing is identical
+    import hashlib
+
+    def _w(p: int, i: int) -> str:
+        h = hashlib.md5(f"42:{p}:{i}".encode()).hexdigest()
+        return "1" if int(h[:15], 16) & 1 else "-1"
+
+    dim, n_planes = 64, 8
+    plane_terms = []
+    for p in range(n_planes):
+        arr = ", ".join(_w(p, i) for i in range(dim))
+        dot = (f"list_sum(list_transform(list_zip(e, CAST([{arr}] AS "
+               f"DOUBLE[])), x -> x[1] * x[2]))")
+        plane_terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+    bucket = " + ".join(plane_terms)
+    o["sim_knn_lsh"] = f"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                   FROM embeddings),
+        b AS (SELECT vec_id, e, {bucket} AS bucket FROM v),
+        q AS (SELECT * FROM b WHERE vec_id < 5),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            ROUND(list_sum(list_transform(list_zip(q.e, c.e), x -> x[1] * x[2]))
+              / (sqrt(list_sum(list_transform(q.e, x -> x * x)))
+                 * sqrt(list_sum(list_transform(c.e, x -> x * x)))), 4) AS sim
+          FROM b c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.vec_id)
+        SELECT query_id, neighbor_id, sim, rank FROM (
+          SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+          FROM scored) WHERE rank <= 10"""
 
     # -- LLM-pipeline oracles (portable md5-based hashing) --
     o["dedup_exact"] = f"""
