@@ -7,3 +7,8 @@ quirks handled (nanosecond timestamps), ready for measure views.
 """
 
 from .register import register_parquet_dir, read_table  # noqa: F401
+from .write import (  # noqa: F401
+    read_bucketed,
+    write_bucketed,
+    write_partitioned,
+)

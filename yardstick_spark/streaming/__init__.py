@@ -1,6 +1,7 @@
 """Structured Streaming operators (beyond reference parity — the
 reference has no streaming surface, SURVEY.md §2.7)."""
 
+from .stateful import user_activity_stats  # noqa: F401
 from .windows import (  # noqa: F401
     sessionize_batch,
     sessionize_stream,
