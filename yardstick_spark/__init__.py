@@ -8,16 +8,20 @@ LLM-data-pipeline operators (dedup, similarity search, text analysis,
 multimodal columns) the reference does not have.
 """
 
+from .api import MeasureExpr, MeasureQuery, measure
 from .catalog import MeasureCatalog, MeasureView, ViewMeasure
 from .session import MeasureSession, YardstickError
 
 __all__ = [
     "MeasureCatalog",
+    "MeasureExpr",
+    "MeasureQuery",
     "MeasureSession",
     "MeasureView",
     "ViewMeasure",
     "YardstickError",
     "connect",
+    "measure",
 ]
 
 __version__ = "0.1.0"

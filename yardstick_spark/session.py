@@ -286,6 +286,13 @@ class MeasureSession:
         rest = sql[m.end():]
         return "CREATE OR REPLACE TEMPORARY VIEW" + rest
 
+    def query(self, view: str) -> "object":
+        """DataFrame-native combinator surface (see yardstick_spark.api):
+        ys.query('sales_v').group_by('year').select(measure('revenue'))."""
+        from .api import MeasureQuery
+
+        return MeasureQuery(self, view)
+
     # -- catalog API --------------------------------------------------------
 
     def create_measure_view(self, name: str, sql_body: str, temp: bool = True) -> None:
