@@ -335,6 +335,15 @@ def _q_knn_lsh(spark, sf_dir):
     return lsh_bucketed_knn(emb, emb.filter("vec_id < 5"), k=10)
 
 
+def _q_knn_ivf(spark, sf_dir):
+    from yardstick_spark.llm import ivf_knn
+
+    _ys(spark, sf_dir)
+    emb = spark.table("embeddings")
+    return ivf_knn(emb, emb.filter("vec_id < 5"), k=10,
+                   n_lists=8, n_probe=3)
+
+
 def _q_tokens(spark, sf_dir):
     from yardstick_spark.llm import token_stats
 
@@ -459,6 +468,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_simhash": _q_dedup_simhash,
             "sim_knn_bruteforce": _q_knn,
             "sim_knn_lsh": _q_knn_lsh,
+            "sim_knn_ivf": _q_knn_ivf,  # k-means index: no SQL oracle
+                                        # (recall gate in tests/test_scale_ops)
             "text_tokens": _q_tokens,
             "text_quality": _q_quality,
             "text_langid": _q_langid,

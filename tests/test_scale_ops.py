@@ -1,0 +1,80 @@
+"""Scale-path operators: salted join equivalence, IVF recall, approx
+sketches, csv/json sources."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_salted_join_equals_plain(spark):
+    from yardstick_spark.operators import salted_join
+
+    # one hot key (0) carrying half the rows
+    left = spark.range(0, 2000).select(
+        F.when(F.col("id") < 1000, 0).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    right = spark.range(0, 50).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    got = salted_join(left, right, "k", salt=8).select("k", "payload", "v")
+    want = left.join(right, "k").select("k", "payload", "v")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    left_rows = sorted(
+        map(tuple, salted_join(left, right, "k", salt=4, how="left")
+            .select("k", "payload", "v").collect())
+    )
+    want_left = sorted(
+        map(tuple, left.join(right, "k", "left")
+            .select("k", "payload", "v").collect())
+    )
+    assert left_rows == want_left
+
+
+def test_ivf_knn_recall(spark):
+    from yardstick_spark.llm import brute_force_knn, ivf_knn
+    from yardstick_spark.sources import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.filter("vec_id < 5")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_knn(emb, queries, k=10).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_knn(emb, queries, k=10, n_lists=8, n_probe=3).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"IVF recall@10 too low: {recall:.2f}"
+
+
+def test_approx_sketches_near_exact(spark):
+    from yardstick_spark.sources import read_table
+
+    li = read_table(spark, "/root/testdata/sf0.01/lineitem.parquet")
+    row = li.agg(
+        F.approx_count_distinct("l_suppkey").alias("acd"),
+        F.count_distinct("l_suppkey").alias("cd"),
+        F.percentile_approx("l_quantity", 0.5).alias("apq"),
+        F.expr("median(l_quantity)").alias("mq"),
+    ).first()
+    assert abs(row["acd"] - row["cd"]) / row["cd"] < 0.05
+    assert abs(row["apq"] - row["mq"]) <= 1.0
+
+
+def test_csv_json_sources_roundtrip(spark, tmp_path):
+    from yardstick_spark.sources import read_table
+
+    df = spark.range(0, 100).select(
+        F.col("id"), (F.col("id") % 5).alias("g")
+    )
+    csv_path = str(tmp_path / "t.csv")
+    json_path = str(tmp_path / "t.json")
+    df.write.mode("overwrite").option("header", "true").csv(csv_path)
+    df.write.mode("overwrite").json(json_path)
+    assert read_table(spark, csv_path, fmt="csv").count() == 100
+    assert read_table(spark, json_path, fmt="json").count() == 100

@@ -1,0 +1,96 @@
+"""IVF (inverted-file) approximate nearest neighbor — the k-means
+scale path for embedding search.
+
+Build: cluster the corpus into `n_lists` cells with Spark ML KMeans
+(seeded, deterministic); store each vector's cell id.  Query: probe the
+`n_probe` cells whose centroids are nearest the query vector and score
+only those candidates — a corpus scan shrinks to ~n_probe/n_lists of the
+data, and the cell assignment is a broadcast-able centroid table at any
+corpus size.
+
+Compared to `lsh_bucketed_knn` (random hyperplanes, data-independent),
+IVF adapts its partitions to the data distribution — better recall at
+equal probe cost on clustered embeddings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _as_vec(col: str) -> str:
+    return f"transform({col}, x -> CAST(x AS DOUBLE))"
+
+
+def build_ivf_index(corpus: DataFrame, id_col: str = "vec_id",
+                    vec_col: str = "embedding", n_lists: int = 16,
+                    seed: int = 42) -> tuple[DataFrame, DataFrame]:
+    """Returns (assigned, centroids): corpus rows with a `cell` column,
+    and the centroid table (cell, centroid array<double>)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feats = corpus.select(
+        F.col(id_col).alias("id"),
+        F.expr(_as_vec(vec_col)).alias("arr"),
+    ).withColumn("features", array_to_vector("arr"))
+    km = KMeans(k=n_lists, seed=seed, predictionCol="cell")
+    model = km.fit(feats)
+    assigned = model.transform(feats).select("id", "arr", "cell")
+    centroids = feats.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        schema="cell INT, centroid ARRAY<DOUBLE>",
+    )
+    return assigned, centroids
+
+
+def ivf_knn(corpus: DataFrame, queries: DataFrame, k: int = 10,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            n_lists: int = 16, n_probe: int = 4,
+            seed: int = 42) -> DataFrame:
+    """Approximate top-k cosine neighbors probing n_probe IVF cells."""
+    assigned, centroids = build_ivf_index(
+        corpus, id_col, vec_col, n_lists, seed
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.expr(_as_vec(vec_col)).alias("qv"),
+    )
+    # rank cells per query by centroid distance; keep n_probe
+    dist = (
+        "aggregate(zip_with(qv, centroid, (a, b) -> (a - b) * (a - b)), "
+        "0D, (s, v) -> s + v)"
+    )
+    probes = (
+        q.join(F.broadcast(centroids))
+        .withColumn("d2", F.expr(dist))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("d2", "cell")
+            ),
+        )
+        .filter(F.col("rnk") <= n_probe)
+        .select("query_id", "qv", "cell")
+    )
+    cos = (
+        "aggregate(zip_with(qv, arr, (x, y) -> x * y), 0D, (s, v) -> s + v)"
+        " / (sqrt(aggregate(qv, 0D, (s, v) -> s + v * v))"
+        " * sqrt(aggregate(arr, 0D, (s, v) -> s + v * v)))"
+    )
+    scored = (
+        assigned.join(probes, "cell")
+        .filter(F.col("query_id") != F.col("id"))
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            F.round(F.expr(cos), 4).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
