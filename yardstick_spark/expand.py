@@ -764,18 +764,21 @@ class QueryExpander:
         groups and ctx correlations are unchanged (any_value over >=1 row
         per group); skipped whenever a direct aggregate (COUNT(*), SUM of
         a joined column, window fn) could observe row multiplicity."""
-        if len(info.tables) < 2:
+        if not info.tables:
             return out
-        aliased = []
+        single = len(info.tables) == 1
         for t in info.tables:
             if self.catalog.get(t.name) is None:
                 return out
-            if not t.alias:
+            if not t.alias and not single:
                 return out
-            aliased.append(t)
         for it in info.items:
             if it.is_star or it.is_aggregate:
                 return out
+        # only grouped queries may collapse — row-level results (Listing
+        # 12) depend on base cardinality
+        if find_top_level_keyword(out, "GROUP BY") is None:
+            return out
         # any aggregate/window function outside AGGREGATE() sites -> bail
         from .ddl import find_aggregation_in_expression
 
@@ -810,29 +813,47 @@ class QueryExpander:
             elif not is_alias_def:
                 unqualified.add(t.lower())
         new_out = out
-        for t in aliased:
+        for t in info.tables:
             cols = self.view_columns(t.name)
             if not cols:
                 return out
             cols_lower = {c.lower(): c for c in cols}
-            if unqualified & set(cols_lower):
+            refs = qualified.get(t.effective.lower(), set()) & set(cols_lower)
+            if single:
+                # in a single-table query every bare column ref is this
+                # view's (ctx-subquery idents that match are harmless —
+                # extra DISTINCT columns only widen the group set)
+                refs |= unqualified & set(cols_lower)
+            elif unqualified & set(cols_lower):
                 continue  # ambiguous bare refs might belong to this view
-            refs = qualified.get(t.alias.lower(), set()) & set(cols_lower)
             if not refs:
                 continue
             proj = ", ".join(sorted(cols_lower[r] for r in refs))
-            pat = re.compile(
-                rf"\b(FROM|JOIN)\s+{re.escape(t.name)}\s+(?:AS\s+)?"
-                rf"{re.escape(t.alias)}\b",
-                re.IGNORECASE,
-            )
-            new_out = pat.sub(
-                lambda m: (
-                    f"{m.group(1)} (SELECT DISTINCT {proj} "
-                    f"FROM {t.name}) {t.alias}"
-                ),
-                new_out,
-                count=1,
+            alias = t.alias or t.name
+            if t.alias:
+                pat = re.compile(
+                    rf"\b(FROM|JOIN)\s+{re.escape(t.name)}\s+(?:AS\s+)?"
+                    rf"{re.escape(t.alias)}\b",
+                    re.IGNORECASE,
+                )
+            else:
+                pat = re.compile(
+                    rf"\b(FROM|JOIN)\s+{re.escape(t.name)}\b(?!\s*\.)",
+                    re.IGNORECASE,
+                )
+            m = pat.search(new_out)
+            if m is None:
+                continue
+            # a subquery before the main FROM could also reference the
+            # view; only rewrite when the first match IS the main FROM
+            if re.search(r"\(\s*SELECT\b", new_out[: m.start()],
+                         re.IGNORECASE):
+                continue
+            new_out = (
+                new_out[: m.start()]
+                + f"{m.group(1)} (SELECT DISTINCT {proj} "
+                  f"FROM {t.name}) {alias}"
+                + new_out[m.end():]
             )
         return new_out
 
