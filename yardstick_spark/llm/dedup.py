@@ -66,6 +66,21 @@ def _shingles(text_col: str, k: int) -> str:
     )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to full parallelism when the input has
+    fewer partitions than cores.
+
+    A small corpus arriving as one parquet file is one input split, so
+    the CPU-heavy normalize/shingle/hash chain would pin a single core
+    (measured 6.2s -> 0.6s for minhash signatures at sf0.1).  At scale
+    the scan already has >= defaultParallelism splits and this is a
+    no-op; the shuffled columns are only (id, text)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _shingled(docs: DataFrame, text_col: str, id_col: str,
               k: int) -> DataFrame:
     """(id, shs) with the distinct k-shingle array.
@@ -76,9 +91,13 @@ def _shingled(docs: DataFrame, text_col: str, id_col: str,
     per document — measured 36s -> 4s for the downstream consumer at
     sf0.1).  The cached set is one short array row per document."""
     return (
-        docs.select(
+        _spread(docs.select(
             F.col(id_col).alias("id"),
-            F.expr(_norm_text(text_col)).alias("__norm"),
+            F.col(text_col).alias("__t"),
+        ))
+        .select(
+            "id",
+            F.expr(_norm_text("__t")).alias("__norm"),
         )
         .select(
             "id",

@@ -24,9 +24,14 @@ def _as_vec(col: str) -> str:
 
 def build_ivf_index(corpus: DataFrame, id_col: str = "vec_id",
                     vec_col: str = "embedding", n_lists: int = 16,
-                    seed: int = 42) -> tuple[DataFrame, DataFrame]:
+                    seed: int = 42, max_iter: int = 8) -> tuple[DataFrame, DataFrame]:
     """Returns (assigned, centroids): corpus rows with a `cell` column,
-    and the centroid table (cell, centroid array<double>)."""
+    and the centroid table (cell, centroid array<double>).
+
+    max_iter=8 (vs the ML default 20): each k-means iteration is a full
+    corpus pass; IVF recall is insensitive to late iterations (cell
+    boundaries move little after the first few) and the recall gate in
+    tests/test_scale_ops.py holds at 8."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
@@ -34,7 +39,8 @@ def build_ivf_index(corpus: DataFrame, id_col: str = "vec_id",
         F.col(id_col).alias("id"),
         F.expr(_as_vec(vec_col)).alias("arr"),
     ).withColumn("features", array_to_vector("arr"))
-    km = KMeans(k=n_lists, seed=seed, predictionCol="cell")
+    km = KMeans(k=n_lists, seed=seed, predictionCol="cell",
+                maxIter=max_iter)
     model = km.fit(feats)
     assigned = model.transform(feats).select("id", "arr", "cell")
     centroids = feats.sparkSession.createDataFrame(
