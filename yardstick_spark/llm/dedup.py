@@ -126,9 +126,10 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     those short, rare prefixes, then verified exactly with
     array_intersect on the full shingle sets.
 
-    Shuffles: shingle DF count (map-combinable), per-doc window for
-    prefix ranks, prefix self-join on rare keys, one broadcast-able
-    join back to the per-doc sets for verification.
+    Shuffles: shingle DF count (map-combinable), range repartition of
+    the distinct-shingle table for the parallel rarity ranking, prefix
+    self-join on rare keys, one broadcast-able join back to the per-doc
+    sets for verification.
     """
     from pyspark.sql import Window
 
@@ -138,12 +139,37 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     # not strings
     sets0 = _shingled(docs, text_col, id_col, k)
     sh = sets0.select("id", F.explode("shs").alias("sh"))
-    freq = (
-        sh.groupBy("sh").agg(F.count("*").alias("df"))
+    # global rarity rank WITHOUT a single-partition window (a global
+    # Window.orderBy funnels every distinct shingle through one task):
+    # range-partition by (df, sh) so partitions hold disjoint ordered
+    # slices, rank within each, then add per-partition offsets — the
+    # offset table is one row per partition, a driver-side prefix sum
+    npart = sh.sparkSession.sparkContext.defaultParallelism
+    # cache BEFORE repartitionByRange: its range-bounds sampling job
+    # re-evaluates the child, which would re-run the explode+groupBy
+    freq0 = sh.groupBy("sh").agg(F.count("*").alias("df")).cache()
+    ranked = (
+        freq0.repartitionByRange(npart, "df", "sh")
+        .withColumn("pid", F.spark_partition_id())
         .withColumn(
-            "sid", F.row_number().over(Window.orderBy("df", "sh"))
+            "r",
+            F.row_number().over(Window.partitionBy("pid").orderBy("df", "sh")),
         )
+        .cache()
     )
+    sizes = {row["pid"]: row["cnt"] for row in
+             ranked.groupBy("pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    # offsets as a literal lookup (one entry per partition) — no join
+    off_expr = F.element_at(
+        F.create_map(*[F.lit(x) for pid, off in offsets.items()
+                       for x in (pid, off)]),
+        F.col("pid"),
+    ) if offsets else F.lit(0)
+    freq = ranked.withColumn("sid", (F.col("r") + off_expr).cast("long"))
     isets = (
         sh.join(F.broadcast(freq.select("sh", "sid")), "sh")
         .groupBy("id")
