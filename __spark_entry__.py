@@ -617,8 +617,8 @@ def oracle_sql() -> dict[str, str]:
           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ), s AS (
           SELECT user_id, value,
-            SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
-              ROWS UNBOUNDED PRECEDING) AS session_seq
+            CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
           FROM g
         )
         SELECT user_id, session_seq, COUNT(*) AS n_events,
@@ -782,12 +782,13 @@ def oracle_sql() -> dict[str, str]:
             list_filter(string_split({_NORM_DOC}, ' '), t -> t <> '') AS toks
             FROM documents)
         SELECT id,
-          list_aggregate(
+          CAST(list_aggregate(
             list_transform(range(0, 60), i ->
               CASE WHEN list_sum(list_transform(toks, t ->
                 CASE WHEN (CAST(CONCAT('0x', SUBSTRING(md5(t), 1, 15)) AS BIGINT)
                            >> i) & 1 = 1 THEN 1 ELSE -1 END)) > 0
-              THEN (CAST(1 AS BIGINT) << i) ELSE 0 END), 'sum') AS simhash
+              THEN (CAST(1 AS BIGINT) << i) ELSE 0 END), 'sum') AS BIGINT)
+            AS simhash
         FROM norm"""
     o["sim_knn_bruteforce"] = """
         WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
@@ -847,11 +848,12 @@ def oracle_sql() -> dict[str, str]:
         SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
                WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
                COUNT(*) AS n,
-               SUM(octet_length(CAST(text AS BLOB))) AS total_bytes
+               CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT)
+                 AS total_bytes
         FROM documents GROUP BY 1"""
     o["mm_frame_sample"] = """
-        SELECT SUM(CAST(floor(length(text) * 10 / 1000.0) AS BIGINT) + 1)
-                 AS n_frames,
+        SELECT CAST(SUM(CAST(floor(length(text) * 10 / 1000.0) AS BIGINT) + 1)
+                 AS BIGINT) AS n_frames,
                COUNT(DISTINCT doc_id) AS n_videos
         FROM documents WHERE doc_id % 3 = 2"""
     o["events_tumbling"] = """
