@@ -336,6 +336,21 @@ def _q_knn_lsh(spark, sf_dir):
 
 
 def _q_knn_ivf(spark, sf_dir):
+    # Deterministically seeded IVF (min-id-per-hash-bucket centroids):
+    # same probe structure/cost as the k-means build, but closed-form,
+    # so the DuckDB oracle reproduces the identical index.
+    from yardstick_spark.llm import ivf_knn_seeded
+
+    _ys(spark, sf_dir)
+    emb = spark.table("embeddings")
+    return ivf_knn_seeded(emb, emb.filter("vec_id < 5"), k=10,
+                          n_lists=8, n_probe=3)
+
+
+def _q_knn_ivf_kmeans(spark, sf_dir):
+    # k-means-fitted IVF build; FP mean updates are not reproducible in
+    # SQL, so this entry is rows-only (recall-gated vs brute force in
+    # tests/test_scale_ops.py).
     from yardstick_spark.llm import ivf_knn
 
     _ys(spark, sf_dir)
@@ -468,7 +483,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_simhash": _q_dedup_simhash,
             "sim_knn_bruteforce": _q_knn,
             "sim_knn_lsh": _q_knn_lsh,
-            "sim_knn_ivf": _q_knn_ivf,  # k-means index: no SQL oracle
+            "sim_knn_ivf": _q_knn_ivf,
+            "sim_knn_ivf_kmeans": _q_knn_ivf_kmeans,  # no SQL oracle
                                         # (recall gate in tests/test_scale_ops)
             "text_tokens": _q_tokens,
             "text_quality": _q_quality,
@@ -790,6 +806,42 @@ def oracle_sql() -> dict[str, str]:
               THEN (CAST(1 AS BIGINT) << i) ELSE 0 END), 'sum') AS BIGINT)
             AS simhash
         FROM norm"""
+    o["sim_knn_ivf"] = """
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                   FROM embeddings),
+        b AS (SELECT vec_id, e,
+                CAST(CONCAT('0x', SUBSTRING(md5(CAST(vec_id AS VARCHAR)),
+                     1, 15)) AS BIGINT) % 8 AS cell
+              FROM v),
+        s AS (SELECT cell, MIN(vec_id) AS seed_id FROM b GROUP BY cell),
+        cents AS (SELECT s.cell, v.e AS c FROM s
+                  JOIN v ON v.vec_id = s.seed_id),
+        asg AS (SELECT vec_id, e, cell FROM (
+            SELECT b.vec_id, b.e, cents.cell,
+              row_number() OVER (PARTITION BY b.vec_id ORDER BY
+                list_sum(list_transform(list_zip(b.e, cents.c),
+                  x -> (x[1] - x[2]) * (x[1] - x[2]))), cents.cell) AS rn
+            FROM b CROSS JOIN cents) WHERE rn = 1),
+        q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 5),
+        probes AS (SELECT query_id, qe, cell FROM (
+            SELECT q.query_id, q.qe, cents.cell,
+              row_number() OVER (PARTITION BY q.query_id ORDER BY
+                list_sum(list_transform(list_zip(q.qe, cents.c),
+                  x -> (x[1] - x[2]) * (x[1] - x[2]))), cents.cell) AS rn
+            FROM q CROSS JOIN cents) WHERE rn <= 3),
+        scored AS (
+          SELECT p.query_id, a.vec_id AS neighbor_id,
+            ROUND(list_sum(list_transform(list_zip(p.qe, a.e),
+                    x -> x[1] * x[2]))
+              / (sqrt(list_sum(list_transform(p.qe, x -> x * x)))
+                 * sqrt(list_sum(list_transform(a.e, x -> x * x)))), 4)
+              AS sim
+          FROM probes p JOIN asg a USING (cell)
+          WHERE a.vec_id <> p.query_id)
+        SELECT query_id, neighbor_id, sim, rank FROM (
+          SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+          FROM scored) WHERE rank <= 10"""
     o["sim_knn_bruteforce"] = """
         WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         q AS (SELECT * FROM v WHERE vec_id < 5),

@@ -89,3 +89,46 @@ def test_fanout_count_not_collapsed(ysq):
         "GROUP BY o2.d_year"
     )
     assert "SELECT DISTINCT" not in sql
+
+
+def test_knn_topk_prunes_map_side(spark):
+    # every kNN path must emit at most k rows per query from each scan
+    # task (partial WindowGroupLimit) before the top-k shuffle
+    from yardstick_spark.llm import (
+        brute_force_knn, ivf_knn_seeded, lsh_bucketed_knn,
+    )
+    from yardstick_spark.plans import has_partial_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter("vec_id < 5")
+    for fn in (brute_force_knn, lsh_bucketed_knn, ivf_knn_seeded):
+        df = fn(emb, q, k=10)
+        assert has_partial_topk(df), f"{fn.__name__}: top-k not pruned map-side"
+
+
+def test_dedup_verification_join_defers_to_aqe(spark):
+    # no unconditional broadcast hint: with broadcasts disabled the
+    # verification join must plan as a shuffle join (the shape a
+    # billion-doc corpus needs); broadcast_sets=True restores the hint
+    from yardstick_spark.llm import minhash_lsh_pairs
+    from yardstick_spark.plans import explain_str
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    saved = {
+        k: spark.conf.get(k)
+        for k in ("spark.sql.autoBroadcastJoinThreshold",
+                  "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        assert "BroadcastHashJoin" not in explain_str(minhash_lsh_pairs(docs))
+        assert "BroadcastHashJoin" in explain_str(
+            minhash_lsh_pairs(docs, broadcast_sets=True)
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

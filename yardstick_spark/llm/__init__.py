@@ -14,7 +14,9 @@ from .dedup import (  # noqa: F401
     ngram_jaccard_pairs,
     simhash64,
 )
-from .ivf import build_ivf_index, ivf_knn  # noqa: F401
+from .ivf import (  # noqa: F401
+    build_ivf_index, ivf_knn, ivf_knn_seeded, seed_centroids,
+)
 from .similarity import brute_force_knn, lsh_bucketed_knn  # noqa: F401
 from .text import (  # noqa: F401
     doc_fingerprint,

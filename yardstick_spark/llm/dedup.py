@@ -111,9 +111,22 @@ def _shingled(docs: DataFrame, text_col: str, id_col: str,
     )
 
 
+def _hint_sets(df: DataFrame, force: bool | None) -> DataFrame:
+    """Broadcast policy for pair-verification build sides.
+
+    None (default) adds no hint: AQE observes the actual shuffle size
+    and broadcasts when the side is genuinely small — at billion-doc
+    scale the per-doc set/signature table exceeds any broadcast
+    threshold and must shuffle-join, so an unconditional hint would OOM
+    the driver.  True forces the hint (known-small corpora, saves the
+    AQE stage boundary); False never broadcasts."""
+    return F.broadcast(df) if force else df
+
+
 def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 5,
-                        threshold: float = 0.8) -> DataFrame:
+                        threshold: float = 0.8,
+                        broadcast_sets: bool | None = None) -> DataFrame:
     """Near-duplicate pairs by k-shingle Jaccard similarity — EXACT
     result via prefix filtering (the ppjoin candidate bound).
 
@@ -199,18 +212,18 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    # the per-doc set table is tiny relative to the candidate pairs —
-    # broadcast it so the int arrays never ride the pair shuffle.  (At
-    # billion-doc scale, drop the hint: a shuffle join on id is the
-    # fallback AQE would pick once the build side exceeds the threshold.)
+    # verification: join the candidate pairs back to the per-doc set
+    # table; broadcast is AQE-decided by default (see _hint_sets)
     return (
-        cand.join(F.broadcast(isets.select(F.col("id").alias("id_a"),
-                                           F.col("sids").alias("sids_a"),
-                                           F.col("n_sh").alias("n_a"))),
+        cand.join(_hint_sets(isets.select(F.col("id").alias("id_a"),
+                                          F.col("sids").alias("sids_a"),
+                                          F.col("n_sh").alias("n_a")),
+                             broadcast_sets),
                   "id_a")
-        .join(F.broadcast(isets.select(F.col("id").alias("id_b"),
-                                       F.col("sids").alias("sids_b"),
-                                       F.col("n_sh").alias("n_b"))),
+        .join(_hint_sets(isets.select(F.col("id").alias("id_b"),
+                                      F.col("sids").alias("sids_b"),
+                                      F.col("n_sh").alias("n_b")),
+                         broadcast_sets),
               "id_b")
         .withColumn("common", F.size(F.array_intersect("sids_a", "sids_b")))
         .withColumn(
@@ -262,7 +275,8 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
 def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", k: int = 5,
                       num_hashes: int = 32, bands: int = 8,
-                      threshold: float = 0.5) -> DataFrame:
+                      threshold: float = 0.5,
+                      broadcast_sets: bool | None = None) -> DataFrame:
     """MinHash + LSH candidate pairs with estimated Jaccard.
 
     bands × rows layout (rows = num_hashes / bands): docs agreeing on
@@ -302,11 +316,13 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
         "IF(x = y, 1, 0)), 0, (acc, v) -> acc + v) / size(sig_a), 6)"
     )
     return (
-        cand.join(F.broadcast(sigs.select(F.col("id").alias("id_a"),
-                                          F.col("signature").alias("sig_a"))),
+        cand.join(_hint_sets(sigs.select(F.col("id").alias("id_a"),
+                                         F.col("signature").alias("sig_a")),
+                             broadcast_sets),
                   "id_a")
-        .join(F.broadcast(sigs.select(F.col("id").alias("id_b"),
-                                      F.col("signature").alias("sig_b"))),
+        .join(_hint_sets(sigs.select(F.col("id").alias("id_b"),
+                                     F.col("signature").alias("sig_b")),
+                         broadcast_sets),
               "id_b")
         .withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= threshold)
@@ -325,15 +341,22 @@ def simhash64(docs: DataFrame, text_col: str = "text",
     norm = _norm_text(text_col)
     tokens = f"filter(split({norm}, ' '), t -> t <> '')"
     tok_hash = _portable_hash("t")
-    # votes[i] = sum over tokens of (bit i set ? 1 : -1); bit of hash
+    # hash each token ONCE into an int64 array; same cache() barrier as
+    # minhash_signatures — without it Catalyst collapses the projection
+    # and inlines the md5 into all 60 per-bit lambdas (60x the md5 work)
+    base = f"transform({tokens}, t -> CAST({tok_hash} AS BIGINT))"
+    hashed = docs.select(
+        F.col(id_col).alias("id"), F.expr(base).alias("__ys_th")
+    ).cache()
+    # votes[i] = sum over tokens of (bit i set ? 1 : -1)
     votes = (
-        f"transform(sequence(0, 59), i -> "
-        f"aggregate({tokens}, 0L, (acc, t) -> acc + "
-        f"IF(((CAST({tok_hash} AS BIGINT) >> i) & 1) = 1, 1, -1)))"
+        "transform(sequence(0, 59), i -> "
+        "aggregate(__ys_th, 0L, (acc, h) -> acc + "
+        "IF(((h >> i) & 1) = 1, 1, -1)))"
     )
     sim = (
         f"aggregate(zip_with({votes}, sequence(0, 59), "
         f"(v, i) -> IF(v > 0, shiftleft(1L, i), 0L)), 0L, "
         f"(acc, x) -> acc | x)"
     )
-    return docs.select(F.col(id_col).alias("id"), F.expr(sim).alias("simhash"))
+    return hashed.select("id", F.expr(sim).alias("simhash"))

@@ -50,6 +50,103 @@ def build_ivf_index(corpus: DataFrame, id_col: str = "vec_id",
     return assigned, centroids
 
 
+def seed_centroids(corpus: DataFrame, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   n_lists: int = 16) -> DataFrame:
+    """Deterministic, engine-portable seed centroids: bucket vector ids
+    by a portable md5 hash, take the min-id vector of each bucket as
+    that cell's centroid.
+
+    Closed-form (no iterative fit, no FP aggregation), so a SQL oracle
+    can reproduce the identical index bit-for-bit — unlike a k-means
+    fit, whose floating-point mean updates are not reproducible across
+    engines.  At scale this is one map-side-combined groupBy-min over
+    ids plus a join back for the n_lists seed rows.  Recall trails a
+    fitted k-means on clustered data (seeds ignore the distribution)
+    but the probe structure and cost model are identical.
+    """
+    h = (f"CAST(conv(substring(md5(CAST({id_col} AS STRING)), 1, 15), "
+         f"16, 10) AS BIGINT)")
+    b = corpus.select(
+        F.col(id_col).alias("id"),
+        F.expr(_as_vec(vec_col)).alias("arr"),
+        F.expr(f"pmod({h}, {n_lists})").alias("cell"),
+    )
+    # cell is a pure function of id, so joining on id alone is exact
+    seeds = (b.groupBy("cell").agg(F.min("id").alias("seed_id"))
+             .select("seed_id"))
+    return (
+        b.join(F.broadcast(seeds), b.id == seeds.seed_id)
+        .select("cell", F.col("arr").alias("centroid"))
+    )
+
+
+def ivf_knn_seeded(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   n_lists: int = 16, n_probe: int = 4) -> DataFrame:
+    """Approximate top-k cosine neighbors over a deterministically
+    seeded IVF index (see `seed_centroids`).
+
+    The centroid table is bounded by n_lists, so it is collected and
+    embedded as a literal array: cell assignment and probe selection
+    run scan-side with zero extra shuffle (exactly how a deployed IVF
+    index ships its centroids to every executor).  The final top-k is a
+    rank window that Spark executes with a map-side partial
+    WindowGroupLimit — each scan task forwards at most k rows per
+    query, so no reducer sees corpus-proportional input.
+    """
+    cents = sorted(
+        (int(r["cell"]), [float(x) for x in r["centroid"]])
+        for r in seed_centroids(corpus, id_col, vec_col, n_lists).collect()
+    )
+    cent_lits = ", ".join(
+        f"named_struct('cell', {cell}, 'c', array("
+        + ", ".join(f"{x!r}D" for x in vec) + "))"
+        for cell, vec in cents
+    )
+    d2 = ("aggregate(zip_with({v}, s.c, (a, b) -> (a - b) * (a - b)), "
+          "0D, (acc, x) -> acc + x)")
+    # nearest cell: lexicographic struct min over (d2, cell) — ties to
+    # the lower cell id, same rule the SQL oracle applies.
+    assign = (f"array_min(transform(array({cent_lits}), s -> "
+              f"struct({d2.format(v='arr')} AS d, s.cell AS cell))).cell")
+    probe = (f"transform(slice(array_sort(transform(array({cent_lits}), "
+             f"s -> struct({d2.format(v='qv')} AS d, s.cell AS cell))), "
+             f"1, {n_probe}), p -> p.cell)")
+    assigned = corpus.select(
+        F.col(id_col).alias("id"),
+        F.expr(_as_vec(vec_col)).alias("arr"),
+    ).withColumn("cell", F.expr(assign))
+    probes = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.expr(_as_vec(vec_col)).alias("qv"),
+        )
+        .withColumn("cell", F.explode(F.expr(probe)))
+    )
+    cos = (
+        "aggregate(zip_with(qv, arr, (x, y) -> x * y), 0D, (s, v) -> s + v)"
+        " / (sqrt(aggregate(qv, 0D, (s, v) -> s + v * v))"
+        " * sqrt(aggregate(arr, 0D, (s, v) -> s + v * v)))"
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col("id"))
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            F.round(F.expr(cos), 4).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def ivf_knn(corpus: DataFrame, queries: DataFrame, k: int = 10,
             id_col: str = "vec_id", vec_col: str = "embedding",
             n_lists: int = 16, n_probe: int = 4,

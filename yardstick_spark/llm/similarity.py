@@ -7,9 +7,13 @@ query set against the corpus, dot products computed JVM-side with
 top-k window.  Scale path: LSH bucketing by random-hyperplane signs so
 each query only scans its bucket (+ optional multi-probe neighbors).
 
-At 100 TB: the corpus side stays partitioned; queries broadcast; the
-top-k window shuffles only (query_id, sim) pairs after per-partition
-pre-filtering.
+At 100 TB: the corpus side stays partitioned and queries broadcast, so
+scoring never shuffles corpus rows.  The final `row_number() <= k`
+filter is executed by Spark as a map-side partial WindowGroupLimit
+(InferWindowGroupLimit): each scan task locally sorts and forwards at
+most k rows per query, so the top-k shuffle moves <= n_tasks * k rows
+per query — no reducer sees corpus-proportional input (asserted in
+tests/test_plans.py).
 """
 
 from __future__ import annotations

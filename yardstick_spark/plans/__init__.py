@@ -9,6 +9,7 @@ columns and push filters, hot paths stay in whole-stage codegen.
 from .inspect import (  # noqa: F401
     explain_str,
     has_broadcast_join,
+    has_partial_topk,
     pushed_filters,
     read_schema_columns,
     whole_stage_codegen_ids,

@@ -44,3 +44,13 @@ def read_schema_columns(df: DataFrame) -> list[list[str]]:
 def whole_stage_codegen_ids(df: DataFrame) -> int:
     """Number of WholeStageCodegen spans (wider = fewer breaks)."""
     return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", explain_str(df))))
+
+
+def has_partial_topk(df: DataFrame) -> bool:
+    """True if the rank-window top-k is pruned map-side before the
+    shuffle (InferWindowGroupLimit): a WindowGroupLimit in Partial mode
+    feeding the Exchange, so no reducer receives input proportional to
+    the pre-filter row count."""
+    return bool(
+        re.search(r"WindowGroupLimit[\s\S]{0,500}?, Partial", explain_str(df))
+    )
