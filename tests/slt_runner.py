@@ -23,6 +23,23 @@ sys.path.insert(0, "/root/repo")
 from yardstick_spark.sqlutil import split_top_level  # noqa: E402
 
 
+def reset_catalog(spark) -> None:
+    """Drop every table, view and temp view in the current database so
+    corpora replayed back-to-back in one Spark session start clean.
+
+    Fixture tables are permanent (CREATE TABLE ... USING PARQUET in the
+    shared warehouse) and engine measure views persist in the session
+    catalog; without this, a second corpus collides with the first
+    (TABLE_OR_VIEW_ALREADY_EXISTS, then stale-view UNRESOLVED_COLUMN)."""
+    for t in spark.catalog.listTables():
+        if t.isTemporary:
+            spark.catalog.dropTempView(t.name)
+        elif t.tableType == "VIEW":
+            spark.sql(f"DROP VIEW IF EXISTS `{t.name}`")
+        else:
+            spark.sql(f"DROP TABLE IF EXISTS `{t.name}`")
+
+
 @dataclass
 class Record:
     kind: str  # statement_ok | statement_error | query
@@ -176,7 +193,12 @@ class SltSession:
                                  typ, flags=re.IGNORECASE | re.DOTALL)
                     cols.append(f"`{mm.group(1)}` {typ}")
                     specs.append((mm.group(1), typ))
+            # a same-named temp view or view left by earlier statements
+            # would shadow the new table on reads — clear all three
+            # namespaces before creating
+            self.spark.catalog.dropTempView(name)
             self.spark.sql(f"DROP TABLE IF EXISTS {name}")
+            self.spark.sql(f"DROP VIEW IF EXISTS {name}")
             self.spark.sql(
                 f"CREATE TABLE {name} ({', '.join(cols)}) USING PARQUET"
             )

@@ -26,6 +26,12 @@ KNOWN_FAILURES = {1236}
 def slt_ys(spark):
     from yardstick_spark import MeasureSession
 
+    from slt_runner import reset_catalog
+
+    # corpora share the session-scoped SparkSession: start each one from
+    # a clean catalog so fixtures/views of the previous corpus can't
+    # collide (TABLE_OR_VIEW_ALREADY_EXISTS / stale-view resolution)
+    reset_catalog(spark)
     return MeasureSession(spark)
 
 
