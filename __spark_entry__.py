@@ -319,6 +319,14 @@ def _q_dedup_simhash(spark, sf_dir):
     return simhash64(_docs(spark, sf_dir))
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    # pairs -> connected components -> per-doc (cluster_id, keep) verdict
+    from yardstick_spark.llm import dedup_assign, minhash_lsh_pairs
+
+    docs = _docs(spark, sf_dir)
+    return dedup_assign(docs, minhash_lsh_pairs(docs))
+
+
 def _q_knn(spark, sf_dir):
     from yardstick_spark.llm import brute_force_knn
 
@@ -481,6 +489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_ngram_jaccard": _q_dedup_ngram,
             "dedup_minhash_lsh": _q_dedup_minhash,
             "dedup_simhash": _q_dedup_simhash,
+            "dedup_clusters": _q_dedup_clusters,
             "sim_knn_bruteforce": _q_knn,
             "sim_knn_lsh": _q_knn_lsh,
             "sim_knn_ivf": _q_knn_ivf,
@@ -766,7 +775,7 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sa ON sa.id = id_a
         JOIN sizes sb ON sb.id = id_b
         WHERE common / (sa.n_sh + sb.n_sh - common) >= 0.8"""
-    o["dedup_minhash_lsh"] = f"""
+    mh_pairs = f"""
         WITH norm AS (SELECT doc_id AS id, {_NORM_DOC} AS t FROM documents),
         sets AS (SELECT id, list_distinct([substring(t, i, 5)
                  for i in range(1, greatest(1, length(t) - 4) + 1)]) AS shs
@@ -793,6 +802,24 @@ def oracle_sql() -> dict[str, str]:
         WHERE list_sum(list_transform(list_zip(sa.sig, sb.sig),
               x -> CASE WHEN x[1] = x[2] THEN 1 ELSE 0 END))
               / len(sa.sig) >= 0.5"""
+    o["dedup_minhash_lsh"] = mh_pairs
+    # transitive closure of the pair graph (small scale: recursive CTE);
+    # cluster_id = component-min doc id, keep = canonical copy
+    o["dedup_clusters"] = f"""
+        WITH RECURSIVE pairs AS ({mh_pairs}),
+        edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION SELECT id_b AS src, id_a AS dst FROM pairs),
+        walk(src, dst) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT w.src, e.dst FROM walk w JOIN edges e ON w.dst = e.src
+        ),
+        lbl AS (SELECT src AS id, LEAST(src, MIN(dst)) AS cluster_id
+                FROM walk GROUP BY src)
+        SELECT d.doc_id,
+               COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+               d.doc_id = COALESCE(l.cluster_id, d.doc_id) AS keep
+        FROM documents d LEFT JOIN lbl l ON l.id = d.doc_id"""
     o["dedup_simhash"] = f"""
         WITH norm AS (SELECT doc_id AS id,
             list_filter(string_split({_NORM_DOC}, ' '), t -> t <> '') AS toks

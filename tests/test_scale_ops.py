@@ -78,3 +78,45 @@ def test_csv_json_sources_roundtrip(spark, tmp_path):
     df.write.mode("overwrite").json(json_path)
     assert read_table(spark, csv_path, fmt="csv").count() == 100
     assert read_table(spark, json_path, fmt="json").count() == 100
+
+
+def test_connected_components_vs_union_find(spark):
+    # chain 0-1-2-3-4 (diameter > 1 forces multiple propagation
+    # rounds), a triangle, an isolated pair; verdicts must agree with a
+    # driver-side union-find
+    from yardstick_spark.llm import connected_components, dedup_assign
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4),
+             (10, 11), (11, 12), (10, 12),
+             (20, 21)]
+    pairs = spark.createDataFrame(edges, "id_a BIGINT, id_b BIGINT")
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+
+    got = {r["id"]: r["cluster_id"]
+           for r in connected_components(pairs).collect()}
+    assert got == want
+
+    docs = spark.createDataFrame(
+        [(i,) for i in [0, 1, 2, 3, 4, 10, 11, 12, 20, 21, 99]],
+        "doc_id BIGINT",
+    )
+    verdicts = {r["doc_id"]: (r["cluster_id"], r["keep"])
+                for r in dedup_assign(docs, pairs).collect()}
+    assert verdicts[99] == (99, True)      # singleton keeps itself
+    assert verdicts[4] == (0, False)       # chain end joins component 0
+    assert verdicts[0] == (0, True)
+    assert sum(1 for c, k in verdicts.values() if k) == 4  # one keeper/cluster

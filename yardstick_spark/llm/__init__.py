@@ -7,6 +7,7 @@ similarity search over embeddings, text analysis (language id, quality,
 tokens, fingerprints), and multimodal binary-column plumbing.
 """
 
+from .cluster import connected_components, dedup_assign  # noqa: F401
 from .dedup import (  # noqa: F401
     exact_dedup,
     minhash_signatures,
