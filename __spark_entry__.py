@@ -411,6 +411,23 @@ def _q_mm_decode(spark, sf_dir):
     )
 
 
+def _q_mm_decode_real(spark, sf_dir):
+    # encode docs as real PPM/WAV binaries, then REALLY decode them
+    # (header parse + payload extraction, pure numpy) — every decoded
+    # property is an analytic function of doc_id, so the oracle checks
+    # the whole encode->decode->featurize path
+    from pyspark.sql import functions as F
+
+    from yardstick_spark.llm import decode_media, synth_media
+
+    media = synth_media(_docs(spark, sf_dir))
+    out = decode_media(media, n_features=8, fake=False)
+    return out.select(
+        "media_id", "kind", "width", "height", "n_samples",
+        F.round("mean_val", 6).alias("mean_val"),
+    )
+
+
 def _q_mm_frames(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -490,6 +507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_minhash_lsh": _q_dedup_minhash,
             "dedup_simhash": _q_dedup_simhash,
             "dedup_clusters": _q_dedup_clusters,
+            "mm_decode_real": _q_mm_decode_real,
             "sim_knn_bruteforce": _q_knn,
             "sim_knn_lsh": _q_knn_lsh,
             "sim_knn_ivf": _q_knn_ivf,
@@ -930,6 +948,19 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT)
                  AS total_bytes
         FROM documents GROUP BY 1"""
+    o["mm_decode_real"] = """
+        SELECT doc_id AS media_id,
+          CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'wav' END AS kind,
+          CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 13 + 3 AS INT) END
+            AS width,
+          CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 7 + 2 AS INT) END
+            AS height,
+          CAST(CASE WHEN doc_id % 2 = 0
+               THEN (doc_id % 13 + 3) * (doc_id % 7 + 2) * 3
+               ELSE doc_id % 50 + 10 END AS BIGINT) AS n_samples,
+          ROUND(CASE WHEN doc_id % 2 = 0 THEN (doc_id % 251) / 255.0
+                ELSE abs(doc_id % 1000 - 500) / 32768.0 END, 6) AS mean_val
+        FROM documents"""
     o["mm_frame_sample"] = """
         SELECT CAST(SUM(CAST(floor(length(text) * 10 / 1000.0) AS BIGINT) + 1)
                  AS BIGINT) AS n_frames,

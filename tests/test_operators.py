@@ -127,3 +127,47 @@ def test_streaming_sessions_run(spark, tmp_path):
     q.awaitTermination(120)
     rows = spark.table("sessions_test").count()
     assert rows > 0
+
+
+def test_ppm_wav_roundtrip_and_errors():
+    import numpy as np
+    import pytest as _pytest
+
+    from yardstick_spark.llm import parse_ppm, parse_wav, write_ppm, write_wav
+
+    rgb = bytes(range(2 * 3 * 3)) * 1  # 2x3 image, distinct byte values
+    w, h, arr = parse_ppm(write_ppm(2, 3, rgb))
+    assert (w, h) == (2, 3)
+    assert arr.tobytes() == rgb
+
+    # arbitrary whitespace between header fields is legal PPM
+    assert parse_ppm(b"P6\n2 3\n255\n" + rgb)[2].tobytes() == rgb
+
+    samples = np.array([0, 1, -1, 32767, -32768, 123], dtype=np.int16)
+    out = parse_wav(write_wav(samples, sample_rate=8000))
+    assert np.array_equal(out, samples)
+
+    with _pytest.raises(ValueError):
+        parse_ppm(b"P5\n2 2\n255\n" + b"\0" * 4)  # grayscale PGM
+    with _pytest.raises(ValueError):
+        parse_wav(b"RIFFxxxxWAVE")  # no data chunk
+
+
+def test_decode_media_real_path(spark):
+    import numpy as np
+
+    from yardstick_spark.llm import decode_media, synth_media
+
+    docs = spark.range(0, 20).withColumnRenamed("id", "doc_id")
+    out = decode_media(synth_media(docs), n_features=4, fake=False)
+    rows = {r["media_id"]: r for r in out.collect()}
+    assert len(rows) == 20
+    r = rows[4]  # even -> ppm, 7x6, value 4
+    assert (r["kind"], r["width"], r["height"]) == ("ppm", 7, 6)
+    assert r["n_samples"] == 7 * 6 * 3
+    assert abs(r["mean_val"] - 4 / 255.0) < 1e-9
+    assert np.allclose(r["features"], [4 / 255.0] * 4)
+    r = rows[5]  # odd -> wav, 15 samples of -495
+    assert (r["kind"], r["width"], r["height"]) == ("wav", None, None)
+    assert r["n_samples"] == 15
+    assert abs(r["mean_val"] - 495 / 32768.0) < 1e-9

@@ -15,6 +15,16 @@ from .dedup import (  # noqa: F401
     ngram_jaccard_pairs,
     simhash64,
 )
+from .multimodal import (  # noqa: F401
+    attach_media_column,
+    decode_media,
+    frame_sample,
+    parse_ppm,
+    parse_wav,
+    synth_media,
+    write_ppm,
+    write_wav,
+)
 from .ivf import (  # noqa: F401
     build_ivf_index, ivf_knn, ivf_knn_seeded, seed_centroids,
 )
