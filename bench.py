@@ -44,12 +44,27 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entry.queries()
-    # warmup: session + parquet views + measure views
+    # warmup: session + parquet views + measure views, then one pass of
+    # cheap representative queries so the first TIMED query doesn't
+    # carry one-time JVM JIT/codegen warmup (a fixed ~0.7 s that a
+    # long-lived cluster pays once, not per query)
     entry._ys(spark, sf_dir)
     spark.table("lineitem").count()
+    for warm in ("m_grand_total", "tpch_q6"):
+        if warm in qs:
+            try:
+                qs[warm](spark, sf_dir).count()
+            except Exception:  # noqa: BLE001
+                pass
 
     timings: dict[str, float] = {}
     for name, fn in qs.items():
+        # cold-cache per query: operators use cache() as materialization
+        # barriers, and letting those accumulate across 40+ queries both
+        # builds memory pressure and lets later queries reuse earlier
+        # queries' work (plan-matched cache hits) — neither is the
+        # number we want to report
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         try:
             df = fn(spark, sf_dir)

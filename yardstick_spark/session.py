@@ -93,9 +93,21 @@ class MeasureSession:
             for name, shadowed in getattr(self, "_batch_temp_views", {}).items()
             if shadowed is not None
         }
+        # memoize column lookups for this expansion only: each
+        # spark.table() is a py4j round-trip + view analysis (~20 ms,
+        # measured 7 calls per measure query), and within one statement
+        # expansion view definitions cannot change
+        cache: dict[str, list[str] | None] = {}
+
+        def view_columns(name: str):
+            key = name.lower()
+            if key not in cache:
+                cache[key] = self._view_columns(name)
+            return cache[key]
+
         return QueryExpander(
             self.catalog,
-            view_columns=self._view_columns,
+            view_columns=view_columns,
             permanent_overrides=overrides,
         )
 
