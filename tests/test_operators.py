@@ -171,3 +171,41 @@ def test_decode_media_real_path(spark):
     assert (r["kind"], r["width"], r["height"]) == ("wav", None, None)
     assert r["n_samples"] == 15
     assert abs(r["mean_val"] - 495 / 32768.0) < 1e-9
+
+
+def test_asof_matched_row_is_atomic(spark):
+    # the matched right row must be taken whole: a NULL in the newest
+    # right row is carried as NULL, not skipped for an older row's value
+    from yardstick_spark.operators import asof_join
+
+    left = spark.createDataFrame([(1, 10)], "k INT, ts INT")
+    right = spark.createDataFrame(
+        [(1, 5, 1.0, "x"), (1, 8, None, "y")],
+        "k INT, ts INT, a DOUBLE, b STRING",
+    )
+    row = asof_join(left, right, on="k").collect()[0]
+    assert row["a_asof"] is None and row["b_asof"] == "y"
+
+    # unmatched left rows keep NULLs
+    left2 = spark.createDataFrame([(2, 10)], "k INT, ts INT")
+    row2 = asof_join(left2, right, on="k").collect()[0]
+    assert row2["a_asof"] is None and row2["b_asof"] is None
+
+
+def test_strftime_translates_c_specifiers():
+    import pytest as _pytest
+
+    from yardstick_spark.functions.compat import (
+        normalize_expr_to_spark,
+        strftime_format_to_java,
+    )
+
+    assert (normalize_expr_to_spark("strftime(d, '%Y-%m-%d %H:%M:%S')")
+            == "date_format(d, 'yyyy-MM-dd HH:mm:ss')")
+    # reversed (format, value) overload and literal-text quoting
+    assert (normalize_expr_to_spark("strftime('%d of %B', d)")
+            == "date_format(d, 'dd'' of ''MMMM')")
+    assert strftime_format_to_java("%-d.%-m.%y") == "d.M.yy"
+    assert strftime_format_to_java("100%%") == "100%"
+    with _pytest.raises(ValueError):
+        strftime_format_to_java("%U")  # unsupported week-of-year

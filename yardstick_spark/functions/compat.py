@@ -25,13 +25,69 @@ _FN_RENAMES = {
     "array_agg": "collect_list",
     "string_agg": "listagg",
     "group_concat": "listagg",
-    "strftime": "date_format",
     "list_value": "array",
     "len": "length",
     "contains": "contains",
     "regexp_matches": "rlike",
     "error": "raise_error",
 }
+
+
+# DuckDB/C strftime specifier -> Java DateTimeFormatter pattern
+_STRFTIME_MAP = {
+    "Y": "yyyy", "y": "yy", "m": "MM", "-m": "M", "d": "dd", "-d": "d",
+    "H": "HH", "-H": "H", "I": "hh", "-I": "h", "M": "mm", "-M": "m",
+    "S": "ss", "-S": "s", "p": "a", "j": "DDD", "-j": "D",
+    "a": "EEE", "A": "EEEE", "b": "MMM", "B": "MMMM", "g": "SSS",
+    "f": "SSSSSS", "n": "SSSSSSSSS", "Z": "zzz", "z": "xxx", "G": "yyyy",
+}
+
+
+def strftime_format_to_java(fmt: str) -> str:
+    """Translate a C-style strftime format to a Java DateTimeFormatter
+    pattern (date_format's dialect).  Literal text is single-quoted so
+    stray letters don't become pattern fields; unsupported % specifiers
+    raise rather than silently emitting wrong output."""
+    out: list[str] = []
+    lit: list[str] = []
+
+    def flush_literal():
+        if lit:
+            text = "".join(lit)
+            if re.search(r"[A-Za-z']", text):
+                out.append("'" + text.replace("'", "''") + "'")
+            else:
+                out.append(text)
+            lit.clear()
+
+    i, n = 0, len(fmt)
+    while i < n:
+        c = fmt[i]
+        if c != "%":
+            lit.append(c)
+            i += 1
+            continue
+        if i + 1 >= n:
+            raise ValueError("strftime: trailing '%' in format")
+        spec = fmt[i + 1]
+        if spec == "%":
+            lit.append("%")
+            i += 2
+            continue
+        if spec == "-" and i + 2 < n:
+            spec, step = "-" + fmt[i + 2], 3
+        else:
+            step = 2
+        java = _STRFTIME_MAP.get(spec)
+        if java is None:
+            raise ValueError(
+                f"strftime: unsupported format specifier %{spec}"
+            )
+        flush_literal()
+        out.append(java)
+        i += step
+    flush_literal()
+    return "".join(out)
 
 
 def _rewrite_calls(sql: str, handler) -> str:
@@ -139,6 +195,25 @@ def normalize_expr_to_spark(sql: str) -> str:
             return None
         if low == "setseed":
             return "CAST(NULL AS DOUBLE)"
+        if low == "strftime":
+            # DuckDB strftime(value, 'fmt') / strptime-style ('fmt',
+            # value); translate C specifiers to the Java pattern dialect
+            parts = [p.strip() for p in split_top_level(args)]
+            if len(parts) == 2:
+                lits = [p.startswith("'") and p.endswith("'") for p in parts]
+                if lits[1]:
+                    val, fmt = parts[0], parts[1]
+                elif lits[0]:
+                    fmt, val = parts[0], parts[1]
+                else:
+                    raise ValueError(
+                        "strftime: format must be a string literal"
+                    )
+                java = strftime_format_to_java(fmt[1:-1])
+                # re-escape for embedding in a SQL string literal (the
+                # Java pattern quotes literal text with single quotes)
+                return f"date_format({val}, '{java.replace(chr(39), chr(39) * 2)}')"
+            return None
         if low in ("string_agg", "group_concat", "list", "array_agg", "listagg",
                    "collect_list"):
             fn = "listagg" if low in ("string_agg", "group_concat", "listagg") \

@@ -41,43 +41,38 @@ def asof_join(
             c for c in right.columns if c not in keys and c != right_ts
         ]
 
-    l_tagged = left.withColumn("__side", F.lit(1)).withColumn(
-        "__ts", F.col(left_ts)
+    # carry ONE struct per right row (not per-column carries): the
+    # matched output must come from the single most recent right row,
+    # NULL values included — per-column last(ignorenulls) would skip a
+    # NULL in the newest row and splice columns from different rows,
+    # deviating from ASOF JOIN semantics.  The struct itself is
+    # non-null for every right row, so last(ignorenulls) picks the row.
+    l_tagged = left.select(
+        *left.columns,
+        F.lit(1).alias("__side"),
+        F.col(left_ts).alias("__ts"),
     )
-    for c in value_cols:
-        carry = f"__carry_{c}"
-        l_tagged = l_tagged.withColumn(carry, F.lit(None))
     r_tagged = right.select(
         *keys,
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        *[F.col(c).alias(f"__carry_{c}") for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("__carry"),
     )
-    union = l_tagged.select(
-        *left.columns, "__side", "__ts",
-        *[f"__carry_{c}" for c in value_cols],
-    ).unionByName(
-        r_tagged.select(
-            *[F.lit(None).alias(c) for c in left.columns
-              if c not in keys and c != "__ts"],
-            *keys, "__side", "__ts",
-            *[f"__carry_{c}" for c in value_cols],
-        ),
-        allowMissingColumns=True,
-    )
+    union = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
     # right rows sort before left rows at equal ts, so ties match
     w = (
         Window.partitionBy(*keys)
         .orderBy("__ts", "__side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    out = union
-    for c in value_cols:
-        out = out.withColumn(
-            f"{c}{suffix}",
-            F.last(f"__carry_{c}", ignorenulls=True).over(w),
-        )
+    out = union.withColumn(
+        "__match", F.last("__carry", ignorenulls=True).over(w)
+    )
     return (
         out.filter(F.col("__side") == 1)
-        .select(*left.columns, *[f"{c}{suffix}" for c in value_cols])
+        .select(
+            *left.columns,
+            *[F.col(f"__match.{c}").alias(f"{c}{suffix}")
+              for c in value_cols],
+        )
     )
