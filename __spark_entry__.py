@@ -327,6 +327,15 @@ def _q_dedup_clusters(spark, sf_dir):
     return dedup_assign(docs, minhash_lsh_pairs(docs))
 
 
+def _q_dedup_embedding(spark, sf_dir):
+    # embedding-cosine near-dup: LSH-bucketed candidates, exact-cosine
+    # verified at threshold 0.4 (synthetic corpus max cosine ~0.51)
+    from yardstick_spark.llm import embedding_dedup_pairs
+
+    _ys(spark, sf_dir)
+    return embedding_dedup_pairs(spark.table("embeddings"), threshold=0.4)
+
+
 def _q_knn(spark, sf_dir):
     from yardstick_spark.llm import brute_force_knn
 
@@ -508,6 +517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_simhash": _q_dedup_simhash,
             "dedup_clusters": _q_dedup_clusters,
             "mm_decode_real": _q_mm_decode_real,
+            "dedup_embedding": _q_dedup_embedding,
             "sim_knn_bruteforce": _q_knn,
             "sim_knn_lsh": _q_knn_lsh,
             "sim_knn_ivf": _q_knn_ivf,
@@ -755,6 +765,45 @@ def oracle_sql() -> dict[str, str]:
                f"DOUBLE[])), x -> x[1] * x[2]))")
         plane_terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
     bucket = " + ".join(plane_terms)
+    def _band_bucket(seed: int, n_planes: int) -> str:
+        terms = []
+        for p in range(n_planes):
+            arr = ", ".join(
+                "1" if int(hashlib.md5(
+                    f"{seed}:{p}:{i}".encode()).hexdigest()[:15], 16) & 1
+                else "-1"
+                for i in range(dim)
+            )
+            dot = (f"list_sum(list_transform(list_zip(e, CAST([{arr}] AS "
+                   f"DOUBLE[])), x -> x[1] * x[2]))")
+            terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+        return " + ".join(terms)
+
+    band_unions = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, {_band_bucket(42 + 1000 * b, 6)} "
+        f"AS bucket FROM v"
+        for b in range(8)
+    )
+    o["dedup_embedding"] = f"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                   FROM embeddings),
+        bb AS ({band_unions}),
+        cand AS (SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+                 FROM bb a JOIN bb b2
+                 ON a.band = b2.band AND a.bucket = b2.bucket
+                 AND a.vec_id < b2.vec_id)
+        SELECT id_a, id_b,
+          ROUND(list_sum(list_transform(list_zip(x.e, y.e),
+                  p -> p[1] * p[2]))
+            / (sqrt(list_sum(list_transform(x.e, p -> p * p)))
+               * sqrt(list_sum(list_transform(y.e, p -> p * p)))), 4)
+            AS sim
+        FROM cand JOIN v x ON x.vec_id = id_a JOIN v y ON y.vec_id = id_b
+        WHERE ROUND(list_sum(list_transform(list_zip(x.e, y.e),
+                  p -> p[1] * p[2]))
+            / (sqrt(list_sum(list_transform(x.e, p -> p * p)))
+               * sqrt(list_sum(list_transform(y.e, p -> p * p)))), 4)
+            >= 0.4"""
     o["sim_knn_lsh"] = f"""
         WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
                    FROM embeddings),

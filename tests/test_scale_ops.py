@@ -120,3 +120,32 @@ def test_connected_components_vs_union_find(spark):
     assert verdicts[4] == (0, False)       # chain end joins component 0
     assert verdicts[0] == (0, True)
     assert sum(1 for c, k in verdicts.values() if k) == 4  # one keeper/cluster
+
+
+def test_embedding_dedup_pairs_subset_of_bruteforce(spark):
+    from pyspark.sql import functions as F
+
+    from yardstick_spark.llm import embedding_dedup_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = embedding_dedup_pairs(emb, threshold=0.3).collect()
+    assert got, "banded LSH should surface some near-dup pairs"
+    assert all(r["id_a"] < r["id_b"] and r["sim"] >= 0.3 for r in got)
+
+    # every reported pair must appear in the exact all-pairs result
+    # with the identical rounded cosine (LSH affects recall only)
+    v = emb.select("vec_id", F.expr(
+        "transform(embedding, x -> CAST(x AS DOUBLE))").alias("e"))
+    cos = ("aggregate(zip_with(a.e, b.e, (x, y) -> x * y), 0D, (s,v) -> s+v)"
+           " / (sqrt(aggregate(a.e, 0D, (s,v) -> s + v*v))"
+           " * sqrt(aggregate(b.e, 0D, (s,v) -> s + v*v)))")
+    exact = {
+        (r["ia"], r["ib"]): r["sim"]
+        for r in v.alias("a").join(
+            v.alias("b"), F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("ia"), F.col("b.vec_id").alias("ib"),
+                F.round(F.expr(cos), 4).alias("sim"))
+        .filter("sim >= 0.3").collect()
+    }
+    for r in got:
+        assert exact[(r["id_a"], r["id_b"])] == r["sim"]

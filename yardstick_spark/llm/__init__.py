@@ -28,7 +28,12 @@ from .multimodal import (  # noqa: F401
 from .ivf import (  # noqa: F401
     build_ivf_index, ivf_knn, ivf_knn_seeded, seed_centroids,
 )
-from .similarity import brute_force_knn, lsh_bucketed_knn  # noqa: F401
+from .similarity import (  # noqa: F401
+    brute_force_knn,
+    embedding_dedup_pairs,
+    lsh_bucket_expr,
+    lsh_bucketed_knn,
+)
 from .text import (  # noqa: F401
     doc_fingerprint,
     language_id,

@@ -67,22 +67,14 @@ def brute_force_knn(corpus: DataFrame, queries: DataFrame, k: int = 10,
     )
 
 
-def lsh_bucketed_knn(corpus: DataFrame, queries: DataFrame, k: int = 10,
-                     id_col: str = "vec_id", vec_col: str = "embedding",
-                     n_planes: int = 8, seed: int = 42) -> DataFrame:
-    """ANN via random-hyperplane LSH: corpus and queries are bucketed by
-    the sign pattern of `n_planes` pseudo-random hyperplanes (derived
-    deterministically from md5(seed, plane, dim) so the bucketing is
-    reproducible across runs and engines); search runs within buckets.
-
-    Recall < 1.0 by design; at scale the bucket join replaces the full
-    cross product with ~n/2^n_planes candidates per query.
-    """
-    dim_df = corpus.select(F.size(vec_col).alias("d")).limit(1)
-    dim = dim_df.first()["d"]
-    # hyperplane weights in {-1,+1} from md5 parity, PRECOMPUTED on the
-    # driver (they are constants — computing them per row re-ran
-    # n_planes*dim md5 calls inside the scan) and embedded as literals
+def lsh_bucket_expr(vec_col: str, dim: int, n_planes: int = 8,
+                    seed: int = 42) -> str:
+    """Random-hyperplane LSH bucket id as a SQL expression: sign bits of
+    `n_planes` dot products against {-1,+1} hyperplanes derived
+    deterministically from md5(seed, plane, dim) — reproducible across
+    runs and engines (the DuckDB oracles embed the same literals).
+    Precomputed driver-side: the weights are constants, and inlining
+    md5 calls into the scan would re-hash n_planes*dim times per row."""
     import hashlib
 
     def w(p: int, i: int) -> str:
@@ -98,10 +90,80 @@ def lsh_bucketed_knn(corpus: DataFrame, queries: DataFrame, k: int = 10,
         f"aggregate(zip_with(transform({vec_col}, x -> CAST(x AS DOUBLE)), "
         f"ws, (x, wt) -> x * wt), 0D, (s, v) -> s + v))"
     )
-    bucket = (
+    return (
         f"aggregate(zip_with({plane}, sequence(0, {n_planes - 1}), "
         f"(v, i) -> IF(v > 0, shiftleft(1L, i), 0L)), 0L, (a, x) -> a | x)"
     )
+
+
+def embedding_dedup_pairs(corpus: DataFrame, id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          threshold: float = 0.4, n_planes: int = 6,
+                          bands: int = 8, seed: int = 42) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: candidates from banded
+    random-hyperplane LSH buckets, verified with exact cosine and
+    thresholded.  Returns (id_a, id_b, sim) with id_a < id_b.
+
+    Each band hashes with its own `n_planes` hyperplanes (seed offset
+    per band); a pair is a candidate if it collides in ANY band —
+    recall = 1 - (1 - p^n_planes)^bands for per-plane agreement p, so
+    bands buy recall and planes bound bucket size.  The self-join key
+    is (band, bucket): near-uniform, never an all-pairs cross product;
+    shuffle volume is bands * n rows.  Feed the output to
+    `dedup_assign` for per-document keep/drop verdicts.
+    """
+    dim = corpus.select(F.size(vec_col).alias("d")).limit(1).first()["d"]
+    buckets = F.array(*[
+        F.expr(lsh_bucket_expr(vec_col, dim, n_planes, seed + 1000 * b))
+        for b in range(bands)
+    ])
+    # bucket rows carry only (id, band, bucket): vectors stay out of the
+    # candidate shuffle and are joined back once per distinct pair
+    c = corpus.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(buckets).alias("band", "bucket"),
+    )
+    cand = (
+        c.alias("a")
+        .join(
+            c.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    vv = corpus.select(
+        F.col(id_col).alias("id"), F.expr(_as_double(vec_col)).alias("v")
+    )
+    return (
+        cand.join(vv.select(F.col("id").alias("id_a"),
+                            F.col("v").alias("va")), "id_a")
+        .join(vv.select(F.col("id").alias("id_b"),
+                        F.col("v").alias("vb")), "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(F.expr(_cosine("va", "vb")), 4).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def lsh_bucketed_knn(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     n_planes: int = 8, seed: int = 42) -> DataFrame:
+    """ANN via random-hyperplane LSH: corpus and queries are bucketed by
+    the sign pattern of `n_planes` pseudo-random hyperplanes (derived
+    deterministically from md5(seed, plane, dim) so the bucketing is
+    reproducible across runs and engines); search runs within buckets.
+
+    Recall < 1.0 by design; at scale the bucket join replaces the full
+    cross product with ~n/2^n_planes candidates per query.
+    """
+    dim_df = corpus.select(F.size(vec_col).alias("d")).limit(1)
+    dim = dim_df.first()["d"]
+    bucket = lsh_bucket_expr(vec_col, dim, n_planes, seed)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.expr(_as_double(vec_col)).alias("cv"),
