@@ -437,6 +437,25 @@ def _q_mm_decode_real(spark, sf_dir):
     )
 
 
+def _q_mm_resize(spark, sf_dir):
+    # gradient PPMs -> real nearest-neighbor resize to 16x16 -> real
+    # decode; the gradient makes the resized mean depend on the NN index
+    # map (floor(x2*w/16), floor(y2*h/16)), which the oracle recomputes
+    # analytically — this checks the resampling math, not just plumbing
+    from pyspark.sql import functions as F
+
+    from yardstick_spark.llm import (
+        decode_media, resize_media, synth_gradient_media,
+    )
+
+    media = synth_gradient_media(_docs(spark, sf_dir))
+    out = decode_media(resize_media(media, 16, 16), n_features=4, fake=False)
+    return out.select(
+        "media_id", "width", "height", "n_samples",
+        F.round("mean_val", 6).alias("mean_val"),
+    )
+
+
 def _q_mm_frames(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -517,6 +536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_simhash": _q_dedup_simhash,
             "dedup_clusters": _q_dedup_clusters,
             "mm_decode_real": _q_mm_decode_real,
+            "mm_resize": _q_mm_resize,
             "dedup_embedding": _q_dedup_embedding,
             "sim_knn_bruteforce": _q_knn,
             "sim_knn_lsh": _q_knn_lsh,
@@ -1010,6 +1030,21 @@ def oracle_sql() -> dict[str, str]:
           ROUND(CASE WHEN doc_id % 2 = 0 THEN (doc_id % 251) / 255.0
                 ELSE abs(doc_id % 1000 - 500) / 32768.0 END, 6) AS mean_val
         FROM documents"""
+    o["mm_resize"] = """
+        WITH g AS (SELECT doc_id, doc_id % 13 + 3 AS w, doc_id % 7 + 2 AS h
+                   FROM documents),
+        px AS (
+          SELECT doc_id,
+                 (((tx.x2 * w) // 16) + ((ty.y2 * h) // 16) * w + doc_id)
+                   % 251 AS v
+          FROM g, generate_series(0, 15) AS tx(x2),
+                  generate_series(0, 15) AS ty(y2)
+        )
+        SELECT doc_id AS media_id, CAST(16 AS INT) AS width,
+               CAST(16 AS INT) AS height,
+               CAST(768 AS BIGINT) AS n_samples,
+               ROUND(AVG(v / 255.0), 6) AS mean_val
+        FROM px GROUP BY doc_id"""
     o["mm_frame_sample"] = """
         SELECT CAST(SUM(CAST(floor(length(text) * 10 / 1000.0) AS BIGINT) + 1)
                  AS BIGINT) AS n_frames,

@@ -173,6 +173,29 @@ def test_decode_media_real_path(spark):
     assert abs(r["mean_val"] - 495 / 32768.0) < 1e-9
 
 
+def test_resize_media_nearest_neighbor(spark):
+    import numpy as np
+
+    from yardstick_spark.llm import parse_ppm, resize_media, write_ppm
+
+    # hand-built 4x2 gradient; NN-resize to 2x3 must index
+    # rows [0,0,1] (floor(y2*2/3)) and cols [0,2] (floor(x2*4/2))
+    img = np.arange(4 * 2 * 3, dtype=np.uint8).reshape(2, 4, 3)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(write_ppm(4, 2, img.tobytes()))),
+         (2, "audio", bytearray(b"RIFF-not-ppm"))],
+        "media_id BIGINT, media_type STRING, payload BINARY",
+    )
+    rows = {r["media_id"]: r for r in resize_media(media, 2, 3).collect()}
+    w, h, arr = parse_ppm(bytes(rows[1]["payload"]))
+    assert (w, h) == (2, 3) == (rows[1]["width"], rows[1]["height"])
+    expected = img[np.array([0, 0, 1])[:, None], np.array([0, 2])[None, :], :]
+    assert arr.tobytes() == expected.tobytes()
+    # non-PPM payloads pass through untouched
+    assert bytes(rows[2]["payload"]) == b"RIFF-not-ppm"
+    assert rows[2]["width"] is None
+
+
 def test_asof_matched_row_is_atomic(spark):
     # the matched right row must be taken whole: a NULL in the newest
     # right row is carried as NULL, not skipped for an older row's value

@@ -21,6 +21,8 @@ from .multimodal import (  # noqa: F401
     frame_sample,
     parse_ppm,
     parse_wav,
+    resize_media,
+    synth_gradient_media,
     synth_media,
     write_ppm,
     write_wav,

@@ -184,6 +184,78 @@ def synth_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def synth_gradient_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """PPM payloads with a per-pixel gradient, v(x, y) = (x + y*w + id)
+    % 251 on all three channels — unlike `synth_media`'s solid colors,
+    resampling a gradient moves the mean, so a SQL oracle can verify
+    the actual nearest-neighbor index math of `resize_media`, not just
+    the plumbing."""
+
+    def gen(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for i in pdf[id_col].astype("int64"):
+                w, h = int(i % 13 + 3), int(i % 7 + 2)
+                x = np.arange(w, dtype=np.int64)
+                y = np.arange(h, dtype=np.int64)
+                v = ((x[None, :] + y[:, None] * w + int(i)) % 251
+                     ).astype(np.uint8)
+                rgb = np.repeat(v[:, :, None], 3, axis=2).tobytes()
+                rows.append((int(i), "image", write_ppm(w, h, rgb)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "media_type", "payload"])
+
+    return docs.select(id_col).mapInPandas(
+        gen, schema="media_id BIGINT, media_type STRING, payload BINARY",
+    )
+
+
+def resize_media(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbor resize of PPM image payloads to (out_w, out_h):
+    source row/col for output pixel (x2, y2) is (floor(y2*h/out_h),
+    floor(x2*w/out_w)) — the standard NN index map.  Non-PPM payloads
+    pass through unchanged (width/height NULL).
+
+    Output rows are (media_id, media_type, payload, width, height) with
+    the payload re-encoded as PPM, so the result composes with
+    `decode_media(fake=False)` and any downstream media operator.
+    Arrow-batched mapInPandas, embarrassingly parallel per partition —
+    the same shape a library-backed (pillow) resize would use at scale.
+    """
+
+    def rz(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, mtype, payload in zip(
+                    pdf["media_id"], pdf["media_type"], pdf["payload"]):
+                b = bytes(payload or b"")
+                if b[:2] == b"P6":
+                    w, h, arr = parse_ppm(b)
+                    img = arr.reshape(h, w, 3)
+                    ys = (np.arange(out_h, dtype=np.int64) * h) // out_h
+                    xs = (np.arange(out_w, dtype=np.int64) * w) // out_w
+                    out = img[ys[:, None], xs[None, :], :]
+                    rows.append((mid, mtype,
+                                 write_ppm(out_w, out_h, out.tobytes()),
+                                 out_w, out_h))
+                else:
+                    rows.append((mid, mtype, b, None, None))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "media_type", "payload", "width", "height"])
+
+    return media.mapInPandas(
+        rz,
+        schema=("media_id BIGINT, media_type STRING, payload BINARY, "
+                "width INT, height INT"),
+    )
+
+
 def decode_media(media: DataFrame, n_features: int = 8,
                  fake: bool = True) -> DataFrame:
     """Decode/feature-extract each payload via mapInPandas.
