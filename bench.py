@@ -56,6 +56,20 @@ def main() -> None:
                 qs[warm](spark, sf_dir).count()
             except Exception:  # noqa: BLE001
                 pass
+    # warm the Spark ML (KMeans) and Arrow (mapInPandas) codepaths on
+    # 16-row toys: their first use JITs/initializes multi-second
+    # machinery that a long-lived cluster pays once, not per query
+    try:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        toy = (spark.range(16)
+               .selectExpr("id", "array(CAST(id AS DOUBLE), 1D) AS arr")
+               .withColumn("features", array_to_vector("arr")))
+        KMeans(k=2, seed=1, maxIter=1, initMode="random").fit(toy)
+        toy.select("id").mapInPandas(lambda it: it, schema="id BIGINT").count()
+    except Exception:  # noqa: BLE001
+        pass
 
     timings: dict[str, float] = {}
     for name, fn in qs.items():
@@ -65,6 +79,12 @@ def main() -> None:
         # queries' work (plan-matched cache hits) — neither is the
         # number we want to report
         spark.catalog.clearCache()
+        try:
+            from yardstick_spark.llm import clear_dedup_caches
+
+            clear_dedup_caches()
+        except Exception:  # noqa: BLE001
+            pass
         t0 = time.perf_counter()
         try:
             df = fn(spark, sf_dir)

@@ -115,3 +115,33 @@ def test_where_filters_groups(sales_v):
         "WHERE year = 2023"
     )
     assert rows(df) == [(2023, "EU", 75.0), (2023, "US", 150.0)]
+
+
+def test_install_intercepts_bare_spark_sql(sales_v):
+    # after install(), plain spark.sql handles measure queries (Q6
+    # transparent-override parity); internal engine calls don't recurse,
+    # ordinary SQL is untouched, uninstall() restores the original
+    spark = sales_v.spark
+    sales_v.install()
+    try:
+        df = spark.sql(
+            "SELECT year, AGGREGATE(revenue) AS rev FROM sales_v "
+            "GROUP BY year"
+        )
+        assert rows(df) == [(2022, 150.0), (2023, 225.0)]
+        # non-measure SQL passes through unchanged
+        assert spark.sql("SELECT 1 AS one").collect()[0]["one"] == 1
+        # DDL through the bare entry point registers measures too
+        spark.sql(
+            "CREATE VIEW sales_v2 AS SELECT region, "
+            "SUM(amount) AS MEASURE rev2 FROM sales"
+        )
+        df2 = spark.sql("SELECT region, AGGREGATE(rev2) AS r FROM sales_v2")
+        assert rows(df2) == [("EU", 125.0), ("US", 250.0)]
+    finally:
+        sales_v.uninstall()
+    # restored: bare spark.sql no longer understands AGGREGATE()
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        spark.sql("SELECT AGGREGATE(revenue) FROM sales_v").collect()

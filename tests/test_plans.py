@@ -106,10 +106,13 @@ def test_knn_topk_prunes_map_side(spark):
         assert has_partial_topk(df), f"{fn.__name__}: top-k not pruned map-side"
 
 
-def test_dedup_verification_join_defers_to_aqe(spark):
-    # no unconditional broadcast hint: with broadcasts disabled the
-    # verification join must plan as a shuffle join (the shape a
-    # billion-doc corpus needs); broadcast_sets=True restores the hint
+def test_dedup_verification_join_broadcast_policy(spark):
+    # the corpus-sized set/signature table must never be the broadcast
+    # side unconditionally: with the measured-pair-count hint disabled
+    # (max_broadcast_pairs=0) and broadcasts off, the verification join
+    # plans as a shuffle join (the shape a billion-doc corpus needs);
+    # by default the MEASURED-small pair list is broadcast instead, so
+    # the big table stays out of the shuffle
     from yardstick_spark.llm import minhash_lsh_pairs
     from yardstick_spark.plans import explain_str
 
@@ -122,9 +125,13 @@ def test_dedup_verification_join_defers_to_aqe(spark):
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
-        assert "BroadcastHashJoin" not in explain_str(minhash_lsh_pairs(docs))
+        assert "BroadcastHashJoin" not in explain_str(
+            minhash_lsh_pairs(docs, max_broadcast_pairs=0)
+        )
+        assert "BroadcastHashJoin" in explain_str(minhash_lsh_pairs(docs))
         assert "BroadcastHashJoin" in explain_str(
-            minhash_lsh_pairs(docs, broadcast_sets=True)
+            minhash_lsh_pairs(docs, broadcast_sets=True,
+                              max_broadcast_pairs=0)
         )
     finally:
         for k, v in saved.items():

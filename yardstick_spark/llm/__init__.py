@@ -9,6 +9,7 @@ tokens, fingerprints), and multimodal binary-column plumbing.
 
 from .cluster import connected_components, dedup_assign  # noqa: F401
 from .dedup import (  # noqa: F401
+    clear_dedup_caches,
     exact_dedup,
     minhash_signatures,
     minhash_lsh_pairs,

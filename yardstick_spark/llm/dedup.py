@@ -27,6 +27,48 @@ def _portable_hash(expr: str) -> str:
     return _H.format(expr=expr)
 
 
+# Every cache() in this module is a materialization barrier (see the
+# per-site comments); they are registered here so long-lived sessions
+# can release them — call clear_dedup_caches() between pipeline runs.
+_CACHED: list[DataFrame] = []
+
+
+def _cache(df: DataFrame) -> DataFrame:
+    df = df.cache()
+    _CACHED.append(df)
+    return df
+
+
+def clear_dedup_caches() -> None:
+    """Unpersist every intermediate this module has cached.  Results
+    already materialized stay valid; unmaterialized lazy results will
+    recompute (correct, just slower)."""
+    while _CACHED:
+        try:
+            _CACHED.pop().unpersist()
+        except Exception:
+            pass
+
+
+def _pairs_hint(cand: DataFrame, max_pairs: int | None) -> DataFrame:
+    """Broadcast policy for candidate-pair lists in verification joins.
+
+    The verification join is (tiny pair list) x (corpus-sized per-doc
+    set/signature table).  AQE cannot demote it to a broadcast join at
+    runtime because the big side sits behind a cached subtree, so an
+    unhinted plan shuffles the wide set table twice (measured 12s of a
+    22s ngram run at sf0.1).  Broadcasting the PAIR side instead keeps
+    the corpus-sized table out of the shuffle entirely — and unlike the
+    old unconditional set-table broadcast, the decision here is based
+    on the MEASURED pair count (the count doubles as the materialization
+    barrier, so it costs no extra pass).  Above `max_pairs` (dup-heavy
+    corpora) the hint is dropped and AQE chooses."""
+    if not max_pairs or max_pairs <= 0:
+        return cand
+    c = _cache(cand)
+    return F.broadcast(c) if c.count() <= max_pairs else c
+
+
 def _norm_text(col: str = "text") -> str:
     """Normalization used before hashing: lowercase, collapse whitespace."""
     return f"regexp_replace(lower(trim({col})), '\\\\s+', ' ')"
@@ -90,7 +132,7 @@ def _shingled(docs: DataFrame, text_col: str, id_col: str,
     regexp into the shingling lambda (one regexp PER SHINGLE instead of
     per document — measured 36s -> 4s for the downstream consumer at
     sf0.1).  The cached set is one short array row per document."""
-    return (
+    return _cache(
         _spread(docs.select(
             F.col(id_col).alias("id"),
             F.col(text_col).alias("__t"),
@@ -107,7 +149,6 @@ def _shingled(docs: DataFrame, text_col: str, id_col: str,
                 f"i -> substring(__norm, i, {k})))"
             ).alias("shs"),
         )
-        .cache()
     )
 
 
@@ -126,7 +167,9 @@ def _hint_sets(df: DataFrame, force: bool | None) -> DataFrame:
 def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 5,
                         threshold: float = 0.8,
-                        broadcast_sets: bool | None = None) -> DataFrame:
+                        broadcast_sets: bool | None = None,
+                        max_broadcast_pairs: int | None = 5_000_000
+                        ) -> DataFrame:
     """Near-duplicate pairs by k-shingle Jaccard similarity — EXACT
     result via prefix filtering (the ppjoin candidate bound).
 
@@ -160,15 +203,14 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     npart = sh.sparkSession.sparkContext.defaultParallelism
     # cache BEFORE repartitionByRange: its range-bounds sampling job
     # re-evaluates the child, which would re-run the explode+groupBy
-    freq0 = sh.groupBy("sh").agg(F.count("*").alias("df")).cache()
-    ranked = (
+    freq0 = _cache(sh.groupBy("sh").agg(F.count("*").alias("df")))
+    ranked = _cache(
         freq0.repartitionByRange(npart, "df", "sh")
         .withColumn("pid", F.spark_partition_id())
         .withColumn(
             "r",
             F.row_number().over(Window.partitionBy("pid").orderBy("df", "sh")),
         )
-        .cache()
     )
     sizes = {row["pid"]: row["cnt"] for row in
              ranked.groupBy("pid").agg(F.count("*").alias("cnt")).collect()}
@@ -183,37 +225,52 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
         F.col("pid"),
     ) if offsets else F.lit(0)
     freq = ranked.withColumn("sid", (F.col("r") + off_expr).cast("long"))
-    isets = (
+    isets = _cache(
         sh.join(F.broadcast(freq.select("sh", "sid")), "sh")
         .groupBy("id")
         .agg(F.sort_array(F.collect_list("sid")).alias("sids"))
         .withColumn("n_sh", F.size("sids"))
-        .cache()
     )
-    # prefix = the |S| - ceil(t|S|) + 1 globally-rarest shingles; a pair
-    # with J >= t must collide here.  Derived via slice from the cached
-    # sorted arrays — no window over the big exploded table.
-    plen = (F.col("n_sh")
-            - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1).cast("int")
-    prefix = isets.select(
-        "id", "n_sh",
-        F.explode(F.slice("sids", F.lit(1), plen)).alias("sid"),
-    )
+    # ppjoin asymmetric prefixes over the rarity-sorted arrays (no
+    # window over the big exploded table).  For a size-ordered pair
+    # n_a <= n_b with J >= t, the required overlap is
+    # alpha = ceil(t/(1+t)*(n_a+n_b)) >= ceil(2t/(1+t)*n_a) and
+    # >= ceil(t*n_b), so the SMALLER doc only needs its midprefix of
+    # |S| - ceil(2t/(1+t)|S|) + 1 rarest shingles (~0.11|S| at t=0.8)
+    # while the larger needs the full Jaccard prefix (~0.2|S|) — the
+    # asymmetry roughly halves collision rows and candidates vs the
+    # symmetric prefix join.  The tiny epsilon inside ceil() guards
+    # against float round-up (a too-short prefix would DROP pairs;
+    # epsilon can only lengthen it).
+    def _prefix(frac_expr):
+        plen = (F.col("n_sh") - F.ceil(frac_expr - F.lit(1e-9)) + 1).cast("int")
+        return isets.select(
+            "id", "n_sh",
+            F.explode(F.slice("sids", F.lit(1), plen)).alias("sid"),
+        )
+
+    t2 = 2 * threshold / (1 + threshold)
+    prefix_mid = _prefix(F.lit(t2) * F.col("n_sh"))
+    prefix_full = _prefix(F.lit(threshold) * F.col("n_sh"))
     cand = (
-        prefix.alias("a")
+        prefix_mid.alias("a")
         .join(
-            prefix.alias("b"),
+            prefix_full.alias("b"),
             (F.col("a.sid") == F.col("b.sid"))
-            & (F.col("a.id") < F.col("b.id"))
-            # length filter: J >= t requires t*|B| <= |A| <= |B|/t
-            & (F.col("a.n_sh") * F.lit(threshold) <= F.col("b.n_sh"))
+            # size-ordered orientation: a is the smaller-set doc
+            & ((F.col("a.n_sh") < F.col("b.n_sh"))
+               | ((F.col("a.n_sh") == F.col("b.n_sh"))
+                  & (F.col("a.id") < F.col("b.id"))))
+            # length filter: J >= t requires n_a >= t*n_b
             & (F.col("b.n_sh") * F.lit(threshold) <= F.col("a.n_sh")),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
     # verification: join the candidate pairs back to the per-doc set
-    # table; broadcast is AQE-decided by default (see _hint_sets)
+    # table; the measured-small pair list is the broadcast side (see
+    # _pairs_hint), so the set table never shuffles
+    cand = _pairs_hint(cand, max_broadcast_pairs)
     return (
         cand.join(_hint_sets(isets.select(F.col("id").alias("id_a"),
                                           F.col("sids").alias("sids_a"),
@@ -234,7 +291,10 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
         .filter(F.col("common")
                 / (F.col("n_a") + F.col("n_b") - F.col("common"))
                 >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        # restore the numeric id_a < id_b output contract (candidate
+        # orientation above is by set size, not id)
+        .select(F.least("id_a", "id_b").alias("id_a"),
+                F.greatest("id_a", "id_b").alias("id_b"), "jaccard")
     )
 
 
@@ -264,10 +324,9 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
     # Catalyst collapses the projections and inlines the md5 base-hash
     # expression into all num_hashes lambda bodies — re-hashing every
     # shingle 32x (measured 92s -> 8s at sf0.1)
-    hashed = (
+    hashed = _cache(
         _shingled(docs, text_col, id_col, k)
         .select("id", F.expr(base).alias("__ys_sh_h"))
-        .cache()
     )
     return hashed.select("id", F.expr(sig).alias("signature"))
 
@@ -276,7 +335,9 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", k: int = 5,
                       num_hashes: int = 32, bands: int = 8,
                       threshold: float = 0.5,
-                      broadcast_sets: bool | None = None) -> DataFrame:
+                      broadcast_sets: bool | None = None,
+                      max_broadcast_pairs: int | None = 5_000_000
+                      ) -> DataFrame:
     """MinHash + LSH candidate pairs with estimated Jaccard.
 
     bands × rows layout (rows = num_hashes / bands): docs agreeing on
@@ -286,7 +347,7 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     with `zip_with`, then thresholded.
     """
     rows = num_hashes // bands
-    sigs = minhash_signatures(docs, text_col, id_col, k, num_hashes).cache()
+    sigs = _cache(minhash_signatures(docs, text_col, id_col, k, num_hashes))
     # bucket rows carry only (id, band, bhash) — signature arrays stay
     # out of the candidate shuffle and are joined back once per pair
     banded = sigs.select(
@@ -315,6 +376,7 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
         "round(aggregate(zip_with(sig_a, sig_b, (x, y) -> "
         "IF(x = y, 1, 0)), 0, (acc, v) -> acc + v) / size(sig_a), 6)"
     )
+    cand = _pairs_hint(cand, max_broadcast_pairs)
     return (
         cand.join(_hint_sets(sigs.select(F.col("id").alias("id_a"),
                                          F.col("signature").alias("sig_a")),
@@ -345,9 +407,9 @@ def simhash64(docs: DataFrame, text_col: str = "text",
     # minhash_signatures — without it Catalyst collapses the projection
     # and inlines the md5 into all 60 per-bit lambdas (60x the md5 work)
     base = f"transform({tokens}, t -> CAST({tok_hash} AS BIGINT))"
-    hashed = docs.select(
+    hashed = _cache(docs.select(
         F.col(id_col).alias("id"), F.expr(base).alias("__ys_th")
-    ).cache()
+    ))
     # votes[i] = sum over tokens of (bit i set ? 1 : -1)
     votes = (
         "transform(sequence(0, 59), i -> "

@@ -31,16 +31,21 @@ def build_ivf_index(corpus: DataFrame, id_col: str = "vec_id",
     max_iter=8 (vs the ML default 20): each k-means iteration is a full
     corpus pass; IVF recall is insensitive to late iterations (cell
     boundaries move little after the first few) and the recall gate in
-    tests/test_scale_ops.py holds at 8."""
+    tests/test_scale_ops.py holds at 8.  Random init instead of
+    k-means|| for the same reason — || init costs ~5 extra corpus
+    passes to place seeds the probe structure is insensitive to (the
+    recall gate holds on random init).  The feature projection is
+    cached so the init + max_iter passes don't re-scan and re-convert
+    the corpus each round."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
     feats = corpus.select(
         F.col(id_col).alias("id"),
         F.expr(_as_vec(vec_col)).alias("arr"),
-    ).withColumn("features", array_to_vector("arr"))
+    ).withColumn("features", array_to_vector("arr")).cache()
     km = KMeans(k=n_lists, seed=seed, predictionCol="cell",
-                maxIter=max_iter)
+                maxIter=max_iter, initMode="random")
     model = km.fit(feats)
     assigned = model.transform(feats).select("id", "arr", "cell")
     centroids = feats.sparkSession.createDataFrame(

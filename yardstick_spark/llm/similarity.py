@@ -99,7 +99,9 @@ def lsh_bucket_expr(vec_col: str, dim: int, n_planes: int = 8,
 def embedding_dedup_pairs(corpus: DataFrame, id_col: str = "vec_id",
                           vec_col: str = "embedding",
                           threshold: float = 0.4, n_planes: int = 6,
-                          bands: int = 8, seed: int = 42) -> DataFrame:
+                          bands: int = 8, seed: int = 42,
+                          max_broadcast_pairs: int | None = 5_000_000
+                          ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: candidates from banded
     random-hyperplane LSH buckets, verified with exact cosine and
     thresholded.  Returns (id_a, id_b, sim) with id_a < id_b.
@@ -134,6 +136,11 @@ def embedding_dedup_pairs(corpus: DataFrame, id_col: str = "vec_id",
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+    # measured-small pair list broadcasts; the vector table never
+    # shuffles (same policy as the dedup verification joins)
+    from .dedup import _pairs_hint
+
+    cand = _pairs_hint(cand, max_broadcast_pairs)
     vv = corpus.select(
         F.col(id_col).alias("id"), F.expr(_as_double(vec_col)).alias("v")
     )

@@ -80,6 +80,10 @@ class MeasureSession:
     warnings_as_errors: bool = False
     collect_warnings: bool = True
     last_warnings: list[str] = field(default_factory=list)
+    # reentrancy guard for install(): True while a statement is being
+    # expanded/executed, so the engine's own spark.sql calls bypass the
+    # interception instead of recursing into it
+    _in_sql: bool = False
 
     def _view_columns(self, name: str):
         try:
@@ -126,23 +130,28 @@ class MeasureSession:
         self._batch_temp_used: set[str] = set()
         self._batch_temp_returned: set[str] = set()
         result: DataFrame | None = None
+        prev_in_sql = self._in_sql
+        self._in_sql = True
         try:
-            for stmt in statements:
-                result = self._run_one(stmt)
-            temps = self._batch_temp_views
-            if temps:
-                unused = set(temps) - self._batch_temp_used
-                if unused or self._batch_temp_returned:
-                    raise YardstickError(
-                        "TEMPORARY AS MEASURE views must be used in the same "
-                        "statement batch as AGGREGATE()"
-                    )
-        except Exception:
-            self.catalog.restore(snap)
+            try:
+                for stmt in statements:
+                    result = self._run_one(stmt)
+                temps = self._batch_temp_views
+                if temps:
+                    unused = set(temps) - self._batch_temp_used
+                    if unused or self._batch_temp_returned:
+                        raise YardstickError(
+                            "TEMPORARY AS MEASURE views must be used in the "
+                            "same statement batch as AGGREGATE()"
+                        )
+            except Exception:
+                self.catalog.restore(snap)
+                self._cleanup_batch_temps()
+                raise
             self._cleanup_batch_temps()
-            raise
-        self._cleanup_batch_temps()
-        return result
+            return result
+        finally:
+            self._in_sql = prev_in_sql
 
     def _cleanup_batch_temps(self) -> None:
         """TEMP measure views evaporate at batch end; shadowed permanent
@@ -164,6 +173,49 @@ class MeasureSession:
                 except Exception:
                     pass
         self._batch_temp_views = {}
+
+    def install(self) -> None:
+        """Transparent interception of bare `spark.sql` (Q6 parity with
+        the reference's parser override,
+        src/yardstick_extension.cpp:2085-2100): after install(), plain
+        `spark.sql("SELECT ... AGGREGATE(m) ...")` routes through the
+        measure rewriter — no `ys.sql()` call required.  Non-measure
+        statements pass through the expander unchanged, so behavior for
+        ordinary SQL is identical.
+
+        Python-side patch of this SparkSession instance's bound `sql`
+        method (the JVM parser is not touched — a pure-PySpark engine
+        cannot override `ParserInterface`; see LIMITATIONS.md).
+        Parameterized calls (`spark.sql(q, args=...)`) bypass the
+        rewriter — measure queries with bind parameters are not
+        supported.  `uninstall()` restores the original method."""
+        if getattr(self.spark, "_ys_original_sql", None) is not None:
+            return
+        original = self.spark.sql
+        self.spark._ys_original_sql = original
+        session = self
+
+        def intercepted(sqlQuery, *args, **kwargs):
+            if args or kwargs or session._in_sql:
+                # parameterized query, or an internal call issued by the
+                # engine while expanding — run on the host parser
+                return original(sqlQuery, *args, **kwargs)
+            res = session.sql(sqlQuery)
+            # bare spark.sql always returns a DataFrame; statements the
+            # engine fully absorbs (e.g. dropping a batch TEMP measure
+            # view) yield an empty result like host DDL does
+            return res if res is not None else original(
+                "SELECT 1 AS ok WHERE false"
+            )
+
+        self.spark.sql = intercepted
+
+    def uninstall(self) -> None:
+        """Undo `install()`, restoring the SparkSession's own sql()."""
+        original = getattr(self.spark, "_ys_original_sql", None)
+        if original is not None:
+            self.spark.sql = original
+            self.spark._ys_original_sql = None
 
     def rewrite(self, text: str) -> str:
         """Return the rewritten Spark SQL without executing (debugging /
