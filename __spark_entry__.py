@@ -352,6 +352,17 @@ def _q_knn_lsh(spark, sf_dir):
     return lsh_bucketed_knn(emb, emb.filter("vec_id < 5"), k=10)
 
 
+def _q_knn_lsh_multiprobe(spark, sf_dir):
+    # multi-probe: each query also searches the buckets reached by
+    # flipping its 2 least-confident sign bits; the oracle re-derives
+    # the same probe set from the same literal hyperplanes
+    from yardstick_spark.llm import lsh_bucketed_knn
+
+    _ys(spark, sf_dir)
+    emb = spark.table("embeddings")
+    return lsh_bucketed_knn(emb, emb.filter("vec_id < 5"), k=10, n_probes=3)
+
+
 def _q_knn_ivf(spark, sf_dir):
     # Deterministically seeded IVF (min-id-per-hash-bucket centroids):
     # same probe structure/cost as the k-means build, but closed-form,
@@ -479,6 +490,22 @@ def _q_events_sessionize(spark, sf_dir):
     )
 
 
+def _q_events_sliding(spark, sf_dir):
+    # 60-minute windows sliding every 15: each event lands in 4
+    # overlapping windows; the oracle re-derives the covering window
+    # starts arithmetically (epoch-aligned slide multiples)
+    from pyspark.sql import functions as F
+
+    from yardstick_spark.sources import read_table
+    from yardstick_spark.streaming import sliding_counts_batch
+
+    ev = read_table(spark, f"{sf_dir}/events.parquet")
+    return sliding_counts_batch(ev, minutes=60, slide_minutes=15).select(
+        F.col("window_start").cast("string").alias("window_start"),
+        "event_type", "n", "total_value",
+    )
+
+
 def _q_asof_join(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -540,6 +567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_embedding": _q_dedup_embedding,
             "sim_knn_bruteforce": _q_knn,
             "sim_knn_lsh": _q_knn_lsh,
+            "sim_knn_lsh_multiprobe": _q_knn_lsh_multiprobe,
             "sim_knn_ivf": _q_knn_ivf,
             "sim_knn_ivf_kmeans": _q_knn_ivf_kmeans,  # no SQL oracle
                                         # (recall gate in tests/test_scale_ops)
@@ -550,6 +578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "mm_decode": _q_mm_decode,
             "mm_frame_sample": _q_mm_frames,
             "events_tumbling": _q_events_tumbling,
+            "events_sliding": _q_events_sliding,
             "events_sessionize": _q_events_sessionize,
             "ops_asof_join": _q_asof_join,
             "ops_topk_per_group": _q_topk_per_group,
@@ -840,6 +869,43 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY sim DESC, neighbor_id) AS INT) AS rank
           FROM scored) WHERE rank <= 10"""
 
+    dot_list = "[" + ", ".join(
+        f"list_sum(list_transform(list_zip(e, CAST([{', '.join(_w(p, i) for i in range(dim))}] AS DOUBLE[])), x -> x[1] * x[2]))"
+        for p in range(n_planes)
+    ) + "]"
+    o["sim_knn_lsh_multiprobe"] = f"""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                   FROM embeddings),
+        d AS (SELECT vec_id, e, {dot_list} AS ds FROM v),
+        b AS (SELECT vec_id, e, ds,
+                CAST(list_sum(list_transform(list_zip(ds,
+                  range(0, {n_planes})),
+                  x -> CASE WHEN x[1] > 0
+                       THEN CAST(1 AS BIGINT) << x[2] ELSE 0 END))
+                  AS BIGINT) AS bucket
+              FROM d),
+        qp AS (SELECT vec_id, e,
+                 UNNEST(list_prepend(bucket,
+                   list_transform(
+                     list_slice(
+                       list_transform(list_sort(list_zip(
+                         list_transform(ds, x -> abs(x)),
+                         range(0, {n_planes}))), s -> s[2]),
+                       1, 2),
+                     i -> xor(bucket, CAST(1 AS BIGINT) << i))))
+                 AS bucket
+               FROM b WHERE vec_id < 5),
+        scored AS (
+          SELECT qp.vec_id AS query_id, c.vec_id AS neighbor_id,
+            ROUND(list_sum(list_transform(list_zip(qp.e, c.e), x -> x[1] * x[2]))
+              / (sqrt(list_sum(list_transform(qp.e, x -> x * x)))
+                 * sqrt(list_sum(list_transform(c.e, x -> x * x)))), 4) AS sim
+          FROM b c JOIN qp ON c.bucket = qp.bucket AND c.vec_id <> qp.vec_id)
+        SELECT query_id, neighbor_id, sim, rank FROM (
+          SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+          FROM scored) WHERE rank <= 10"""
+
     # -- LLM-pipeline oracles (portable md5-based hashing) --
     o["dedup_exact"] = f"""
         WITH h AS (SELECT doc_id, md5({_NORM_DOC}) AS content_hash FROM documents)
@@ -1050,6 +1116,18 @@ def oracle_sql() -> dict[str, str]:
                  AS BIGINT) AS n_frames,
                COUNT(DISTINCT doc_id) AS n_videos
         FROM documents WHERE doc_id % 3 = 2"""
+    o["events_sliding"] = """
+        WITH e AS (
+          SELECT event_type, value,
+                 (CAST(floor(epoch(ts)) AS BIGINT) // 900) * 900 AS smax
+          FROM events
+        )
+        SELECT CAST(to_timestamp(smax - i.g * 900) AS TIMESTAMP)::VARCHAR
+                 AS window_start,
+               event_type, COUNT(*) AS n,
+               ROUND(SUM(value), 2) AS total_value
+        FROM e, generate_series(0, 3) AS i(g)
+        GROUP BY 1, 2"""
     o["events_tumbling"] = """
         SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS bucket, event_type,
                COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value

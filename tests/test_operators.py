@@ -111,6 +111,38 @@ def test_streaming_tumbling_matches_batch(spark, tmp_path):
     assert got == want
 
 
+def test_streaming_sliding_matches_batch(spark, tmp_path):
+    from yardstick_spark.sources import read_table
+    from yardstick_spark.streaming import (
+        sliding_counts_batch,
+        sliding_counts_stream,
+        stream_events,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    stream = sliding_counts_stream(stream_events(spark, sf), minutes=60,
+                                   slide_minutes=15)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("sliding_test")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sl"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(tuple(r) for r in spark.table("sliding_test").collect())
+    batch = sliding_counts_batch(
+        read_table(spark, f"{sf}/events.parquet"), minutes=60,
+        slide_minutes=15,
+    )
+    want = sorted(tuple(r) for r in batch.collect())
+    assert got == want
+    # every event covers size/slide = 4 windows: total n is 4x the rows
+    n_events = read_table(spark, f"{sf}/events.parquet").count()
+    assert sum(r[2] for r in want) == 4 * n_events
+
+
 def test_streaming_sessions_run(spark, tmp_path):
     from yardstick_spark.streaming import sessionize_stream, stream_events
 

@@ -52,6 +52,36 @@ def test_ivf_knn_recall(spark):
     assert recall >= 0.6, f"IVF recall@10 too low: {recall:.2f}"
 
 
+def test_lsh_multiprobe_recall_non_decreasing(spark):
+    # multi-probe candidate sets are supersets of single-probe, so
+    # recall@k vs brute force can only rise with n_probes
+    from yardstick_spark.llm import brute_force_knn, lsh_bucketed_knn
+    from yardstick_spark.sources import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.filter("vec_id < 5")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_knn(emb, queries, k=10).collect()
+    }
+
+    # 4 planes -> 16 buckets, dense enough on the near-uniform synthetic
+    # embeddings for recall differences to be visible
+    def recall(n_probes):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in lsh_bucketed_knn(emb, queries, k=10, n_planes=4,
+                                      n_probes=n_probes).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    r1, r4 = recall(1), recall(4)
+    assert r4 >= r1, f"multi-probe lowered recall: {r1:.2f} -> {r4:.2f}"
+    assert r4 > r1 or r1 > 0.5, (
+        f"4 of 16 buckets probed should visibly beat 1: {r1:.2f} -> {r4:.2f}"
+    )
+
+
 def test_approx_sketches_near_exact(spark):
     from yardstick_spark.sources import read_table
 

@@ -36,6 +36,8 @@ from .similarity import (  # noqa: F401
     embedding_dedup_pairs,
     lsh_bucket_expr,
     lsh_bucketed_knn,
+    lsh_plane_dots_expr,
+    lsh_probe_buckets_expr,
 )
 from .text import (  # noqa: F401
     doc_fingerprint,

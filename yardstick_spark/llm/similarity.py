@@ -67,14 +67,14 @@ def brute_force_knn(corpus: DataFrame, queries: DataFrame, k: int = 10,
     )
 
 
-def lsh_bucket_expr(vec_col: str, dim: int, n_planes: int = 8,
-                    seed: int = 42) -> str:
-    """Random-hyperplane LSH bucket id as a SQL expression: sign bits of
-    `n_planes` dot products against {-1,+1} hyperplanes derived
-    deterministically from md5(seed, plane, dim) — reproducible across
-    runs and engines (the DuckDB oracles embed the same literals).
-    Precomputed driver-side: the weights are constants, and inlining
-    md5 calls into the scan would re-hash n_planes*dim times per row."""
+def lsh_plane_dots_expr(vec_col: str, dim: int, n_planes: int = 8,
+                        seed: int = 42) -> str:
+    """array<double> of the vector's dot products against `n_planes`
+    {-1,+1} hyperplanes derived deterministically from
+    md5(seed, plane, dim) — reproducible across runs and engines (the
+    DuckDB oracles embed the same literals).  Precomputed driver-side:
+    the weights are constants, and inlining md5 calls into the scan
+    would re-hash n_planes*dim times per row."""
     import hashlib
 
     def w(p: int, i: int) -> str:
@@ -85,14 +85,47 @@ def lsh_bucket_expr(vec_col: str, dim: int, n_planes: int = 8,
         "array(" + ", ".join(w(p, i) for i in range(dim)) + ")"
         for p in range(n_planes)
     )
-    plane = (
+    return (
         f"transform(array({plane_arrays}), ws -> "
         f"aggregate(zip_with(transform({vec_col}, x -> CAST(x AS DOUBLE)), "
         f"ws, (x, wt) -> x * wt), 0D, (s, v) -> s + v))"
     )
+
+
+def _dots_to_bucket(dots: str, n_planes: int) -> str:
     return (
-        f"aggregate(zip_with({plane}, sequence(0, {n_planes - 1}), "
+        f"aggregate(zip_with({dots}, sequence(0, {n_planes - 1}), "
         f"(v, i) -> IF(v > 0, shiftleft(1L, i), 0L)), 0L, (a, x) -> a | x)"
+    )
+
+
+def lsh_bucket_expr(vec_col: str, dim: int, n_planes: int = 8,
+                    seed: int = 42) -> str:
+    """Random-hyperplane LSH bucket id as a SQL expression: sign bits of
+    the plane dots (see `lsh_plane_dots_expr`)."""
+    return _dots_to_bucket(
+        lsh_plane_dots_expr(vec_col, dim, n_planes, seed), n_planes
+    )
+
+
+def lsh_probe_buckets_expr(dots_col: str, n_planes: int = 8,
+                           n_probes: int = 1) -> str:
+    """array<bigint> of `n_probes` bucket ids to search, given a column
+    holding the plane-dots array (`lsh_plane_dots_expr`): the vector's
+    own bucket first, then the buckets reached by flipping the sign bit
+    of the LEAST-CONFIDENT planes (smallest |dot| — the planes the
+    vector sits closest to, where its true neighbors most likely landed
+    on the other side).  Standard multi-probe LSH: buys recall without
+    more hash tables, at n_probes x candidate cost."""
+    base = _dots_to_bucket(dots_col, n_planes)
+    flip_order = (
+        f"transform(array_sort(zip_with({dots_col}, "
+        f"sequence(0, {n_planes - 1}), "
+        "(d, i) -> struct(abs(d) AS a, i AS i))), s -> s.i)"
+    )
+    return (
+        f"concat(array({base}), transform(slice({flip_order}, 1, "
+        f"{n_probes - 1}), i -> ({base}) ^ shiftleft(1L, i)))"
     )
 
 
@@ -159,14 +192,21 @@ def embedding_dedup_pairs(corpus: DataFrame, id_col: str = "vec_id",
 
 def lsh_bucketed_knn(corpus: DataFrame, queries: DataFrame, k: int = 10,
                      id_col: str = "vec_id", vec_col: str = "embedding",
-                     n_planes: int = 8, seed: int = 42) -> DataFrame:
+                     n_planes: int = 8, seed: int = 42,
+                     n_probes: int = 1) -> DataFrame:
     """ANN via random-hyperplane LSH: corpus and queries are bucketed by
     the sign pattern of `n_planes` pseudo-random hyperplanes (derived
     deterministically from md5(seed, plane, dim) so the bucketing is
     reproducible across runs and engines); search runs within buckets.
 
+    n_probes > 1 enables multi-probe: each query additionally searches
+    the buckets reached by flipping its least-confident sign bits
+    (see `lsh_probe_buckets_expr`) — recall rises with n_probes at
+    n_probes x candidate cost, corpus-side layout unchanged (the probe
+    explode happens on the small broadcast query side only).
+
     Recall < 1.0 by design; at scale the bucket join replaces the full
-    cross product with ~n/2^n_planes candidates per query.
+    cross product with ~n_probes*n/2^n_planes candidates per query.
     """
     dim_df = corpus.select(F.size(vec_col).alias("d")).limit(1)
     dim = dim_df.first()["d"]
@@ -176,10 +216,20 @@ def lsh_bucketed_knn(corpus: DataFrame, queries: DataFrame, k: int = 10,
         F.expr(_as_double(vec_col)).alias("cv"),
         F.expr(bucket).alias("bucket"),
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.expr(_as_double(vec_col)).alias("qv"),
-        F.expr(bucket).alias("bucket"),
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.expr(_as_double(vec_col)).alias("qv"),
+            F.expr(
+                lsh_plane_dots_expr(vec_col, dim, n_planes, seed)
+            ).alias("__ds"),
+        )
+        .select(
+            "query_id", "qv",
+            F.explode(F.expr(
+                lsh_probe_buckets_expr("__ds", n_planes, n_probes)
+            )).alias("bucket"),
+        )
     )
     scored = (
         c.join(F.broadcast(q), "bucket")

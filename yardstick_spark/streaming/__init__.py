@@ -5,6 +5,8 @@ from .stateful import user_activity_stats  # noqa: F401
 from .windows import (  # noqa: F401
     sessionize_batch,
     sessionize_stream,
+    sliding_counts_batch,
+    sliding_counts_stream,
     stream_events,
     tumbling_counts_batch,
     tumbling_counts_stream,

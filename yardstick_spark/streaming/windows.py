@@ -61,6 +61,51 @@ def tumbling_counts_stream(events: DataFrame, minutes: int = 60,
     )
 
 
+def sliding_counts_batch(events: DataFrame, minutes: int = 60,
+                         slide_minutes: int = 15) -> DataFrame:
+    """Per-sliding-window per-type counts + value sums (batch form).
+
+    `window(ts, size, slide)` assigns each row to size/slide overlapping
+    windows (an internal explode) then hash-aggregates — one shuffle,
+    map-side combined, identical cost model to tumbling times the
+    overlap factor.  The DuckDB oracle reproduces the assignment with
+    generate_series over covering window starts."""
+    return (
+        events.groupBy(
+            F.window("ts", f"{minutes} minutes",
+                     f"{slide_minutes} minutes").alias("w"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type", "n", "total_value",
+        )
+    )
+
+
+def sliding_counts_stream(events: DataFrame, minutes: int = 60,
+                          slide_minutes: int = 15,
+                          watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin: watermarked sliding windows; state per open
+    window, size/slide windows open per event."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", f"{minutes} minutes",
+                     f"{slide_minutes} minutes").alias("w"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type", "n", "total_value",
+        )
+    )
+
+
 def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Gap-based sessions per user (batch form): a new session starts
     when the gap to the previous event exceeds `gap_minutes`.  One
