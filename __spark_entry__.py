@@ -327,6 +327,15 @@ def _q_dedup_clusters(spark, sf_dir):
     return dedup_assign(docs, minhash_lsh_pairs(docs))
 
 
+def _q_dedup_simhash_pairs(spark, sf_dir):
+    # banded pigeonhole candidates + bit_count(xor) verify; the oracle
+    # is the quadratic filter (exactness of the banding for d<=3 means
+    # both must produce identical pair sets)
+    from yardstick_spark.llm import simhash_pairs
+
+    return simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
 def _q_dedup_embedding(spark, sf_dir):
     # embedding-cosine near-dup: LSH-bucketed candidates, exact-cosine
     # verified at threshold 0.4 (synthetic corpus max cosine ~0.51)
@@ -561,6 +570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_ngram_jaccard": _q_dedup_ngram,
             "dedup_minhash_lsh": _q_dedup_minhash,
             "dedup_simhash": _q_dedup_simhash,
+            "dedup_simhash_pairs": _q_dedup_simhash_pairs,
             "dedup_clusters": _q_dedup_clusters,
             "mm_decode_real": _q_mm_decode_real,
             "mm_resize": _q_mm_resize,
@@ -907,6 +917,23 @@ def oracle_sql() -> dict[str, str]:
           FROM scored) WHERE rank <= 10"""
 
     # -- LLM-pipeline oracles (portable md5-based hashing) --
+    o["dedup_simhash_pairs"] = f"""
+        WITH norm AS (SELECT doc_id AS id,
+            list_filter(string_split({_NORM_DOC}, ' '), t -> t <> '') AS toks
+            FROM documents),
+        sh AS (SELECT id,
+          CAST(list_aggregate(
+            list_transform(range(0, 60), i ->
+              CASE WHEN list_sum(list_transform(toks, t ->
+                CASE WHEN (CAST(CONCAT('0x', SUBSTRING(md5(t), 1, 15)) AS BIGINT)
+                           >> i) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+              THEN (CAST(1 AS BIGINT) << i) ELSE 0 END), 'sum') AS BIGINT)
+            AS simhash
+        FROM norm)
+        SELECT a.id AS id_a, b.id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM sh a JOIN sh b ON a.id < b.id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
     o["dedup_exact"] = f"""
         WITH h AS (SELECT doc_id, md5({_NORM_DOC}) AS content_hash FROM documents)
         SELECT doc_id, content_hash,

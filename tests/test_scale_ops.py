@@ -52,6 +52,35 @@ def test_ivf_knn_recall(spark):
     assert recall >= 0.6, f"IVF recall@10 too low: {recall:.2f}"
 
 
+def test_simhash_pairs_exact_vs_bruteforce(spark):
+    # banded pigeonhole candidates must find EXACTLY the pairs within
+    # Hamming distance 3 (pigeonhole: d <= 3 leaves one of 4 bands
+    # untouched), so the result equals the quadratic filter
+    from pyspark.sql import functions as F
+
+    from yardstick_spark.llm import simhash64, simhash_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in simhash_pairs(docs, max_hamming=3).collect()}
+    sigs = simhash64(docs)
+    brute = {
+        (r["ia"], r["ib"]): r["h"]
+        for r in sigs.alias("a").join(
+            sigs.alias("b"), F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("ia"), F.col("b.id").alias("ib"),
+                F.expr("CAST(bit_count(a.simhash ^ b.simhash) AS INT)")
+                .alias("h"))
+        .filter("h <= 3").collect()
+    }
+    assert got == brute and got, f"{len(got)} vs {len(brute)} pairs"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        simhash_pairs(docs, max_hamming=4)
+
+
 def test_lsh_multiprobe_recall_non_decreasing(spark):
     # multi-probe candidate sets are supersets of single-probe, so
     # recall@k vs brute force can only rise with n_probes

@@ -15,6 +15,7 @@ from .dedup import (  # noqa: F401
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash64,
+    simhash_pairs,
 )
 from .multimodal import (  # noqa: F401
     attach_media_column,

@@ -422,3 +422,57 @@ def simhash64(docs: DataFrame, text_col: str = "text",
         f"(acc, x) -> acc | x)"
     )
     return hashed.select("id", F.expr(sim).alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", max_hamming: int = 3,
+                  max_broadcast_pairs: int | None = 5_000_000) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance — EXACT for
+    max_hamming <= 3 via banded pigeonhole candidates.
+
+    The 60-bit signature splits into 4 bands of 15 bits; two signatures
+    within Hamming distance 3 must agree on at least one whole band
+    (pigeonhole), so the candidate join on (band, band_value) misses
+    nothing while touching only ~n rows per band — never an all-pairs
+    product.  Candidates are verified with bit_count(xor) and the
+    measured-small pair list broadcasts (see _pairs_hint).  For
+    max_hamming >= 4 the band filter is no longer exhaustive; raise
+    bands by splitting the signature finer if that regime matters.
+
+    Returns (id_a, id_b, hamming) with id_a < id_b.
+    """
+    if max_hamming > 3:
+        raise ValueError(
+            "banded candidates are exact only for max_hamming <= 3 "
+            "(4 bands of 15 bits; pigeonhole needs d < bands)"
+        )
+    sigs = _cache(simhash64(docs, text_col, id_col))
+    banded = sigs.select(
+        "id",
+        F.explode(F.expr(
+            "transform(sequence(0, 3), b -> "
+            "struct(b AS band, shiftright(simhash, b * 15) & 32767 AS bval))"
+        )).alias("bb"),
+    ).select("id", "bb.band", "bb.bval")
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    cand = _pairs_hint(cand, max_broadcast_pairs)
+    return (
+        cand.join(sigs.select(F.col("id").alias("id_a"),
+                              F.col("simhash").alias("sig_a")), "id_a")
+        .join(sigs.select(F.col("id").alias("id_b"),
+                          F.col("simhash").alias("sig_b")), "id_b")
+        .withColumn("hamming",
+                    F.expr("bit_count(sig_a ^ sig_b)").cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
