@@ -1066,6 +1066,8 @@ def oracle_sql() -> dict[str, str]:
         WITH norm AS (SELECT doc_id, {_NORM_DOC} AS t FROM documents)
         SELECT doc_id,
                len(list_filter(string_split(t, ' '), x -> x <> '')) AS n_tokens,
+               CAST(len(regexp_extract_all(t,
+                 ' ?[a-z]+| ?[0-9]+| ?[^ a-z0-9]+')) AS INT) AS n_bpe_tokens,
                CAST(ceil(length(t) / 4.0) AS BIGINT) AS n_subwords,
                length(t) AS n_chars_norm
         FROM norm"""

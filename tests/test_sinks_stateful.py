@@ -85,3 +85,24 @@ def test_stateful_user_activity(spark, tmp_path):
     for uid, row in want.items():
         assert got[uid]["n_events"] == row["n_events"]
         assert abs(got[uid]["value_sum"] - row["value_sum"]) < 0.01
+
+
+def test_csv_json_round_trip(spark, tmp_path):
+    # the reference delegates IO to its host engine; our equivalent
+    # surface must read back csv/json it wrote with values intact
+    from yardstick_spark.sources import read_table
+
+    src = read_table(spark, "/root/testdata/sf0.001/nation.parquet")
+    want = sorted(tuple(r) for r in src.collect())
+
+    csv_dir = str(tmp_path / "nation_csv")
+    src.write.option("header", "true").csv(csv_dir)
+    got_csv = read_table(spark, csv_dir, fmt="csv")
+    assert sorted(tuple(r) for r in got_csv.collect()) == want
+
+    json_dir = str(tmp_path / "nation_json")
+    src.write.json(json_dir)
+    got_json = read_table(spark, json_dir, fmt="json")
+    # JSON readers order columns lexicographically; realign to source
+    got_json = got_json.select(*src.columns)
+    assert sorted(tuple(r) for r in got_json.collect()) == want

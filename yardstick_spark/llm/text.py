@@ -16,13 +16,24 @@ _NORM = "regexp_replace(lower(trim({c})), '\\\\s+', ' ')"
 
 def token_stats(docs: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
-    """Whitespace tokens plus a BPE-ish subword estimate (~chars/4,
-    the common rule of thumb for byte-pair encodings)."""
+    """Whitespace tokens, a BPE-style pretoken count, and a chars/4
+    subword estimate.
+
+    n_bpe_tokens counts GPT-2-style pretokens — maximal runs of
+    letters, digits, or other-symbols, each optionally merged with one
+    leading space (` ?[a-z]+| ?[0-9]+| ?[^ a-z0-9]+`) over the
+    normalized text.  That is the pretokenization step every byte-pair
+    encoder splits on, so it tracks real tokenizer output far closer
+    than a chars/4 estimate (kept as n_subwords for the rule-of-thumb
+    comparison).  Scan-only regexp, whole-stage codegen; the pattern is
+    RE2-compatible so the DuckDB oracle runs it verbatim."""
     norm = _NORM.format(c=text_col)
     tokens = f"size(filter(split({norm}, ' '), t -> t <> ''))"
+    bpe = f"size(regexp_extract_all({norm}, ' ?[a-z]+| ?[0-9]+| ?[^ a-z0-9]+', 0))"
     return docs.select(
         F.col(id_col),
         F.expr(tokens).alias("n_tokens"),
+        F.expr(bpe).alias("n_bpe_tokens"),
         F.expr(f"CAST(ceil(length({norm}) / 4.0) AS BIGINT)").alias("n_subwords"),
         F.expr(f"length({norm})").alias("n_chars_norm"),
     )
