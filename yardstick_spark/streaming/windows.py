@@ -27,8 +27,13 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(raw.dtypes).get("ts") == "bigint":
+    ts_type = dict(raw.dtypes).get("ts")
+    if ts_type == "bigint":
         raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_type == "timestamp_ntz":
+        # Watermarks require TIMESTAMP; with the session tz pinned to UTC
+        # this cast is a no-op on the instant.
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return raw
 
 
@@ -111,9 +116,13 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     when the gap to the previous event exceeds `gap_minutes`.  One
     shuffle on user_id; cumulative-sum window assigns session ids."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    # Timestamp subtraction yields a day-time interval for both TIMESTAMP
+    # and TIMESTAMP_NTZ inputs (numeric casts of NTZ are rejected).
+    prev = F.lag("ts").over(w)
     is_new = F.when(
-        gap.isNull() | (gap > gap_minutes * 60), F.lit(1)
+        prev.isNull()
+        | ((F.col("ts") - prev) > F.expr(f"INTERVAL {gap_minutes * 60} SECONDS")),
+        F.lit(1),
     ).otherwise(F.lit(0))
     return (
         events.withColumn("__new", is_new)
