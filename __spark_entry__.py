@@ -271,6 +271,92 @@ _MEASURE_QUERIES: dict[str, str] = {
         "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' "
         "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
     ),
+    # q4-shaped: EXISTS semi-join (testdata lacks l_commitdate; "late"
+    # = any line shipped >60 days after the order date)
+    "tpch_q4": (
+        "SELECT o_orderpriority, COUNT(*) AS order_count FROM orders o "
+        "WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' "
+        "AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00' "
+        "AND EXISTS (SELECT 1 FROM lineitem l "
+        "WHERE l.l_orderkey = o.o_orderkey "
+        "AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) "
+        "GROUP BY o_orderpriority"
+    ),
+    # q7: two-nation shipping volume by year (5-way join, OR predicate)
+    "tpch_q7": (
+        "SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation, "
+        "YEAR(l.l_shipdate) AS l_year, "
+        "ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS volume "
+        "FROM supplier s JOIN lineitem l ON s.s_suppkey = l.l_suppkey "
+        "JOIN orders o ON o.o_orderkey = l.l_orderkey "
+        "JOIN customer c ON c.c_custkey = o.o_custkey "
+        "JOIN nation sn ON s.s_nationkey = sn.n_nationkey "
+        "JOIN nation cn ON c.c_nationkey = cn.n_nationkey "
+        "WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2') "
+        "OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')) "
+        "GROUP BY sn.n_name, cn.n_name, YEAR(l.l_shipdate)"
+    ),
+    # q10: returned-item customer ranking
+    "tpch_q10": (
+        "SELECT c.c_custkey AS custkey, c.c_name AS cname, "
+        "CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT)) / 100.0 AS DOUBLE) AS revenue, "
+        "ROUND(c.c_acctbal, 2) AS acctbal, n.n_name AS nation "
+        "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
+        "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+        "WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' "
+        "AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00' "
+        "AND l.l_returnflag = 'R' "
+        "GROUP BY c.c_custkey, c.c_name, ROUND(c.c_acctbal, 2), n.n_name "
+        "ORDER BY revenue DESC, custkey LIMIT 20"
+    ),
+    # q14: promo revenue share (conditional aggregation over a fact-dim join)
+    "tpch_q14": (
+        "SELECT ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO' "
+        "THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END) "
+        "/ SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_revenue "
+        "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+        "WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00' "
+        "AND l.l_shipdate < TIMESTAMP '1996-10-01 00:00:00'"
+    ),
+    # q18: large-volume orders (IN subquery with HAVING)
+    "tpch_q18": (
+        "SELECT c.c_name AS cname, c.c_custkey AS custkey, "
+        "o.o_orderkey AS okey, CAST(o.o_orderdate AS STRING) AS odate, "
+        "ROUND(o.o_totalprice, 2) AS total, "
+        "ROUND(SUM(l.l_quantity), 2) AS sum_qty "
+        "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
+        "JOIN lineitem l ON o.o_orderkey = l.l_orderkey "
+        "WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem "
+        "GROUP BY l_orderkey HAVING SUM(l_quantity) > 150) "
+        "GROUP BY c.c_name, c.c_custkey, o.o_orderkey, "
+        "CAST(o.o_orderdate AS STRING), ROUND(o.o_totalprice, 2) "
+        "ORDER BY total DESC, okey LIMIT 100"
+    ),
+    # q19: OR-of-ANDs pushdown across a fact-dim join
+    "tpch_q19": (
+        "SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue "
+        "FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey "
+        "WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15 "
+        "AND l.l_quantity BETWEEN 1 AND 11) "
+        "OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25 "
+        "AND l.l_quantity BETWEEN 10 AND 20) "
+        "OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35 "
+        "AND l.l_quantity BETWEEN 20 AND 30)"
+    ),
+    # q22-shaped: above-average balance customers with no urgent orders
+    # (scalar subquery + anti-join; testdata lacks c_phone)
+    "tpch_q22": (
+        "SELECT n.n_name AS nation, COUNT(*) AS numcust, "
+        "ROUND(SUM(c.c_acctbal), 2) AS totacctbal "
+        "FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey "
+        "WHERE c.c_acctbal > (SELECT AVG(c_acctbal) FROM customer "
+        "WHERE c_acctbal > 0.0) "
+        "AND NOT EXISTS (SELECT 1 FROM orders o "
+        "WHERE o.o_custkey = c.c_custkey "
+        "AND o.o_orderpriority = '1-URGENT') "
+        "GROUP BY n.n_name"
+    ),
 }
 
 
@@ -788,6 +874,76 @@ def oracle_sql() -> dict[str, str]:
         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
         AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"""
+    o["tpch_q4"] = """
+        SELECT o_orderpriority, COUNT(*) AS order_count FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        AND EXISTS (SELECT 1 FROM lineitem l
+                    WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o_orderpriority"""
+    o["tpch_q7"] = """
+        SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+               YEAR(l.l_shipdate) AS l_year,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS volume
+        FROM supplier s JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+           OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+        GROUP BY sn.n_name, cn.n_name, YEAR(l.l_shipdate)"""
+    o["tpch_q10"] = """
+        SELECT c.c_custkey AS custkey, c.c_name AS cname,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT)) / 100.0 AS DOUBLE) AS revenue,
+               ROUND(c.c_acctbal, 2) AS acctbal, n.n_name AS nation
+        FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        AND l.l_returnflag = 'R'
+        GROUP BY c.c_custkey, c.c_name, ROUND(c.c_acctbal, 2), n.n_name
+        ORDER BY revenue DESC, custkey LIMIT 20"""
+    o["tpch_q14"] = """
+        SELECT ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+               THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
+               / SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_revenue
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+        AND l.l_shipdate < TIMESTAMP '1996-10-01 00:00:00'"""
+    o["tpch_q18"] = """
+        SELECT c.c_name AS cname, c.c_custkey AS custkey,
+               o.o_orderkey AS okey, CAST(o.o_orderdate AS VARCHAR) AS odate,
+               ROUND(o.o_totalprice, 2) AS total,
+               ROUND(SUM(l.l_quantity), 2) AS sum_qty
+        FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                               GROUP BY l_orderkey HAVING SUM(l_quantity) > 150)
+        GROUP BY c.c_name, c.c_custkey, o.o_orderkey,
+                 CAST(o.o_orderdate AS VARCHAR), ROUND(o.o_totalprice, 2)
+        ORDER BY total DESC, okey LIMIT 100"""
+    o["tpch_q19"] = """
+        SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity BETWEEN 1 AND 11)
+           OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+               AND l.l_quantity BETWEEN 10 AND 20)
+           OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+               AND l.l_quantity BETWEEN 20 AND 30)"""
+    o["tpch_q22"] = """
+        SELECT n.n_name AS nation, COUNT(*) AS numcust,
+               ROUND(SUM(c.c_acctbal), 2) AS totacctbal
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE c.c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                             WHERE c_acctbal > 0.0)
+        AND NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+        GROUP BY n.n_name"""
 
     # language-ID: the stopword-vote arithmetic is plain
     # length/replace/CAST SQL — generate the oracle from the same marker
