@@ -494,6 +494,35 @@ def _q_quality(spark, sf_dir):
     return quality_score(_docs(spark, sf_dir))
 
 
+_PII_AUG = (
+    "concat(text, ' reach user', doc_id, '@mail.example or call "
+    "+1 555 867 5309 host 192.168.', doc_id % 256, '.7')"
+)
+
+
+def _q_text_gopher(spark, sf_dir):
+    from yardstick_spark.llm import gopher_filter
+
+    return gopher_filter(_docs(spark, sf_dir), min_stop_hits=1)
+
+
+def _q_text_pii(spark, sf_dir):
+    # augment the synthetic corpus with deterministic doc_id-derived
+    # PII so the redaction regexes are actually exercised
+    from pyspark.sql import functions as F
+
+    from yardstick_spark.llm import pii_redact
+
+    aug = _docs(spark, sf_dir).withColumn("text", F.expr(_PII_AUG))
+    return pii_redact(aug)
+
+
+def _q_text_topterms(spark, sf_dir):
+    from yardstick_spark.llm import top_terms
+
+    return top_terms(_docs(spark, sf_dir))
+
+
 def _q_langid(spark, sf_dir):
     from yardstick_spark.llm import language_id
 
@@ -671,6 +700,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_quality": _q_quality,
             "text_langid": _q_langid,
             "text_fingerprint": _q_fingerprint,
+            "text_gopher": _q_text_gopher,
+            "text_pii": _q_text_pii,
+            "text_topterms": _q_text_topterms,
             "mm_decode": _q_mm_decode,
             "mm_frame_sample": _q_mm_frames,
             "events_tumbling": _q_events_tumbling,
@@ -1261,6 +1293,71 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, md5(t) AS content_hash, len(fp) AS n_prints,
                fp[1] AS min_print
         FROM m"""
+    o["text_gopher"] = f"""
+        WITH norm AS (SELECT doc_id, {_NORM_DOC} AS t FROM documents),
+        w AS (SELECT doc_id,
+                list_filter(string_split(t, ' '), x -> x <> '') AS words
+              FROM norm),
+        f AS (SELECT doc_id, words, CAST(len(words) AS INT) AS n_words,
+                ROUND(list_sum(list_transform(words, x -> length(x)))
+                  / CAST(greatest(len(words), 1) AS DOUBLE), 6) AS mean_word_len,
+                [words[i] || ' ' || words[least(i + 1, len(words))]
+                 for i in range(1, greatest(len(words) - 1, 1) + 1)] AS bigrams,
+                CAST(list_contains(words, 'the') AS INT)
+                + CAST(list_contains(words, 'and') AS INT)
+                + CAST(list_contains(words, 'of') AS INT)
+                + CAST(list_contains(words, 'to') AS INT)
+                + CAST(list_contains(words, 'is') AS INT)
+                + CAST(list_contains(words, 'in') AS INT) AS sh
+              FROM w),
+        m AS (SELECT doc_id, n_words, mean_word_len, sh,
+                ROUND(list_max(list_transform(list_distinct(bigrams),
+                    b -> len(list_filter(bigrams, x -> x = b))))
+                  / CAST(greatest(n_words - 1, 1) AS DOUBLE), 6)
+                  AS top_bigram_frac
+              FROM f)
+        SELECT doc_id, n_words, mean_word_len, top_bigram_frac,
+               CAST(sh AS BIGINT) AS stop_hits,
+               (n_words BETWEEN 15 AND 100000
+                AND mean_word_len BETWEEN 2.0 AND 10.0
+                AND top_bigram_frac < 0.08 AND sh >= 1) AS keep
+        FROM m"""
+    o["text_pii"] = """
+        WITH aug AS (SELECT doc_id,
+            concat(text, ' reach user', doc_id, '@mail.example or call '
+                   || '+1 555 867 5309 host 192.168.', doc_id % 256, '.7')
+              AS text
+          FROM documents),
+        r1 AS (SELECT doc_id,
+            CAST(len(regexp_extract_all(text,
+              '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+')) AS INT) AS n_email,
+            regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+',
+              '[EMAIL]', 'g') AS text
+          FROM aug),
+        r2 AS (SELECT doc_id, n_email,
+            CAST(len(regexp_extract_all(text,
+              '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) AS INT)
+              AS n_ipv4,
+            regexp_replace(text,
+              '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}',
+              '[IPV4]', 'g') AS text
+          FROM r1)
+        SELECT doc_id, n_email, n_ipv4,
+            CAST(len(regexp_extract_all(text,
+              '\\+[0-9]{1,3}[ -][0-9]{3}[ -][0-9]{3,4}[ -][0-9]{3,4}'))
+              AS INT) AS n_phone,
+            regexp_replace(text,
+              '\\+[0-9]{1,3}[ -][0-9]{3}[ -][0-9]{3,4}[ -][0-9]{3,4}',
+              '[PHONE]', 'g') AS redacted
+        FROM r2"""
+    o["text_topterms"] = f"""
+        WITH norm AS (SELECT doc_id, {_NORM_DOC} AS t FROM documents),
+        w AS (SELECT doc_id, list_distinct(
+                list_filter(string_split(t, ' '), x -> x <> '')) AS words
+              FROM norm)
+        SELECT term, COUNT(*) AS df
+        FROM (SELECT unnest(words) AS term FROM w)
+        GROUP BY term ORDER BY df DESC, term LIMIT 20"""
     o["mm_decode"] = """
         SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
                WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,

@@ -42,7 +42,10 @@ from .similarity import (  # noqa: F401
 )
 from .text import (  # noqa: F401
     doc_fingerprint,
+    gopher_filter,
     language_id,
+    pii_redact,
     quality_score,
     token_stats,
+    top_terms,
 )

@@ -109,6 +109,115 @@ def language_id(docs: DataFrame, text_col: str = "text",
     )
 
 
+def gopher_filter(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  min_words: int = 15, max_words: int = 100_000,
+                  min_mwl: float = 2.0, max_mwl: float = 10.0,
+                  max_top_bigram_frac: float = 0.08,
+                  min_stop_hits: int = 2) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, "Scaling
+    Language Models", App. A): word-count bounds, mean-word-length
+    bounds, repetition (share of the most frequent word bigram), and a
+    stopword-presence floor.  Emits the per-rule features plus a
+    `keep` verdict so the pipeline can filter or audit.
+
+    Scan-only array SQL — no explode, no shuffle; the bigram mode is
+    computed per-row over the ~n² distinct-bigram lattice which is fine
+    for document-sized n and keeps whole-stage codegen.  (Deviation
+    from the paper: repetition is counted as occurrence share of
+    bigrams, not character share — simpler and engine-portable.)"""
+    norm = _NORM.format(c=text_col)
+    words = f"filter(split({norm}, ' '), t -> t <> '')"
+    n_words = f"size({words})"
+    mean_wl = (
+        f"round(aggregate({words}, 0, (a, w) -> a + length(w)) "
+        f"/ CAST(greatest({n_words}, 1) AS DOUBLE), 6)"
+    )
+    bigrams = (
+        f"transform(sequence(1, greatest({n_words} - 1, 1)), "
+        f"i -> concat(element_at({words}, i), ' ', "
+        f"element_at({words}, least(i + 1, {n_words}))))"
+    )
+    # mode count via one run-length pass over the sorted array — a
+    # nested filter-per-distinct-element would make Catalyst re-inline
+    # the whole array construction per element (quadratic blowup)
+    top_bigram = (
+        f"aggregate(array_sort({bigrams}), "
+        f"struct(CAST('' AS STRING) AS prev, 0 AS run, 0 AS best), "
+        f"(s, x) -> struct(x AS prev, "
+        f"IF(x = s.prev, s.run + 1, 1) AS run, "
+        f"greatest(s.best, IF(x = s.prev, s.run + 1, 1)) AS best), "
+        f"s -> s.best)"
+    )
+    top_frac = (
+        f"round({top_bigram} / CAST(greatest({n_words} - 1, 1) AS DOUBLE), 6)"
+    )
+    stop_hits = " + ".join(
+        f"CAST(array_contains({words}, '{w}') AS INT)"
+        for w in _LANG_MARKERS["en"]
+    )
+    return docs.select(
+        F.col(id_col),
+        F.expr(n_words).alias("n_words"),
+        F.expr(mean_wl).alias("mean_word_len"),
+        F.expr(top_frac).alias("top_bigram_frac"),
+        F.expr(f"CAST({stop_hits} AS BIGINT)").alias("stop_hits"),
+        F.expr(
+            f"{n_words} BETWEEN {min_words} AND {max_words} "
+            f"AND {mean_wl} BETWEEN {min_mwl} AND {max_mwl} "
+            f"AND {top_frac} < {max_top_bigram_frac} "
+            f"AND ({stop_hits}) >= {min_stop_hits}"
+        ).alias("keep"),
+    )
+
+
+# conservative patterns that parse identically under Java regex (Spark)
+# and RE2 (DuckDB): no backrefs, no lookaround, explicit char classes
+_PII_PATTERNS = {
+    "email": r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+    "phone": r"\+[0-9]{1,3}[ -][0-9]{3}[ -][0-9]{3,4}[ -][0-9]{3,4}",
+}
+
+
+def pii_redact(docs: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Redact emails / IPv4 addresses / international-format phone
+    numbers, replacing each with a typed placeholder, and count the
+    redactions per class.  Pure regexp_replace — scan-only, codegen,
+    trivially parallel at any scale."""
+    redacted = text_col
+    counts = []
+    for kind, pat in _PII_PATTERNS.items():
+        sql_pat = pat.replace("\\", "\\\\")  # SQL literal unescapes once
+        counts.append(
+            F.expr(
+                f"size(regexp_extract_all({redacted}, '{sql_pat}', 0))"
+            ).alias(f"n_{kind}")
+        )
+        redacted = f"regexp_replace({redacted}, '{sql_pat}', '[{kind.upper()}]')"
+    return docs.select(
+        F.col(id_col), *counts, F.expr(redacted).alias("redacted")
+    )
+
+
+def top_terms(docs: DataFrame, text_col: str = "text",
+              limit: int = 20) -> DataFrame:
+    """Corpus-level document frequency: for each term, the number of
+    documents containing it; top-`limit` by df.  explode(distinct
+    per-doc terms) → groupBy(term) — one shuffle, map-side combined;
+    at 100 TB this is the canonical build step for vocab/IDF tables."""
+    norm = _NORM.format(c=text_col)
+    words = f"array_distinct(filter(split({norm}, ' '), t -> t <> ''))"
+    return (
+        docs.select(F.explode(F.expr(words)).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.col("df").desc(), F.col("term"))
+        .limit(limit)
+    )
+
+
 def doc_fingerprint(docs: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", window: int = 16) -> DataFrame:
     """Winnowing-style fingerprint: the minimum portable hash over each
