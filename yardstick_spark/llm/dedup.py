@@ -271,18 +271,45 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     # table; the measured-small pair list is the broadcast side (see
     # _pairs_hint), so the set table never shuffles
     cand = _pairs_hint(cand, max_broadcast_pairs)
+    # Hot-vocab corpora (few distinct shingles — every shingle is
+    # common) defeat the prefix filter: candidates blow up while true
+    # pairs stay rare, and array_intersect's per-pair hash-set build
+    # dominates (measured 2.4M candidates for 256 pairs at sf0.1).
+    # With a small universe the EXACT same intersection is a fixed
+    # bit_count pass over dense bitmaps: sid-1 indexes a bit, common =
+    # sum(bit_count(a & b)) — ~wordcount ops per pair, no per-pair
+    # allocation.  universe comes from the already-cached freq table
+    # (no extra pass); big-vocab corpora keep the sorted-array path.
+    universe = freq0.count()
+    if universe <= 4096:
+        nw = (universe + 63) // 64
+        bits = F.expr(
+            f"aggregate(sids, array_repeat(CAST(0 AS BIGINT), {nw}), "
+            f"(acc, s) -> transform(acc, (v, i) -> "
+            f"IF(i = CAST((s - 1) DIV 64 AS INT), "
+            f"v | shiftleft(CAST(1 AS BIGINT), CAST((s - 1) % 64 AS INT)), "
+            f"v)))"
+        )
+        vsets = isets.select("id", "n_sh", bits.alias("vs"))
+        common = F.expr(
+            "aggregate(zip_with(vs_a, vs_b, (x, y) -> bit_count(x & y)), "
+            "0, (a, x) -> a + x)"
+        )
+    else:
+        vsets = isets.select("id", "n_sh", F.col("sids").alias("vs"))
+        common = F.size(F.array_intersect("vs_a", "vs_b"))
     return (
-        cand.join(_hint_sets(isets.select(F.col("id").alias("id_a"),
-                                          F.col("sids").alias("sids_a"),
+        cand.join(_hint_sets(vsets.select(F.col("id").alias("id_a"),
+                                          F.col("vs").alias("vs_a"),
                                           F.col("n_sh").alias("n_a")),
                              broadcast_sets),
                   "id_a")
-        .join(_hint_sets(isets.select(F.col("id").alias("id_b"),
-                                      F.col("sids").alias("sids_b"),
+        .join(_hint_sets(vsets.select(F.col("id").alias("id_b"),
+                                      F.col("vs").alias("vs_b"),
                                       F.col("n_sh").alias("n_b")),
                          broadcast_sets),
               "id_b")
-        .withColumn("common", F.size(F.array_intersect("sids_a", "sids_b")))
+        .withColumn("common", common)
         .withColumn(
             "jaccard",
             F.round(F.col("common")
