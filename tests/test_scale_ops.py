@@ -169,6 +169,13 @@ def test_connected_components_vs_union_find(spark):
            for r in connected_components(pairs).collect()}
     assert got == want
 
+    # distributed label-propagation path must agree with the
+    # driver-side union-find fast path
+    got_dist = {r["id"]: r["cluster_id"]
+                for r in connected_components(
+                    pairs, local_threshold=0).collect()}
+    assert got_dist == want
+
     docs = spark.createDataFrame(
         [(i,) for i in [0, 1, 2, 3, 4, 10, 11, 12, 20, 21, 99]],
         "doc_id BIGINT",

@@ -33,12 +33,22 @@ from pyspark.sql import DataFrame, functions as F
 
 def connected_components(pairs: DataFrame, src_col: str = "id_a",
                          dst_col: str = "id_b",
-                         max_iter: int = 25) -> DataFrame:
+                         max_iter: int = 25,
+                         local_threshold: int = 1_000_000) -> DataFrame:
     """Resolve an undirected edge list to components.
 
     Returns (id, cluster_id) for every node that appears in `pairs`,
     where cluster_id is the minimum node id in the component (a stable,
     order-independent canonical representative).
+
+    The near-dup pair graph is normally a vanishing fraction of the
+    corpus (it holds only documents with a duplicate), so below
+    `local_threshold` edges the components are resolved with a
+    driver-side union-find over the collected edge list — microseconds
+    of CPU versus several iterative shuffle rounds.  Larger graphs (or
+    local_threshold=0) take the distributed min-label-propagation path.
+    The edge count is read from the localCheckpoint materialization the
+    distributed path needs anyway, so the gate costs no extra pass.
     """
     # materialize the pair list ONCE up front: nodes/edges construction
     # references it several times (src ∪ dst, both directions, self
@@ -47,6 +57,27 @@ def connected_components(pairs: DataFrame, src_col: str = "id_a",
     edges_fwd = pairs.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).localCheckpoint()
+    if local_threshold and edges_fwd.count() <= local_threshold:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        edge_rows = edges_fwd.collect()
+        for row in edge_rows:
+            ra, rb = find(row["src"]), find(row["dst"])
+            if ra != rb:  # union by min id keeps the canonical label
+                parent[max(ra, rb)] = min(ra, rb)
+        members = {x for r in edge_rows for x in (r["src"], r["dst"])}
+        rows = [(int(x), int(find(x))) for x in sorted(members)]
+        return pairs.sparkSession.createDataFrame(
+            rows, "id bigint, cluster_id bigint"
+        )
     nodes = (
         edges_fwd.select(F.col("src").alias("id"))
         .union(edges_fwd.select(F.col("dst").alias("id")))
