@@ -1,0 +1,61 @@
+"""DuckDB-database source: driver Arrow read and partitioned
+mapInPandas range scan must both round-trip table contents exactly."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import duckdb
+import pytest
+
+
+@pytest.fixture(scope="module")
+def duck_file():
+    path = os.path.join(tempfile.mkdtemp(prefix="ys_duck_"), "t.duckdb")
+    con = duckdb.connect(path)
+    con.execute(
+        "CREATE TABLE items AS "
+        "SELECT i AS item_id, i % 7 AS grp, "
+        "CAST(i AS DOUBLE) / 3 AS val, 'name_' || i AS name "
+        "FROM range(0, 1000) AS t(i)"
+    )
+    con.execute("CREATE TABLE empty_t (x BIGINT, y VARCHAR)")
+    con.close()
+    return path
+
+
+def test_read_duckdb_driver(spark, duck_file):
+    from yardstick_spark.sources import read_duckdb
+
+    df = read_duckdb(spark, duck_file,
+                     "SELECT grp, COUNT(*) AS n, SUM(val) AS s "
+                     "FROM items GROUP BY grp")
+    rows = {r["grp"]: (r["n"], round(r["s"], 4)) for r in df.collect()}
+    con = duckdb.connect(duck_file, read_only=True)
+    want = {g: (n, round(s, 4)) for g, n, s in con.execute(
+        "SELECT grp, COUNT(*), SUM(val) FROM items GROUP BY grp"
+    ).fetchall()}
+    con.close()
+    assert rows == want
+
+
+def test_read_duckdb_partitioned_roundtrip(spark, duck_file):
+    from yardstick_spark.sources import read_duckdb_partitioned
+
+    df = read_duckdb_partitioned(spark, duck_file, "items", "item_id",
+                                 num_partitions=8)
+    assert df.rdd.getNumPartitions() == 8
+    got = sorted((r["item_id"], r["grp"], r["name"]) for r in df.collect())
+    assert len(got) == 1000
+    assert got[0] == (0, 0, "name_0") and got[-1] == (999, 999 % 7, "name_999")
+    # every range read exactly once — no dup/drop at the boundaries
+    assert len({i for i, _, _ in got}) == 1000
+
+
+def test_read_duckdb_partitioned_empty(spark, duck_file):
+    from yardstick_spark.sources import read_duckdb_partitioned
+
+    df = read_duckdb_partitioned(spark, duck_file, "empty_t", "x")
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == ["x", "y"]

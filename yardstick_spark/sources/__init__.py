@@ -6,6 +6,10 @@ parquet/csv/json directories registered as temp views with schema
 quirks handled (nanosecond timestamps), ready for measure views.
 """
 
+from .duckdb_src import (  # noqa: F401
+    read_duckdb,
+    read_duckdb_partitioned,
+)
 from .register import register_parquet_dir, read_table  # noqa: F401
 from .write import (  # noqa: F401
     read_bucketed,

@@ -1,0 +1,101 @@
+"""DuckDB database source: read DuckDB tables/queries into Spark.
+
+`BASELINE.json` declared "DuckDB read via JDBC" as part of the original
+plan; a pure-Python deployment has no JDBC jar, so this module provides
+the same capability through DuckDB's Arrow surface instead:
+
+- `read_duckdb(spark, db, query)` — run one query on the driver, ship
+  the Arrow result into a DataFrame.  Right for catalog/dimension-sized
+  results (the driver holds one copy).
+- `read_duckdb_partitioned(spark, db, table, partition_col, n)` — scan
+  a big table in parallel: the driver fetches only min/max of the
+  partition column, then each Spark task opens the database file
+  READ-ONLY and pulls its half-open id range via Arrow batches inside
+  `mapInPandas`.  This is the same range-splitting contract Spark's
+  JDBC source uses (partitionColumn/lowerBound/upperBound/numPartitions),
+  so it scales exactly as far: n concurrent readers against one file,
+  work split by key range.  The database file must be reachable from
+  every executor (shared FS) — true in local mode and on clusters with
+  a mounted artifact store.
+
+Reference parity: the reference is itself a DuckDB extension, so "read
+the user's existing DuckDB database" is the natural migration path for
+its users (`/root/reference/README.md:25-45` quick start operates on
+DuckDB tables).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _arrow_to_spark(spark: SparkSession, tbl) -> DataFrame:
+    # explicit schema mapping: empty results can't infer, and pandas
+    # inference would widen ints that arrive as object dtype
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    schema = from_arrow_schema(tbl.schema)
+    return spark.createDataFrame(tbl.to_pandas(), schema=schema)
+
+
+def read_duckdb(spark: SparkSession, db: str, query: str) -> DataFrame:
+    """Run `query` against the DuckDB database at `db` (a file path, or
+    ':memory:' for scratch SQL) and return the result as a DataFrame.
+    Driver-side materialization — use for small/medium results."""
+    import duckdb
+
+    con = duckdb.connect(db, read_only=db != ":memory:")
+    try:
+        return _arrow_to_spark(spark, con.execute(query).arrow())
+    finally:
+        con.close()
+
+
+def read_duckdb_partitioned(spark: SparkSession, db: str, table: str,
+                            partition_col: str,
+                            num_partitions: int = 16) -> DataFrame:
+    """Parallel scan of `table`: split `partition_col`'s [min, max] into
+    `num_partitions` half-open ranges, one DuckDB range query per Spark
+    task via mapInPandas (Arrow batches end to end)."""
+    import duckdb
+
+    import pandas as pd
+
+    con = duckdb.connect(db, read_only=True)
+    try:
+        lo, hi = con.execute(
+            f"SELECT MIN({partition_col}), MAX({partition_col}) "
+            f"FROM {table}"
+        ).fetchone()
+        schema_tbl = con.execute(
+            f"SELECT * FROM {table} LIMIT 0"
+        ).arrow()
+    finally:
+        con.close()
+    empty = _arrow_to_spark(spark, schema_tbl)
+    if lo is None:
+        return empty
+    lo, hi = int(lo), int(hi)
+    n = max(1, min(num_partitions, hi - lo + 1))
+    step = (hi - lo + 1 + n - 1) // n
+    bounds = [(lo + i * step, lo + (i + 1) * step) for i in range(n)]
+    ranges = spark.createDataFrame(bounds, "lo bigint, hi bigint").repartition(n)
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = duckdb.connect(db, read_only=True)
+        try:
+            for b in batches:
+                for _, r in b.iterrows():
+                    out = c.execute(
+                        f"SELECT * FROM {table} "
+                        f"WHERE {partition_col} >= ? AND {partition_col} < ?",
+                        [int(r.lo), int(r.hi)],
+                    ).df()
+                    if len(out):
+                        yield out
+        finally:
+            c.close()
+
+    return ranges.mapInPandas(scan, schema=empty.schema)
