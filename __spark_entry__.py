@@ -523,6 +523,23 @@ def _q_text_topterms(spark, sf_dir):
     return top_terms(_docs(spark, sf_dir))
 
 
+_MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+
+
+def _q_text_chunks(spark, sf_dir):
+    from yardstick_spark.llm import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), chunk_tokens=32, overlap=8)
+
+
+def _q_text_mixture(spark, sf_dir):
+    from yardstick_spark.llm import sample_mixture
+
+    return sample_mixture(
+        _docs(spark, sf_dir), rates=_MIX_RATES, default_rate=0.1
+    ).select("doc_id", "source", "n_chars")
+
+
 def _q_langid(spark, sf_dir):
     from yardstick_spark.llm import language_id
 
@@ -703,6 +720,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_gopher": _q_text_gopher,
             "text_pii": _q_text_pii,
             "text_topterms": _q_text_topterms,
+            "text_chunks": _q_text_chunks,
+            "text_mixture": _q_text_mixture,
             "mm_decode": _q_mm_decode,
             "mm_frame_sample": _q_mm_frames,
             "events_tumbling": _q_events_tumbling,
@@ -1358,6 +1377,33 @@ def oracle_sql() -> dict[str, str]:
         SELECT term, COUNT(*) AS df
         FROM (SELECT unnest(words) AS term FROM w)
         GROUP BY term ORDER BY df DESC, term LIMIT 20"""
+    o["text_chunks"] = f"""
+        WITH norm AS (SELECT doc_id, {_NORM_DOC} AS t FROM documents),
+        w AS (SELECT doc_id,
+                list_filter(string_split(t, ' '), x -> x <> '') AS words
+              FROM norm),
+        c AS (SELECT doc_id, CAST(len(words) AS INT) AS n_tokens_doc,
+                [struct_pack(cid := i - 1,
+                    txt := array_to_string(
+                      words[(i - 1) * 24 + 1 : (i - 1) * 24 + 32], ' '))
+                 for i in range(1, greatest(1, CAST(ceil(
+                     (len(words) - 8) / 24.0) AS INT)) + 1)] AS chunks
+              FROM w),
+        e AS (SELECT doc_id, n_tokens_doc, unnest(chunks) AS s FROM c)
+        SELECT doc_id, n_tokens_doc, CAST(s.cid AS INT) AS chunk_id,
+               s.txt AS chunk_text,
+               CAST(len(list_filter(string_split(s.txt, ' '),
+                    x -> x <> '')) AS INT) AS n_tokens
+        FROM e"""
+    o["text_mixture"] = """
+        SELECT doc_id, source, n_chars FROM documents
+        WHERE CAST(CONCAT('0x', SUBSTRING(
+                md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+              % 1000000
+            < CAST((CASE WHEN source = 'src0' THEN 1.0
+                         WHEN source = 'src1' THEN 0.5
+                         WHEN source = 'src2' THEN 0.25
+                         ELSE 0.1 END) * 1000000 AS BIGINT)"""
     o["mm_decode"] = """
         SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
                WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,

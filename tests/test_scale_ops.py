@@ -137,6 +137,12 @@ def test_csv_json_sources_roundtrip(spark, tmp_path):
     df.write.mode("overwrite").json(json_path)
     assert read_table(spark, csv_path, fmt="csv").count() == 100
     assert read_table(spark, json_path, fmt="json").count() == 100
+    orc_path = str(tmp_path / "t.orc")
+    df.write.mode("overwrite").orc(orc_path)
+    orc = read_table(spark, orc_path, fmt="orc")
+    assert sorted((r["id"], r["g"]) for r in orc.collect()) == [
+        (i, i % 5) for i in range(100)
+    ]
 
 
 def test_connected_components_vs_union_find(spark):

@@ -57,6 +57,53 @@ def test_pii_redact_counts_and_placeholders(spark):
     assert (out[4]["n_email"], out[4]["n_ipv4"], out[4]["n_phone"]) == (0, 0, 0)
 
 
+def test_chunk_documents_windows(spark):
+    from yardstick_spark.llm import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(1, 34))  # 33 tokens
+    rows = [(1, words), (2, "short doc"), (3, " ".join(["x"] * 8))]
+    out = chunk_documents(_docs(spark, rows), chunk_tokens=32,
+                          overlap=8).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # 33 tokens, stride 24 -> 2 chunks: [1..32], [25..33]
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    assert [r["chunk_id"] for r in c1] == [0, 1]
+    assert c1[0]["chunk_text"].split()[:2] == ["w1", "w2"]
+    assert c1[0]["n_tokens"] == 32
+    assert c1[1]["chunk_text"].split() == [f"w{i}" for i in range(25, 34)]
+    # overlap: last 8 tokens of chunk 0 = first 8 of chunk 1
+    assert c1[0]["chunk_text"].split()[-8:] == c1[1]["chunk_text"].split()[:8]
+    # short docs emit exactly one chunk, even below the overlap size
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == "short doc"
+    assert len(by_doc[3]) == 1 and by_doc[3][0]["n_tokens"] == 8
+
+
+def test_sample_mixture_deterministic_rates(spark):
+    from pyspark.sql import functions as F
+
+    from yardstick_spark.llm import sample_mixture
+
+    docs = spark.range(0, 4000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 2)).alias("source"),
+        F.lit("text").alias("text"),
+    )
+    out = sample_mixture(docs, {"src0": 1.0, "src1": 0.25})
+    counts = {r["source"]: r["n"] for r in
+              out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts["src0"] == 2000            # rate 1.0 keeps everything
+    assert 350 <= counts.get("src1", 0) <= 650   # ~25% of 2000
+    # deterministic: same seed -> identical ids; default rate 0 drops
+    a = {r["doc_id"] for r in out.collect()}
+    b = {r["doc_id"] for r in sample_mixture(
+        docs, {"src0": 1.0, "src1": 0.25}).collect()}
+    assert a == b
+    none = sample_mixture(docs, {}, default_rate=0.0)
+    assert none.count() == 0
+
+
 def test_top_terms_df_ordering(spark):
     from yardstick_spark.llm import top_terms
 

@@ -41,11 +41,13 @@ from .similarity import (  # noqa: F401
     lsh_probe_buckets_expr,
 )
 from .text import (  # noqa: F401
+    chunk_documents,
     doc_fingerprint,
     gopher_filter,
     language_id,
     pii_redact,
     quality_score,
+    sample_mixture,
     token_stats,
     top_terms,
 )

@@ -218,6 +218,72 @@ def top_terms(docs: DataFrame, text_col: str = "text",
     )
 
 
+def chunk_documents(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", chunk_tokens: int = 32,
+                    overlap: int = 8) -> DataFrame:
+    """Split each document into overlapping token windows — the
+    training-data chunking step before tokenization/packing.
+
+    Chunk i covers words [i*stride+1, i*stride+chunk_tokens] with
+    stride = chunk_tokens - overlap; the last chunk may be short but a
+    short trailing window fully contained in the previous chunk is not
+    emitted.  One posexplode per doc (n_chunks ~ n_tokens/stride rows)
+    then a slice+concat per chunk — scan-only, shuffle-free."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    norm = _NORM.format(c=text_col)
+    words = f"filter(split({norm}, ' '), t -> t <> '')"
+    n_chunks = (
+        f"greatest(1, CAST(ceil((size(__w) - {overlap}) "
+        f"/ CAST({stride} AS DOUBLE)) AS INT))"
+    )
+    return (
+        docs.select(F.col(id_col), F.expr(words).alias("__w"))
+        .select(
+            id_col,
+            F.expr("size(__w)").alias("n_tokens_doc"),
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, {n_chunks} - 1), "
+                    f"i -> concat_ws(' ', "
+                    f"slice(__w, i * {stride} + 1, {chunk_tokens})))"
+                )
+            ).alias("chunk_id", "chunk_text"),
+        )
+        .withColumn(
+            "n_tokens",
+            F.expr("size(filter(split(chunk_text, ' '), t -> t <> ''))"),
+        )
+    )
+
+
+def sample_mixture(docs: DataFrame, rates: dict[str, float],
+                   source_col: str = "source", id_col: str = "doc_id",
+                   seed: int = 42, default_rate: float = 0.0) -> DataFrame:
+    """Deterministic weighted mixture sampling across sources — the
+    dataset-mixing step of a training pipeline.  A doc survives iff
+    hash(seed, id) mod 1e6 < rate[source] * 1e6: reproducible across
+    runs, engines, and partitionings (no RNG state), and exactly
+    rate-proportional in expectation.  Scan-only filter; the md5-based
+    uniform hash matches the DuckDB oracle bit-for-bit."""
+    u = (
+        f"CAST(conv(substring(md5(concat('{seed}:', CAST({id_col} AS STRING))), "
+        f"1, 15), 16, 10) AS BIGINT) % 1000000"
+    )
+    if rates:
+        rate = "CASE " + " ".join(
+            f"WHEN {source_col} = '{s}' THEN {r!r}" for s, r in rates.items()
+        ) + f" ELSE {default_rate!r} END"
+    else:
+        rate = repr(default_rate)
+    return (
+        docs.withColumn("__u", F.expr(u))
+        .filter(F.expr(f"__u < CAST({rate} * 1000000 AS BIGINT)"))
+        .drop("__u")
+    )
+
+
 def doc_fingerprint(docs: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", window: int = 16) -> DataFrame:
     """Winnowing-style fingerprint: the minimum portable hash over each
