@@ -139,3 +139,28 @@ def test_dedup_verification_join_broadcast_policy(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_chunking_is_shuffle_free(spark):
+    from yardstick_spark.llm import chunk_documents
+    from yardstick_spark.plans import explain_str, read_schema_columns
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = chunk_documents(docs)
+    plan = explain_str(df)
+    assert "Exchange" not in plan, "chunking must not shuffle"
+    # scan reads only the two referenced columns
+    cols = read_schema_columns(df)
+    assert cols and set(cols[0]) <= {"doc_id", "text"}
+
+
+def test_mixture_filter_scans_pruned(spark):
+    from yardstick_spark.llm import sample_mixture
+    from yardstick_spark.plans import explain_str, read_schema_columns
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = sample_mixture(docs, {"src0": 0.5}).select("doc_id", "source")
+    plan = explain_str(df)
+    assert "Exchange" not in plan, "sampling is a scan-only filter"
+    cols = read_schema_columns(df)
+    assert cols and set(cols[0]) <= {"doc_id", "source"}
