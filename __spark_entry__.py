@@ -647,6 +647,14 @@ def _q_events_sliding(spark, sf_dir):
     )
 
 
+def _q_events_attribution(spark, sf_dir):
+    from yardstick_spark.sources import read_table
+    from yardstick_spark.streaming import attribution_batch
+
+    ev = read_table(spark, f"{sf_dir}/events.parquet")
+    return attribution_batch(ev, window_minutes=60)
+
+
 def _q_asof_join(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -725,6 +733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "mm_decode": _q_mm_decode,
             "mm_frame_sample": _q_mm_frames,
             "events_tumbling": _q_events_tumbling,
+            "events_attribution": _q_events_attribution,
             "events_sliding": _q_events_sliding,
             "events_sessionize": _q_events_sessionize,
             "ops_asof_join": _q_asof_join,
@@ -1456,6 +1465,15 @@ def oracle_sql() -> dict[str, str]:
                ROUND(SUM(value), 2) AS total_value
         FROM e, generate_series(0, 3) AS i(g)
         GROUP BY 1, 2"""
+    o["events_attribution"] = """
+        SELECT p.user_id AS user_id, p.event_id AS purchase_id,
+               c.event_id AS click_id,
+               ROUND(p.value, 2) AS purchase_value,
+               ROUND(c.value, 2) AS click_value
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON c.user_id = p.user_id
+         AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 60 MINUTE"""
     o["events_tumbling"] = """
         SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS bucket, event_type,
                COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value

@@ -264,3 +264,29 @@ def test_strftime_translates_c_specifiers():
     assert strftime_format_to_java("100%%") == "100%"
     with _pytest.raises(ValueError):
         strftime_format_to_java("%U")  # unsupported week-of-year
+
+
+def test_streaming_attribution_matches_batch(spark, tmp_path):
+    from yardstick_spark.sources import read_table
+    from yardstick_spark.streaming import (
+        attribution_batch,
+        attribution_stream,
+        stream_events,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    q = (
+        attribution_stream(stream_events(spark, sf), window_minutes=60)
+        .writeStream.format("memory")
+        .queryName("attr_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_attr"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(tuple(r) for r in spark.table("attr_test").collect())
+    want = sorted(tuple(r) for r in attribution_batch(
+        read_table(spark, f"{sf}/events.parquet"), window_minutes=60
+    ).collect())
+    assert got and got == want

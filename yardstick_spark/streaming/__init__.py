@@ -1,6 +1,10 @@
 """Structured Streaming operators (beyond reference parity — the
 reference has no streaming surface, SURVEY.md §2.7)."""
 
+from .joins import (  # noqa: F401
+    attribution_batch,
+    attribution_stream,
+)
 from .stateful import user_activity_stats  # noqa: F401
 from .windows import (  # noqa: F401
     sessionize_batch,
