@@ -540,6 +540,14 @@ def _q_text_mixture(spark, sf_dir):
     ).select("doc_id", "source", "n_chars")
 
 
+def _q_pipeline_curation(spark, sf_dir):
+    from yardstick_spark.llm import curation_report
+
+    return curation_report(
+        _docs(spark, sf_dir), rates=_MIX_RATES, default_rate=0.5
+    )
+
+
 def _q_langid(spark, sf_dir):
     from yardstick_spark.llm import language_id
 
@@ -729,6 +737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_pii": _q_text_pii,
             "text_topterms": _q_text_topterms,
             "text_chunks": _q_text_chunks,
+            "pipeline_curation": _q_pipeline_curation,
             "text_mixture": _q_text_mixture,
             "mm_decode": _q_mm_decode,
             "mm_frame_sample": _q_mm_frames,
@@ -1386,6 +1395,48 @@ def oracle_sql() -> dict[str, str]:
         SELECT term, COUNT(*) AS df
         FROM (SELECT unnest(words) AS term FROM w)
         GROUP BY term ORDER BY df DESC, term LIMIT 20"""
+    o["pipeline_curation"] = f"""
+        WITH norm AS (SELECT doc_id, source, n_chars, {_NORM_DOC} AS t
+                      FROM documents),
+        w AS (SELECT doc_id, source, n_chars, t,
+                list_filter(string_split(t, ' '), x -> x <> '') AS words
+              FROM norm),
+        f AS (SELECT doc_id, source, n_chars, t, words,
+                CAST(len(words) AS INT) AS n_words,
+                list_sum(list_transform(words, x -> length(x)))
+                  / CAST(greatest(len(words), 1) AS DOUBLE) AS mwl,
+                [words[i] || ' ' || words[least(i + 1, len(words))]
+                 for i in range(1, greatest(len(words) - 1, 1) + 1)]
+                  AS bigrams,
+                CAST(list_contains(words, 'the') AS INT)
+                + CAST(list_contains(words, 'and') AS INT)
+                + CAST(list_contains(words, 'of') AS INT)
+                + CAST(list_contains(words, 'to') AS INT)
+                + CAST(list_contains(words, 'is') AS INT)
+                + CAST(list_contains(words, 'in') AS INT) AS sh
+              FROM w),
+        q AS (SELECT doc_id, source, n_chars, t FROM f
+              WHERE n_words BETWEEN 15 AND 100000
+                AND ROUND(mwl, 6) BETWEEN 2.0 AND 10.0
+                AND ROUND(list_max(list_transform(list_distinct(bigrams),
+                      b -> len(list_filter(bigrams, x -> x = b))))
+                    / CAST(greatest(n_words - 1, 1) AS DOUBLE), 6) < 0.08
+                AND sh >= 1),
+        d AS (SELECT doc_id, source, n_chars,
+                MIN(doc_id) OVER (PARTITION BY md5(t)) AS keep_id
+              FROM q),
+        m AS (SELECT doc_id, source, n_chars FROM d
+              WHERE doc_id = keep_id
+                AND CAST(CONCAT('0x', SUBSTRING(
+                      md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                      AS BIGINT) % 1000000
+                    < CAST((CASE WHEN source = 'src0' THEN 1.0
+                                 WHEN source = 'src1' THEN 0.5
+                                 WHEN source = 'src2' THEN 0.25
+                                 ELSE 0.5 END) * 1000000 AS BIGINT))
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM m GROUP BY source ORDER BY source"""
     o["text_chunks"] = f"""
         WITH norm AS (SELECT doc_id, {_NORM_DOC} AS t FROM documents),
         w AS (SELECT doc_id,

@@ -40,6 +40,10 @@ from .similarity import (  # noqa: F401
     lsh_plane_dots_expr,
     lsh_probe_buckets_expr,
 )
+from .pipeline import (  # noqa: F401
+    curate_corpus,
+    curation_report,
+)
 from .text import (  # noqa: F401
     chunk_documents,
     doc_fingerprint,

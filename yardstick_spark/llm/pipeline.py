@@ -1,0 +1,57 @@
+"""End-to-end corpus curation: the canonical training-data pipeline
+composed from this package's operators —
+
+    quality filter (Gopher rules) → exact dedup (keep canonical copy)
+    → deterministic mixture sampling → per-source accounting
+
+Each stage is scan-only or one shuffle (the dedup window), so the
+composition inherits the per-operator scale properties; nothing here
+adds driver-side work.  The whole chain is SQL-expressible, so the
+DuckDB oracle reproduces it end to end (entry `pipeline_curation`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dedup import exact_dedup
+from .text import gopher_filter, sample_mixture
+
+
+def curate_corpus(docs: DataFrame, rates: dict[str, float],
+                  text_col: str = "text", id_col: str = "doc_id",
+                  source_col: str = "source", seed: int = 42,
+                  default_rate: float = 0.0,
+                  min_stop_hits: int = 1) -> DataFrame:
+    """Surviving documents after quality filter → exact dedup →
+    mixture sampling.  Returns the original doc rows (all columns) of
+    the kept set — feed to `chunk_documents` / `token_stats` next."""
+    keep_q = (
+        gopher_filter(docs, text_col, id_col, min_stop_hits=min_stop_hits)
+        .filter("keep").select(id_col)
+    )
+    filtered = docs.join(keep_q, id_col)
+    # dedup AFTER the quality filter: a surviving doc must not be
+    # dropped as a duplicate of an already-rejected one
+    keep_d = (
+        exact_dedup(filtered, text_col, id_col)
+        .filter(~F.col("is_duplicate")).select(id_col)
+    )
+    survivors = filtered.join(keep_d, id_col)
+    return sample_mixture(survivors, rates, source_col, id_col,
+                          seed=seed, default_rate=default_rate)
+
+
+def curation_report(docs: DataFrame, rates: dict[str, float],
+                    **kwargs) -> DataFrame:
+    """Per-source accounting of the curated corpus: surviving docs and
+    characters per source — the number a pipeline owner watches."""
+    kept = curate_corpus(docs, rates, **kwargs)
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("source")
+    )
