@@ -108,11 +108,10 @@ def test_knn_topk_prunes_map_side(spark):
 
 def test_dedup_verification_join_broadcast_policy(spark):
     # the corpus-sized set/signature table must never be the broadcast
-    # side unconditionally: with the measured-pair-count hint disabled
-    # (max_broadcast_pairs=0) and broadcasts off, the verification join
-    # plans as a shuffle join (the shape a billion-doc corpus needs);
-    # by default the MEASURED-small pair list is broadcast instead, so
-    # the big table stays out of the shuffle
+    # side unconditionally: by default the static plan is a shuffle
+    # join (the shape a billion-doc corpus needs; AQE broadcasts the
+    # genuinely-small side at runtime); the measured-pair-count hint
+    # and forced set broadcast remain opt-in
     from yardstick_spark.llm import minhash_lsh_pairs
     from yardstick_spark.plans import explain_str
 
@@ -125,13 +124,18 @@ def test_dedup_verification_join_broadcast_policy(spark):
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        # default: no static hint — the static plan is a shuffle join
+        # (AQE demotes to broadcast at runtime from observed sizes)
         assert "BroadcastHashJoin" not in explain_str(
-            minhash_lsh_pairs(docs, max_broadcast_pairs=0)
+            minhash_lsh_pairs(docs)
         )
-        assert "BroadcastHashJoin" in explain_str(minhash_lsh_pairs(docs))
+        # measured-pair-count hint: pair list broadcast when small
         assert "BroadcastHashJoin" in explain_str(
-            minhash_lsh_pairs(docs, broadcast_sets=True,
-                              max_broadcast_pairs=0)
+            minhash_lsh_pairs(docs, max_broadcast_pairs=5_000_000)
+        )
+        # forced set-side broadcast for known-small corpora
+        assert "BroadcastHashJoin" in explain_str(
+            minhash_lsh_pairs(docs, broadcast_sets=True)
         )
     finally:
         for k, v in saved.items():

@@ -133,7 +133,7 @@ def embedding_dedup_pairs(corpus: DataFrame, id_col: str = "vec_id",
                           vec_col: str = "embedding",
                           threshold: float = 0.4, n_planes: int = 6,
                           bands: int = 8, seed: int = 42,
-                          max_broadcast_pairs: int | None = 5_000_000
+                          max_broadcast_pairs: int | None = None
                           ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: candidates from banded
     random-hyperplane LSH buckets, verified with exact cosine and
