@@ -344,6 +344,27 @@ _MEASURE_QUERIES: dict[str, str] = {
         "OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35 "
         "AND l.l_quantity BETWEEN 20 AND 30)"
     ),
+    # windowed running total per customer (integer-cents sum so the
+    # window fold is order-independent across engines)
+    "ops_window_running": (
+        "SELECT o_custkey AS custkey, o_orderkey AS okey, "
+        "CAST(o_orderdate AS STRING) AS odate, "
+        "CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) "
+        "OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+        "ROWS UNBOUNDED PRECEDING) / 100.0 AS DOUBLE) AS running_total "
+        "FROM orders WHERE o_custkey < 100"
+    ),
+    # ordered-set aggregates (PERCENTILE_CONT normalization path)
+    "ops_percentiles": (
+        "SELECT l_returnflag, "
+        "ROUND(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY l_quantity), 4) "
+        "AS p50_qty, "
+        "ROUND(PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY l_quantity), 4) "
+        "AS p90_qty, "
+        "ROUND(MIN(l_quantity), 2) AS min_qty, "
+        "ROUND(MAX(l_quantity), 2) AS max_qty "
+        "FROM lineitem GROUP BY l_returnflag"
+    ),
     # q22-shaped: above-average balance customers with no urgent orders
     # (scalar subquery + anti-join; testdata lacks c_phone)
     "tpch_q22": (
@@ -1003,6 +1024,22 @@ def oracle_sql() -> dict[str, str]:
                AND l.l_quantity BETWEEN 10 AND 20)
            OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
                AND l.l_quantity BETWEEN 20 AND 30)"""
+    o["ops_window_running"] = """
+        SELECT o_custkey AS custkey, o_orderkey AS okey,
+               CAST(o_orderdate AS VARCHAR) AS odate,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+               OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS UNBOUNDED PRECEDING) / 100.0 AS DOUBLE) AS running_total
+        FROM orders WHERE o_custkey < 100"""
+    o["ops_percentiles"] = """
+        SELECT l_returnflag,
+               ROUND(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY l_quantity),
+                     4) AS p50_qty,
+               ROUND(PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY l_quantity),
+                     4) AS p90_qty,
+               ROUND(MIN(l_quantity), 2) AS min_qty,
+               ROUND(MAX(l_quantity), 2) AS max_qty
+        FROM lineitem GROUP BY l_returnflag"""
     o["tpch_q22"] = """
         SELECT n.n_name AS nation, COUNT(*) AS numcust,
                ROUND(SUM(c.c_acctbal), 2) AS totacctbal
