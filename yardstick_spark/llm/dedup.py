@@ -207,27 +207,48 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     # cache BEFORE repartitionByRange: its range-bounds sampling job
     # re-evaluates the child, which would re-run the explode+groupBy
     freq0 = _cache(sh.groupBy("sh").agg(F.count("*").alias("df")))
-    ranked = _cache(
-        freq0.repartitionByRange(npart, "df", "sh")
-        .withColumn("pid", F.spark_partition_id())
-        .withColumn(
-            "r",
-            F.row_number().over(Window.partitionBy("pid").orderBy("df", "sh")),
+    universe = freq0.count()
+    if universe <= 200_000:
+        # small distinct-shingle table (reference vocab, hot-vocab
+        # corpora): rank on the driver — one collect of (sh, df)
+        # replaces the range-repartition + per-partition window +
+        # partition-size collect (3 fewer jobs); the mapping is a few
+        # MB and broadcast anyway
+        order = sorted((r["df"], r["sh"]) for r in freq0.collect())
+        mapping = [(sh_, i + 1) for i, (_, sh_) in enumerate(order)]
+        freq = sh.sparkSession.createDataFrame(
+            mapping, "sh string, sid bigint"
         )
-    )
-    sizes = {row["pid"]: row["cnt"] for row in
-             ranked.groupBy("pid").agg(F.count("*").alias("cnt")).collect()}
-    offsets, acc = {}, 0
-    for pid in sorted(sizes):
-        offsets[pid] = acc
-        acc += sizes[pid]
-    # offsets as a literal lookup (one entry per partition) — no join
-    off_expr = F.element_at(
-        F.create_map(*[F.lit(x) for pid, off in offsets.items()
-                       for x in (pid, off)]),
-        F.col("pid"),
-    ) if offsets else F.lit(0)
-    freq = ranked.withColumn("sid", (F.col("r") + off_expr).cast("long"))
+    else:
+        # global rarity rank at scale, no single-partition window:
+        # range-partition by (df, sh) so partitions hold disjoint
+        # ordered slices, rank within each, add per-partition offsets
+        # (one row per partition, driver prefix sum)
+        ranked = _cache(
+            freq0.repartitionByRange(npart, "df", "sh")
+            .withColumn("pid", F.spark_partition_id())
+            .withColumn(
+                "r",
+                F.row_number().over(
+                    Window.partitionBy("pid").orderBy("df", "sh")),
+            )
+        )
+        sizes = {row["pid"]: row["cnt"] for row in
+                 ranked.groupBy("pid").agg(F.count("*").alias("cnt"))
+                 .collect()}
+        offsets, acc = {}, 0
+        for pid in sorted(sizes):
+            offsets[pid] = acc
+            acc += sizes[pid]
+        # offsets as a literal lookup (one entry per partition) — no join
+        off_expr = F.element_at(
+            F.create_map(*[F.lit(x) for pid, off in offsets.items()
+                           for x in (pid, off)]),
+            F.col("pid"),
+        ) if offsets else F.lit(0)
+        freq = ranked.withColumn(
+            "sid", (F.col("r") + off_expr).cast("long")
+        ).select("sh", "sid")
     isets = _cache(
         sh.join(F.broadcast(freq.select("sh", "sid")), "sh")
         .groupBy("id")
@@ -281,9 +302,8 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     # With a small universe the EXACT same intersection is a fixed
     # bit_count pass over dense bitmaps: sid-1 indexes a bit, common =
     # sum(bit_count(a & b)) — ~wordcount ops per pair, no per-pair
-    # allocation.  universe comes from the already-cached freq table
-    # (no extra pass); big-vocab corpora keep the sorted-array path.
-    universe = freq0.count()
+    # allocation.  universe was counted once off the cached freq
+    # table; big-vocab corpora keep the sorted-array path.
     if universe <= 4096:
         nw = (universe + 63) // 64
         bits = F.expr(
