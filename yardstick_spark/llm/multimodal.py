@@ -178,7 +178,9 @@ def synth_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 "payload": payloads,
             })
 
-    return docs.select(id_col).mapInPandas(
+    from .dedup import _spread  # single-file corpora: one split = one core
+
+    return _spread(docs.select(id_col)).mapInPandas(
         gen,
         schema="media_id BIGINT, media_type STRING, payload BINARY",
     )
