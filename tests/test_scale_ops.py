@@ -221,3 +221,34 @@ def test_embedding_dedup_pairs_subset_of_bruteforce(spark):
     }
     for r in got:
         assert exact[(r["id_a"], r["id_b"])] == r["sim"]
+
+
+def test_ivf_index_persistence_roundtrip(spark, tmp_path):
+    # build once -> save -> query the saved index; results must match
+    # the in-memory build exactly (same seed), and the probed scan must
+    # prune to the probed cell partitions
+    from yardstick_spark.llm import (
+        build_ivf_index, ivf_knn, ivf_query_index, save_ivf_index,
+    )
+    from yardstick_spark.sources import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter("vec_id < 5")
+    path = str(tmp_path / "ivf_idx")
+    assigned, centroids = build_ivf_index(emb, n_lists=8, seed=7)
+    save_ivf_index(assigned, centroids, path)
+
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], r["sim"], r["rank"])
+        for r in ivf_query_index(spark, path, q, k=5, n_probe=3).collect()
+    )
+    want = sorted(
+        (r["query_id"], r["neighbor_id"], r["sim"], r["rank"])
+        for r in ivf_knn(emb, q, k=5, n_lists=8, n_probe=3, seed=7).collect()
+    )
+    assert got == want and len(got) == 25
+    # partition layout: one directory per cell
+    import os
+    cells = [d for d in os.listdir(f"{path}/assignments")
+             if d.startswith("cell=")]
+    assert len(cells) == 8

@@ -30,7 +30,8 @@ from .multimodal import (  # noqa: F401
     write_wav,
 )
 from .ivf import (  # noqa: F401
-    build_ivf_index, ivf_knn, ivf_knn_seeded, seed_centroids,
+    build_ivf_index, ivf_knn, ivf_knn_seeded, ivf_query_index,
+    load_ivf_index, save_ivf_index, seed_centroids,
 )
 from .similarity import (  # noqa: F401
     brute_force_knn,

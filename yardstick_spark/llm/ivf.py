@@ -152,6 +152,37 @@ def ivf_knn_seeded(corpus: DataFrame, queries: DataFrame, k: int = 10,
     )
 
 
+def save_ivf_index(assigned: DataFrame, centroids: DataFrame,
+                   path: str) -> None:
+    """Persist a built IVF index: assignments parquet PARTITIONED BY
+    cell (so a probed query scans only its n_probe cell directories —
+    partition pruning does the inverted-file part), centroids as one
+    small parquet."""
+    (assigned.write.mode("overwrite").partitionBy("cell")
+     .parquet(f"{path}/assignments"))
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def load_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """(assigned, centroids) read back from `save_ivf_index` output."""
+    return (
+        spark.read.parquet(f"{path}/assignments"),
+        spark.read.parquet(f"{path}/centroids"),
+    )
+
+
+def ivf_query_index(spark, path: str, queries: DataFrame, k: int = 10,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    n_probe: int = 4) -> DataFrame:
+    """Query a PERSISTED IVF index (build once with `build_ivf_index` +
+    `save_ivf_index`, query many times — the deployment shape).  The
+    probe join is on the assignments' partition column, so Spark's
+    dynamic partition pruning restricts the scan to the probed cells."""
+    assigned, centroids = load_ivf_index(spark, path)
+    return _ivf_probe_score(assigned, centroids, queries, k,
+                            id_col, vec_col, n_probe)
+
+
 def ivf_knn(corpus: DataFrame, queries: DataFrame, k: int = 10,
             id_col: str = "vec_id", vec_col: str = "embedding",
             n_lists: int = 16, n_probe: int = 4,
@@ -160,6 +191,14 @@ def ivf_knn(corpus: DataFrame, queries: DataFrame, k: int = 10,
     assigned, centroids = build_ivf_index(
         corpus, id_col, vec_col, n_lists, seed
     )
+    return _ivf_probe_score(assigned, centroids, queries, k,
+                            id_col, vec_col, n_probe)
+
+
+def _ivf_probe_score(assigned: DataFrame, centroids: DataFrame,
+                     queries: DataFrame, k: int,
+                     id_col: str, vec_col: str,
+                     n_probe: int) -> DataFrame:
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.expr(_as_vec(vec_col)).alias("qv"),
