@@ -344,6 +344,56 @@ _MEASURE_QUERIES: dict[str, str] = {
         "OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35 "
         "AND l.l_quantity BETWEEN 20 AND 30)"
     ),
+    # q8-shaped: nation market share inside a region by year
+    # (integer-cents sums so the share is order-independent)
+    "tpch_q8": (
+        "SELECT o_year, ROUND(SUM(CASE WHEN nation = 'NATION_3' "
+        "THEN cents ELSE 0 END) / SUM(cents), 6) AS mkt_share "
+        "FROM (SELECT YEAR(o.o_orderdate) AS o_year, "
+        "CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100, 0) "
+        "AS BIGINT) AS cents, sn.n_name AS nation "
+        "FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey "
+        "JOIN customer cu ON cu.c_custkey = o.o_custkey "
+        "JOIN nation cn ON cu.c_nationkey = cn.n_nationkey "
+        "JOIN region r ON cn.n_regionkey = r.r_regionkey "
+        "JOIN supplier s ON s.s_suppkey = l.l_suppkey "
+        "JOIN nation sn ON s.s_nationkey = sn.n_nationkey "
+        "WHERE r.r_name = 'ASIA') t "
+        "GROUP BY o_year"
+    ),
+    # q13: customer order-count distribution (outer join + double agg)
+    "tpch_q13": (
+        "SELECT c_count, COUNT(*) AS custdist "
+        "FROM (SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count "
+        "FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey "
+        "AND o.o_orderpriority <> '1-URGENT' "
+        "GROUP BY c.c_custkey) t "
+        "GROUP BY c_count"
+    ),
+    # q15: top supplier by period revenue (CTE + scalar-subquery max)
+    "tpch_q15": (
+        "WITH rev AS (SELECT l_suppkey AS suppkey, "
+        "SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) "
+        "AS BIGINT)) AS total_cents "
+        "FROM lineitem "
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' "
+        "AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00' "
+        "GROUP BY l_suppkey) "
+        "SELECT s.s_suppkey AS suppkey, s.s_name AS sname, "
+        "CAST(r.total_cents / 100.0 AS DOUBLE) AS total_revenue "
+        "FROM supplier s JOIN rev r ON s.s_suppkey = r.suppkey "
+        "WHERE r.total_cents = (SELECT MAX(total_cents) FROM rev)"
+    ),
+    # q17-shaped: small-quantity-order revenue (correlated scalar
+    # subquery per part)
+    "tpch_q17": (
+        "SELECT CAST(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) "
+        "AS BIGINT)) AS DOUBLE) / 700.0 AS avg_yearly "
+        "FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey "
+        "WHERE p.p_brand = 'Brand#5' "
+        "AND l.l_quantity < (SELECT 0.5 * AVG(l2.l_quantity) "
+        "FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)"
+    ),
     # windowed running total per customer (integer-cents sum so the
     # window fold is order-independent across engines)
     "ops_window_running": (
@@ -1024,6 +1074,48 @@ def oracle_sql() -> dict[str, str]:
                AND l.l_quantity BETWEEN 10 AND 20)
            OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
                AND l.l_quantity BETWEEN 20 AND 30)"""
+    o["tpch_q8"] = """
+        SELECT o_year, ROUND(SUM(CASE WHEN nation = 'NATION_3'
+               THEN cents ELSE 0 END) / SUM(cents), 6) AS mkt_share
+        FROM (SELECT YEAR(o.o_orderdate) AS o_year,
+              CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+              AS BIGINT) AS cents, sn.n_name AS nation
+              FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+              JOIN customer cu ON cu.c_custkey = o.o_custkey
+              JOIN nation cn ON cu.c_nationkey = cn.n_nationkey
+              JOIN region r ON cn.n_regionkey = r.r_regionkey
+              JOIN supplier s ON s.s_suppkey = l.l_suppkey
+              JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+              WHERE r.r_name = 'ASIA') t
+        GROUP BY o_year"""
+    o["tpch_q13"] = """
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+              FROM customer c LEFT JOIN orders o
+              ON c.c_custkey = o.o_custkey
+              AND o.o_orderpriority <> '1-URGENT'
+              GROUP BY c.c_custkey) t
+        GROUP BY c_count"""
+    o["tpch_q15"] = """
+        WITH rev AS (SELECT l_suppkey AS suppkey,
+          SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)
+              AS BIGINT)) AS total_cents
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+          GROUP BY l_suppkey)
+        SELECT s.s_suppkey AS suppkey, s.s_name AS sname,
+               CAST(r.total_cents / 100.0 AS DOUBLE) AS total_revenue
+        FROM supplier s JOIN rev r ON s.s_suppkey = r.suppkey
+        WHERE r.total_cents = (SELECT MAX(total_cents) FROM rev)"""
+    o["tpch_q17"] = """
+        SELECT CAST(SUM(CAST(ROUND(l.l_extendedprice * 100, 0)
+               AS BIGINT)) AS DOUBLE) / 700.0 AS avg_yearly
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#5'
+        AND l.l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
+                            FROM lineitem l2
+                            WHERE l2.l_partkey = l.l_partkey)"""
     o["ops_window_running"] = """
         SELECT o_custkey AS custkey, o_orderkey AS okey,
                CAST(o_orderdate AS VARCHAR) AS odate,
