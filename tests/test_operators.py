@@ -290,3 +290,38 @@ def test_streaming_attribution_matches_batch(spark, tmp_path):
         read_table(spark, f"{sf}/events.parquet"), window_minutes=60
     ).collect())
     assert got and got == want
+
+
+def test_streaming_dedup_matches_batch(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from yardstick_spark.sources import read_table
+    from yardstick_spark.streaming import (
+        dedup_batch,
+        dedup_stream,
+        stream_events,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    # duplicate every event under a repeated key (event_id % 100) so
+    # the stream really has in-watermark repeats to drop
+    dup_key = (F.col("event_id") % 100).alias("k")
+    stream = dedup_stream(
+        stream_events(spark, sf).withColumn("k", dup_key), ["k"]
+    ).select("k")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dd"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["k"] for r in spark.table("dedup_test").collect())
+    batch = dedup_batch(
+        read_table(spark, f"{sf}/events.parquet").withColumn("k", dup_key),
+        ["k"],
+    )
+    assert got == sorted(r["k"] for r in batch.select("k").collect())
+    assert got == list(range(100))

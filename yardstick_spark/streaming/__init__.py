@@ -7,6 +7,8 @@ from .joins import (  # noqa: F401
 )
 from .stateful import user_activity_stats  # noqa: F401
 from .windows import (  # noqa: F401
+    dedup_batch,
+    dedup_stream,
     sessionize_batch,
     sessionize_stream,
     sliding_counts_batch,

@@ -162,3 +162,24 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30,
             "n_events", "session_value",
         )
     )
+
+
+def dedup_stream(events: DataFrame, key_cols: list[str] | None = None,
+                 ts_col: str = "ts",
+                 watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact deduplication: drop repeats of the same key
+    within the watermark horizon via native
+    `dropDuplicatesWithinWatermark` — state per distinct key, evicted
+    once the watermark passes, so state is O(rate x horizon) not
+    O(stream length).  The batch twin is `dropDuplicates(key_cols)`."""
+    keys = key_cols or ["event_id"]
+    return (
+        events.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(keys)
+    )
+
+
+def dedup_batch(events: DataFrame,
+                key_cols: list[str] | None = None) -> DataFrame:
+    """Batch twin of `dedup_stream`."""
+    return events.dropDuplicates(key_cols or ["event_id"])
