@@ -157,3 +157,58 @@ def test_p5_combinator_api_matches_sql(pys, spark):
     assert sorted(map(tuple, api_df.collect())) == sorted(
         map(tuple, sql_df.collect())
     )
+
+
+WORDS = st.lists(
+    st.sampled_from(["alpha", "bee", "code", "delta", "ev", "fox",
+                     "grid", "hash", "io", "jet"]),
+    min_size=1, max_size=90,
+)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(words=WORDS,
+       chunk=st.integers(min_value=4, max_value=24),
+       overlap=st.integers(min_value=0, max_value=3))
+def test_p6_chunking_reconstructs_document(spark, words, chunk, overlap):
+    # stripping the overlap from every chunk after the first and
+    # concatenating must reproduce the original token sequence exactly
+    from yardstick_spark.llm import chunk_documents
+
+    docs = spark.createDataFrame([(1, " ".join(words))],
+                                 "doc_id bigint, text string")
+    rows = sorted(
+        chunk_documents(docs, chunk_tokens=chunk, overlap=overlap).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    rebuilt = []
+    for i, r in enumerate(rows):
+        toks = r["chunk_text"].split()
+        rebuilt.extend(toks if i == 0 else toks[overlap:])
+        assert len(toks) <= chunk
+        if i < len(rows) - 1:
+            assert len(toks) == chunk, "only the last chunk may be short"
+    assert rebuilt == words
+    assert all(r["n_tokens_doc"] == len(words) for r in rows)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(r1=st.floats(min_value=0.0, max_value=1.0),
+       r2=st.floats(min_value=0.0, max_value=1.0))
+def test_p7_mixture_monotone_in_rate(spark, r1, r2):
+    # the survivor set at a lower rate is a subset of the higher-rate
+    # set (same hash, moving threshold) — reproducible downsampling
+    from pyspark.sql import functions as F
+
+    from yardstick_spark.llm import sample_mixture
+
+    lo, hi = sorted((r1, r2))
+    docs = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"), F.lit("s").alias("source"),
+        F.lit("t").alias("text"),
+    )
+    a = {r["doc_id"] for r in sample_mixture(docs, {"s": lo}).collect()}
+    b = {r["doc_id"] for r in sample_mixture(docs, {"s": hi}).collect()}
+    assert a <= b
