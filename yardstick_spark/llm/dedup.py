@@ -483,7 +483,7 @@ def simhash64(docs: DataFrame, text_col: str = "text",
     # minhash_signatures — without it Catalyst collapses the projection
     # and inlines the md5 into all 60 per-bit lambdas (60x the md5 work)
     base = f"transform({tokens}, t -> CAST({tok_hash} AS BIGINT))"
-    hashed = _cache(docs.select(
+    hashed = _cache(_spread(docs).select(
         F.col(id_col).alias("id"), F.expr(base).alias("__ys_th")
     ))
     # votes[i] = sum over tokens of (bit i set ? 1 : -1)
