@@ -210,7 +210,9 @@ def synth_gradient_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame(
                 rows, columns=["media_id", "media_type", "payload"])
 
-    return docs.select(id_col).mapInPandas(
+    from .dedup import _spread
+
+    return _spread(docs.select(id_col)).mapInPandas(
         gen, schema="media_id BIGINT, media_type STRING, payload BINARY",
     )
 
