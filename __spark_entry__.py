@@ -734,6 +734,27 @@ def _q_events_attribution(spark, sf_dir):
     return attribution_batch(ev, window_minutes=60)
 
 
+def _q_range_join(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from yardstick_spark.operators import range_join
+    from yardstick_spark.sources import read_table
+
+    ev = read_table(spark, f"{sf_dir}/events.parquet").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    win = spark.sql(
+        "SELECT CAST(w_id AS INT) AS w_id, "
+        "TIMESTAMP'2024-01-01 00:00:00' + w_id * INTERVAL 3 HOUR AS w_start, "
+        "TIMESTAMP'2024-01-01 00:00:00' + w_id * INTERVAL 3 HOUR "
+        "+ INTERVAL 45 MINUTE AS w_end "
+        "FROM (SELECT explode(sequence(0, 79)) AS w_id)"
+    )
+    return range_join(ev, win, "ts", "w_start", "w_end").select(
+        "event_id", "w_id"
+    )
+
+
 def _q_asof_join(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -817,6 +838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "events_sliding": _q_events_sliding,
             "events_sessionize": _q_events_sessionize,
             "ops_asof_join": _q_asof_join,
+            "ops_range_join": _q_range_join,
             "ops_topk_per_group": _q_topk_per_group,
         }
     )
@@ -962,6 +984,14 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, session_seq, COUNT(*) AS n_events,
                ROUND(SUM(value), 2) AS session_value
         FROM s GROUP BY user_id, session_seq"""
+    o["ops_range_join"] = """
+        WITH w AS (SELECT CAST(i AS INT) AS w_id,
+            TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL 3 HOUR AS s,
+            TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL 3 HOUR
+              + INTERVAL 45 MINUTE AS e
+          FROM range(0, 80) t(i))
+        SELECT ev.event_id, w.w_id FROM events ev
+        JOIN w ON ev.ts BETWEEN w.s AND w.e"""
     o["ops_asof_join"] = """
         SELECT p.event_id, ROUND(c.value, 2) AS last_click_value
         FROM (SELECT * FROM events WHERE event_type = 'purchase') p

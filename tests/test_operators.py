@@ -325,3 +325,44 @@ def test_streaming_dedup_matches_batch(spark, tmp_path):
     )
     assert got == sorted(r["k"] for r in batch.select("k").collect())
     assert got == list(range(100))
+
+
+def test_range_join_matches_duckdb(spark, events):
+    # global maintenance windows (45 min every 3 h) with NO equi key —
+    # the bucketized plan must equal DuckDB's native BETWEEN join
+    from pyspark.sql import functions as F
+
+    from yardstick_spark.operators import range_join
+
+    win = spark.sql("""
+        SELECT w_id, TIMESTAMP'2024-01-01 00:00:00' + w_id * INTERVAL 3 HOUR
+                 AS w_start,
+               TIMESTAMP'2024-01-01 00:00:00' + w_id * INTERVAL 3 HOUR
+                 + INTERVAL 45 MINUTE AS w_end
+        FROM (SELECT explode(sequence(0, 79)) AS w_id)
+    """)
+    got = range_join(
+        events.select("event_id", F.col("ts").cast("timestamp").alias("ts")),
+        win, "ts", "w_start", "w_end",
+    ).select("event_id", "w_id")
+    con = duckdb.connect()
+    con.sql("CREATE VIEW events AS SELECT * FROM "
+            "'/root/testdata/sf0.01/events.parquet'")
+    want = con.sql("""
+        WITH w AS (SELECT i AS w_id,
+            TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL 3 HOUR AS s,
+            TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL 3 HOUR
+              + INTERVAL 45 MINUTE AS e
+          FROM range(0, 80) t(i))
+        SELECT ev.event_id, w.w_id FROM events ev
+        JOIN w ON ev.ts BETWEEN w.s AND w.e
+    """).fetchall()
+    assert sorted(map(tuple, got.collect())) == sorted(want)
+    assert want, "windows must actually match some events"
+    # plan shape: equi-join on the bucket, not a nested loop
+    from yardstick_spark.plans import explain_str
+
+    plan = explain_str(range_join(
+        events.select("event_id", F.col("ts").cast("timestamp").alias("ts")),
+        win, "ts", "w_start", "w_end"))
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -2,5 +2,6 @@
 DataFrame primitives (SURVEY.md §7 phase 4 — beyond reference parity)."""
 
 from .asof import asof_join  # noqa: F401
+from .range_join import range_join  # noqa: F401
 from .skew import salted_join  # noqa: F401
 from .topk import top_k_per_group  # noqa: F401
