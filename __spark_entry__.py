@@ -734,6 +734,24 @@ def _q_events_attribution(spark, sf_dir):
     return attribution_batch(ev, window_minutes=60)
 
 
+def _q_events_rollup_daily(spark, sf_dir):
+    # daily continuous aggregate DERIVED FROM the hourly rollup (the
+    # oracle aggregates raw events directly — proving the two-level
+    # re-aggregation identity)
+    from pyspark.sql import functions as F
+
+    from yardstick_spark.operators import rollup_hierarchy
+    from yardstick_spark.sources import read_table
+
+    ev = read_table(spark, f"{sf_dir}/events.parquet")
+    daily = rollup_hierarchy(ev, ("hour", "day"))["day"]
+    return daily.select(
+        F.expr("CAST(bucket AS STRING)").alias("day"),
+        "event_type", "n",
+        F.expr("CAST(value_cents / 100.0 AS DOUBLE)").alias("total_value"),
+    )
+
+
 def _q_range_join(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -839,6 +857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "events_sessionize": _q_events_sessionize,
             "ops_asof_join": _q_asof_join,
             "ops_range_join": _q_range_join,
+            "events_rollup_daily": _q_events_rollup_daily,
             "ops_topk_per_group": _q_topk_per_group,
         }
     )
@@ -984,6 +1003,13 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, session_seq, COUNT(*) AS n_events,
                ROUND(SUM(value), 2) AS session_value
         FROM s GROUP BY user_id, session_seq"""
+    o["events_rollup_daily"] = """
+        SELECT CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS VARCHAR)
+                 AS day, event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0
+                    AS DOUBLE) AS total_value
+        FROM events GROUP BY 1, 2"""
     o["ops_range_join"] = """
         WITH w AS (SELECT CAST(i AS INT) AS w_id,
             TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL 3 HOUR AS s,

@@ -366,3 +366,16 @@ def test_range_join_matches_duckdb(spark, events):
         events.select("event_id", F.col("ts").cast("timestamp").alias("ts")),
         win, "ts", "w_start", "w_end"))
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rollup_hierarchy_reaggregation_identity(spark, events):
+    # daily derived from hourly must equal daily computed from raw;
+    # counts and cent-sums are algebraic so the identity is exact
+    from yardstick_spark.operators import rollup_events, rollup_hierarchy
+
+    levels = rollup_hierarchy(events, ("hour", "day"))
+    derived = sorted(map(tuple, levels["day"].collect()))
+    direct = sorted(map(tuple, rollup_events(events, "day").collect()))
+    assert derived == direct and derived
+    # hour level is strictly finer
+    assert levels["hour"].count() > levels["day"].count()

@@ -3,5 +3,10 @@ DataFrame primitives (SURVEY.md §7 phase 4 — beyond reference parity)."""
 
 from .asof import asof_join  # noqa: F401
 from .range_join import range_join  # noqa: F401
+from .rollup_hier import (  # noqa: F401
+    rollup_coarser,
+    rollup_events,
+    rollup_hierarchy,
+)
 from .skew import salted_join  # noqa: F401
 from .topk import top_k_per_group  # noqa: F401
