@@ -212,3 +212,44 @@ def test_p7_mixture_monotone_in_rate(spark, r1, r2):
     a = {r["doc_id"] for r in sample_mixture(docs, {"s": lo}).collect()}
     b = {r["doc_id"] for r in sample_mixture(docs, {"s": hi}).collect()}
     assert a <= b
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    pts=st.lists(st.integers(min_value=0, max_value=5000),
+                 min_size=1, max_size=40),
+    ivs=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=5000),
+                  st.integers(min_value=0, max_value=600)),
+        min_size=1, max_size=15),
+    bucket=st.sampled_from([60, 300, 3600]),
+)
+def test_p8_range_join_equals_naive(spark, pts, ivs, bucket):
+    # the bucketized plan must produce exactly the naive
+    # cross-join-and-filter result for any bucket width
+    from pyspark.sql import functions as F
+
+    from yardstick_spark.operators import range_join
+
+    base = "2024-01-01 00:00:00"
+    points = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(pts)], "pid bigint, off bigint"
+    ).select("pid", F.expr(
+        f"timestamp'{base}' + off * INTERVAL 1 SECOND").alias("ts"))
+    intervals = spark.createDataFrame(
+        [(i, s, s + d) for i, (s, d) in enumerate(ivs)],
+        "iid bigint, s bigint, e bigint",
+    ).select("iid", F.expr(
+        f"timestamp'{base}' + s * INTERVAL 1 SECOND").alias("w_s"),
+        F.expr(f"timestamp'{base}' + e * INTERVAL 1 SECOND").alias("w_e"))
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in range_join(points, intervals, "ts", "w_s", "w_e",
+                            bucket_seconds=bucket).collect()
+    )
+    want = sorted(
+        (pi, i) for pi, p in enumerate(pts) for i, (s, d) in enumerate(ivs)
+        if s <= p <= s + d
+    )
+    assert got == want
