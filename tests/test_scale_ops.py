@@ -252,3 +252,10 @@ def test_ivf_index_persistence_roundtrip(spark, tmp_path):
     cells = [d for d in os.listdir(f"{path}/assignments")
              if d.startswith("cell=")]
     assert len(cells) == 8
+    # the probe join runs on the partition column, so the assignments
+    # scan must carry a dynamic partition pruning filter — only the
+    # probed cell directories are read
+    from yardstick_spark.plans import explain_str
+
+    plan = explain_str(ivf_query_index(spark, path, q, k=5, n_probe=3))
+    assert "dynamicpruning" in plan.lower(), "probe scan must prune cells"
