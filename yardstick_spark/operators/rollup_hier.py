@@ -7,7 +7,7 @@ level); every coarser level re-aggregates the previous level — input
 size drops by the granularity ratio at each step, so a
 minute→hour→day→month chain costs raw + raw/60 + raw/1440 + … ≈ one
 raw pass total.  Correct for the algebraic aggregates kept here
-(count, sum — value sums carried as integer cents, so two-stage
+(count, sum, min, max — values carried as integer cents, so two-stage
 summation is bit-identical to direct aggregation; the oracle checks
 exactly that identity).  Non-algebraic aggregates (distinct counts,
 percentiles) would need sketches (HLL / t-digest) carried per bucket.
@@ -32,6 +32,12 @@ def rollup_events(events: DataFrame, granularity: str = "hour",
             F.sum(F.expr(
                 "CAST(ROUND(value * 100, 0) AS BIGINT)"
             )).alias("value_cents"),
+            F.min(F.expr(
+                "CAST(ROUND(value * 100, 0) AS BIGINT)"
+            )).alias("min_cents"),
+            F.max(F.expr(
+                "CAST(ROUND(value * 100, 0) AS BIGINT)"
+            )).alias("max_cents"),
         )
     )
 
@@ -48,6 +54,8 @@ def rollup_coarser(finer: DataFrame, granularity: str) -> DataFrame:
         .agg(
             F.sum("n").alias("n"),
             F.sum("value_cents").alias("value_cents"),
+            F.min("min_cents").alias("min_cents"),
+            F.max("max_cents").alias("max_cents"),
         )
     )
 
