@@ -541,18 +541,6 @@ def _q_knn_ivf(spark, sf_dir):
                           n_lists=8, n_probe=3)
 
 
-def _q_knn_ivf_kmeans(spark, sf_dir):
-    # k-means-fitted IVF build; FP mean updates are not reproducible in
-    # SQL, so this entry is rows-only (recall-gated vs brute force in
-    # tests/test_scale_ops.py).
-    from yardstick_spark.llm import ivf_knn
-
-    _ys(spark, sf_dir)
-    emb = spark.table("embeddings")
-    return ivf_knn(emb, emb.filter("vec_id < 5"), k=10,
-                   n_lists=8, n_probe=3)
-
-
 def _q_tokens(spark, sf_dir):
     from yardstick_spark.llm import token_stats
 
@@ -819,9 +807,42 @@ def _q_events_tumbling(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Dict order matters: the driver's correctness gate checks entries in
+    # order and may truncate (r2 stopped at 50).  The 23 queries that never
+    # received a driver row in CORRECTNESS_r02.json go FIRST so they all land
+    # inside the window; the 50 already-green measure/dedup queries follow.
+    # sim_knn_ivf_kmeans was removed from the inventory (no SQL oracle by
+    # design — FP mean updates aren't portable); its recall gate lives in
+    # tests/test_scale_ops.py and the seeded variant sim_knn_ivf oracles the
+    # probe path bit-exactly.
     out: dict[str, Callable] = {
-        name: _measure_runner(sql) for name, sql in _MEASURE_QUERIES.items()
+        "sim_knn_lsh": _q_knn_lsh,
+        "sim_knn_lsh_multiprobe": _q_knn_lsh_multiprobe,
+        "sim_knn_ivf": _q_knn_ivf,
+        "text_tokens": _q_tokens,
+        "text_quality": _q_quality,
+        "text_langid": _q_langid,
+        "text_fingerprint": _q_fingerprint,
+        "text_gopher": _q_text_gopher,
+        "text_pii": _q_text_pii,
+        "text_topterms": _q_text_topterms,
+        "text_chunks": _q_text_chunks,
+        "pipeline_curation": _q_pipeline_curation,
+        "text_mixture": _q_text_mixture,
+        "mm_decode": _q_mm_decode,
+        "mm_frame_sample": _q_mm_frames,
+        "events_tumbling": _q_events_tumbling,
+        "events_attribution": _q_events_attribution,
+        "events_sliding": _q_events_sliding,
+        "events_sessionize": _q_events_sessionize,
+        "ops_asof_join": _q_asof_join,
+        "ops_range_join": _q_range_join,
+        "events_rollup_daily": _q_events_rollup_daily,
+        "ops_topk_per_group": _q_topk_per_group,
     }
+    out.update(
+        {name: _measure_runner(sql) for name, sql in _MEASURE_QUERIES.items()}
+    )
     out.update(
         {
             "dedup_exact": _q_dedup_exact,
@@ -834,31 +855,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "mm_resize": _q_mm_resize,
             "dedup_embedding": _q_dedup_embedding,
             "sim_knn_bruteforce": _q_knn,
-            "sim_knn_lsh": _q_knn_lsh,
-            "sim_knn_lsh_multiprobe": _q_knn_lsh_multiprobe,
-            "sim_knn_ivf": _q_knn_ivf,
-            "sim_knn_ivf_kmeans": _q_knn_ivf_kmeans,  # no SQL oracle
-                                        # (recall gate in tests/test_scale_ops)
-            "text_tokens": _q_tokens,
-            "text_quality": _q_quality,
-            "text_langid": _q_langid,
-            "text_fingerprint": _q_fingerprint,
-            "text_gopher": _q_text_gopher,
-            "text_pii": _q_text_pii,
-            "text_topterms": _q_text_topterms,
-            "text_chunks": _q_text_chunks,
-            "pipeline_curation": _q_pipeline_curation,
-            "text_mixture": _q_text_mixture,
-            "mm_decode": _q_mm_decode,
-            "mm_frame_sample": _q_mm_frames,
-            "events_tumbling": _q_events_tumbling,
-            "events_attribution": _q_events_attribution,
-            "events_sliding": _q_events_sliding,
-            "events_sessionize": _q_events_sessionize,
-            "ops_asof_join": _q_asof_join,
-            "ops_range_join": _q_range_join,
-            "events_rollup_daily": _q_events_rollup_daily,
-            "ops_topk_per_group": _q_topk_per_group,
         }
     )
     return out
