@@ -67,7 +67,20 @@ def main() -> None:
                .selectExpr("id", "array(CAST(id AS DOUBLE), 1D) AS arr")
                .withColumn("features", array_to_vector("arr")))
         KMeans(k=2, seed=1, maxIter=1, initMode="random").fit(toy)
-        toy.select("id").mapInPandas(lambda it: it, schema="id BIGINT").count()
+        # pre-fork the Arrow python worker pool at full parallelism and
+        # 3-deep chain depth (the deepest mapInPandas pipeline in the
+        # inventory): each forked worker pays a one-time numpy/pandas
+        # import (~0.5-1 s) that a long-lived cluster pays once, not in
+        # the first timed media query
+        def _imp(it):
+            import numpy  # noqa: F401
+            import pandas  # noqa: F401
+            yield from it
+
+        warm = spark.range(10_000).repartition(int(cpus))
+        for _ in range(3):
+            warm = warm.mapInPandas(_imp, schema="id BIGINT")
+        warm.count()
     except Exception:  # noqa: BLE001
         pass
 

@@ -54,6 +54,78 @@ DECODED_SCHEMA = StructType([
 ])
 
 
+def _spread_media(df: DataFrame, bytes_per_part: int = 8 << 20) -> DataFrame:
+    """Partitioning for Arrow decode chains: ~8 MB of scan input per
+    partition, capped at defaultParallelism.
+
+    Unlike the SQL-chain `_spread` (always full parallelism), every
+    mapInPandas level pays a per-task Python-runner handshake that is
+    partly serialized through the worker daemon, so a kilobyte-scale
+    corpus fanned out to 32 tasks is pure overhead (measured 1.6 s ->
+    0.45 s for a 3-level chain at 5000 rows).  The size estimate comes
+    from the scan's file metadata on the driver — no Spark job; inputs
+    that aren't local-file-backed (mid-pipeline, remote FS) fall back
+    to `_spread`'s full-parallelism behavior, so at cluster scale this
+    never down-partitions real data."""
+    import os
+
+    sc = df.sparkSession.sparkContext
+    cores = sc.defaultParallelism
+    target = cores
+    try:
+        total = 0
+        for f in df.inputFiles():
+            p = f.removeprefix("file:")
+            if not p.startswith("/"):
+                total = 0
+                break
+            total += os.path.getsize(p)
+        if total > 0:
+            target = min(cores, 1 + total // bytes_per_part)
+    except Exception:  # noqa: BLE001
+        pass
+    if target < cores:
+        return df.coalesce(int(target))  # no shuffle; tiny input
+    from .dedup import _spread
+
+    return _spread(df)
+
+
+def _chunk_means(flat, lengths, n: int):
+    """Batched np.array_split-compatible chunk means.
+
+    `flat` is the concatenation of every row's values, `lengths` the
+    per-row element counts; returns an (R, n) float64 array where row i
+    holds the means of np.array_split(row_i, n) (empty chunks -> 0.0).
+    One np.add.reduceat over the stacked values replaces the per-row
+    split/mean loop (the round-3 vectorization of the decode path)."""
+    import numpy as np
+
+    lengths = np.asarray(lengths, dtype=np.int64)
+    rows = lengths.size
+    if rows == 0:
+        return np.zeros((0, n))
+    offs = np.zeros(rows, dtype=np.int64)
+    if rows > 1:
+        np.cumsum(lengths[:-1], out=offs[1:])
+    base, rem = lengths // n, lengths % n
+    j = np.arange(n, dtype=np.int64)
+    # np.array_split: first (L % n) chunks get L//n + 1 elements
+    starts = offs[:, None] + j[None, :] * base[:, None] \
+        + np.minimum(j[None, :], rem[:, None])
+    sizes = base[:, None] + (j[None, :] < rem[:, None])
+    idx = starts.ravel()
+    if flat.size == 0:
+        return np.zeros((rows, n))
+    # reduceat needs indices < len; empty segments (incl. clamped
+    # trailing ones) are masked out via sizes == 0 below
+    sums = np.add.reduceat(flat, np.minimum(idx, flat.size - 1))
+    sizes_f = sizes.ravel().astype(np.float64)
+    means = np.divide(sums, sizes_f, out=np.zeros_like(sizes_f),
+                      where=sizes_f > 0)
+    return means.reshape(rows, n)
+
+
 def attach_media_column(docs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text") -> DataFrame:
     """Build a media table from the documents fixture: the text bytes act
@@ -148,41 +220,54 @@ def parse_wav(payload: bytes):
     return data
 
 
+# hex-string building blocks for JVM-side payload synthesis: a byte is
+# lpad(hex(..), 2, '0'); multi-byte little-endian fields are the bytes
+# concatenated low-to-high.  hex(<string>) is the hex of its UTF-8
+# bytes, so headers come straight from string literals.
+_B = "lpad(hex(pmod({v}, 256)), 2, '0')"
+
+
+def _le_hex(expr: str, nbytes: int) -> str:
+    """Hex of `expr` as an nbytes little-endian unsigned integer."""
+    parts = [_B.format(v=f"({expr}) DIV {256 ** i}") for i in range(nbytes)]
+    return "concat(" + ", ".join(parts) + ")"
+
+
 def synth_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Round-trippable media payloads derived from doc ids alone: even
     ids become solid-color PPM images, odd ids constant-sample WAV
     audio.  Every decoded property is an analytic function of the id,
     so a SQL oracle can verify the full encode->decode path without
-    parsing binaries itself."""
+    parsing binaries itself.
 
-    def gen(batches: Iterator) -> Iterator:
-        import numpy as np
-        import pandas as pd
-
-        for pdf in batches:
-            payloads, kinds = [], []
-            for i in pdf[id_col].astype("int64"):
-                if i % 2 == 0:
-                    w, h, v = int(i % 13 + 3), int(i % 7 + 2), int(i % 251)
-                    payloads.append(write_ppm(w, h, bytes([v]) * (w * h * 3)))
-                    kinds.append("image")
-                else:
-                    n, s = int(i % 50 + 10), int(i % 1000 - 500)
-                    payloads.append(
-                        write_wav(np.full(n, s, dtype=np.int16))
-                    )
-                    kinds.append("audio")
-            yield pd.DataFrame({
-                "media_id": pdf[id_col],
-                "media_type": kinds,
-                "payload": payloads,
-            })
-
-    from .dedup import _spread  # single-file corpora: one split = one core
-
-    return _spread(docs.select(id_col)).mapInPandas(
-        gen,
-        schema="media_id BIGINT, media_type STRING, payload BINARY",
+    Payload bytes are assembled JVM-side as a hex string (header via
+    hex(<literal>), samples via repeat) and one to_binary() — the
+    whole synth stage stays inside whole-stage codegen with no Python
+    worker, so decode chains built on it pay exactly one Arrow hop.
+    Byte layout matches write_ppm/write_wav bit-for-bit (round-trip
+    asserted in tests/test_operators.py)."""
+    i = f"CAST({id_col} AS BIGINT)"
+    w, h, v = f"({i} % 13 + 3)", f"({i} % 7 + 2)", f"({i} % 251)"
+    ppm_hex = (
+        f"concat(hex(concat('P6\\n', {w}, ' ', {h}, '\\n255\\n')), "
+        f"repeat(lpad(hex({v}), 2, '0'), CAST({w} * {h} * 3 AS INT)))"
+    )
+    # WAV (RIFF little-endian): the fmt chunk for mono 16-bit PCM
+    # @16 kHz is a constant (rates 16000=0x3E80, 32000=0x7D00); data is
+    # n copies of the two's-complement little-endian sample
+    n, s = f"({i} % 50 + 10)", f"({i} % 1000 - 500)"
+    fmt_hex = ("concat(hex('fmt '), '10000000', '0100', '0100', "
+               "'803E0000', '007D0000', '0200', '1000')")
+    wav_hex = (
+        f"concat(hex('RIFF'), {_le_hex(f'36 + 2 * {n}', 4)}, hex('WAVE'), "
+        f"{fmt_hex}, hex('data'), {_le_hex(f'2 * {n}', 4)}, "
+        f"repeat({_le_hex(f'pmod({s}, 65536)', 2)}, CAST({n} AS INT)))"
+    )
+    return _spread_media(docs.select(id_col)).select(
+        F.expr(i).alias("media_id"),
+        F.expr(f"IF({i} % 2 = 0, 'image', 'audio')").alias("media_type"),
+        F.expr(f"to_binary(IF({i} % 2 = 0, {ppm_hex}, {wav_hex}), 'hex')"
+               ).alias("payload"),
     )
 
 
@@ -191,29 +276,26 @@ def synth_gradient_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     % 251 on all three channels — unlike `synth_media`'s solid colors,
     resampling a gradient moves the mean, so a SQL oracle can verify
     the actual nearest-neighbor index math of `resize_media`, not just
-    the plumbing."""
+    the plumbing.
 
-    def gen(batches: Iterator) -> Iterator:
-        import numpy as np
-        import pandas as pd
-
-        for pdf in batches:
-            rows = []
-            for i in pdf[id_col].astype("int64"):
-                w, h = int(i % 13 + 3), int(i % 7 + 2)
-                x = np.arange(w, dtype=np.int64)
-                y = np.arange(h, dtype=np.int64)
-                v = ((x[None, :] + y[:, None] * w + int(i)) % 251
-                     ).astype(np.uint8)
-                rgb = np.repeat(v[:, :, None], 3, axis=2).tobytes()
-                rows.append((int(i), "image", write_ppm(w, h, rgb)))
-            yield pd.DataFrame(
-                rows, columns=["media_id", "media_type", "payload"])
-
-    from .dedup import _spread
-
-    return _spread(docs.select(id_col)).mapInPandas(
-        gen, schema="media_id BIGINT, media_type STRING, payload BINARY",
+    Like `synth_media`, the payload is built JVM-side: one transform()
+    over the pixel sequence emits per-pixel hex, one to_binary()
+    finishes — no Python worker in the synth stage."""
+    i = f"CAST({id_col} AS BIGINT)"
+    w, h = f"({i} % 13 + 3)", f"({i} % 7 + 2)"
+    # row-major pixel p = y*w + x, so v(p) = (p + id) % 251, RGB = 3x
+    body_hex = (
+        f"concat_ws('', transform(sequence(0, {w} * {h} - 1), "
+        f"p -> repeat(lpad(hex(pmod(p + {i}, 251)), 2, '0'), 3)))"
+    )
+    ppm_hex = (
+        f"concat(hex(concat('P6\\n', {w}, ' ', {h}, '\\n255\\n')), "
+        f"{body_hex})"
+    )
+    return _spread_media(docs.select(id_col)).select(
+        F.expr(i).alias("media_id"),
+        F.lit("image").alias("media_type"),
+        F.expr(f"to_binary({ppm_hex}, 'hex')").alias("payload"),
     )
 
 
@@ -235,23 +317,39 @@ def resize_media(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
-            rows = []
-            for mid, mtype, payload in zip(
-                    pdf["media_id"], pdf["media_type"], pdf["payload"]):
+            # group payloads by source (w, h) and resample each group as
+            # one stacked (g, h, w, 3) gather — the NN index maps depend
+            # only on the source shape, so same-shape images share one
+            # vectorized fancy-index instead of a per-row resize
+            n_rows = len(pdf)
+            out_payload = [None] * n_rows
+            out_wh = [(None, None)] * n_rows
+            groups: dict = {}
+            for pos, payload in enumerate(pdf["payload"]):
                 b = bytes(payload or b"")
                 if b[:2] == b"P6":
                     w, h, arr = parse_ppm(b)
-                    img = arr.reshape(h, w, 3)
-                    ys = (np.arange(out_h, dtype=np.int64) * h) // out_h
-                    xs = (np.arange(out_w, dtype=np.int64) * w) // out_w
-                    out = img[ys[:, None], xs[None, :], :]
-                    rows.append((mid, mtype,
-                                 write_ppm(out_w, out_h, out.tobytes()),
-                                 out_w, out_h))
+                    groups.setdefault((w, h), []).append((pos, arr))
                 else:
-                    rows.append((mid, mtype, b, None, None))
-            yield pd.DataFrame(rows, columns=[
-                "media_id", "media_type", "payload", "width", "height"])
+                    out_payload[pos] = b
+            header = b"P6\n%d %d\n255\n" % (out_w, out_h)
+            for (w, h), members in groups.items():
+                imgs = np.stack([a for _, a in members]).reshape(
+                    len(members), h, w, 3)
+                ys = (np.arange(out_h, dtype=np.int64) * h) // out_h
+                xs = (np.arange(out_w, dtype=np.int64) * w) // out_w
+                out = imgs[:, ys[:, None], xs[None, :], :].reshape(
+                    len(members), -1)
+                for (pos, _), flat in zip(members, out):
+                    out_payload[pos] = header + flat.tobytes()
+                    out_wh[pos] = (out_w, out_h)
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "media_type": pdf["media_type"],
+                "payload": out_payload,
+                "width": pd.array([p[0] for p in out_wh], dtype="Int32"),
+                "height": pd.array([p[1] for p in out_wh], dtype="Int32"),
+            })
 
     return media.mapInPandas(
         rz,
@@ -277,31 +375,44 @@ def decode_media(media: DataFrame, n_features: int = 8,
             import pandas as pd
 
             for pdf in batches:
-                rows = []
-                for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                # header parse is per-row (tiny regex/struct over a few
+                # bytes); payload featurization is batched: one
+                # concatenated array + reduceat across the whole batch
+                kinds, widths, heights, norms = [], [], [], []
+                for payload in pdf["payload"]:
                     b = bytes(payload or b"")
                     if b[:2] == b"P6":
                         w, h, arr = parse_ppm(b)
-                        norm = arr.astype(np.float64) / 255.0
-                        kind, width, height = "ppm", w, h
+                        norms.append(arr.astype(np.float64) / 255.0)
+                        kinds.append("ppm")
+                        widths.append(w)
+                        heights.append(h)
                     elif b[:4] == b"RIFF":
                         pcm = parse_wav(b)
-                        norm = np.abs(pcm.astype(np.float64) / 32768.0)
-                        kind, width, height = "wav", None, None
+                        norms.append(
+                            np.abs(pcm.astype(np.float64)) / 32768.0)
+                        kinds.append("wav")
+                        widths.append(None)
+                        heights.append(None)
                     else:
                         raise ValueError(
                             "unsupported payload (PPM P6 or PCM WAV only); "
                             "use fake=True for opaque formats"
                         )
-                    chunks = np.array_split(norm, n_features)
-                    rows.append((
-                        mid, kind, width, height, int(norm.size),
-                        float(norm.mean()) if norm.size else 0.0,
-                        [float(c.mean()) if c.size else 0.0 for c in chunks],
-                    ))
-                yield pd.DataFrame(
-                    rows, columns=[f.name for f in REAL_DECODED_SCHEMA]
-                )
+                lengths = np.array([v.size for v in norms], dtype=np.int64)
+                flat = (np.concatenate(norms) if norms
+                        else np.zeros(0))
+                totals = _chunk_means(flat, lengths, 1)[:, 0]
+                feats = _chunk_means(flat, lengths, n_features)
+                yield pd.DataFrame({
+                    "media_id": pdf["media_id"],
+                    "kind": kinds,
+                    "width": pd.array(widths, dtype="Int32"),
+                    "height": pd.array(heights, dtype="Int32"),
+                    "n_samples": lengths,
+                    "mean_val": totals,
+                    "features": list(feats),
+                })
 
         return media.mapInPandas(decode_real, schema=REAL_DECODED_SCHEMA)
 
@@ -310,24 +421,21 @@ def decode_media(media: DataFrame, n_features: int = 8,
         import pandas as pd
 
         for pdf in batches:
-            feats = []
-            for payload in pdf["payload"]:
-                arr = np.frombuffer(payload or b"", dtype=np.uint8)
-                if arr.size == 0:
-                    feats.append([0.0] * n_features)
-                    continue
-                # deterministic fake "embedding": mean byte value per
-                # n_features equal-width chunks, scaled to [0, 1]
-                chunks = np.array_split(arr.astype(np.float64), n_features)
-                feats.append([
-                    round(float(c.mean()) / 255.0, 6) if c.size else 0.0
-                    for c in chunks
-                ])
+            # deterministic fake "embedding": mean byte value per
+            # n_features equal-width chunks, scaled to [0, 1] —
+            # computed for the whole Arrow batch in one stacked
+            # reduceat pass instead of a per-payload split loop
+            payloads = [bytes(b or b"") for b in pdf["payload"]]
+            lengths = np.array([len(b) for b in payloads], dtype=np.int64)
+            flat = np.frombuffer(b"".join(payloads), dtype=np.uint8
+                                 ).astype(np.float64)
+            feats = _chunk_means(flat, lengths, n_features)
+            feats = np.round(feats / 255.0, 6)
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "media_type": pdf["media_type"],
-                "n_bytes": pdf["payload"].map(lambda b: len(b or b"")),
-                "features": feats,
+                "n_bytes": lengths,
+                "features": list(feats),
             })
 
     return media.mapInPandas(decode, schema=DECODED_SCHEMA)
