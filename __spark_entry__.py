@@ -499,7 +499,10 @@ def _q_dedup_embedding(spark, sf_dir):
     from yardstick_spark.llm import embedding_dedup_pairs
 
     _ys(spark, sf_dir)
-    return embedding_dedup_pairs(spark.table("embeddings"), threshold=0.4)
+    # dim=64 is a documented property of the embeddings fixture (the
+    # oracle hardcodes the same); passing it skips the probe job
+    return embedding_dedup_pairs(spark.table("embeddings"), threshold=0.4,
+                                 dim=64)
 
 
 def _q_knn(spark, sf_dir):

@@ -25,6 +25,8 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, functions as F
+
+from .dedup import _spread_by_bytes
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -52,43 +54,6 @@ DECODED_SCHEMA = StructType([
     StructField("n_bytes", LongType()),
     StructField("features", ArrayType(DoubleType())),
 ])
-
-
-def _spread_media(df: DataFrame, bytes_per_part: int = 8 << 20) -> DataFrame:
-    """Partitioning for Arrow decode chains: ~8 MB of scan input per
-    partition, capped at defaultParallelism.
-
-    Unlike the SQL-chain `_spread` (always full parallelism), every
-    mapInPandas level pays a per-task Python-runner handshake that is
-    partly serialized through the worker daemon, so a kilobyte-scale
-    corpus fanned out to 32 tasks is pure overhead (measured 1.6 s ->
-    0.45 s for a 3-level chain at 5000 rows).  The size estimate comes
-    from the scan's file metadata on the driver — no Spark job; inputs
-    that aren't local-file-backed (mid-pipeline, remote FS) fall back
-    to `_spread`'s full-parallelism behavior, so at cluster scale this
-    never down-partitions real data."""
-    import os
-
-    sc = df.sparkSession.sparkContext
-    cores = sc.defaultParallelism
-    target = cores
-    try:
-        total = 0
-        for f in df.inputFiles():
-            p = f.removeprefix("file:")
-            if not p.startswith("/"):
-                total = 0
-                break
-            total += os.path.getsize(p)
-        if total > 0:
-            target = min(cores, 1 + total // bytes_per_part)
-    except Exception:  # noqa: BLE001
-        pass
-    if target < cores:
-        return df.coalesce(int(target))  # no shuffle; tiny input
-    from .dedup import _spread
-
-    return _spread(df)
 
 
 def _chunk_means(flat, lengths, n: int):
@@ -263,7 +228,7 @@ def synth_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         f"{fmt_hex}, hex('data'), {_le_hex(f'2 * {n}', 4)}, "
         f"repeat({_le_hex(f'pmod({s}, 65536)', 2)}, CAST({n} AS INT)))"
     )
-    return _spread_media(docs.select(id_col)).select(
+    return _spread_by_bytes(docs.select(id_col)).select(
         F.expr(i).alias("media_id"),
         F.expr(f"IF({i} % 2 = 0, 'image', 'audio')").alias("media_type"),
         F.expr(f"to_binary(IF({i} % 2 = 0, {ppm_hex}, {wav_hex}), 'hex')"
@@ -292,7 +257,7 @@ def synth_gradient_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         f"concat(hex(concat('P6\\n', {w}, ' ', {h}, '\\n255\\n')), "
         f"{body_hex})"
     )
-    return _spread_media(docs.select(id_col)).select(
+    return _spread_by_bytes(docs.select(id_col)).select(
         F.expr(i).alias("media_id"),
         F.lit("image").alias("media_type"),
         F.expr(f"to_binary({ppm_hex}, 'hex')").alias("payload"),

@@ -18,6 +18,8 @@ tests/test_plans.py).
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 
@@ -92,6 +94,61 @@ def lsh_plane_dots_expr(vec_col: str, dim: int, n_planes: int = 8,
     )
 
 
+def _band_buckets_udf(n_planes: int, bands: int, seed: int):
+    """Arrow-vectorized UDF computing all `bands` LSH bucket ids per
+    vector in one numpy pass — bit-identical to stacking
+    `lsh_bucket_expr` per band (same md5-parity signs, same sequential
+    left-fold summation order, same `dot > 0` bit rule).
+
+    Dense sign-matrix products are the one place numpy beats the SQL
+    expression route here: the literal-planes form costs seconds of
+    driver analysis + Janino codegen per session (8 bands x 6 planes
+    x dim literal nodes), while this UDF is a (batch, dim) @ (dim,
+    48) product with per-worker-cached signs.  Per-partition,
+    Arrow-batched, embarrassingly parallel — the hot path stays
+    vectorized at any corpus size."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<bigint>")
+    def buckets(vs: pd.Series) -> pd.Series:
+        import hashlib
+
+        import numpy as np
+
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.vstack(vs.to_numpy()).astype(np.float64)
+        dim = mat.shape[1]
+        key = (dim, n_planes, bands, seed)
+        S = _SIGN_CACHE.get(key)
+        if S is None:
+            S = np.empty((dim, bands * n_planes))
+            for b in range(bands):
+                for p in range(n_planes):
+                    for i in range(dim):
+                        h = hashlib.md5(
+                            f"{seed + 1000 * b}:{p}:{i}".encode()
+                        ).hexdigest()
+                        S[i, b * n_planes + p] = (
+                            1.0 if int(h[:15], 16) & 1 else -1.0)
+            _SIGN_CACHE[key] = S
+        # sequential left fold over dimensions — matches the SQL
+        # aggregate() order the oracles replicate, so near-zero dots
+        # keep the same sign bit
+        dots = np.zeros((mat.shape[0], bands * n_planes))
+        for i in range(dim):
+            dots += mat[:, i:i + 1] * S[i:i + 1, :]
+        bits = (dots > 0).reshape(-1, bands, n_planes)
+        weights = 1 << np.arange(n_planes, dtype=np.int64)
+        out = (bits * weights).sum(axis=2).astype(np.int64)
+        return pd.Series(list(out))
+
+    return buckets
+
+
+_SIGN_CACHE: dict = {}
+
+
 def _dots_to_bucket(dots: str, n_planes: int) -> str:
     return (
         f"aggregate(zip_with({dots}, sequence(0, {n_planes - 1}), "
@@ -133,8 +190,8 @@ def embedding_dedup_pairs(corpus: DataFrame, id_col: str = "vec_id",
                           vec_col: str = "embedding",
                           threshold: float = 0.4, n_planes: int = 6,
                           bands: int = 8, seed: int = 42,
-                          max_broadcast_pairs: int | None = None
-                          ) -> DataFrame:
+                          max_broadcast_pairs: int | None = None,
+                          dim: int | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: candidates from banded
     random-hyperplane LSH buckets, verified with exact cosine and
     thresholded.  Returns (id_a, id_b, sim) with id_a < id_b.
@@ -147,18 +204,18 @@ def embedding_dedup_pairs(corpus: DataFrame, id_col: str = "vec_id",
     shuffle volume is bands * n rows.  Feed the output to
     `dedup_assign` for per-document keep/drop verdicts.
     """
-    dim = corpus.select(F.size(vec_col).alias("d")).limit(1).first()["d"]
-    buckets = F.array(*[
-        F.expr(lsh_bucket_expr(vec_col, dim, n_planes, seed + 1000 * b))
-        for b in range(bands)
-    ])
+    del dim  # signs adapt to size(vec) inside the UDF; kept for API compat
+    buckets = _band_buckets_udf(n_planes, bands, seed)(F.col(vec_col))
     # bucket rows carry only (id, band, bucket): vectors stay out of the
     # candidate shuffle and are joined back once per distinct pair.
-    # localCheckpoint materializes the tiny bucket table ONCE — the
-    # bucket expression embeds bands*n_planes*dim plane-weight literals,
-    # and without the barrier both sides of the self-join (plus the
-    # pair-count barrier) would each re-analyze and re-execute that
-    # giant expression tree (measured 5.7s -> 1.5s warm at sf0.1)
+    # localCheckpoint materializes the tiny bucket table ONCE so the
+    # self-join sides don't each recompute + re-exchange it (one
+    # barrier beats two AQE stage chains at the job floor), and the
+    # barrier job is one Arrow hop — no dim-probe scan, no giant
+    # literal tree to analyze/codegen.  (_spread, not _spread_by_bytes:
+    # one fat partition was measured SLOWER here — the checkpoint stage
+    # serializes and AQE loses its broadcast estimate for the
+    # self-join; 32-way spread wins at every size.)
     from .dedup import _spread
 
     c = _spread(corpus).select(
