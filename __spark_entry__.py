@@ -1532,8 +1532,8 @@ def oracle_sql() -> dict[str, str]:
                 + CAST(list_contains(words, 'in') AS INT) AS sh
               FROM w),
         m AS (SELECT doc_id, n_words, mean_word_len, sh,
-                ROUND(list_max(list_transform(list_distinct(bigrams),
-                    b -> len(list_filter(bigrams, x -> x = b))))
+                ROUND(COALESCE(list_max(list_transform(list_distinct(bigrams),
+                    b -> len(list_filter(bigrams, x -> x = b)))), 0)
                   / CAST(greatest(n_words - 1, 1) AS DOUBLE), 6)
                   AS top_bigram_frac
               FROM f)
@@ -1602,8 +1602,8 @@ def oracle_sql() -> dict[str, str]:
         q AS (SELECT doc_id, source, n_chars, t FROM f
               WHERE n_words BETWEEN 15 AND 100000
                 AND ROUND(mwl, 6) BETWEEN 2.0 AND 10.0
-                AND ROUND(list_max(list_transform(list_distinct(bigrams),
-                      b -> len(list_filter(bigrams, x -> x = b))))
+                AND ROUND(COALESCE(list_max(list_transform(list_distinct(bigrams),
+                      b -> len(list_filter(bigrams, x -> x = b)))), 0)
                     / CAST(greatest(n_words - 1, 1) AS DOUBLE), 6) < 0.08
                 AND sh >= 1),
         d AS (SELECT doc_id, source, n_chars,

@@ -59,3 +59,25 @@ def test_read_duckdb_partitioned_empty(spark, duck_file):
     df = read_duckdb_partitioned(spark, duck_file, "empty_t", "x")
     assert df.count() == 0
     assert [f.name for f in df.schema.fields] == ["x", "y"]
+
+
+def test_read_duckdb_nullable_bigint_exact(spark, duck_file):
+    # nullable BIGINT > 2^53 must not round-trip through float64
+    # (pandas NaN-widening would silently round it)
+    from yardstick_spark.sources import read_duckdb
+
+    big = (1 << 53) + 1
+    df = read_duckdb(
+        spark, ":memory:",
+        f"SELECT * FROM (VALUES (1, {big}), (2, NULL)) AS t(id, v)",
+    )
+    rows = {r["id"]: r["v"] for r in df.collect()}
+    assert rows[1] == big and rows[2] is None
+    assert dict(df.dtypes)["v"] == "bigint"
+
+
+def test_read_duckdb_partitioned_rejects_non_integer_col(spark, duck_file):
+    from yardstick_spark.sources import read_duckdb_partitioned
+
+    with pytest.raises(TypeError, match="integer-typed"):
+        read_duckdb_partitioned(spark, duck_file, "items", "name")

@@ -74,9 +74,16 @@ def connected_components(pairs: DataFrame, src_col: str = "id_a",
             if ra != rb:  # union by min id keeps the canonical label
                 parent[max(ra, rb)] = min(ra, rb)
         members = {x for r in edge_rows for x in (r["src"], r["dst"])}
-        rows = [(int(x), int(find(x))) for x in sorted(members)]
+        rows = [(x, find(x)) for x in sorted(members)]
+        # schema follows the input id type (string ids work the same
+        # here as on the distributed path below)
+        from pyspark.sql.types import StructField, StructType
+
+        id_type = edges_fwd.schema["src"].dataType
         return pairs.sparkSession.createDataFrame(
-            rows, "id bigint, cluster_id bigint"
+            rows,
+            StructType([StructField("id", id_type),
+                        StructField("cluster_id", id_type)]),
         )
     nodes = (
         edges_fwd.select(F.col("src").alias("id"))

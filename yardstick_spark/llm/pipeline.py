@@ -48,15 +48,22 @@ def curate_corpus(docs: DataFrame, rates: dict[str, float],
 
 
 def curation_report(docs: DataFrame, rates: dict[str, float],
-                    **kwargs) -> DataFrame:
+                    source_col: str = "source", **kwargs) -> DataFrame:
     """Per-source accounting of the curated corpus: surviving docs and
-    characters per source — the number a pipeline owner watches."""
-    kept = curate_corpus(docs, rates, **kwargs)
+    characters per source — the number a pipeline owner watches.
+
+    Groups by the same `source_col` the sampler uses; characters come
+    from a precomputed `n_chars` column when the corpus has one, else
+    from length(text_col)."""
+    kept = curate_corpus(docs, rates, source_col=source_col, **kwargs)
+    text_col = kwargs.get("text_col", "text")
+    chars = (F.col("n_chars") if "n_chars" in kept.columns
+             else F.length(F.col(text_col)))
     return (
-        kept.groupBy("source")
+        kept.groupBy(source_col)
         .agg(
             F.count("*").alias("n_docs"),
-            F.sum("n_chars").alias("total_chars"),
+            F.sum(chars).alias("total_chars"),
         )
-        .orderBy("source")
+        .orderBy(source_col)
     )

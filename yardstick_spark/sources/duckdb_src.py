@@ -32,12 +32,20 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def _arrow_to_spark(spark: SparkSession, tbl) -> DataFrame:
-    # explicit schema mapping: empty results can't infer, and pandas
-    # inference would widen ints that arrive as object dtype
-    from pyspark.sql.pandas.types import from_arrow_schema
+    # hand the Arrow table to Spark directly (Spark 4 accepts
+    # pyarrow.Table): no pandas hop, so nullable BIGINT columns never
+    # pass through float64 (which silently rounds values > 2^53)
+    try:
+        return spark.createDataFrame(tbl)
+    except Exception:  # noqa: BLE001 — older API: explicit schema + pandas
+        import pandas as _pd
 
-    schema = from_arrow_schema(tbl.schema)
-    return spark.createDataFrame(tbl.to_pandas(), schema=schema)
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        schema = from_arrow_schema(tbl.schema)
+        # ArrowDtype keeps nullable ints exact (no float64 widening)
+        return spark.createDataFrame(
+            tbl.to_pandas(types_mapper=_pd.ArrowDtype), schema=schema)
 
 
 def read_duckdb(spark: SparkSession, db: str, query: str) -> DataFrame:
@@ -63,15 +71,30 @@ def read_duckdb_partitioned(spark: SparkSession, db: str, table: str,
 
     import pandas as pd
 
+    # quote identifiers so names with spaces/quotes can't break the
+    # query or smuggle SQL in
+    def q(ident: str) -> str:
+        return '"' + ident.replace('"', '""') + '"'
+
+    tbl_q = ".".join(q(part) for part in table.split("."))
+    col_q = q(partition_col)
+
     con = duckdb.connect(db, read_only=True)
     try:
-        lo, hi = con.execute(
-            f"SELECT MIN({partition_col}), MAX({partition_col}) "
-            f"FROM {table}"
-        ).fetchone()
         schema_tbl = con.execute(
-            f"SELECT * FROM {table} LIMIT 0"
+            f"SELECT * FROM {tbl_q} LIMIT 0"
         ).arrow()
+        import pyarrow.types as pat
+
+        field = schema_tbl.schema.field(partition_col)
+        if not pat.is_integer(field.type):
+            raise TypeError(
+                f"partition_col {partition_col!r} must be integer-typed "
+                f"for range splitting, got {field.type}"
+            )
+        lo, hi = con.execute(
+            f"SELECT MIN({col_q}), MAX({col_q}) FROM {tbl_q}"
+        ).fetchone()
     finally:
         con.close()
     empty = _arrow_to_spark(spark, schema_tbl)
@@ -89,8 +112,8 @@ def read_duckdb_partitioned(spark: SparkSession, db: str, table: str,
             for b in batches:
                 for _, r in b.iterrows():
                     out = c.execute(
-                        f"SELECT * FROM {table} "
-                        f"WHERE {partition_col} >= ? AND {partition_col} < ?",
+                        f"SELECT * FROM {tbl_q} "
+                        f"WHERE {col_q} >= ? AND {col_q} < ?",
                         [int(r.lo), int(r.hi)],
                     ).df()
                     if len(out):
