@@ -43,6 +43,34 @@ def test_grand_total_is_broadcast(ysq):
     assert has_broadcast_join(df), "1-row grand total must broadcast"
 
 
+def test_plain_aggregate_inlines_single_scan(ysq):
+    # when the evaluation context equals the outer grouping, the measure
+    # aggregates in place: one fact scan, one shuffle, no context join —
+    # at 100 TB this halves the fact-table reads of the common query
+    from yardstick_spark.plans import explain_str, read_schema_columns
+
+    df = ysq.sql(
+        "SELECT d_year, AGGREGATE(revenue) AS r "
+        "FROM li_m GROUP BY d_year HAVING AGGREGATE(revenue) > 0"
+    )
+    plan = explain_str(df)
+    assert "Join" not in plan, "plain AGGREGATE must not build a context join"
+    assert len(read_schema_columns(df)) == 1, "plain AGGREGATE must scan once"
+
+
+def test_visible_modifier_inlines_single_scan(ysq):
+    # AT (VISIBLE) is the identity context — same inline shape
+    from yardstick_spark.plans import explain_str, read_schema_columns
+
+    df = ysq.sql(
+        "SELECT d_year, AGGREGATE(revenue) AT (VISIBLE) AS r "
+        "FROM li_m WHERE l_returnflag = 'R' GROUP BY d_year"
+    )
+    plan = explain_str(df)
+    assert "Join" not in plan
+    assert len(read_schema_columns(df)) == 1
+
+
 def test_scan_prunes_columns(ysq):
     from yardstick_spark.plans import read_schema_columns
 

@@ -24,7 +24,7 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 
-from .catalog import MeasureCatalog, ResolvedMeasure
+from .catalog import MeasureCatalog, MeasureView, ResolvedMeasure
 from .modifiers import (
     EvalContext,
     Modifier,
@@ -42,12 +42,14 @@ from .parser import (
     resolve_group_by_cols,
 )
 from .sqlutil import (
+    SQL_KEYWORDS,
     find_first_top_level_keyword,
     find_matching_paren,
     find_top_level_keyword,
     is_word_boundary,
     iter_identifiers,
     next_nonspace,
+    prev_nonspace,
     normalize_dim_key,
     normalize_ws,
     replace_identifiers,
@@ -574,6 +576,14 @@ class QueryExpander:
             primary and primary.qualifier and primary.qualifier.lower() == "main"
             and self.permanent_overrides
         )
+        # Inline fast path (see _inline_target): when a site's evaluation
+        # context is exactly the outer grouping, the measure aggregates
+        # in place over the view rows — one scan + one shuffle instead of
+        # a second base scan, a context shuffle, and a join back.  At
+        # 100 TB this halves the fact-table reads of the common query.
+        inline_view = None if use_permanent else self._inline_target(info)
+        inline_cols: dict[str, None] = {}
+        inlined = False
         for site in sorted(sites, key=lambda s: -s.start):
             resolved = self.catalog.resolve(
                 site.measure_name,
@@ -651,17 +661,46 @@ class QueryExpander:
                 )
                 continue
 
+            in_where = (
+                info.where_start is not None
+                and site.start > info.where_start
+                and (info.where_end is None or site.end <= info.where_end)
+            )
+            if (
+                inline_view is not None
+                and not in_where
+                and not resolved.is_window
+                and resolved.source_view.lower() == primary_name.lower()
+                and not ctx.set_conditions
+                and [normalize_dim_key(d) for d in ctx.corr_dims]
+                == [normalize_dim_key(d) for d in effective_dims]
+                and normalize_ws(ctx.filter_sql or "").lower()
+                == normalize_ws(where_for_measure or "").lower()
+            ):
+                expr = self._apply_dim_exprs(resolved.eval_expression, resolved)
+                needed = self._inline_base_cols(expr, inline_view)
+                if needed is not None:
+                    wrapped = f"({expr})"
+                    if uses_grouping_sets and ctx.corr_dims:
+                        guards = " + ".join(
+                            f"grouping({d})" for d in ctx.corr_dims
+                        )
+                        wrapped = (
+                            f"(CASE WHEN {guards} > 0 THEN NULL "
+                            f"ELSE {expr} END)"
+                        )
+                    for c in needed:
+                        inline_cols.setdefault(c)
+                    inlined = True
+                    replacements.append((site.start, site.end, wrapped))
+                    continue
+
             spec, value_alias = self._ctx_for(
                 ctxs, resolved, ctx, info, ctx_counter,
                 measure_name=site.measure_name,
             )
             ctx_counter = len(ctxs)
             value_ref = f"{spec.alias}.{value_alias}"
-            in_where = (
-                info.where_start is not None
-                and site.start > info.where_start
-                and (info.where_end is None or site.end <= info.where_end)
-            )
             if in_where:
                 # row-level context (paper Listing 12): the measure value
                 # joins per-row; no aggregation wrapper
@@ -683,6 +722,10 @@ class QueryExpander:
         out = sql
         for s, e, r in replacements:
             out = out[:s] + r + out[e:]
+
+        if inlined:
+            out = self._inline_rewrite_from(out, info, inline_view,
+                                            list(inline_cols))
 
         if ctxs:
             if uses_grouping_sets:
@@ -997,6 +1040,112 @@ class QueryExpander:
         if not mapping:
             return expr
         return replace_identifiers(expr, mapping)
+
+    def _inline_target(self, info: SelectInfo) -> MeasureView | None:
+        """The measure view a site may aggregate over in place, or None.
+
+        Inlining is only sound when the outer query reads exactly the
+        view's row grain: a single-table FROM (no join fan-out — S8),
+        no DISTINCT, and a view body that is a plain row-level SELECT
+        (no GROUP BY materialization, no set operations, no DISTINCT)
+        so appending base columns to its projection changes nothing.
+        """
+        if len(info.tables) != 1 or info.distinct:
+            return None
+        tref = info.tables[0]
+        view = self.catalog.get(tref.name)
+        if view is None:
+            return None
+        body = view.base_query
+        for kw in ("UNION", "INTERSECT", "EXCEPT"):
+            if find_top_level_keyword(body, kw) is not None:
+                return None
+        binfo = parse_select(body)
+        if (
+            binfo is None
+            or binfo.from_start is None
+            or binfo.distinct
+            or binfo.group_by is not None
+            or binfo.having is not None
+        ):
+            return None
+        if binfo.select_pos > 0 and body[:binfo.select_pos].strip():
+            return None  # CTE prefix — injection point would be ambiguous
+        return view
+
+    def _inline_base_cols(
+        self, expr: str, view: MeasureView
+    ) -> list[str] | None:
+        """Base-relation columns `expr` needs that the view does not
+        already project, or None when a reference cannot be proven safe
+        (an unexpanded measure name, or a computed view alias the
+        dim-expr mapping did not rewrite)."""
+        outputs = {normalize_dim_key(c) for c in view.group_by_cols}
+        passthrough = {
+            k for k in outputs
+            if normalize_dim_key(view.dimension_exprs.get(k, k)) == k
+        }
+        measure_names = {m.column_name.lower() for m in view.measures}
+        cols: dict[str, None] = {}
+        n = len(expr)
+        for start, end, text in iter_identifiers(expr):
+            t = text.lower()
+            k = next_nonspace(expr, end)
+            if k < n and expr[k] == "(":
+                continue  # function name
+            p = prev_nonspace(expr, start)
+            if (p >= 0 and expr[p] == ".") or (k < n and expr[k] == "."):
+                return None  # qualified ref — scope changes under rewrite
+            if t.upper() in SQL_KEYWORDS:
+                continue
+            if t in measure_names:
+                return None
+            if t in passthrough:
+                continue  # view projects this base column unchanged
+            if t in outputs:
+                return None  # computed alias the mapping missed
+            cols.setdefault(text)
+        return list(cols)
+
+    def _inline_rewrite_from(
+        self, sql: str, info: SelectInfo, view: MeasureView,
+        extra_cols: list[str],
+    ) -> str:
+        """Swap the outer FROM's view reference for an inline subquery:
+        the view body with `extra_cols` appended to its projection, so
+        inlined aggregate expressions see their base columns while every
+        existing column reference keeps resolving (same aliases, same
+        rows).  Catalyst collapses the nested projections."""
+        tref = info.tables[0]
+        body = view.base_query.strip().rstrip(";")
+        if extra_cols:
+            binfo = parse_select(body)
+            assert binfo is not None and binfo.from_start is not None
+            body = (
+                body[:binfo.from_start].rstrip()
+                + ", " + ", ".join(extra_cols) + " "
+                + body[binfo.from_start:]
+            )
+        alias = tref.alias or tref.name
+        out = parse_select(sql)
+        assert out is not None and out.from_start is not None
+        region = sql[out.from_start:out.from_end]
+        qual = (
+            re.escape(tref.qualifier) + r"\s*\.\s*" if tref.qualifier else ""
+        )
+        pat = re.compile(
+            r'(?is)\b' + qual + '("?)' + re.escape(tref.name) + r'("?)'
+        )
+        m = pat.search(region)
+        assert m is not None, f"FROM target {tref.name} not found"
+        tail = region[m.end():]
+        has_alias = bool(re.match(r"\s+(?!(AS\s+)?(WHERE|GROUP|HAVING|"
+                                  r"QUALIFY|WINDOW|ORDER|LIMIT|OFFSET|"
+                                  r"JOIN|ON|USING)\b)(AS\s+)?[A-Za-z_\"]",
+                                  tail, re.IGNORECASE)) if tail.strip() else False
+        repl = f"({body})" + ("" if has_alias else f" AS {alias}")
+        region = region[:m.start()] + repl + tail
+        return sql[:out.from_start] + region + sql[out.from_end:]
 
     def _attach_joins(self, sql: str, specs: list[CtxSpec]) -> str:
         info = parse_select(sql)
