@@ -1,8 +1,10 @@
 """Replays the reference's sqllogictest corpora through the engine.
 
-Default: the fast peg_parser corpus plus the first 1000 lines of
-measures.test.  Set YS_SLT_FULL=1 to replay all three corpora
-(~6 min); `tests/slt_runner.py` is the standalone CLI.
+Default: ALL THREE corpora in full (~100 s on 32 cores) — the golden
+gate runs on every `pytest tests/` invocation so regressions surface
+without a flag.  Set YS_SLT_FAST=1 to trim to the peg_parser corpus
+plus the first 1000 lines of measures.test (~30 s) while iterating;
+`tests/slt_runner.py` is the standalone CLI.
 
 Known-failing measures.test record (tracked in README):
 - 1236: LAG over an unordered window reading a subquery's implicit row
@@ -41,7 +43,7 @@ def test_peg_parser_corpus(slt_ys):
 
 
 def test_measures_corpus_head(slt_ys):
-    end = None if os.environ.get("YS_SLT_FULL") else 1000
+    end = 1000 if os.environ.get("YS_SLT_FAST") else None
     results, failures = run_corpus(
         f"{REF}/measures.test", slt_ys, end=end,
         skip_lines=KNOWN_FAILURES,
@@ -50,7 +52,7 @@ def test_measures_corpus_head(slt_ys):
 
 
 @pytest.mark.skipif(
-    not os.environ.get("YS_SLT_FULL"), reason="set YS_SLT_FULL=1"
+    bool(os.environ.get("YS_SLT_FAST")), reason="YS_SLT_FAST set"
 )
 def test_no_semantic_prefix_corpus(slt_ys):
     results, failures = run_corpus(
