@@ -704,6 +704,22 @@ def _q_text_topterms(spark, sf_dir):
     return top_terms(_docs(spark, sf_dir))
 
 
+# benchmark split for decontamination: every 10th src0 doc is the
+# held-out eval set, everything else is the training corpus
+_BENCH_PRED = "source = 'src0' AND doc_id % 10 = 0"
+
+
+def _q_text_decontaminate(spark, sf_dir):
+    from yardstick_spark.llm import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    return decontaminate(
+        docs.filter(f"NOT ({_BENCH_PRED})"),
+        docs.filter(_BENCH_PRED),
+        n=4,
+    )
+
+
 _MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
 
 
@@ -961,6 +977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ops_range_join": _q_range_join,
         "events_rollup_daily": _q_events_rollup_daily,
         "ops_topk_per_group": _q_topk_per_group,
+        "text_decontaminate": _q_text_decontaminate,
     }
     for name in _R3_FIRST:
         out[name] = _measure_runner(_MEASURE_QUERIES[name])
@@ -1323,6 +1340,30 @@ def oracle_sql() -> dict[str, str]:
     # Spark text IS the DuckDB oracle
     for name in _R3_FIRST:
         o[name] = _MEASURE_QUERIES[name]
+    o["text_decontaminate"] = f"""
+        WITH d AS (SELECT doc_id, source,
+                 list_filter(string_split(regexp_replace(lower(trim(text)),
+                     '\\s+', ' ', 'g'), ' '), w -> w <> '') AS words
+               FROM documents),
+        g AS (SELECT doc_id, source,
+                CASE WHEN len(words) >= 4 THEN
+                  list_distinct(list_transform(range(1, len(words) - 2),
+                      i -> array_to_string(words[i:i+3], ' ')))
+                ELSE [] END AS grams
+              FROM d),
+        bench AS (SELECT DISTINCT unnest(grams) AS gram FROM g
+                  WHERE {_BENCH_PRED}),
+        corpus AS (SELECT doc_id, grams FROM g
+                   WHERE NOT ({_BENCH_PRED})),
+        hits AS (SELECT c.doc_id, COUNT(*) AS n_hits
+                 FROM (SELECT doc_id, unnest(grams) AS gram FROM corpus) c
+                 JOIN bench b ON c.gram = b.gram GROUP BY c.doc_id)
+        SELECT c.doc_id, len(c.grams) AS n_grams,
+               COALESCE(h.n_hits, 0) AS n_hits,
+               ROUND(COALESCE(h.n_hits, 0)
+                 / CAST(GREATEST(len(c.grams), 1) AS DOUBLE), 6) AS hit_frac,
+               COALESCE(h.n_hits, 0) >= 1 AS contaminated
+        FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id"""
 
     # language-ID: the stopword-vote arithmetic is plain
     # length/replace/CAST SQL — generate the oracle from the same marker

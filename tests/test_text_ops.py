@@ -115,3 +115,40 @@ def test_top_terms_df_ordering(spark):
     got = [(r["term"], r["df"])
            for r in top_terms(_docs(spark, rows), limit=3).collect()]
     assert got == [("apple", 3), ("banana", 2), ("cherry", 1)]
+
+
+def test_decontaminate_planted_overlap(spark):
+    from yardstick_spark.llm import decontaminate
+
+    bench = _docs(spark, [
+        (100, "the secret benchmark answer is forty two exactly"),
+    ])
+    corpus = _docs(spark, [
+        # verbatim 8-gram from the benchmark -> contaminated
+        (1, "padding words here the secret benchmark answer is forty "
+            "two exactly and more padding follows"),
+        # shares words but no 8-gram run -> clean
+        (2, "the benchmark secret answer two forty is exactly but "
+            "shuffled so no long run survives here at all"),
+        # shorter than n words -> zero grams, clean, still present
+        (3, "too short"),
+    ])
+    out = {r["doc_id"]: r.asDict()
+           for r in decontaminate(corpus, bench, n=8).collect()}
+    assert out[1]["contaminated"] is True and out[1]["n_hits"] == 1
+    assert out[2]["contaminated"] is False and out[2]["n_hits"] == 0
+    assert out[3]["n_grams"] == 0 and out[3]["contaminated"] is False
+    assert 0.0 < out[1]["hit_frac"] <= 1.0
+
+
+def test_decontaminate_bench_side_broadcasts(spark):
+    from yardstick_spark.llm import decontaminate
+    from yardstick_spark.plans import explain_str
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.filter("doc_id % 10 = 0")
+    corpus = docs.filter("doc_id % 10 <> 0")
+    plan = explain_str(decontaminate(corpus, bench, n=4))
+    # the eval-set gram relation must be the broadcast side so the
+    # corpus probe stays map-side at 100 TB
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan

@@ -47,6 +47,7 @@ from .pipeline import (  # noqa: F401
 )
 from .text import (  # noqa: F401
     chunk_documents,
+    decontaminate,
     doc_fingerprint,
     gopher_filter,
     language_id,

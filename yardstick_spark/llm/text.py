@@ -290,6 +290,72 @@ def sample_mixture(docs: DataFrame, rates: dict[str, float],
     )
 
 
+def _word_ngrams(text_col: str, n: int) -> str:
+    """Distinct word n-gram array over the normalized text; empty (not
+    short-slice-padded) when the document has fewer than n words, so a
+    truncated tail can never spuriously match a benchmark gram."""
+    norm = _NORM.format(c=text_col)
+    words = f"filter(split({norm}, ' '), t -> t <> '')"
+    return (
+        f"CASE WHEN size({words}) >= {n} THEN "
+        f"array_distinct(transform(sequence(1, size({words}) - {n - 1}), "
+        f"i -> concat_ws(' ', slice({words}, i, {n})))) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 8,
+                  threshold: int = 1, text_col: str = "text",
+                  id_col: str = "doc_id", bench_text_col: str | None = None,
+                  broadcast: bool = True) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word n-gram with a held-out evaluation set (the GPT-3/PaLM-style
+    n-gram overlap rule).
+
+    100 TB shape: the benchmark side is eval-set sized (thousands of
+    documents), so its distinct gram set broadcasts; the corpus side is
+    a scan + map-side explode probing the broadcast hash relation, and
+    the only corpus-keyed shuffles are the per-doc count and the join
+    back for zero-hit documents — both at document grain, not gram
+    grain.  Set broadcast=False for an atypically large benchmark and
+    AQE picks the join strategy from observed sizes.
+
+    Returns (id_col, n_grams, n_hits, hit_frac, contaminated)."""
+    bench_grams = _word_ngrams(bench_text_col or text_col, n)
+    base = docs.select(
+        F.col(id_col).alias("__id"),
+        F.expr(_word_ngrams(text_col, n)).alias("__grams"),
+    )
+    bench = (
+        benchmark.select(F.expr(bench_grams).alias("__bg"))
+        .select(F.explode("__bg").alias("gram"))
+        .distinct()
+    )
+    if broadcast:
+        bench = F.broadcast(bench)
+    # per-doc grams and the bench set are both distinct -> plain count
+    hits = (
+        base.select("__id", F.explode("__grams").alias("gram"))
+        .join(bench, "gram")
+        .groupBy("__id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        base.select("__id", F.size("__grams").alias("n_grams"))
+        .join(hits, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            "n_grams",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.expr(
+                "round(coalesce(n_hits, 0) / CAST(greatest(n_grams, 1) "
+                "AS DOUBLE), 6)"
+            ).alias("hit_frac"),
+            (F.coalesce("n_hits", F.lit(0)) >= threshold).alias("contaminated"),
+        )
+    )
+
+
 def doc_fingerprint(docs: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", window: int = 16) -> DataFrame:
     """Winnowing-style fingerprint: the minimum portable hash over each
