@@ -253,3 +253,40 @@ def test_p8_range_join_equals_naive(spark, pts, ivs, bucket):
         if s <= p <= s + d
     )
     assert got == want
+
+
+def test_p5_inline_path_equals_join_path(spark):
+    """The inline fast path (measure aggregated in place when its
+    context equals the outer grouping) must return exactly what the
+    generic context-join machinery returns, for every measure query in
+    the driver inventory that runs on the lineitem/orders views."""
+    import __spark_entry__ as entry
+    from yardstick_spark.expand import QueryExpander
+
+    sf = "/root/testdata/sf0.001"
+    ys = entry._ys(spark, sf)
+
+    def rows_of(df):
+        cols = sorted(df.columns)
+        return sorted(
+            (
+                tuple(
+                    round(v, 6) if isinstance(v, float) else v
+                    for v in (r[c] for c in cols)
+                )
+                for r in df.collect()
+            ),
+            key=repr,
+        )
+
+    orig = QueryExpander._inline_target
+    for name, sql in entry._MEASURE_QUERIES.items():
+        if not name.startswith("m_"):
+            continue
+        fast = rows_of(ys.sql(sql))
+        try:
+            QueryExpander._inline_target = lambda self, info: None
+            slow = rows_of(ys.sql(sql))
+        finally:
+            QueryExpander._inline_target = orig
+        assert fast == slow, f"{name}: inline path diverges from join path"
