@@ -213,6 +213,10 @@ _MEASURE_QUERIES: dict[str, str] = {
         "SELECT d_year, l_returnflag, ROUND(AGGREGATE(revenue), 2) AS rev "
         "FROM lineitem_m GROUP BY ROLLUP(d_year, l_returnflag)"
     ),
+    "m_cube": (
+        "SELECT d_year, l_returnflag, ROUND(AGGREGATE(revenue), 2) AS rev "
+        "FROM lineitem_m GROUP BY CUBE(d_year, l_returnflag)"
+    ),
     "m_window_measure": (
         "SELECT o_orderstatus, "
         "ROUND(AGGREGATE(status_total) AT (WHERE o_orderstatus = 'F'), 2) "
@@ -540,6 +544,31 @@ _MEASURE_QUERIES: dict[str, str] = {
         "GROUP BY s.s_name "
         "ORDER BY numwait DESC, sname LIMIT 20"
     ),
+    # PIVOT (wide conditional aggregation; the oracle spells it as
+    # CASE sums — integer cents keep the hash stable)
+    "ops_pivot": (
+        "SELECT d_year, CAST(a / 100.0 AS DOUBLE) AS rev_a, "
+        "CAST(n / 100.0 AS DOUBLE) AS rev_n, "
+        "CAST(r / 100.0 AS DOUBLE) AS rev_r "
+        "FROM (SELECT * FROM (SELECT YEAR(l_shipdate) AS d_year, "
+        "l_returnflag, CAST(ROUND(l_extendedprice * (1 - l_discount) "
+        "* 100, 0) AS BIGINT) AS cents FROM lineitem) "
+        "PIVOT (SUM(cents) FOR l_returnflag IN ('A' AS a, 'N' AS n, "
+        "'R' AS r)))"
+    ),
+    # named-WINDOW clause with rank/offset/distribution functions over a
+    # total per-partition order (deterministic across engines)
+    "ops_window_funcs": (
+        "SELECT o_custkey AS custkey, o_orderkey AS okey, "
+        "DENSE_RANK() OVER w AS drnk, "
+        "NTILE(4) OVER w AS quartile, "
+        "LAG(o_orderkey, 1, -1) OVER w AS prev_okey, "
+        "LEAD(o_orderkey, 1, -1) OVER w AS next_okey, "
+        "FIRST_VALUE(o_orderkey) OVER w AS first_okey "
+        "FROM orders WHERE o_custkey < 50 "
+        "WINDOW w AS (PARTITION BY o_custkey "
+        "ORDER BY o_orderdate, o_orderkey)"
+    ),
 }
 
 # new round-3 entries run ahead of the already-driver-green block so they
@@ -547,6 +576,7 @@ _MEASURE_QUERIES: dict[str, str] = {
 _R3_FIRST = [
     "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q12",
     "tpch_q16", "tpch_q20", "tpch_q21",
+    "m_cube", "ops_pivot", "ops_window_funcs",
 ]
 
 
@@ -1114,6 +1144,35 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN GROUPING(d_year) + GROUPING(l_returnflag) > 0
                     THEN NULL ELSE ROUND({_REV}, 2) END AS rev
         FROM b GROUP BY ROLLUP(d_year, l_returnflag)"""
+    o["m_cube"] = f"""
+        WITH b AS (SELECT YEAR(l_shipdate) AS d_year, l_returnflag,
+                   l_extendedprice, l_discount FROM lineitem)
+        SELECT d_year, l_returnflag,
+               CASE WHEN GROUPING(d_year) + GROUPING(l_returnflag) > 0
+                    THEN NULL ELSE ROUND({_REV}, 2) END AS rev
+        FROM b GROUP BY CUBE(d_year, l_returnflag)"""
+    o["ops_pivot"] = """
+        SELECT YEAR(l_shipdate) AS d_year,
+               CAST(SUM(CASE WHEN l_returnflag = 'A' THEN
+                 CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)
+                 AS BIGINT) END) / 100.0 AS DOUBLE) AS rev_a,
+               CAST(SUM(CASE WHEN l_returnflag = 'N' THEN
+                 CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)
+                 AS BIGINT) END) / 100.0 AS DOUBLE) AS rev_n,
+               CAST(SUM(CASE WHEN l_returnflag = 'R' THEN
+                 CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)
+                 AS BIGINT) END) / 100.0 AS DOUBLE) AS rev_r
+        FROM lineitem GROUP BY YEAR(l_shipdate)"""
+    o["ops_window_funcs"] = """
+        SELECT o_custkey AS custkey, o_orderkey AS okey,
+               DENSE_RANK() OVER w AS drnk,
+               NTILE(4) OVER w AS quartile,
+               LAG(o_orderkey, 1, -1) OVER w AS prev_okey,
+               LEAD(o_orderkey, 1, -1) OVER w AS next_okey,
+               FIRST_VALUE(o_orderkey) OVER w AS first_okey
+        FROM orders WHERE o_custkey < 50
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey)"""
     o["m_window_measure"] = """
         WITH f AS (SELECT SUM(o_totalprice) AS t FROM orders
                    WHERE o_orderstatus = 'F')
@@ -1339,7 +1398,7 @@ def oracle_sql() -> dict[str, str]:
     # ANSI subset (integer-cents sums, YEAR(), INTERVAL n DAY), so the
     # Spark text IS the DuckDB oracle
     for name in _R3_FIRST:
-        o[name] = _MEASURE_QUERIES[name]
+        o.setdefault(name, _MEASURE_QUERIES[name])
     o["text_decontaminate"] = f"""
         WITH d AS (SELECT doc_id, source,
                  list_filter(string_split(regexp_replace(lower(trim(text)),
