@@ -107,27 +107,35 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, fn in qs.items():
-        # cold-cache per query: operators use cache() as materialization
-        # barriers, and letting those accumulate across 40+ queries both
-        # builds memory pressure and lets later queries reuse earlier
-        # queries' work (plan-matched cache hits) — neither is the
-        # number we want to report
-        spark.catalog.clearCache()
-        try:
-            from yardstick_spark.llm import clear_dedup_caches
+        # protocol: min of two COLD-CACHE repetitions.  Cold-cache
+        # because operators use cache() as materialization barriers, and
+        # letting those accumulate across 80+ queries both builds memory
+        # pressure and lets later queries reuse earlier queries' work
+        # (plan-matched cache hits).  Min-of-two because single-shot
+        # timings at the 0.1-10 s floor swing 2-3x run to run on JVM GC
+        # pauses and codegen stalls — the min measures the plan's cost,
+        # which is what survives a scale-up, not the GC lottery.
+        best = -1.0
+        for _rep in range(2):
+            spark.catalog.clearCache()
+            try:
+                from yardstick_spark.llm import clear_dedup_caches
 
-            clear_dedup_caches()
-        except Exception:  # noqa: BLE001
-            pass
-        t0 = time.perf_counter()
-        try:
-            df = fn(spark, sf_dir)
-            df.count()
-            timings[name] = round(time.perf_counter() - t0, 4)
-        except Exception as e:  # noqa: BLE001
-            print(f"# {name} failed: {type(e).__name__}: {str(e)[:150]}",
-                  file=sys.stderr)
-            timings[name] = -1.0
+                clear_dedup_caches()
+            except Exception:  # noqa: BLE001
+                pass
+            t0 = time.perf_counter()
+            try:
+                df = fn(spark, sf_dir)
+                df.count()
+                took = round(time.perf_counter() - t0, 4)
+                best = took if best < 0 else min(best, took)
+            except Exception as e:  # noqa: BLE001
+                print(f"# {name} failed: {type(e).__name__}: {str(e)[:150]}",
+                      file=sys.stderr)
+                best = -1.0
+                break
+        timings[name] = best
 
     ok = {k: v for k, v in timings.items() if v >= 0}
     total = round(sum(ok.values()), 4)
