@@ -648,10 +648,9 @@ def _q_dedup_embedding(spark, sf_dir):
     from yardstick_spark.llm import embedding_dedup_pairs
 
     _ys(spark, sf_dir)
-    # dim=64 is a documented property of the embeddings fixture (the
-    # oracle hardcodes the same); passing it skips the probe job
-    return embedding_dedup_pairs(spark.table("embeddings"), threshold=0.4,
-                                 dim=64)
+    # hyperplane signs adapt to size(vec) inside the bucket UDF; the
+    # oracle hardcodes the fixture's dim=64 on its side
+    return embedding_dedup_pairs(spark.table("embeddings"), threshold=0.4)
 
 
 def _q_knn(spark, sf_dir):

@@ -133,7 +133,8 @@ def main() -> None:
             except Exception as e:  # noqa: BLE001
                 print(f"# {name} failed: {type(e).__name__}: {str(e)[:150]}",
                       file=sys.stderr)
-                best = -1.0
+                # keep a successful earlier repetition; only report
+                # failure when no repetition completed
                 break
         timings[name] = best
 

@@ -196,3 +196,19 @@ def test_mixture_filter_scans_pruned(spark):
     assert "Exchange" not in plan, "sampling is a scan-only filter"
     cols = read_schema_columns(df)
     assert cols and set(cols[0]) <= {"doc_id", "source"}
+
+
+def test_inline_bails_on_non_column_tokens(ysq):
+    # measure expressions containing tokens that are not base columns
+    # (numeric type suffixes, EXTRACT fields) must fall back to the
+    # context-join path instead of injecting nonexistent columns
+    ysq.sql(
+        "CREATE OR REPLACE VIEW li_suffix AS SELECT l_returnflag, "
+        "SUM(l_quantity * 1D) AS MEASURE qd, "
+        "SUM(EXTRACT(YEAR FROM l_shipdate)) AS MEASURE ysum FROM lineitem"
+    )
+    rows = ysq.sql(
+        "SELECT l_returnflag, AGGREGATE(qd) AS qd, AGGREGATE(ysum) AS ys "
+        "FROM li_suffix GROUP BY l_returnflag"
+    ).collect()
+    assert len(rows) == 3 and all(r["qd"] is not None for r in rows)

@@ -259,3 +259,37 @@ def test_ivf_index_persistence_roundtrip(spark, tmp_path):
 
     plan = explain_str(ivf_query_index(spark, path, q, k=5, n_probe=3))
     assert "dynamicpruning" in plan.lower(), "probe scan must prune cells"
+
+
+def test_chunk_means_trailing_empty_segment():
+    # an empty payload at the end of a batch must not truncate the
+    # preceding row's final chunk (reduceat boundary regression)
+    import numpy as np
+
+    from yardstick_spark.llm.multimodal import _chunk_means
+
+    flat = np.array([1.0, 2.0, 3.0, 5.0])
+    m = _chunk_means(flat, np.array([4, 0]), 2)
+    assert m[0].tolist() == [1.5, 4.0]
+    assert m[1].tolist() == [0.0, 0.0]
+    # empty segment sandwiched between non-empty rows
+    m2 = _chunk_means(np.array([2.0, 4.0]), np.array([1, 0, 1]), 1)
+    assert m2.ravel().tolist() == [2.0, 0.0, 4.0]
+
+
+def test_embedding_dedup_tolerates_null_vectors(spark):
+    # NULL embeddings are silently excluded (as the SQL-expression path
+    # did), not a job-fatal vstack crash in the bucket UDF
+    from pyspark.sql import functions as F
+
+    from yardstick_spark.llm import embedding_dedup_pairs
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).limit(50)
+    dirty = emb.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") % 7 == 0, F.lit(None))
+        .otherwise(F.col("embedding")),
+    )
+    assert embedding_dedup_pairs(dirty, threshold=0.4).count() >= 0

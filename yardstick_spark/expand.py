@@ -1071,6 +1071,18 @@ class QueryExpander:
             return None
         if binfo.select_pos > 0 and body[:binfo.select_pos].strip():
             return None  # CTE prefix — injection point would be ambiguous
+        # the definitive base-scope column set: injected columns are
+        # validated against it, so a non-column token in a measure
+        # expression (a numeric type suffix like 1D, an EXTRACT field,
+        # an INTERVAL unit) can never be injected — those sites fall
+        # back to the always-correct context-join path instead
+        avail: set[str] = set()
+        for t in binfo.tables:
+            cols = self.view_columns(t.name) if t.name else None
+            if not cols:
+                return None  # unresolvable base scope — no inlining
+            avail.update(c.lower() for c in cols)
+        self._inline_avail = avail
         return view
 
     def _inline_base_cols(
@@ -1078,8 +1090,13 @@ class QueryExpander:
     ) -> list[str] | None:
         """Base-relation columns `expr` needs that the view does not
         already project, or None when a reference cannot be proven safe
-        (an unexpanded measure name, or a computed view alias the
-        dim-expr mapping did not rewrite)."""
+        (an unexpanded measure name, a computed view alias the dim-expr
+        mapping did not rewrite, or any token that is not a verified
+        base-scope column — type suffixes, EXTRACT fields, INTERVAL
+        units all land here and push the site to the join path)."""
+        avail = getattr(self, "_inline_avail", None)
+        if avail is None:
+            return None
         outputs = {normalize_dim_key(c) for c in view.group_by_cols}
         passthrough = {
             k for k in outputs
@@ -1104,6 +1121,8 @@ class QueryExpander:
                 continue  # view projects this base column unchanged
             if t in outputs:
                 return None  # computed alias the mapping missed
+            if t not in avail:
+                return None  # not a base column — cannot prove safe
             cols.setdefault(text)
         return list(cols)
 

@@ -82,10 +82,16 @@ def _chunk_means(flat, lengths, n: int):
     idx = starts.ravel()
     if flat.size == 0:
         return np.zeros((rows, n))
-    # reduceat needs indices < len; empty segments (incl. clamped
-    # trailing ones) are masked out via sizes == 0 below
-    sums = np.add.reduceat(flat, np.minimum(idx, flat.size - 1))
+    # reduceat over NON-EMPTY segments only: dropping empty segments
+    # makes consecutive non-empty starts contiguous, so each reduceat
+    # slice is exactly that segment (clamping empty trailing indices
+    # instead was measured to truncate the preceding segment by one
+    # element — wrong means for the row before an empty payload)
     sizes_f = sizes.ravel().astype(np.float64)
+    nz = sizes_f > 0
+    sums = np.zeros(idx.size)
+    if nz.any():
+        sums[nz] = np.add.reduceat(flat, idx[nz])
     means = np.divide(sums, sizes_f, out=np.zeros_like(sizes_f),
                       where=sizes_f > 0)
     return means.reshape(rows, n)

@@ -117,30 +117,48 @@ def _band_buckets_udf(n_planes: int, bands: int, seed: int):
 
         if len(vs) == 0:
             return pd.Series([], dtype=object)
-        mat = np.vstack(vs.to_numpy()).astype(np.float64)
-        dim = mat.shape[1]
-        key = (dim, n_planes, bands, seed)
-        S = _SIGN_CACHE.get(key)
-        if S is None:
-            S = np.empty((dim, bands * n_planes))
-            for b in range(bands):
-                for p in range(n_planes):
-                    for i in range(dim):
-                        h = hashlib.md5(
-                            f"{seed + 1000 * b}:{p}:{i}".encode()
-                        ).hexdigest()
-                        S[i, b * n_planes + p] = (
-                            1.0 if int(h[:15], 16) & 1 else -1.0)
-            _SIGN_CACHE[key] = S
-        # sequential left fold over dimensions — matches the SQL
-        # aggregate() order the oracles replicate, so near-zero dots
-        # keep the same sign bit
-        dots = np.zeros((mat.shape[0], bands * n_planes))
-        for i in range(dim):
-            dots += mat[:, i:i + 1] * S[i:i + 1, :]
-        bits = (dots > 0).reshape(-1, bands, n_planes)
-        weights = 1 << np.arange(n_planes, dtype=np.int64)
-        out = (bits * weights).sum(axis=2).astype(np.int64)
+
+        def signs_for(dim: int):
+            key = (dim, n_planes, bands, seed)
+            S = _SIGN_CACHE.get(key)
+            if S is None:
+                S = np.empty((dim, bands * n_planes))
+                for b in range(bands):
+                    for p in range(n_planes):
+                        for i in range(dim):
+                            h = hashlib.md5(
+                                f"{seed + 1000 * b}:{p}:{i}".encode()
+                            ).hexdigest()
+                            S[i, b * n_planes + p] = (
+                                1.0 if int(h[:15], 16) & 1 else -1.0)
+                _SIGN_CACHE[key] = S
+            return S
+
+        # NULL / zero-length vectors get a NULL bucket array (posexplode
+        # drops them — same silently-excluded semantics as the SQL
+        # expression path); ragged lengths are grouped and hashed with
+        # their own dim-sized sign matrix instead of crashing vstack
+        arr = vs.to_numpy()
+        lens = np.array(
+            [len(v) if v is not None else -1 for v in arr], dtype=np.int64
+        )
+        out = np.empty(len(arr), dtype=object)
+        out[lens <= 0] = None
+        for dim in np.unique(lens[lens > 0]):
+            sel = np.nonzero(lens == dim)[0]
+            mat = np.vstack(arr[sel]).astype(np.float64)
+            S = signs_for(int(dim))
+            # sequential left fold over dimensions — matches the SQL
+            # aggregate() order the oracles replicate, so near-zero
+            # dots keep the same sign bit
+            dots = np.zeros((mat.shape[0], bands * n_planes))
+            for i in range(int(dim)):
+                dots += mat[:, i:i + 1] * S[i:i + 1, :]
+            bits = (dots > 0).reshape(-1, bands, n_planes)
+            weights = 1 << np.arange(n_planes, dtype=np.int64)
+            vals = (bits * weights).sum(axis=2).astype(np.int64)
+            for j, row in zip(sel, vals):
+                out[j] = row
         return pd.Series(list(out))
 
     return buckets
