@@ -94,6 +94,57 @@ def lsh_plane_dots_expr(vec_col: str, dim: int, n_planes: int = 8,
     )
 
 
+def _plane_dots_udf(n_planes: int, seed: int):
+    """Arrow-vectorized plane-dots: array<double> of the vector's dot
+    products against the same md5-parity hyperplanes as
+    `lsh_plane_dots_expr`, with the same sequential per-dimension fold
+    (bit-identical sign bits for near-zero dots).  Replaces the
+    n_planes x dim literal expression tree, whose driver-side analysis
+    cost (~1-2 s at dim 64) dominated the kNN queries' wall clock."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<double>")
+    def dots(vs: pd.Series) -> pd.Series:
+        import hashlib
+
+        import numpy as np
+
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+
+        def signs_for(dim: int):
+            key = ("dots", dim, n_planes, seed)
+            S = _SIGN_CACHE.get(key)
+            if S is None:
+                S = np.empty((dim, n_planes))
+                for p in range(n_planes):
+                    for i in range(dim):
+                        h = hashlib.md5(
+                            f"{seed}:{p}:{i}".encode()).hexdigest()
+                        S[i, p] = 1.0 if int(h[:15], 16) & 1 else -1.0
+                _SIGN_CACHE[key] = S
+            return S
+
+        arr = vs.to_numpy()
+        lens = np.array(
+            [len(v) if v is not None else -1 for v in arr], dtype=np.int64
+        )
+        out = np.empty(len(arr), dtype=object)
+        out[lens <= 0] = None
+        for dim in np.unique(lens[lens > 0]):
+            sel = np.nonzero(lens == dim)[0]
+            mat = np.vstack(arr[sel]).astype(np.float64)
+            S = signs_for(int(dim))
+            acc = np.zeros((mat.shape[0], n_planes))
+            for i in range(int(dim)):
+                acc += mat[:, i:i + 1] * S[i:i + 1, :]
+            for j, row in zip(sel, acc):
+                out[j] = row
+        return pd.Series(list(out))
+
+    return dots
+
+
 def _band_buckets_udf(n_planes: int, bands: int, seed: int):
     """Arrow-vectorized UDF computing all `bands` LSH bucket ids per
     vector in one numpy pass — bit-identical to stacking
@@ -290,21 +341,24 @@ def lsh_bucketed_knn(corpus: DataFrame, queries: DataFrame, k: int = 10,
     Recall < 1.0 by design; at scale the bucket join replaces the full
     cross product with ~n_probes*n/2^n_planes candidates per query.
     """
-    dim_df = corpus.select(F.size(vec_col).alias("d")).limit(1)
-    dim = dim_df.first()["d"]
-    bucket = lsh_bucket_expr(vec_col, dim, n_planes, seed)
+    # plane dots via one Arrow UDF (dim derived per batch, signs cached
+    # per worker); bucketing and probe-bit flips stay as cheap SQL over
+    # the n_planes-element dots array — no dim-sized literal tree, no
+    # dim-probe job
+    dots = _plane_dots_udf(n_planes, seed)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.expr(_as_double(vec_col)).alias("cv"),
-        F.expr(bucket).alias("bucket"),
+        dots(F.col(vec_col)).alias("__ds"),
+    ).select(
+        "neighbor_id", "cv",
+        F.expr(_dots_to_bucket("__ds", n_planes)).alias("bucket"),
     )
     q = (
         queries.select(
             F.col(id_col).alias("query_id"),
             F.expr(_as_double(vec_col)).alias("qv"),
-            F.expr(
-                lsh_plane_dots_expr(vec_col, dim, n_planes, seed)
-            ).alias("__ds"),
+            dots(F.col(vec_col)).alias("__ds"),
         )
         .select(
             "query_id", "qv",
