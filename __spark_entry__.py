@@ -438,19 +438,20 @@ _MEASURE_QUERIES: dict[str, str] = {
         "WITH cost AS (SELECT l_partkey AS partkey, l_suppkey AS suppkey, "
         "MIN(CAST(ROUND(l_extendedprice / l_quantity * 100, 0) AS BIGINT)) "
         "AS min_cents FROM lineitem GROUP BY l_partkey, l_suppkey), "
-        "best AS (SELECT partkey, MIN(min_cents) AS best_cents "
-        "FROM cost GROUP BY partkey) "
+        "best AS (SELECT partkey, suppkey, min_cents, "
+        "MIN(min_cents) OVER (PARTITION BY partkey) AS best_cents "
+        "FROM cost) "
         "SELECT p.p_partkey AS partkey, p.p_name AS pname, "
         "MIN(s.s_suppkey) AS suppkey, "
-        "CAST(b.best_cents / 100.0 AS DOUBLE) AS unit_cost "
-        "FROM cost c JOIN best b ON c.partkey = b.partkey "
-        "AND c.min_cents = b.best_cents "
+        "CAST(c.best_cents / 100.0 AS DOUBLE) AS unit_cost "
+        "FROM best c "
         "JOIN supplier s ON s.s_suppkey = c.suppkey "
         "JOIN nation n ON s.s_nationkey = n.n_nationkey "
         "JOIN region r ON n.n_regionkey = r.r_regionkey "
         "JOIN part p ON p.p_partkey = c.partkey "
-        "WHERE r.r_name = 'ASIA' AND p.p_size <= 20 "
-        "GROUP BY p.p_partkey, p.p_name, b.best_cents "
+        "WHERE c.min_cents = c.best_cents "
+        "AND r.r_name = 'ASIA' AND p.p_size <= 20 "
+        "GROUP BY p.p_partkey, p.p_name, c.best_cents "
         "ORDER BY unit_cost DESC, partkey LIMIT 50"
     ),
     # q9-shaped: profit by supplier nation and order year (no
@@ -476,7 +477,9 @@ _MEASURE_QUERIES: dict[str, str] = {
         "JOIN nation n ON s.s_nationkey = n.n_nationkey "
         "WHERE n.n_name = 'NATION_3' GROUP BY l.l_partkey) "
         "SELECT partkey, CAST(cents / 100.0 AS DOUBLE) AS value "
-        "FROM val WHERE cents > (SELECT SUM(cents) * 0.001 FROM val) "
+        "FROM (SELECT partkey, cents, "
+        "SUM(cents) OVER () AS total_cents FROM val) "
+        "WHERE cents > total_cents * 0.001 "
         "ORDER BY value DESC, partkey"
     ),
     # q12-shaped: order-priority class counts per returnflag (testdata
