@@ -36,6 +36,48 @@ def _as_double(col: str) -> str:
     return f"transform({col}, x -> CAST(x AS DOUBLE))"
 
 
+def _cosine_udf():
+    """Arrow-vectorized cosine with the SAME sequential per-dimension
+    fold as `_cosine` (dot and norms accumulated left-to-right in
+    float64), so results are bit-identical to the SQL expression and
+    the DuckDB oracles.  Exists because the HOF lambdas in `_cosine`
+    are interpreted per element — at 10^5+ candidate pairs the
+    verification fold dominates wall clock; this is one numpy pass.
+    NULL / length-mismatched pairs yield NaN (filtered out by any
+    threshold predicate, matching SQL NULL semantics)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        import numpy as np
+
+        n = len(a)
+        out = np.full(n, np.nan)
+        if n == 0:
+            return pd.Series(out)
+        aa, bb = a.to_numpy(), b.to_numpy()
+        lens = np.array([
+            len(x) if x is not None and y is not None
+            and len(x) == len(y) else -1
+            for x, y in zip(aa, bb)
+        ], dtype=np.int64)
+        for dim in np.unique(lens[lens > 0]):
+            sel = np.nonzero(lens == dim)[0]
+            A = np.vstack(aa[sel]).astype(np.float64)
+            B = np.vstack(bb[sel]).astype(np.float64)
+            dot = np.zeros(sel.size)
+            na = np.zeros(sel.size)
+            nb = np.zeros(sel.size)
+            for i in range(int(dim)):
+                dot += A[:, i] * B[:, i]
+                na += A[:, i] * A[:, i]
+                nb += B[:, i] * B[:, i]
+            out[sel] = dot / (np.sqrt(na) * np.sqrt(nb))
+        return pd.Series(out)
+
+    return cos
+
+
 def brute_force_knn(corpus: DataFrame, queries: DataFrame, k: int = 10,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     round_to: int | None = 4) -> DataFrame:
@@ -317,7 +359,7 @@ def embedding_dedup_pairs(corpus: DataFrame, id_col: str = "vec_id",
                         F.col("v").alias("vb")), "id_b")
         .select(
             "id_a", "id_b",
-            F.round(F.expr(_cosine("va", "vb")), 4).alias("sim"),
+            F.round(_cosine_udf()(F.col("va"), F.col("vb")), 4).alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
     )
