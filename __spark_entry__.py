@@ -559,6 +559,23 @@ _MEASURE_QUERIES: dict[str, str] = {
         "PIVOT (SUM(cents) FOR l_returnflag IN ('A' AS a, 'N' AS n, "
         "'R' AS r)))"
     ),
+    # UNPIVOT: wide-to-long over a conditional aggregate (identical
+    # standard syntax in both engines; labels are the column names)
+    "ops_unpivot": (
+        "WITH wide AS (SELECT YEAR(l_shipdate) AS d_year, "
+        "CAST(SUM(CASE WHEN l_returnflag = 'A' THEN "
+        "CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) ELSE 0 END) "
+        "/ 100.0 AS DOUBLE) AS flag_a, "
+        "CAST(SUM(CASE WHEN l_returnflag = 'N' THEN "
+        "CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) ELSE 0 END) "
+        "/ 100.0 AS DOUBLE) AS flag_n, "
+        "CAST(SUM(CASE WHEN l_returnflag = 'R' THEN "
+        "CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) ELSE 0 END) "
+        "/ 100.0 AS DOUBLE) AS flag_r "
+        "FROM lineitem GROUP BY YEAR(l_shipdate)) "
+        "SELECT d_year, flag, amount FROM wide "
+        "UNPIVOT (amount FOR flag IN (flag_a, flag_n, flag_r))"
+    ),
     # named-WINDOW clause with rank/offset/distribution functions over a
     # total per-partition order (deterministic across engines)
     "ops_window_funcs": (
@@ -579,7 +596,7 @@ _MEASURE_QUERIES: dict[str, str] = {
 _R3_FIRST = [
     "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q12",
     "tpch_q16", "tpch_q20", "tpch_q21",
-    "m_cube", "ops_pivot", "ops_window_funcs",
+    "m_cube", "ops_pivot", "ops_window_funcs", "ops_unpivot",
 ]
 
 
