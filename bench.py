@@ -105,6 +105,28 @@ def main() -> None:
     except Exception:  # noqa: BLE001
         pass
 
+    def _clear_caches() -> None:
+        spark.catalog.clearCache()
+        try:
+            from yardstick_spark.llm import clear_dedup_caches
+
+            clear_dedup_caches()
+        except Exception:  # noqa: BLE001
+            pass
+
+    # global warm pass: run every query once, untimed, caches cleared
+    # between queries.  The heavy codegen'd stages need 2-3 executions
+    # before HotSpot C2 compiles them (measured 11 s -> 8.7 -> 4.0 ->
+    # 3.2 on identical cold-cache reps of the n-gram join); a
+    # long-lived cluster is always in the compiled steady state, so the
+    # timed numbers below should measure that, not JIT placement.
+    for name, fn in qs.items():
+        _clear_caches()
+        try:
+            fn(spark, sf_dir).count()
+        except Exception:  # noqa: BLE001
+            pass
+
     timings: dict[str, float] = {}
     for name, fn in qs.items():
         # protocol: min of two COLD-CACHE repetitions.  Cold-cache
@@ -117,13 +139,7 @@ def main() -> None:
         # which is what survives a scale-up, not the GC lottery.
         best = -1.0
         for _rep in range(2):
-            spark.catalog.clearCache()
-            try:
-                from yardstick_spark.llm import clear_dedup_caches
-
-                clear_dedup_caches()
-            except Exception:  # noqa: BLE001
-                pass
+            _clear_caches()
             t0 = time.perf_counter()
             try:
                 df = fn(spark, sf_dir)
