@@ -1044,6 +1044,14 @@ class QueryExpander:
     def _inline_target(self, info: SelectInfo) -> MeasureView | None:
         """The measure view a site may aggregate over in place, or None.
 
+        This is the reference's own decomposable-measure strategy —
+        "measures re-aggregate over the view rows of the calling
+        query" (/root/reference/README.md:129; the decomposable branch
+        of expand_aggregate_with_at, measures.rs:7110-7592) — applied
+        whenever the site's evaluation context provably equals the
+        outer grouping; every other context keeps the join plan the
+        reference calls preferred for recompute (measures.rs:5249).
+
         Inlining is only sound when the outer query reads exactly the
         view's row grain: a single-table FROM (no join fan-out — S8),
         no DISTINCT, and a view body that is a plain row-level SELECT
