@@ -212,3 +212,33 @@ def test_inline_bails_on_non_column_tokens(ysq):
         "FROM li_suffix GROUP BY l_returnflag"
     ).collect()
     assert len(rows) == 3 and all(r["qd"] is not None for r in rows)
+
+
+def test_all_dim_subtotal_inlines_as_window(ysq):
+    # AT (ALL dim) with no outer WHERE is a window over the inline
+    # partial aggregates: one raw scan, group-row-sized window shuffle,
+    # no second base scan, no context join
+    from yardstick_spark.plans import explain_str, read_schema_columns
+
+    df = ysq.sql(
+        "SELECT d_year, l_returnflag, AGGREGATE(revenue) AS r, "
+        "AGGREGATE(revenue) AT (ALL l_returnflag) AS year_total "
+        "FROM li_m GROUP BY d_year, l_returnflag"
+    )
+    plan = explain_str(df)
+    assert "Join" not in plan, "AT (ALL dim) must not build a context join"
+    assert len(read_schema_columns(df)) == 1
+    assert "Window" in plan
+
+
+def test_all_dim_with_where_keeps_join(ysq):
+    # ALL drops the outer WHERE, so a window over the filtered inline
+    # aggregate would be wrong — those sites must keep the join path
+    from yardstick_spark.plans import explain_str
+
+    df = ysq.sql(
+        "SELECT d_year, l_returnflag, "
+        "AGGREGATE(revenue) AT (ALL l_returnflag) AS yt "
+        "FROM li_m WHERE d_year >= 1997 GROUP BY d_year, l_returnflag"
+    )
+    assert "Join" in explain_str(df)

@@ -584,6 +584,9 @@ class QueryExpander:
         inline_view = None if use_permanent else self._inline_target(info)
         inline_cols: dict[str, None] = {}
         inlined = False
+        # window functions are not valid in HAVING — window-inline
+        # candidates positioned there keep the join path
+        having_pos = find_top_level_keyword(sql, "HAVING")
         for site in sorted(sites, key=lambda s: -s.start):
             resolved = self.catalog.resolve(
                 site.measure_name,
@@ -689,6 +692,70 @@ class QueryExpander:
                             f"(CASE WHEN {guards} > 0 THEN NULL "
                             f"ELSE {expr} END)"
                         )
+                    for c in needed:
+                        inline_cols.setdefault(c)
+                    inlined = True
+                    replacements.append((site.start, site.end, wrapped))
+                    continue
+
+            # Window-inline: a context on a PROPER SUBSET of the outer
+            # dims (AT (ALL dim), incl. chains) with no filter change is
+            # a window over the inline partial aggregates — the subtotal
+            # plan SCALING.md documents: one raw scan, group-row-sized
+            # window shuffle, instead of a second base scan + context
+            # join.  Requires no outer WHERE (ALL drops it, so the
+            # window's filtered input would diverge) and a combinable
+            # aggregate.  AT (ALL) grand totals deliberately stay on the
+            # broadcast-join path: PARTITION BY () funnels every group
+            # row through one task at scale, a 1-row broadcast does not.
+            window_fn = None
+            if (
+                inline_view is not None
+                and not in_where
+                and not resolved.is_window
+                and not uses_grouping_sets
+                and resolved.source_view.lower() == primary_name.lower()
+                and not ctx.set_conditions
+                and not ctx.grand_total
+                and ctx.corr_dims
+                and info.where is None
+                and ctx.filter_sql is None
+                and not (
+                    having_pos is not None and site.start > having_pos
+                )
+                # a function call in ORDER BY may be an aggregate
+                # (ORDER BY ANY_VALUE(col) + 1, measures.test:1209-1215)
+                # which Spark cannot evaluate in a Sort above a window
+                # projection — keep the join path for those statements
+                and not (
+                    info.order_by is not None
+                    and re.search(r"\w\s*\(", info.order_by)
+                )
+            ):
+                corr_norm = {normalize_dim_key(d) for d in ctx.corr_dims}
+                eff_by_norm = {
+                    normalize_dim_key(d): d for d in effective_dims
+                }
+                expr = self._apply_dim_exprs(resolved.eval_expression, resolved)
+                fn_m = re.match(
+                    r"\s*(SUM|COUNT|MIN|MAX)\s*\(", expr, re.IGNORECASE
+                )
+                if fn_m and corr_norm <= set(eff_by_norm):
+                    close = find_matching_paren(expr, fn_m.end() - 1)
+                    if close == len(expr.rstrip()) - 1:
+                        window_fn = {"SUM": "SUM", "COUNT": "SUM",
+                                     "MIN": "MIN", "MAX": "MAX"}[
+                            fn_m.group(1).upper()]
+            if window_fn is not None:
+                needed = self._inline_base_cols(expr, inline_view)
+                if needed is not None:
+                    part = ", ".join(
+                        eff_by_norm[normalize_dim_key(d)]
+                        for d in ctx.corr_dims
+                    )
+                    wrapped = (
+                        f"{window_fn}(({expr})) OVER (PARTITION BY {part})"
+                    )
                     for c in needed:
                         inline_cols.setdefault(c)
                     inlined = True
