@@ -379,3 +379,64 @@ def test_rollup_hierarchy_reaggregation_identity(spark, events):
     assert derived == direct and derived
     # hour level is strictly finer
     assert levels["hour"].count() > levels["day"].count()
+
+
+def test_streaming_watermark_drops_late_rows(spark, tmp_path):
+    # append-mode tumbling windows must drop rows arriving after the
+    # watermark has passed their window: feed two micro-batches — the
+    # second contains an event far older than (max ts - watermark) —
+    # and assert its window never reaches the sink
+    import time
+
+    from pyspark.sql import functions as F
+
+    from yardstick_spark.streaming import tumbling_counts_stream
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    on_time = spark.createDataFrame(
+        [("click", "2024-01-01 10:05:00", 1.0),
+         ("click", "2024-01-01 12:05:00", 1.0)],
+        "event_type string, ts_s string, value double",
+    ).select("event_type", F.col("ts_s").cast("timestamp").alias("ts"),
+             "value")
+    late = spark.createDataFrame(
+        [("late", "2024-01-01 08:05:00", 1.0)],  # 4 h behind max ts
+        "event_type string, ts_s string, value double",
+    ).select("event_type", F.col("ts_s").cast("timestamp").alias("ts"),
+             "value")
+    on_time.write.parquet(str(src / "b0"))
+
+    stream = (
+        spark.readStream.schema(on_time.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/*")
+    )
+    out = tumbling_counts_stream(stream, minutes=60, watermark="1 hour")
+    q = (
+        out.writeStream.format("memory").queryName("late_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_late"))
+        .start()
+    )
+    try:
+        # let batch 0 advance the watermark to 11:05, then add the
+        # 08:05 event — its 08:00 window closed long before
+        deadline = time.time() + 60
+        while q.lastProgress is None and time.time() < deadline:
+            time.sleep(0.5)
+        late.write.parquet(str(src / "b1"))
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            p = q.lastProgress
+            if p and p["numInputRows"] == 0 and q.status["isTriggerActive"] is False:
+                break
+            time.sleep(0.5)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    types = {r["event_type"] for r in spark.table("late_test").collect()}
+    # the 10:00 window closed when the watermark reached 11:05, so the
+    # on-time rows DID emit — an empty sink can't mask the late-drop
+    assert "click" in types, "closed on-time window must have emitted"
+    assert "late" not in types, "row behind the watermark must be dropped"
