@@ -255,7 +255,7 @@ def test_p8_range_join_equals_naive(spark, pts, ivs, bucket):
     assert got == want
 
 
-def test_p5_inline_path_equals_join_path(spark):
+def test_p9_inline_path_equals_join_path(spark):
     """The inline fast path (measure aggregated in place when its
     context equals the outer grouping) must return exactly what the
     generic context-join machinery returns, for every measure query in
@@ -290,3 +290,36 @@ def test_p5_inline_path_equals_join_path(spark):
         finally:
             QueryExpander._inline_target = orig
         assert fast == slow, f"{name}: inline path diverges from join path"
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=ROWS)
+def test_p10_nondecomposable_all_dim_recomputes(pys, rows):
+    """COUNT(DISTINCT) AT (ALL dim) must recompute over the coarser
+    context from base rows — never combine per-group distinct counts
+    (overlapping values across groups would double-count)."""
+    spark = pys.spark
+    vals = ", ".join(f"({y}, '{r}', {a})" for y, r, a in rows)
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW prop_nd_rows AS "
+        f"SELECT year, region, amount FROM VALUES {vals} "
+        "AS t(year, region, amount)"
+    )
+    pys.sql(
+        "CREATE OR REPLACE VIEW prop_nd_v AS SELECT year, region, "
+        "COUNT(DISTINCT amount) AS MEASURE uniq FROM prop_nd_rows"
+    )
+    got = pys.sql(
+        "SELECT year, region, AGGREGATE(uniq) AS u, "
+        "AGGREGATE(uniq) AT (ALL region) AS u_year "
+        "FROM prop_nd_v GROUP BY year, region"
+    ).collect()
+    by_year: dict[int, set] = {}
+    by_group: dict[tuple, set] = {}
+    for y, r, a in rows:
+        by_year.setdefault(y, set()).add(a)
+        by_group.setdefault((y, r), set()).add(a)
+    for row in got:
+        assert row["u"] == len(by_group[(row["year"], row["region"])])
+        assert row["u_year"] == len(by_year[row["year"]])
