@@ -995,13 +995,14 @@ def _q_events_tumbling(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order matters: the driver's correctness gate checks entries in
-    # order and may truncate (r2 stopped at 50).  The 23 queries that never
-    # received a driver row in CORRECTNESS_r02.json go FIRST so they all land
-    # inside the window; the 50 already-green measure/dedup queries follow.
-    # sim_knn_ivf_kmeans was removed from the inventory (no SQL oracle by
-    # design — FP mean updates aren't portable); its recall gate lives in
-    # tests/test_scale_ops.py and the seeded variant sim_knn_ivf oracles the
-    # probe path bit-exactly.
+    # order and may truncate (r2 stopped at 50).  The 24 queries that never
+    # received a driver row in CORRECTNESS_r02.json go FIRST, followed by
+    # the 11 round-3 additions (_R3_FIRST), so everything without a green
+    # driver row lands inside the window; the r2-green measure/TPC-H/dedup
+    # blocks fill the remainder.  sim_knn_ivf_kmeans was removed from the
+    # inventory (no SQL oracle by design — FP mean updates aren't
+    # portable); its recall gate lives in tests/test_scale_ops.py and the
+    # seeded variant sim_knn_ivf oracles the probe path bit-exactly.
     out: dict[str, Callable] = {
         "sim_knn_lsh": _q_knn_lsh,
         "sim_knn_lsh_multiprobe": _q_knn_lsh_multiprobe,
