@@ -405,7 +405,10 @@ def test_streaming_watermark_drops_late_rows(spark, tmp_path):
         "event_type string, ts_s string, value double",
     ).select("event_type", F.col("ts_s").cast("timestamp").alias("ts"),
              "value")
-    on_time.write.parquet(str(src / "b0"))
+    # one file so both on-time rows form batch 0 together — two part
+    # files with tied mtimes could otherwise be picked up in either
+    # order, letting the 12:05 file advance the watermark past 10:05
+    on_time.coalesce(1).write.parquet(str(src / "b0"))
 
     stream = (
         spark.readStream.schema(on_time.schema)

@@ -242,3 +242,38 @@ def test_all_dim_with_where_keeps_join(ysq):
         "FROM li_m WHERE d_year >= 1997 GROUP BY d_year, l_returnflag"
     )
     assert "Join" in explain_str(df)
+
+
+def test_all_dim_with_having_keeps_join_and_full_totals(ysq):
+    # windows evaluate AFTER HAVING, so a subtotal window would sum only
+    # surviving groups; any HAVING must keep the context-join path and
+    # the subtotal must still cover ALL base rows of the partition
+    from yardstick_spark.plans import explain_str
+
+    full = {
+        (r["d_year"], r["l_returnflag"]): r["yt"]
+        for r in ysq.sql(
+            "SELECT d_year, l_returnflag, "
+            "AGGREGATE(revenue) AT (ALL l_returnflag) AS yt "
+            "FROM li_m GROUP BY d_year, l_returnflag"
+        ).collect()
+    }
+    df = ysq.sql(
+        "SELECT d_year, l_returnflag, AGGREGATE(revenue) AS r, "
+        "AGGREGATE(revenue) AT (ALL l_returnflag) AS yt "
+        "FROM li_m GROUP BY d_year, l_returnflag "
+        "HAVING AGGREGATE(revenue) > 14000000"
+    )
+    assert "Join" in explain_str(df)
+    rows = df.collect()
+    assert rows, "HAVING threshold should keep some groups"
+    assert len(rows) < len(full), "HAVING threshold should drop some groups"
+    import math
+
+    for r in rows:
+        # window path sums per-group partials, join path sums base rows:
+        # same value up to float association
+        assert math.isclose(
+            r["yt"], full[(r["d_year"], r["l_returnflag"])], rel_tol=1e-12
+        ), "subtotal must ignore the HAVING filter"
+

@@ -293,3 +293,25 @@ def test_embedding_dedup_tolerates_null_vectors(spark):
         .otherwise(F.col("embedding")),
     )
     assert embedding_dedup_pairs(dirty, threshold=0.4).count() >= 0
+
+
+def test_embedding_dedup_drops_length_mismatched_pairs(spark):
+    # a ragged corpus can bucket-collide vectors of different dims; the
+    # cosine verifier must yield NULL (dropped by the threshold filter),
+    # never NaN — NaN would PASS >= under Spark's NaN-is-largest ordering
+    from pyspark.sql import functions as F
+
+    from yardstick_spark.llm import embedding_dedup_pairs
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).limit(60)
+    ragged = emb.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") % 2 == 0,
+               F.expr("slice(embedding, 1, 32)"))
+        .otherwise(F.col("embedding")),
+    )
+    pairs = embedding_dedup_pairs(ragged, threshold=-2.0).collect()
+    for p in pairs:
+        assert p["sim"] is not None and p["sim"] == p["sim"], p

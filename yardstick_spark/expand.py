@@ -720,9 +720,11 @@ class QueryExpander:
                 and ctx.corr_dims
                 and info.where is None
                 and ctx.filter_sql is None
-                and not (
-                    having_pos is not None and site.start > having_pos
-                )
+                # any HAVING disqualifies the whole statement: windows
+                # evaluate AFTER the HAVING filter, so a subtotal window
+                # would sum only the surviving groups while the context
+                # join computes it from all base rows
+                and having_pos is None
                 # a function call in ORDER BY may be an aggregate
                 # (ORDER BY ANY_VALUE(col) + 1, measures.test:1209-1215)
                 # which Spark cannot evaluate in a Sort above a window

@@ -36,6 +36,48 @@ def _as_double(col: str) -> str:
     return f"transform({col}, x -> CAST(x AS DOUBLE))"
 
 
+def _length_groups(*arrays):
+    """Group batch rows by (shared) vector length: yields (dim, sel)
+    index groups for rows where every array has the same non-zero
+    length; rows with a NULL, empty, or length-mismatched vector are
+    simply not yielded (callers leave their output slot as None).
+    Shared by the three Arrow UDFs below so NULL handling and ragged
+    grouping have exactly one implementation."""
+    import numpy as np
+
+    def l(row):
+        lens = {len(v) if v is not None else -1 for v in row}
+        v = lens.pop()
+        return v if not lens else -1
+
+    lens = np.array([l(row) for row in zip(*arrays)], dtype=np.int64)
+    for dim in np.unique(lens[lens > 0]):
+        yield int(dim), np.nonzero(lens == dim)[0]
+
+
+def _md5_signs(dim: int, n_planes: int, band_seeds: tuple) -> "object":
+    """(dim, len(band_seeds)*n_planes) matrix of {-1,+1} hyperplane
+    weights, parity of md5(f"{band_seed}:{plane}:{dim_index}") —
+    the single canonical sign derivation every LSH path (and the DuckDB
+    oracles) uses.  Cached per worker."""
+    import hashlib
+
+    import numpy as np
+
+    key = (dim, n_planes, band_seeds)
+    S = _SIGN_CACHE.get(key)
+    if S is None:
+        S = np.empty((dim, len(band_seeds) * n_planes))
+        for b, bs in enumerate(band_seeds):
+            for p in range(n_planes):
+                for i in range(dim):
+                    h = hashlib.md5(f"{bs}:{p}:{i}".encode()).hexdigest()
+                    S[i, b * n_planes + p] = (
+                        1.0 if int(h[:15], 16) & 1 else -1.0)
+        _SIGN_CACHE[key] = S
+    return S
+
+
 def _cosine_udf():
     """Arrow-vectorized cosine with the SAME sequential per-dimension
     fold as `_cosine` (dot and norms accumulated left-to-right in
@@ -43,8 +85,9 @@ def _cosine_udf():
     the DuckDB oracles.  Exists because the HOF lambdas in `_cosine`
     are interpreted per element — at 10^5+ candidate pairs the
     verification fold dominates wall clock; this is one numpy pass.
-    NULL / length-mismatched pairs yield NaN (filtered out by any
-    threshold predicate, matching SQL NULL semantics)."""
+    NULL / length-mismatched pairs yield NULL (dropped by any threshold
+    predicate, matching the zip_with SQL path — NaN would PASS a >=
+    filter under Spark's NaN-is-largest ordering)."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
@@ -52,27 +95,24 @@ def _cosine_udf():
         import numpy as np
 
         n = len(a)
-        out = np.full(n, np.nan)
+        out = np.empty(n, dtype=object)
+        out[:] = None
         if n == 0:
             return pd.Series(out)
         aa, bb = a.to_numpy(), b.to_numpy()
-        lens = np.array([
-            len(x) if x is not None and y is not None
-            and len(x) == len(y) else -1
-            for x, y in zip(aa, bb)
-        ], dtype=np.int64)
-        for dim in np.unique(lens[lens > 0]):
-            sel = np.nonzero(lens == dim)[0]
+        for dim, sel in _length_groups(aa, bb):
             A = np.vstack(aa[sel]).astype(np.float64)
             B = np.vstack(bb[sel]).astype(np.float64)
             dot = np.zeros(sel.size)
             na = np.zeros(sel.size)
             nb = np.zeros(sel.size)
-            for i in range(int(dim)):
+            for i in range(dim):
                 dot += A[:, i] * B[:, i]
                 na += A[:, i] * A[:, i]
                 nb += B[:, i] * B[:, i]
-            out[sel] = dot / (np.sqrt(na) * np.sqrt(nb))
+            vals = dot / (np.sqrt(na) * np.sqrt(nb))
+            for j, v in zip(sel, vals):
+                out[j] = float(v)
         return pd.Series(out)
 
     return cos
@@ -147,38 +187,18 @@ def _plane_dots_udf(n_planes: int, seed: int):
 
     @pandas_udf("array<double>")
     def dots(vs: pd.Series) -> pd.Series:
-        import hashlib
-
         import numpy as np
 
-        if len(vs) == 0:
-            return pd.Series([], dtype=object)
-
-        def signs_for(dim: int):
-            key = ("dots", dim, n_planes, seed)
-            S = _SIGN_CACHE.get(key)
-            if S is None:
-                S = np.empty((dim, n_planes))
-                for p in range(n_planes):
-                    for i in range(dim):
-                        h = hashlib.md5(
-                            f"{seed}:{p}:{i}".encode()).hexdigest()
-                        S[i, p] = 1.0 if int(h[:15], 16) & 1 else -1.0
-                _SIGN_CACHE[key] = S
-            return S
-
         arr = vs.to_numpy()
-        lens = np.array(
-            [len(v) if v is not None else -1 for v in arr], dtype=np.int64
-        )
         out = np.empty(len(arr), dtype=object)
-        out[lens <= 0] = None
-        for dim in np.unique(lens[lens > 0]):
-            sel = np.nonzero(lens == dim)[0]
+        out[:] = None
+        for dim, sel in _length_groups(arr):
             mat = np.vstack(arr[sel]).astype(np.float64)
-            S = signs_for(int(dim))
+            S = _md5_signs(dim, n_planes, (seed,))
+            # sequential left fold over dimensions — matches the SQL
+            # aggregate() order so near-zero dots keep their sign bit
             acc = np.zeros((mat.shape[0], n_planes))
-            for i in range(int(dim)):
+            for i in range(dim):
                 acc += mat[:, i:i + 1] * S[i:i + 1, :]
             for j, row in zip(sel, acc):
                 out[j] = row
@@ -204,48 +224,24 @@ def _band_buckets_udf(n_planes: int, bands: int, seed: int):
 
     @pandas_udf("array<bigint>")
     def buckets(vs: pd.Series) -> pd.Series:
-        import hashlib
-
         import numpy as np
-
-        if len(vs) == 0:
-            return pd.Series([], dtype=object)
-
-        def signs_for(dim: int):
-            key = (dim, n_planes, bands, seed)
-            S = _SIGN_CACHE.get(key)
-            if S is None:
-                S = np.empty((dim, bands * n_planes))
-                for b in range(bands):
-                    for p in range(n_planes):
-                        for i in range(dim):
-                            h = hashlib.md5(
-                                f"{seed + 1000 * b}:{p}:{i}".encode()
-                            ).hexdigest()
-                            S[i, b * n_planes + p] = (
-                                1.0 if int(h[:15], 16) & 1 else -1.0)
-                _SIGN_CACHE[key] = S
-            return S
 
         # NULL / zero-length vectors get a NULL bucket array (posexplode
         # drops them — same silently-excluded semantics as the SQL
         # expression path); ragged lengths are grouped and hashed with
         # their own dim-sized sign matrix instead of crashing vstack
         arr = vs.to_numpy()
-        lens = np.array(
-            [len(v) if v is not None else -1 for v in arr], dtype=np.int64
-        )
         out = np.empty(len(arr), dtype=object)
-        out[lens <= 0] = None
-        for dim in np.unique(lens[lens > 0]):
-            sel = np.nonzero(lens == dim)[0]
+        out[:] = None
+        band_seeds = tuple(seed + 1000 * b for b in range(bands))
+        for dim, sel in _length_groups(arr):
             mat = np.vstack(arr[sel]).astype(np.float64)
-            S = signs_for(int(dim))
+            S = _md5_signs(dim, n_planes, band_seeds)
             # sequential left fold over dimensions — matches the SQL
             # aggregate() order the oracles replicate, so near-zero
             # dots keep the same sign bit
             dots = np.zeros((mat.shape[0], bands * n_planes))
-            for i in range(int(dim)):
+            for i in range(dim):
                 dots += mat[:, i:i + 1] * S[i:i + 1, :]
             bits = (dots > 0).reshape(-1, bands, n_planes)
             weights = 1 << np.arange(n_planes, dtype=np.int64)
