@@ -217,6 +217,11 @@ _MEASURE_QUERIES: dict[str, str] = {
         "SELECT d_year, l_returnflag, ROUND(AGGREGATE(revenue), 2) AS rev "
         "FROM lineitem_m GROUP BY CUBE(d_year, l_returnflag)"
     ),
+    "m_grouping_sets": (
+        "SELECT d_year, l_returnflag, ROUND(AGGREGATE(revenue), 2) AS rev "
+        "FROM lineitem_m "
+        "GROUP BY GROUPING SETS ((d_year, l_returnflag), (d_year), ())"
+    ),
     "m_window_measure": (
         "SELECT o_orderstatus, "
         "ROUND(AGGREGATE(status_total) AT (WHERE o_orderstatus = 'F'), 2) "
@@ -597,6 +602,7 @@ _R3_FIRST = [
     "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q12",
     "tpch_q16", "tpch_q20", "tpch_q21",
     "m_cube", "ops_pivot", "ops_window_funcs", "ops_unpivot",
+    "m_grouping_sets",
 ]
 
 
@@ -1193,6 +1199,14 @@ def oracle_sql() -> dict[str, str]:
         FROM orders WHERE o_custkey < 50
         WINDOW w AS (PARTITION BY o_custkey
                      ORDER BY o_orderdate, o_orderkey)"""
+    o["m_grouping_sets"] = f"""
+        WITH b AS (SELECT YEAR(l_shipdate) AS d_year, l_returnflag,
+                   l_extendedprice, l_discount FROM lineitem)
+        SELECT d_year, l_returnflag,
+               CASE WHEN GROUPING(d_year) + GROUPING(l_returnflag) > 0
+                    THEN NULL ELSE ROUND({_REV}, 2) END AS rev
+        FROM b GROUP BY GROUPING SETS ((d_year, l_returnflag),
+                                       (d_year), ())"""
     o["m_window_measure"] = """
         WITH f AS (SELECT SUM(o_totalprice) AS t FROM orders
                    WHERE o_orderstatus = 'F')

@@ -152,3 +152,17 @@ def test_decontaminate_bench_side_broadcasts(spark):
     # the eval-set gram relation must be the broadcast side so the
     # corpus probe stays map-side at 100 TB
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_decontaminate_empty_benchmark(spark):
+    # an empty eval set must yield zero hits for every document, not an
+    # error or dropped rows
+    from yardstick_spark.llm import decontaminate
+
+    corpus = _docs(spark, [(1, "some training text here for the corpus "
+                               "with enough words to form grams")])
+    bench = _docs(spark, []).filter("doc_id IS NOT NULL")
+    out = decontaminate(corpus, bench, n=4).collect()
+    assert len(out) == 1
+    assert out[0]["n_hits"] == 0 and out[0]["contaminated"] is False
+    assert out[0]["n_grams"] > 0
