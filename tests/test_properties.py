@@ -323,3 +323,55 @@ def test_p10_nondecomposable_all_dim_recomputes(pys, rows):
     for row in got:
         assert row["u"] == len(by_group[(row["year"], row["region"])])
         assert row["u_year"] == len(by_year[row["year"]])
+
+
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rows=ROWS,
+    dims=st.sampled_from([
+        [], ["year"], ["region"], ["year", "region"],
+    ]),
+    where_cutoff=st.sampled_from([None, 2021, 2023]),
+    having_min=st.sampled_from([None, 0, 50]),
+    all_dim=st.sampled_from([None, "year", "region"]),
+)
+def test_p11_fast_paths_equal_join_path_fuzz(pys, rows, dims,
+                                             where_cutoff, having_min,
+                                             all_dim):
+    """Differential fuzz of the inline/window fast paths: random
+    dims x WHERE x HAVING x AT-modifier shapes must return exactly what
+    the generic context-join machinery returns."""
+    from yardstick_spark.expand import QueryExpander
+
+    v = _mk_view(pys, rows, "p11")
+    sel = list(dims)
+    items = ["ROUND(AGGREGATE(revenue), 2) AS r",
+             "ROUND(AGGREGATE(revenue) AT (VISIBLE), 2) AS vis",
+             "ROUND(AGGREGATE(revenue) AT (ALL), 2) AS tot"]
+    if all_dim is not None:
+        items.append(
+            f"ROUND(AGGREGATE(revenue) AT (ALL {all_dim}), 2) AS sub"
+        )
+    sql = f"SELECT {', '.join(sel + items)} FROM {v}"
+    if where_cutoff is not None:
+        sql += f" WHERE year >= {where_cutoff}"
+    if dims:
+        sql += f" GROUP BY {', '.join(dims)}"
+        if having_min is not None:
+            sql += f" HAVING AGGREGATE(revenue) > {having_min}"
+
+    def rows_of(df):
+        cols = sorted(df.columns)
+        return sorted(
+            (tuple(r[c] for c in cols) for r in df.collect()), key=repr
+        )
+
+    fast = rows_of(pys.sql(sql))
+    orig = QueryExpander._inline_target
+    try:
+        QueryExpander._inline_target = lambda self, info: None
+        slow = rows_of(pys.sql(sql))
+    finally:
+        QueryExpander._inline_target = orig
+    assert fast == slow, sql
