@@ -315,3 +315,20 @@ def test_embedding_dedup_drops_length_mismatched_pairs(spark):
     pairs = embedding_dedup_pairs(ragged, threshold=-2.0).collect()
     for p in pairs:
         assert p["sim"] is not None and p["sim"] == p["sim"], p
+
+
+def test_approx_aggregates_within_error_bounds(spark):
+    # approx_count_distinct (HLL) and approx_percentile pass through to
+    # Spark's native sketches; sanity the error bounds the reference's
+    # host engine also promises (~2% HLL, exact-ish percentile here)
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    row = li.agg(
+        F.countDistinct("l_orderkey").alias("exact"),
+        F.approx_count_distinct("l_orderkey").alias("approx"),
+        F.expr("percentile(l_quantity, 0.5)").alias("p_exact"),
+        F.expr("approx_percentile(l_quantity, 0.5, 10000)").alias("p_approx"),
+    ).first()
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.05
+    assert abs(row["p_approx"] - row["p_exact"]) <= 1.0
