@@ -81,3 +81,38 @@ def test_read_duckdb_partitioned_rejects_non_integer_col(spark, duck_file):
 
     with pytest.raises(TypeError, match="integer-typed"):
         read_duckdb_partitioned(spark, duck_file, "items", "name")
+
+
+def test_write_duckdb_roundtrip(spark, tmp_path):
+    from yardstick_spark.sources import read_duckdb, write_duckdb
+
+    db = str(tmp_path / "out.duckdb")
+    big = (1 << 53) + 1
+    df = spark.createDataFrame(
+        [(1, "a", 1.5, big), (2, "b", None, None)],
+        "id bigint, name string, score double, big bigint",
+    )
+    assert write_duckdb(df, db, "results") == 2
+    back = read_duckdb(spark, db, "SELECT * FROM results ORDER BY id")
+    rows = back.collect()
+    assert [r["id"] for r in rows] == [1, 2]
+    assert rows[0]["big"] == big and rows[1]["big"] is None
+
+    # append mode accumulates; overwrite replaces
+    write_duckdb(df, db, "results", mode="append")
+    assert read_duckdb(spark, db, "SELECT COUNT(*) AS n FROM results") \
+        .first()["n"] == 4
+    write_duckdb(df, db, "results", mode="overwrite")
+    assert read_duckdb(spark, db, "SELECT COUNT(*) AS n FROM results") \
+        .first()["n"] == 2
+
+
+def test_write_duckdb_quoted_identifier(spark, tmp_path):
+    from yardstick_spark.sources import read_duckdb, write_duckdb
+
+    db = str(tmp_path / "q.duckdb")
+    df = spark.createDataFrame([(1,)], "x bigint")
+    write_duckdb(df, db, 'odd "name"')
+    assert read_duckdb(
+        spark, db, 'SELECT COUNT(*) AS n FROM "odd ""name"""'
+    ).first()["n"] == 1

@@ -9,6 +9,7 @@ quirks handled (nanosecond timestamps), ready for measure views.
 from .duckdb_src import (  # noqa: F401
     read_duckdb,
     read_duckdb_partitioned,
+    write_duckdb,
 )
 from .register import register_parquet_dir, read_table  # noqa: F401
 from .write import (  # noqa: F401

@@ -122,3 +122,50 @@ def read_duckdb_partitioned(spark: SparkSession, db: str, table: str,
             c.close()
 
     return ranges.mapInPandas(scan, schema=empty.schema)
+
+
+def write_duckdb(df: DataFrame, db: str, table: str,
+                 mode: str = "overwrite") -> int:
+    """Write a DataFrame into a DuckDB table — the reference's native
+    CTAS target, so a migrating user can round-trip results back into
+    their existing database file.
+
+    DuckDB is single-writer: the write necessarily funnels through one
+    driver-side connection, so this is for dimension- and result-sized
+    tables (aggregates, dedup verdicts, curation reports — the shapes a
+    measure engine emits).  For corpus-sized data write parquet with
+    `write_partitioned` and ATTACH it from DuckDB instead; this
+    function intentionally has no distributed path to pretend
+    otherwise.  Arrow end to end (no pandas hop), so nullable BIGINT
+    survives exactly.  Returns the row count written."""
+    import duckdb
+
+    try:
+        arrow_tbl = df.toArrow()
+    except AttributeError:  # pre-4.0 fallback
+        import pyarrow as pa
+
+        arrow_tbl = pa.Table.from_pandas(df.toPandas())
+    qident = '"' + table.replace('"', '""') + '"'
+    con = duckdb.connect(db)
+    try:
+        con.register("__ys_write_src", arrow_tbl)
+        if mode == "overwrite":
+            con.execute(
+                f"CREATE OR REPLACE TABLE {qident} AS "
+                "SELECT * FROM __ys_write_src"
+            )
+        elif mode == "append":
+            con.execute(
+                f"CREATE TABLE IF NOT EXISTS {qident} AS "
+                "SELECT * FROM __ys_write_src WHERE 1=0"
+            )
+            con.execute(
+                f"INSERT INTO {qident} SELECT * FROM __ys_write_src"
+            )
+        else:
+            raise ValueError(f"unsupported mode: {mode!r}")
+        con.unregister("__ys_write_src")
+        return arrow_tbl.num_rows
+    finally:
+        con.close()
