@@ -166,3 +166,22 @@ def test_decontaminate_empty_benchmark(spark):
     assert len(out) == 1
     assert out[0]["n_hits"] == 0 and out[0]["contaminated"] is False
     assert out[0]["n_grams"] > 0
+
+
+def test_curation_report_custom_source_col_no_nchars(spark):
+    # regression for the review finding: a non-default source_col and a
+    # corpus without n_chars must both work (chars from length(text))
+    from pyspark.sql import functions as F
+
+    from yardstick_spark.llm import curation_report
+
+    base = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select(
+        "doc_id", "text", F.col("source").alias("origin")
+    )
+    rep = curation_report(base, {"src0": 1.0, "src1": 1.0, "src2": 1.0},
+                          source_col="origin", default_rate=1.0)
+    rows = rep.collect()
+    assert rows and rep.columns == ["origin", "n_docs", "total_chars"]
+    assert all(r["total_chars"] > 0 for r in rows)
