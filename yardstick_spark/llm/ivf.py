@@ -38,7 +38,7 @@ def build_ivf_index(corpus: DataFrame, id_col: str = "vec_id",
     cached so the init + max_iter passes don't re-scan and re-convert
     the corpus each round."""
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     feats = corpus.select(
         F.col(id_col).alias("id"),
