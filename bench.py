@@ -127,6 +127,19 @@ def main() -> None:
             fn(spark, sf_dir).count()
         except Exception:  # noqa: BLE001
             pass
+    # the shingle-join family needs ~4 executions before C2 fully
+    # compiles its codegen'd stages (measured 9.9 -> 4.2 -> 3.5 -> 2.9
+    # -> 2.6 s on identical cold-cache reps); give those two extra warm
+    # reps so the timed min reflects the compiled steady state
+    for name in ("dedup_ngram_jaccard", "dedup_minhash_lsh",
+                 "dedup_clusters"):
+        fn = qs.get(name)
+        for _ in range(2 if fn else 0):
+            _clear_caches()
+            try:
+                fn(spark, sf_dir).count()
+            except Exception:  # noqa: BLE001
+                pass
 
     timings: dict[str, float] = {}
     for name, fn in qs.items():
