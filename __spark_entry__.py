@@ -1003,7 +1003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order matters: the driver's correctness gate checks entries in
     # order and may truncate (r2 stopped at 50).  The 24 queries that never
     # received a driver row in CORRECTNESS_r02.json go FIRST, followed by
-    # the 11 round-3 additions (_R3_FIRST), so everything without a green
+    # the round-3 additions (_R3_FIRST), so everything without a green
     # driver row lands inside the window; the r2-green measure/TPC-H/dedup
     # blocks fill the remainder.  sim_knn_ivf_kmeans was removed from the
     # inventory (no SQL oracle by design — FP mean updates aren't

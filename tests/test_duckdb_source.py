@@ -116,3 +116,36 @@ def test_write_duckdb_quoted_identifier(spark, tmp_path):
     assert read_duckdb(
         spark, db, 'SELECT COUNT(*) AS n FROM "odd ""name"""'
     ).first()["n"] == 1
+
+
+def test_write_duckdb_schema_qualified_and_by_name_append(spark, tmp_path):
+    import duckdb
+
+    from yardstick_spark.sources import read_duckdb, write_duckdb
+
+    db = str(tmp_path / "s.duckdb")
+    con = duckdb.connect(db)
+    con.execute("CREATE SCHEMA staging")
+    con.close()
+    df = spark.createDataFrame([(1, "a")], "id bigint, name string")
+    write_duckdb(df, db, "staging.results")
+    assert read_duckdb(
+        spark, db, 'SELECT COUNT(*) AS n FROM staging.results'
+    ).first()["n"] == 1
+    # append with swapped column order must bind BY NAME, not position
+    swapped = spark.createDataFrame([("b", 2)], "name string, id bigint")
+    write_duckdb(swapped, db, "staging.results", mode="append")
+    rows = read_duckdb(
+        spark, db, "SELECT id, name FROM staging.results ORDER BY id"
+    ).collect()
+    assert [(r["id"], r["name"]) for r in rows] == [(1, "a"), (2, "b")]
+
+
+def test_write_duckdb_rejects_bad_mode_before_collect(spark, tmp_path):
+    import pytest as _pytest
+
+    from yardstick_spark.sources import write_duckdb
+
+    df = spark.createDataFrame([(1,)], "x bigint")
+    with _pytest.raises(ValueError, match="unsupported mode"):
+        write_duckdb(df, str(tmp_path / "m.duckdb"), "t", mode="upsert")

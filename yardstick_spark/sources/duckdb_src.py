@@ -140,13 +140,25 @@ def write_duckdb(df: DataFrame, db: str, table: str,
     survives exactly.  Returns the row count written."""
     import duckdb
 
+    if mode not in ("overwrite", "append"):
+        # validate BEFORE the Spark job runs — a bad mode must not cost
+        # a full collect first
+        raise ValueError(f"unsupported mode: {mode!r}")
     try:
         arrow_tbl = df.toArrow()
-    except AttributeError:  # pre-4.0 fallback
-        import pyarrow as pa
-
-        arrow_tbl = pa.Table.from_pandas(df.toPandas())
-    qident = '"' + table.replace('"', '""') + '"'
+    except AttributeError:
+        # no silent pandas fallback: toPandas() widens nullable BIGINT
+        # through float64 (NULL->NaN, >2^53 rounds) — the exact
+        # corruption the read path exists to avoid
+        raise RuntimeError(
+            "write_duckdb needs DataFrame.toArrow() (Spark >= 4.0); "
+            "on older Spark export via parquet and ATTACH instead"
+        ) from None
+    # quote schema-qualified names part-by-part, same contract as the
+    # read path ('main.results' -> "main"."results")
+    qident = ".".join(
+        '"' + part.replace('"', '""') + '"' for part in table.split(".")
+    )
     con = duckdb.connect(db)
     try:
         con.register("__ys_write_src", arrow_tbl)
@@ -155,16 +167,15 @@ def write_duckdb(df: DataFrame, db: str, table: str,
                 f"CREATE OR REPLACE TABLE {qident} AS "
                 "SELECT * FROM __ys_write_src"
             )
-        elif mode == "append":
+        else:  # append — BY NAME so a column-order mismatch with the
+            # existing table binds correctly instead of positionally
             con.execute(
                 f"CREATE TABLE IF NOT EXISTS {qident} AS "
                 "SELECT * FROM __ys_write_src WHERE 1=0"
             )
             con.execute(
-                f"INSERT INTO {qident} SELECT * FROM __ys_write_src"
+                f"INSERT INTO {qident} BY NAME SELECT * FROM __ys_write_src"
             )
-        else:
-            raise ValueError(f"unsupported mode: {mode!r}")
         con.unregister("__ys_write_src")
         return arrow_tbl.num_rows
     finally:
