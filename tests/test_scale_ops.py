@@ -332,3 +332,22 @@ def test_approx_aggregates_within_error_bounds(spark):
     ).first()
     assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.05
     assert abs(row["p_approx"] - row["p_exact"]) <= 1.0
+
+
+def test_lsh_bucket_cap_guards_degenerate_buckets(spark):
+    # 40 near-identical copies of one doc hash to the same buckets in
+    # every band; with the cap those buckets are skipped (their pairs
+    # belong to exact dedup upstream) while unrelated docs keep pairing
+    from pyspark.sql import functions as F
+
+    from yardstick_spark.llm import minhash_lsh_pairs
+
+    boiler = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        F.lit("identical boilerplate text repeated across the corpus "
+              "many many times").alias("text"),
+    )
+    uncapped = minhash_lsh_pairs(boiler, threshold=0.0)
+    assert uncapped.count() == 40 * 39 // 2, "exhaustive without a cap"
+    capped = minhash_lsh_pairs(boiler, threshold=0.0, max_bucket_size=10)
+    assert capped.count() == 0, "over-cap buckets must be skipped"

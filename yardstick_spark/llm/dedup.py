@@ -442,12 +442,41 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
     return hashed.select("id", F.expr(sig).alias("signature"))
 
 
+def _cap_buckets(banded: DataFrame, keys: list[str],
+                 max_bucket_size: int | None) -> DataFrame:
+    """Drop bucket rows whose bucket exceeds `max_bucket_size` members.
+
+    A degenerate bucket — mass-duplicated boilerplate hashing a million
+    documents to one (band, bucket) key — makes the candidate self-join
+    quadratic IN THAT BUCKET regardless of how uniform the rest of the
+    key space is; at corpus scale one such bucket is the whole job.
+    Exact duplicates should be removed upstream first (the curation
+    pipeline orders exact dedup before near-dup for this reason); the
+    cap is the backstop for near-identical families that survive it.
+    Opt-in (default None = exhaustive) because dropped buckets mean
+    missed pairs: members of an over-cap bucket can still pair through
+    their OTHER bands, so recall degrades gracefully rather than
+    cliffing.  The count window shuffles on the same key as the
+    candidate join, so the guard adds no new shuffle topology."""
+    if not max_bucket_size:
+        return banded
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys)
+    return (
+        banded.withColumn("__bn", F.count("*").over(w))
+        .filter(F.col("__bn") <= max_bucket_size)
+        .drop("__bn")
+    )
+
+
 def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", k: int = 5,
                       num_hashes: int = 32, bands: int = 8,
                       threshold: float = 0.5,
                       broadcast_sets: bool | None = None,
-                      max_broadcast_pairs: int | None = None
+                      max_broadcast_pairs: int | None = None,
+                      max_bucket_size: int | None = None
                       ) -> DataFrame:
     """MinHash + LSH candidate pairs with estimated Jaccard.
 
@@ -455,7 +484,8 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     all rows of any band land in the same bucket.  Shuffle key is
     (band_id, band_hash) — uniform.  Estimated similarity = fraction of
     matching signature positions, computed from the joined signatures
-    with `zip_with`, then thresholded.
+    with `zip_with`, then thresholded.  `max_bucket_size` guards the
+    self-join against degenerate buckets (see `_cap_buckets`).
     """
     rows = num_hashes // bands
     sigs = _cache(minhash_signatures(docs, text_col, id_col, k, num_hashes))
@@ -472,6 +502,7 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bhash")
+    banded = _cap_buckets(banded, ["band", "bhash"], max_bucket_size)
     cand = (
         banded.alias("a")
         .join(

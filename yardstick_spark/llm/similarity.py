@@ -298,7 +298,8 @@ def embedding_dedup_pairs(corpus: DataFrame, id_col: str = "vec_id",
                           threshold: float = 0.4, n_planes: int = 6,
                           bands: int = 8, seed: int = 42,
                           max_broadcast_pairs: int | None = None,
-                          dim: int | None = None) -> DataFrame:
+                          dim: int | None = None,
+                          max_bucket_size: int | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: candidates from banded
     random-hyperplane LSH buckets, verified with exact cosine and
     thresholded.  Returns (id_a, id_b, sim) with id_a < id_b.
@@ -323,11 +324,14 @@ def embedding_dedup_pairs(corpus: DataFrame, id_col: str = "vec_id",
     # one fat partition was measured SLOWER here — the checkpoint stage
     # serializes and AQE loses its broadcast estimate for the
     # self-join; 32-way spread wins at every size.)
-    from .dedup import _spread
+    from .dedup import _cap_buckets, _spread
 
-    c = _spread(corpus).select(
-        F.col(id_col).alias("id"),
-        F.posexplode(buckets).alias("band", "bucket"),
+    c = _cap_buckets(
+        _spread(corpus).select(
+            F.col(id_col).alias("id"),
+            F.posexplode(buckets).alias("band", "bucket"),
+        ),
+        ["band", "bucket"], max_bucket_size,
     ).localCheckpoint()
     cand = (
         c.alias("a")
