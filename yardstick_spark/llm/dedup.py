@@ -568,9 +568,16 @@ def simhash64(docs: DataFrame, text_col: str = "text",
 
 def simhash_pairs(docs: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", max_hamming: int = 3,
-                  max_broadcast_pairs: int | None = None) -> DataFrame:
+                  max_broadcast_pairs: int | None = None,
+                  max_bucket_size: int | None = None) -> DataFrame:
     """Near-duplicate pairs by SimHash Hamming distance — EXACT for
     max_hamming <= 3 via banded pigeonhole candidates.
+
+    NOTE: setting `max_bucket_size` (degenerate-bucket guard, see
+    `_cap_buckets`) voids the exactness guarantee — an over-cap band
+    bucket's members can only pair through their other bands, which
+    pigeonhole no longer covers exhaustively.  Leave it None unless a
+    boilerplate-heavy corpus makes a band value collapse.
 
     The 60-bit signature splits into 4 bands of 15 bits; two signatures
     within Hamming distance 3 must agree on at least one whole band
@@ -596,6 +603,7 @@ def simhash_pairs(docs: DataFrame, text_col: str = "text",
             "struct(b AS band, shiftright(simhash, b * 15) & 32767 AS bval))"
         )).alias("bb"),
     ).select("id", "bb.band", "bb.bval")
+    banded = _cap_buckets(banded, ["band", "bval"], max_bucket_size)
     cand = (
         banded.alias("a")
         .join(
