@@ -145,3 +145,47 @@ def test_install_intercepts_bare_spark_sql(sales_v):
 
     with _pytest.raises(Exception):
         spark.sql("SELECT AGGREGATE(revenue) FROM sales_v").collect()
+
+
+def test_star_join_view_with_qualified_refs(spark):
+    # a measure view whose body JOINS tables keeps its table aliases
+    # visible to the context SQL: qualified dims (n.n_name) and measures
+    # (SUM(o.o_totalprice)) must resolve — the derived-table wrapper
+    # used to erase the aliases and fail analysis
+    from yardstick_spark import MeasureSession
+    from yardstick_spark.sources import register_parquet_dir
+
+    register_parquet_dir(spark, "/root/testdata/sf0.001",
+                         ["orders", "customer", "nation"])
+    ys = MeasureSession(spark)
+    ys.collect_warnings = False
+    ys.sql(
+        "CREATE OR REPLACE VIEW star_join_m AS SELECT n.n_name AS nation, "
+        "SUM(o.o_totalprice) AS MEASURE rev "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+        "WHERE o.o_orderstatus = 'F'"
+    )
+    got = sorted(
+        map(tuple, ys.sql(
+            "SELECT nation, ROUND(AGGREGATE(rev), 2) AS rev, "
+            "ROUND(AGGREGATE(rev) AT (ALL), 2) AS tot, "
+            "ROUND(AGGREGATE(rev) AT (WHERE o_orderpriority = '1-URGENT'), 2)"
+            " AS urgent "
+            "FROM star_join_m GROUP BY nation"
+        ).collect())
+    )
+    want = sorted(
+        map(tuple, spark.sql(
+            "SELECT n.n_name AS nation, ROUND(SUM(o.o_totalprice), 2) AS r, "
+            "ROUND((SELECT SUM(o_totalprice) FROM orders "
+            "WHERE o_orderstatus = 'F'), 2) AS tot, "
+            "ROUND((SELECT SUM(o_totalprice) FROM orders "
+            "WHERE o_orderstatus = 'F' "
+            "AND o_orderpriority = '1-URGENT'), 2) AS urgent "
+            "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+            "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+            "WHERE o.o_orderstatus = 'F' GROUP BY n.n_name"
+        ).collect())
+    )
+    assert got == want

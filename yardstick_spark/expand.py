@@ -1260,11 +1260,36 @@ class QueryExpander:
         insert = info.from_end
         return sql[:insert].rstrip() + "".join(joins) + " " + sql[insert:]
 
+    def _ctx_source(self, spec: CtxSpec) -> str:
+        """FROM(+WHERE) text for a context query over the base relation.
+
+        When the base is the canonical `SELECT * FROM <from> [WHERE c]`
+        shape, splice the FROM clause in directly instead of wrapping it
+        as a derived table: a view body that JOINS tables with aliases
+        (`FROM orders o JOIN nation n ...`) keeps those aliases visible,
+        so qualified dimension/measure expressions (`n.n_name`,
+        `SUM(o.o_totalprice)`) still resolve — a derived-table wrapper
+        erases the inner aliases and breaks them.  Set-op/CTE bases keep
+        the wrapper (their text is not a FROM clause)."""
+        m = re.match(r"\s*SELECT\s+\*\s+FROM\s", spec.base_sql, re.IGNORECASE)
+        if m:
+            tail = spec.base_sql[m.end():].strip()
+            if not spec.filter_sql:
+                return f"FROM {tail}"
+            wpos = find_top_level_keyword(tail, "WHERE")
+            if wpos is None:
+                return f"FROM {tail} WHERE {spec.filter_sql}"
+            cond = tail[wpos + 5:].strip()
+            return (f"FROM {tail[:wpos]} WHERE ({cond}) "
+                    f"AND ({spec.filter_sql})")
+        where = f" WHERE {spec.filter_sql}" if spec.filter_sql else ""
+        return f"FROM ({spec.base_sql}){where}"
+
     def _render_ctx_sql(self, spec: CtxSpec) -> str:
         key_items = [
             f"{k} AS __ys_k{i}" for i, k in enumerate(spec.inner_keys)
         ]
-        where = f" WHERE {spec.filter_sql}" if spec.filter_sql else ""
+        source = self._ctx_source(spec)
         has_window = any(ws is not None for ws in spec.window_specs)
         if not has_window:
             value_items = [
@@ -1276,7 +1301,7 @@ class QueryExpander:
                 if spec.inner_keys
                 else ""
             )
-            return f"SELECT {select} FROM ({spec.base_sql}){where}{group}"
+            return f"SELECT {select} {source}{group}"
         # window-measure recompute: evaluate window rows per context
         # partition, then enforce single-valuedness (N4,
         # measures.rs:5233-5247; error contract measures.test:2977-3033)
@@ -1289,7 +1314,7 @@ class QueryExpander:
                 row_items.append(
                     f"{_inject_partition(e, [f'__ys_k{i}' for i in range(len(spec.inner_keys))], spec.inner_keys)} AS __ys_raw{idx}"
                 )
-        inner = f"SELECT {', '.join(row_items)} FROM ({spec.base_sql}){where}"
+        inner = f"SELECT {', '.join(row_items)} {source}"
         outer_vals = []
         for idx, a in enumerate(spec.value_aliases):
             ws = spec.window_specs[idx]
