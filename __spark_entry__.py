@@ -76,6 +76,13 @@ def _ys(spark: SparkSession, sf_dir: str):
         "FROM orders"
     )
     ys.sql(
+        "CREATE OR REPLACE VIEW star_m AS SELECT n.n_name AS nation, "
+        "YEAR(o.o_orderdate) AS d_year, "
+        "SUM(o.o_totalprice) AS MEASURE srev "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey"
+    )
+    ys.sql(
         "CREATE OR REPLACE VIEW orders_w AS SELECT "
         "o_orderstatus, "
         "SUM(o_totalprice) OVER (PARTITION BY o_orderstatus) "
@@ -216,6 +223,13 @@ _MEASURE_QUERIES: dict[str, str] = {
     "m_cube": (
         "SELECT d_year, l_returnflag, ROUND(AGGREGATE(revenue), 2) AS rev "
         "FROM lineitem_m GROUP BY CUBE(d_year, l_returnflag)"
+    ),
+    # star-schema semantic view: the body JOINS fact to dims under
+    # aliases; contexts recompute from the joined base (qualified refs)
+    "m_star_join": (
+        "SELECT nation, ROUND(AGGREGATE(srev), 2) AS rev, "
+        "ROUND(AGGREGATE(srev) AT (ALL), 2) AS tot "
+        "FROM star_m GROUP BY nation"
     ),
     "m_grouping_sets": (
         "SELECT d_year, l_returnflag, ROUND(AGGREGATE(revenue), 2) AS rev "
@@ -602,7 +616,7 @@ _R3_FIRST = [
     "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q12",
     "tpch_q16", "tpch_q20", "tpch_q21",
     "m_cube", "ops_pivot", "ops_window_funcs", "ops_unpivot",
-    "m_grouping_sets",
+    "m_grouping_sets", "m_star_join",
 ]
 
 
@@ -1199,6 +1213,15 @@ def oracle_sql() -> dict[str, str]:
         FROM orders WHERE o_custkey < 50
         WINDOW w AS (PARTITION BY o_custkey
                      ORDER BY o_orderdate, o_orderkey)"""
+    o["m_star_join"] = """
+        WITH j AS (SELECT n.n_name AS nation, o.o_totalprice
+                   FROM orders o
+                   JOIN customer c ON o.o_custkey = c.c_custkey
+                   JOIN nation n ON c.c_nationkey = n.n_nationkey),
+        t AS (SELECT SUM(o_totalprice) AS tt FROM j)
+        SELECT nation, ROUND(SUM(o_totalprice), 2) AS rev,
+               ROUND(t.tt, 2) AS tot
+        FROM j CROSS JOIN t GROUP BY nation, t.tt"""
     o["m_grouping_sets"] = f"""
         WITH b AS (SELECT YEAR(l_shipdate) AS d_year, l_returnflag,
                    l_extendedprice, l_discount FROM lineitem)
