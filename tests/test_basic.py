@@ -189,3 +189,29 @@ def test_star_join_view_with_qualified_refs(spark):
         ).collect())
     )
     assert got == want
+
+
+def test_inline_as_measure_raises_clear_error(spark):
+    # AS MEASURE belongs to CREATE VIEW; in a plain query it used to
+    # half-expand into a confusing downstream parse error — the
+    # engine now states the contract.  A comment or a plain alias
+    # named `measure` must NOT trip the detector (measures.test:130).
+    import pytest as _pytest
+
+    from yardstick_spark import MeasureSession
+    from yardstick_spark.sources import register_parquet_dir
+
+    register_parquet_dir(spark, "/root/testdata/sf0.001", ["lineitem"])
+    ys = MeasureSession(spark)
+    ys.collect_warnings = False
+    with _pytest.raises(Exception, match="only supported in CREATE VIEW"):
+        ys.sql(
+            "SELECT l_returnflag, AGGREGATE(rev) AS r FROM "
+            "(SELECT l_returnflag, SUM(l_extendedprice) AS MEASURE rev "
+            "FROM lineitem) GROUP BY l_returnflag"
+        )
+    # benign look-alikes pass through
+    assert ys.sql(
+        "SELECT l_returnflag AS measure FROM lineitem LIMIT 1 "
+        "/* AS MEASURE */"
+    ).count() == 1

@@ -288,6 +288,38 @@ def find_aggregate_sites(sql: str) -> list[AggregateSite]:
     return sites
 
 
+def _has_inline_as_measure(sql: str) -> bool:
+    """True when a real `AS MEASURE` token sequence appears in the
+    statement — comment/string-aware (measures.test:130 requires that a
+    comment merely CONTAINING the words is not intercepted)."""
+    i, n = 0, len(sql)
+    upper = sql.upper()
+    while i < n:
+        j = skip_code_unit(sql, i)
+        if j > i:
+            i = j
+            continue
+        if upper.startswith("AS", i) and is_word_boundary(sql, i, i + 2):
+            k = next_nonspace(sql, i + 2)
+            if (
+                k < n
+                and upper.startswith("MEASURE", k)
+                and is_word_boundary(sql, k, k + 7)
+            ):
+                # a plain alias NAMED measure (`x AS measure FROM t`)
+                # is legal SQL: only flag when a measure NAME follows
+                m = next_nonspace(sql, k + 7)
+                if m < n and (sql[m] == '"' or sql[m].isalpha()
+                              or sql[m] == "_"):
+                    word = re.match(r'[A-Za-z_][\w$]*|"[^"]+"', sql[m:])
+                    if word and word.group(0).upper() not in SQL_KEYWORDS:
+                        return True
+            i += 2
+            continue
+        i += 1
+    return False
+
+
 def has_aggregate_function(sql: str) -> bool:
     i, n = 0, len(sql)
     upper = sql.upper()
@@ -396,6 +428,20 @@ class QueryExpander:
             res.warnings = cte_warnings
             res.used_views = set(self._used_views)
             return res
+
+        if _has_inline_as_measure(sql):
+            # AS MEASURE is a CREATE VIEW construct in the reference
+            # (every corpus use is a view body); left in a plain query
+            # it would half-expand into a confusing downstream parse
+            # error — fail with the actual contract instead
+            return ExpandResult(
+                sql, had_aggregate=True,
+                error=(
+                    "AS MEASURE is only supported in CREATE VIEW "
+                    "statements; define the measure in a view and "
+                    "query it with AGGREGATE(...)"
+                ),
+            )
 
         known = self.catalog.known_measure_names()
         out = expand_curly_braces(sql)
