@@ -224,6 +224,19 @@ _MEASURE_QUERIES: dict[str, str] = {
         "SELECT d_year, l_returnflag, ROUND(AGGREGATE(revenue), 2) AS rev "
         "FROM lineitem_m GROUP BY CUBE(d_year, l_returnflag)"
     ),
+    # SET with a constant pin (A6 shape: corpus-covered, now driver-
+    # oracled): every group reads the 1998 value
+    "m_at_set_const": (
+        "SELECT d_year, ROUND(AGGREGATE(revenue), 2) AS rev, "
+        "ROUND(AGGREGATE(revenue) AT (SET d_year = 1998), 2) AS rev_98 "
+        "FROM lineitem_m GROUP BY d_year"
+    ),
+    # derived-measure recursion under a grand-total context
+    "m_derived_at_all": (
+        "SELECT l_returnflag, ROUND(AGGREGATE(rev_per_unit), 4) AS rpu, "
+        "ROUND(AGGREGATE(rev_per_unit) AT (ALL), 4) AS rpu_all "
+        "FROM lineitem_m GROUP BY l_returnflag"
+    ),
     # star-schema semantic view: the body JOINS fact to dims under
     # aliases; contexts recompute from the joined base (qualified refs)
     "m_star_join": (
@@ -616,7 +629,7 @@ _R3_FIRST = [
     "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q12",
     "tpch_q16", "tpch_q20", "tpch_q21",
     "m_cube", "ops_pivot", "ops_window_funcs", "ops_unpivot",
-    "m_grouping_sets", "m_star_join",
+    "m_grouping_sets", "m_star_join", "m_at_set_const", "m_derived_at_all",
 ]
 
 
@@ -1213,6 +1226,19 @@ def oracle_sql() -> dict[str, str]:
         FROM orders WHERE o_custkey < 50
         WINDOW w AS (PARTITION BY o_custkey
                      ORDER BY o_orderdate, o_orderkey)"""
+    o["m_at_set_const"] = f"""
+        WITH g AS (SELECT YEAR(l_shipdate) AS d_year, {_REV} AS r
+                   FROM lineitem GROUP BY 1)
+        SELECT d_year, ROUND(r, 2) AS rev,
+               ROUND((SELECT r FROM g WHERE d_year = 1998), 2) AS rev_98
+        FROM g"""
+    o["m_derived_at_all"] = f"""
+        WITH g AS (SELECT l_returnflag, {_REV} AS r,
+                   SUM(l_quantity) AS q FROM lineitem GROUP BY 1),
+        t AS (SELECT SUM(r) AS tr, SUM(q) AS tq FROM g)
+        SELECT l_returnflag, ROUND(r / q, 4) AS rpu,
+               ROUND(t.tr / t.tq, 4) AS rpu_all
+        FROM g CROSS JOIN t"""
     o["m_star_join"] = """
         WITH j AS (SELECT n.n_name AS nation, o.o_totalprice
                    FROM orders o

@@ -106,3 +106,16 @@ def test_csv_json_round_trip(spark, tmp_path):
     # JSON readers order columns lexicographically; realign to source
     got_json = got_json.select(*src.columns)
     assert sorted(tuple(r) for r in got_json.collect()) == want
+
+
+def test_orc_round_trip(spark, tmp_path):
+    # ORC is Spark-native; read_table's fmt passthrough covers it
+    from yardstick_spark.sources import read_table
+
+    df = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    path = str(tmp_path / "nation.orc")
+    df.write.mode("overwrite").orc(path)
+    back = read_table(spark, path, fmt="orc")
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, df.collect())
+    )
