@@ -351,3 +351,19 @@ def test_lsh_bucket_cap_guards_degenerate_buckets(spark):
     assert uncapped.count() == 40 * 39 // 2, "exhaustive without a cap"
     capped = minhash_lsh_pairs(boiler, threshold=0.0, max_bucket_size=10)
     assert capped.count() == 0, "over-cap buckets must be skipped"
+
+
+def test_simhash_bucket_cap_wiring(spark):
+    # capped path: identical docs collapse every band bucket, so the
+    # cap suppresses all candidates; uncapped stays exhaustive
+    from pyspark.sql import functions as F
+
+    from yardstick_spark.llm import simhash_pairs
+
+    boiler = spark.range(30).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the very same boilerplate text in every document")
+        .alias("text"),
+    )
+    assert simhash_pairs(boiler).count() == 30 * 29 // 2
+    assert simhash_pairs(boiler, max_bucket_size=10).count() == 0

@@ -309,10 +309,16 @@ def _has_inline_as_measure(sql: str) -> bool:
                 # a plain alias NAMED measure (`x AS measure FROM t`)
                 # is legal SQL: only flag when a measure NAME follows
                 m = next_nonspace(sql, k + 7)
-                if m < n and (sql[m] == '"' or sql[m].isalpha()
+                if m < n and (sql[m] in '"`' or sql[m].isalpha()
                               or sql[m] == "_"):
-                    word = re.match(r'[A-Za-z_][\w$]*|"[^"]+"', sql[m:])
-                    if word and word.group(0).upper() not in SQL_KEYWORDS:
+                    word = re.match(
+                        r'[A-Za-z_][\w$]*|"[^"]+"|`[^`]+`', sql[m:]
+                    )
+                    if word and word.group(0).upper() not in (
+                        SQL_KEYWORDS
+                        # Spark-dialect words that can follow an alias
+                        | {"MINUS", "SORT", "DISTRIBUTE", "CLUSTER"}
+                    ):
                         return True
             i += 2
             continue
@@ -420,20 +426,14 @@ class QueryExpander:
         return dims
 
     def expand(self, sql: str) -> ExpandResult:
-        # CTE recursion first
         self._used_views: set[str] = getattr(self, "_used_views", set())
-        body, had_cte, cte_warnings = expand_cte_queries(sql, self.expand)
-        if body != sql:
-            res = ExpandResult(body, had_aggregate=had_cte)
-            res.warnings = cte_warnings
-            res.used_views = set(self._used_views)
-            return res
-
         if _has_inline_as_measure(sql):
             # AS MEASURE is a CREATE VIEW construct in the reference
             # (every corpus use is a view body); left in a plain query
             # it would half-expand into a confusing downstream parse
-            # error — fail with the actual contract instead
+            # error — fail with the actual contract instead.  Checked
+            # BEFORE CTE recursion: expand_cte_queries drops inner
+            # errors, so the whole-statement scan is the reliable gate.
             return ExpandResult(
                 sql, had_aggregate=True,
                 error=(
@@ -442,6 +442,13 @@ class QueryExpander:
                     "query it with AGGREGATE(...)"
                 ),
             )
+        # CTE recursion first
+        body, had_cte, cte_warnings = expand_cte_queries(sql, self.expand)
+        if body != sql:
+            res = ExpandResult(body, had_aggregate=had_cte)
+            res.warnings = cte_warnings
+            res.used_views = set(self._used_views)
+            return res
 
         known = self.catalog.known_measure_names()
         out = expand_curly_braces(sql)
@@ -1315,8 +1322,10 @@ class QueryExpander:
         (`FROM orders o JOIN nation n ...`) keeps those aliases visible,
         so qualified dimension/measure expressions (`n.n_name`,
         `SUM(o.o_totalprice)`) still resolve — a derived-table wrapper
-        erases the inner aliases and breaks them.  Set-op/CTE bases keep
-        the wrapper (their text is not a FROM clause)."""
+        erases the inner aliases and breaks them.  Set-op bases arrive
+        as `SELECT * FROM (body)` and so also take the splice
+        (harmlessly — the tail is a parenthesized subquery); only
+        CTE-prefixed bases keep the wrapper."""
         m = re.match(r"\s*SELECT\s+\*\s+FROM\s", spec.base_sql, re.IGNORECASE)
         if m:
             tail = spec.base_sql[m.end():].strip()
