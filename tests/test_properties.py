@@ -375,3 +375,19 @@ def test_p11_fast_paths_equal_join_path_fuzz(pys, rows, dims,
     finally:
         QueryExpander._inline_target = orig
     assert fast == slow, sql
+
+
+def test_p12_expansion_idempotent(spark):
+    """Expanding an already-expanded statement is a no-op: the output
+    of rewrite() contains no AGGREGATE sites or bare measure refs, so
+    a second pass must return it verbatim (fixpoint — the property the
+    yardstick() table function's inline expansion also relies on)."""
+    import __spark_entry__ as entry
+
+    ys = entry._ys(spark, "/root/testdata/sf0.001")
+    for name, sql in entry._MEASURE_QUERIES.items():
+        if not name.startswith("m_"):
+            continue
+        once = ys.rewrite(sql)
+        twice = ys.rewrite(once)
+        assert twice == once, f"{name}: expansion not idempotent"
