@@ -215,3 +215,30 @@ def test_inline_as_measure_raises_clear_error(spark):
         "SELECT l_returnflag AS measure FROM lineitem LIMIT 1 "
         "/* AS MEASURE */"
     ).count() == 1
+
+
+def test_double_quoted_identifiers_with_spark_dialect_flag(spark):
+    # DuckDB-style "quoted identifier" views work once Spark's own
+    # dialect switch is on (LIMITATIONS.md §9)
+    from yardstick_spark import MeasureSession
+    from yardstick_spark.sources import register_parquet_dir
+
+    saved = spark.conf.get("spark.sql.ansi.doubleQuotedIdentifiers", "false")
+    spark.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", "true")
+    try:
+        register_parquet_dir(spark, "/root/testdata/sf0.001", ["lineitem"])
+        ys = MeasureSession(spark)
+        ys.collect_warnings = False
+        ys.sql(
+            'CREATE OR REPLACE VIEW v_dq AS SELECT l_returnflag AS '
+            '"flag col", SUM(l_extendedprice) AS MEASURE rev FROM lineitem'
+        )
+        rows = ys.sql(
+            'SELECT "flag col", ROUND(AGGREGATE(rev), 2) AS r, '
+            'ROUND(AGGREGATE(rev) AT (ALL), 2) AS t '
+            'FROM v_dq GROUP BY "flag col"'
+        ).collect()
+        assert len(rows) == 3
+        assert len({r["t"] for r in rows}) == 1
+    finally:
+        spark.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", saved)
