@@ -515,17 +515,21 @@ _MEASURE_QUERIES: dict[str, str] = {
         "ORDER BY value DESC, partkey"
     ),
     # q12-shaped: order-priority class counts per returnflag (testdata
-    # has no l_shipmode/l_receiptdate — priority classes stand in)
+    # has no l_shipmode/l_receiptdate — priority classes stand in).
+    # CAST AS BIGINT: DuckDB's SUM over INT is HUGEINT, whose driver-side
+    # rendering differs from Spark's BIGINT; ORDER BY pins row order —
+    # the same discipline every other TPC-H entry applies (was the one
+    # red CORRECTNESS_r03 row).
     "tpch_q12": (
         "SELECT l.l_returnflag AS rflag, "
-        "SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') "
-        "THEN 1 ELSE 0 END) AS high_line_count, "
-        "SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') "
-        "THEN 1 ELSE 0 END) AS low_line_count "
+        "CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+        "CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count "
         "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey "
         "WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' "
         "AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00' "
-        "GROUP BY l.l_returnflag"
+        "GROUP BY l.l_returnflag ORDER BY rflag"
     ),
     # q16-shaped: distinct supplier count per part attribute, excluding
     # a supplier set via NOT IN (anti-join on a subquery)

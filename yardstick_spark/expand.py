@@ -43,6 +43,7 @@ from .parser import (
 )
 from .sqlutil import (
     SQL_KEYWORDS,
+    YardstickError,
     find_first_top_level_keyword,
     find_matching_paren,
     find_top_level_keyword,
@@ -766,6 +767,11 @@ class QueryExpander:
                 inline_view is not None
                 and not in_where
                 and not resolved.is_window
+                # locally sound, not just via the ddl.py invariant that
+                # non-decomposable views get GROUP BY ALL base queries:
+                # SUM((COUNT(DISTINCT x))) OVER (...) over row-grain
+                # input would double-count values shared across groups
+                and resolved.is_decomposable
                 and not uses_grouping_sets
                 and resolved.source_view.lower() == primary_name.lower()
                 and not ctx.set_conditions
@@ -1201,6 +1207,11 @@ class QueryExpander:
             return None
         if binfo.select_pos > 0 and body[:binfo.select_pos].strip():
             return None  # CTE prefix — injection point would be ambiguous
+        # prove the outer FROM reference is rewritable BEFORE any site
+        # commits to the inline path: a quoting/formatting shape the
+        # matcher misses must keep the join path, not crash mid-rewrite
+        if self._inline_from_match(info.sql, info) is None:
+            return None
         # the definitive base-scope column set: injected columns are
         # validated against it, so a non-column token in a measure
         # expression (a numeric type suffix like 1D, an EXTRACT field,
@@ -1256,6 +1267,31 @@ class QueryExpander:
             cols.setdefault(text)
         return list(cols)
 
+    def _inline_from_match(self, sql: str, info: SelectInfo):
+        """Locate the outer FROM's view reference in `sql`, or None.
+
+        Returns (parsed SelectInfo for `sql`, regex match relative to
+        its FROM region).  Used twice: as a dry-run gate in
+        _inline_target (so unrewritable shapes keep the join path) and
+        as the actual locator in _inline_rewrite_from."""
+        if not info.tables:
+            return None
+        tref = info.tables[0]
+        out = parse_select(sql)
+        if out is None or out.from_start is None:
+            return None
+        region = sql[out.from_start:out.from_end]
+        qual = (
+            re.escape(tref.qualifier) + r"\s*\.\s*" if tref.qualifier else ""
+        )
+        pat = re.compile(
+            r'(?is)\b' + qual + '("?)' + re.escape(tref.name) + r'("?)'
+        )
+        m = pat.search(region)
+        if m is None:
+            return None
+        return out, m
+
     def _inline_rewrite_from(
         self, sql: str, info: SelectInfo, view: MeasureView,
         extra_cols: list[str],
@@ -1269,24 +1305,27 @@ class QueryExpander:
         body = view.base_query.strip().rstrip(";")
         if extra_cols:
             binfo = parse_select(body)
-            assert binfo is not None and binfo.from_start is not None
+            if binfo is None or binfo.from_start is None:
+                raise YardstickError(
+                    f"inline rewrite: view body for {tref.name} lost its "
+                    "FROM clause between _inline_target and rewrite"
+                )
             body = (
                 body[:binfo.from_start].rstrip()
                 + ", " + ", ".join(extra_cols) + " "
                 + body[binfo.from_start:]
             )
         alias = tref.alias or tref.name
-        out = parse_select(sql)
-        assert out is not None and out.from_start is not None
+        found = self._inline_from_match(sql, info)
+        if found is None:
+            # _inline_target dry-ran this same match on the pre-rewrite
+            # SQL, so this is unreachable unless site replacement mangled
+            # the FROM region; fail loudly rather than emit wrong SQL
+            raise YardstickError(
+                f"inline rewrite: FROM target {tref.name} not found"
+            )
+        out, m = found
         region = sql[out.from_start:out.from_end]
-        qual = (
-            re.escape(tref.qualifier) + r"\s*\.\s*" if tref.qualifier else ""
-        )
-        pat = re.compile(
-            r'(?is)\b' + qual + '("?)' + re.escape(tref.name) + r'("?)'
-        )
-        m = pat.search(region)
-        assert m is not None, f"FROM target {tref.name} not found"
         tail = region[m.end():]
         has_alias = bool(re.match(r"\s+(?!(AS\s+)?(WHERE|GROUP|HAVING|"
                                   r"QUALIFY|WINDOW|ORDER|LIMIT|OFFSET|"
@@ -1329,14 +1368,23 @@ class QueryExpander:
         m = re.match(r"\s*SELECT\s+\*\s+FROM\s", spec.base_sql, re.IGNORECASE)
         if m:
             tail = spec.base_sql[m.end():].strip()
-            if not spec.filter_sql:
-                return f"FROM {tail}"
-            wpos = find_top_level_keyword(tail, "WHERE")
-            if wpos is None:
-                return f"FROM {tail} WHERE {spec.filter_sql}"
-            cond = tail[wpos + 5:].strip()
-            return (f"FROM {tail[:wpos]} WHERE ({cond}) "
-                    f"AND ({spec.filter_sql})")
+            # the splice assumes nothing after FROM but an optional
+            # WHERE; any other trailing clause (ORDER BY/LIMIT/GROUP
+            # BY/HAVING) would make `FROM <tail> WHERE f` invalid or
+            # swallow the clause into the condition — wrap instead
+            kw = find_first_top_level_keyword(
+                tail, 0, ["GROUP", "HAVING", "ORDER", "LIMIT", "OFFSET",
+                          "QUALIFY", "WINDOW"]
+            )
+            if kw is None:
+                if not spec.filter_sql:
+                    return f"FROM {tail}"
+                wpos = find_top_level_keyword(tail, "WHERE")
+                if wpos is None:
+                    return f"FROM {tail} WHERE {spec.filter_sql}"
+                cond = tail[wpos + 5:].strip()
+                return (f"FROM {tail[:wpos]} WHERE ({cond}) "
+                        f"AND ({spec.filter_sql})")
         where = f" WHERE {spec.filter_sql}" if spec.filter_sql else ""
         return f"FROM ({spec.base_sql}){where}"
 

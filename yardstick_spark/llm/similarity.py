@@ -110,9 +110,14 @@ def _cosine_udf():
                 dot += A[:, i] * B[:, i]
                 na += A[:, i] * A[:, i]
                 nb += B[:, i] * B[:, i]
-            vals = dot / (np.sqrt(na) * np.sqrt(nb))
-            for j, v in zip(sel, vals):
-                out[j] = float(v)
+            denom = np.sqrt(na) * np.sqrt(nb)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                vals = dot / denom
+            # zero-norm vectors: 0/0 -> NaN, which would PASS a
+            # `sim >= t` filter under Spark's NaN-is-largest ordering;
+            # mask to NULL like the length-mismatch rows
+            for j, v, d in zip(sel, vals, denom):
+                out[j] = float(v) if d > 0 else None
         return pd.Series(out)
 
     return cos

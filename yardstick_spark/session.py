@@ -20,11 +20,7 @@ from .catalog import MeasureCatalog
 from .ddl import parse_drop_view, process_create_view
 from .expand import QueryExpander
 from .functions.compat import normalize_statement_to_spark
-from .sqlutil import skip_code_unit
-
-
-class YardstickError(Exception):
-    pass
+from .sqlutil import YardstickError, skip_code_unit
 
 
 import re as _re

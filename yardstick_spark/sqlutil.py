@@ -14,6 +14,10 @@ from __future__ import annotations
 import re
 from typing import Iterator
 
+
+class YardstickError(Exception):
+    """Engine-level error (re-exported as yardstick_spark.YardstickError)."""
+
 SQL_KEYWORDS = {
     "SELECT", "FROM", "WHERE", "GROUP", "BY", "HAVING", "ORDER", "LIMIT",
     "OFFSET", "JOIN", "ON", "AND", "OR", "NOT", "IN", "IS", "NULL", "TRUE",
