@@ -367,3 +367,23 @@ def test_simhash_bucket_cap_wiring(spark):
     )
     assert simhash_pairs(boiler).count() == 30 * 29 // 2
     assert simhash_pairs(boiler, max_bucket_size=10).count() == 0
+
+
+def test_ivf_seeded_udf_path_matches_literal(spark, monkeypatch):
+    # above _LITERAL_CENTROID_LIMIT the seeded IVF swaps the SQL-literal
+    # centroid tree for an Arrow-UDF closure; both paths must select the
+    # same cells/probes and therefore the same neighbor set
+    import yardstick_spark.llm.ivf as ivf
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.limit(5)
+    lit = sorted(
+        map(tuple, ivf.ivf_knn_seeded(emb, q, k=5, n_lists=8, n_probe=3)
+            .select("query_id", "neighbor_id", "sim", "rank").collect())
+    )
+    monkeypatch.setattr(ivf, "_LITERAL_CENTROID_LIMIT", 0)
+    udf = sorted(
+        map(tuple, ivf.ivf_knn_seeded(emb, q, k=5, n_lists=8, n_probe=3)
+            .select("query_id", "neighbor_id", "sim", "rank").collect())
+    )
+    assert lit == udf

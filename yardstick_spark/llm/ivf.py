@@ -15,6 +15,7 @@ equal probe cost on clustered embeddings.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
 
@@ -86,49 +87,129 @@ def seed_centroids(corpus: DataFrame, id_col: str = "vec_id",
     )
 
 
+# above this many centroids the SQL-literal centroid tree stops being
+# a fixed-size expression and starts costing the driver O(n_lists*dim)
+# analysis/codegen per query — switch to the Arrow-UDF path (same
+# pattern the LSH planes use: the matrix rides the serialized closure
+# to every executor, still scan-side, still zero extra shuffle)
+_LITERAL_CENTROID_LIMIT = 256
+
+
+def _centroid_matrix(centroids: DataFrame):
+    """(cells_sorted, matrix) with row i = centroid of cells_sorted[i]."""
+    import numpy as np
+
+    rows = sorted(
+        (int(r["cell"]), [float(x) for x in r["centroid"]])
+        for r in centroids.collect()
+    )
+    cells = np.array([c for c, _ in rows], dtype=np.int64)
+    mat = np.array([v for _, v in rows], dtype=np.float64)
+    return cells, mat
+
+
+def _assign_cell_udf(cells, mat):
+    """Scan-side nearest-centroid assignment via Arrow batches; the
+    centroid matrix lives in the closure, not the expression tree.
+    Ties break to the lower cell id (rows are cell-sorted and argmin
+    returns the first minimum), matching the literal path's
+    struct-min rule."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def assign(arr: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(arr) == 0:
+            return pd.Series([], dtype="int32")
+        A = np.vstack(arr.to_numpy()).astype(np.float64)
+        d2 = ((A[:, None, :] - mat[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(cells[np.argmin(d2, axis=1)].astype("int32"))
+
+    return assign
+
+
+def _probe_cells_udf(cells, mat, n_probe: int):
+    """Scan-side probe selection: the n_probe nearest cells per query
+    vector, ordered by (d2, cell) — lexsort mirrors the literal path's
+    array_sort over (d, cell) structs."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def probe(qv: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(qv) == 0:
+            return pd.Series([], dtype=object)
+        Q = np.vstack(qv.to_numpy()).astype(np.float64)
+        d2 = ((Q[:, None, :] - mat[None, :, :]) ** 2).sum(axis=2)
+        out = []
+        for row in d2:
+            order = np.lexsort((cells, row))[:n_probe]
+            out.append([int(c) for c in cells[order]])
+        return pd.Series(out)
+
+    return probe
+
+
 def ivf_knn_seeded(corpus: DataFrame, queries: DataFrame, k: int = 10,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    n_lists: int = 16, n_probe: int = 4) -> DataFrame:
     """Approximate top-k cosine neighbors over a deterministically
     seeded IVF index (see `seed_centroids`).
 
-    The centroid table is bounded by n_lists, so it is collected and
-    embedded as a literal array: cell assignment and probe selection
-    run scan-side with zero extra shuffle (exactly how a deployed IVF
-    index ships its centroids to every executor).  The final top-k is a
+    The centroid table is bounded by n_lists, so cell assignment and
+    probe selection run scan-side with zero extra shuffle (exactly how
+    a deployed IVF index ships its centroids to every executor).  Up to
+    `_LITERAL_CENTROID_LIMIT` cells the centroids are embedded as a
+    SQL literal (whole-stage codegen, engine-portable — the DuckDB
+    oracle reproduces it bit-exactly); above that, the same assignment
+    runs as an Arrow pandas_udf whose closure carries the centroid
+    matrix, so driver-side plan analysis stays O(1) in n_lists — the
+    production path for 4k-64k-list indexes.  The final top-k is a
     rank window that Spark executes with a map-side partial
     WindowGroupLimit — each scan task forwards at most k rows per
     query, so no reducer sees corpus-proportional input.
     """
-    cents = sorted(
-        (int(r["cell"]), [float(x) for x in r["centroid"]])
-        for r in seed_centroids(corpus, id_col, vec_col, n_lists).collect()
-    )
-    cent_lits = ", ".join(
-        f"named_struct('cell', {cell}, 'c', array("
-        + ", ".join(f"{x!r}D" for x in vec) + "))"
-        for cell, vec in cents
-    )
-    d2 = ("aggregate(zip_with({v}, s.c, (a, b) -> (a - b) * (a - b)), "
-          "0D, (acc, x) -> acc + x)")
-    # nearest cell: lexicographic struct min over (d2, cell) — ties to
-    # the lower cell id, same rule the SQL oracle applies.
-    assign = (f"array_min(transform(array({cent_lits}), s -> "
-              f"struct({d2.format(v='arr')} AS d, s.cell AS cell))).cell")
-    probe = (f"transform(slice(array_sort(transform(array({cent_lits}), "
-             f"s -> struct({d2.format(v='qv')} AS d, s.cell AS cell))), "
-             f"1, {n_probe}), p -> p.cell)")
-    assigned = corpus.select(
+    cent_df = seed_centroids(corpus, id_col, vec_col, n_lists)
+    corpus_sel = corpus.select(
         F.col(id_col).alias("id"),
         F.expr(_as_vec(vec_col)).alias("arr"),
-    ).withColumn("cell", F.expr(assign))
-    probes = (
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            F.expr(_as_vec(vec_col)).alias("qv"),
-        )
-        .withColumn("cell", F.explode(F.expr(probe)))
     )
+    query_sel = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.expr(_as_vec(vec_col)).alias("qv"),
+    )
+    if n_lists > _LITERAL_CENTROID_LIMIT:
+        cells, mat = _centroid_matrix(cent_df)
+        assigned = corpus_sel.withColumn(
+            "cell", _assign_cell_udf(cells, mat)(F.col("arr"))
+        )
+        probes = query_sel.withColumn(
+            "cell",
+            F.explode(_probe_cells_udf(cells, mat, n_probe)(F.col("qv"))),
+        )
+    else:
+        cents = sorted(
+            (int(r["cell"]), [float(x) for x in r["centroid"]])
+            for r in cent_df.collect()
+        )
+        cent_lits = ", ".join(
+            f"named_struct('cell', {cell}, 'c', array("
+            + ", ".join(f"{x!r}D" for x in vec) + "))"
+            for cell, vec in cents
+        )
+        d2 = ("aggregate(zip_with({v}, s.c, (a, b) -> (a - b) * (a - b)), "
+              "0D, (acc, x) -> acc + x)")
+        # nearest cell: lexicographic struct min over (d2, cell) — ties
+        # to the lower cell id, same rule the SQL oracle applies.
+        assign = (f"array_min(transform(array({cent_lits}), s -> "
+                  f"struct({d2.format(v='arr')} AS d, s.cell AS cell))).cell")
+        probe = (f"transform(slice(array_sort(transform(array({cent_lits}), "
+                 f"s -> struct({d2.format(v='qv')} AS d, s.cell AS cell))), "
+                 f"1, {n_probe}), p -> p.cell)")
+        assigned = corpus_sel.withColumn("cell", F.expr(assign))
+        probes = query_sel.withColumn("cell", F.explode(F.expr(probe)))
     cos = (
         "aggregate(zip_with(qv, arr, (x, y) -> x * y), 0D, (s, v) -> s + v)"
         " / (sqrt(aggregate(qv, 0D, (s, v) -> s + v * v))"

@@ -329,11 +329,15 @@ class MeasureSession:
         return normalize_statement_to_spark(res.sql)
 
     def _spark_view_ddl(self, sql: str, is_replace: bool, is_temp: bool) -> str:
-        """Spark's in-memory catalog can't persist plain views without a
-        metastore in some configs; prefer TEMP views for session scope.
-        Permanent views work against the default catalog too — keep the
-        statement as-is except normalizing CREATE VIEW to CREATE OR REPLACE
-        TEMPORARY VIEW when the session has no persistent catalog."""
+        """Keep permanent views permanent when the session has a
+        persistent catalog (hive metastore): the cleaned body then
+        survives the process like a DuckDB view survives in the .db
+        file.  Against the default in-memory catalog every view dies
+        with the session anyway, so permanent CREATE VIEW is demoted to
+        CREATE OR REPLACE TEMPORARY VIEW — same lifetime, fewer
+        warehouse-path failure modes (LIMITATIONS.md §10; the measure
+        catalog itself is session-lifetime either way, matching the
+        reference's measures.rs:56-57)."""
         import re
 
         m = re.match(
@@ -342,6 +346,11 @@ class MeasureSession:
             re.IGNORECASE,
         )
         if not m:
+            return sql
+        impl = self.spark.conf.get(
+            "spark.sql.catalogImplementation", "in-memory"
+        )
+        if not is_temp and impl == "hive":
             return sql
         rest = sql[m.end():]
         return "CREATE OR REPLACE TEMPORARY VIEW" + rest
