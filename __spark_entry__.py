@@ -806,6 +806,62 @@ def _q_text_decontaminate(spark, sf_dir):
     )
 
 
+def _q_text_repetition(spark, sf_dir):
+    from yardstick_spark.llm import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+def _q_text_source_quota(spark, sf_dir):
+    from yardstick_spark.llm import source_quota
+
+    return source_quota(_docs(spark, sf_dir), per_source=10)
+
+
+def _q_text_tfidf(spark, sf_dir):
+    from yardstick_spark.llm import tfidf_terms
+
+    return tfidf_terms(_docs(spark, sf_dir), top_k=3)
+
+
+_SPLIT_W = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def _q_text_split(spark, sf_dir):
+    from yardstick_spark.llm import split_corpus
+
+    return split_corpus(_docs(spark, sf_dir), _SPLIT_W).select(
+        "doc_id", "source", "split"
+    )
+
+
+def _split_oracle() -> str:
+    # mirror split_corpus's CASE ladder with bit-identical thresholds
+    u = ("(CAST(CONCAT('0x', SUBSTRING(md5(CAST(doc_id AS VARCHAR) || ''), "
+         "1, 15)) AS BIGINT) % 1000000) / 1000000.0")
+    total = sum(_SPLIT_W.values())
+    names = list(_SPLIT_W)
+    expr, acc = "CASE", 0.0
+    for name in names[:-1]:
+        acc += _SPLIT_W[name] / total
+        expr += f" WHEN {u} < {acc!r} THEN '{name}'"
+    expr += f" ELSE '{names[-1]}' END"
+    return f"SELECT doc_id, source, {expr} AS split FROM documents"
+
+
+def _q_dedup_incremental(spark, sf_dir):
+    # incremental-ingest shape: every 5th doc is the "new batch",
+    # deduped against the remaining corpus without a corpus self-join
+    from yardstick_spark.llm import incremental_minhash_pairs
+
+    docs = _docs(spark, sf_dir)
+    return incremental_minhash_pairs(
+        docs.filter("doc_id % 5 = 0"),
+        docs.filter("doc_id % 5 <> 0"),
+        threshold=0.5,
+    )
+
+
 _MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
 
 
@@ -1032,14 +1088,21 @@ def _q_events_tumbling(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order matters: the driver's correctness gate checks entries in
-    # order and may truncate (r2 stopped at 50).  The 24 queries that never
-    # received a driver row in CORRECTNESS_r02.json go FIRST, followed by
-    # the round-3 additions (_R3_FIRST), so everything without a green
-    # driver row lands inside the window; the r2-green measure/TPC-H/dedup
-    # blocks fill the remainder.  sim_knn_ivf_kmeans was removed from the
-    # inventory (no SQL oracle by design — FP mean updates aren't
-    # portable); its recall gate lives in tests/test_scale_ops.py and the
-    # seeded variant sim_knn_ivf oracles the probe path bit-exactly.
+    # order and may truncate at 50.  Round-4 ordering: the new r4 operators
+    # and tpch_q12 (the one never-green row, now cast/ordered) go FIRST,
+    # then the 39 entries that fell outside the r3 window (so their green
+    # row refreshes this round), then the r3-green block fills the rest.
+    # sim_knn_ivf_kmeans stays out of the inventory (no SQL oracle by
+    # design — FP mean updates aren't portable); its recall gate lives in
+    # tests/test_scale_ops.py.
+    r4_new: dict[str, Callable] = {
+        "text_repetition": _q_text_repetition,
+        "text_source_quota": _q_text_source_quota,
+        "text_tfidf": _q_text_tfidf,
+        "dedup_incremental": _q_dedup_incremental,
+        "text_split": _q_text_split,
+        "tpch_q12": _measure_runner(_MEASURE_QUERIES["tpch_q12"]),
+    }
     out: dict[str, Callable] = {
         "sim_knn_lsh": _q_knn_lsh,
         "sim_knn_lsh_multiprobe": _q_knn_lsh_multiprobe,
@@ -1085,7 +1148,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "sim_knn_bruteforce": _q_knn,
         }
     )
-    return out
+    full = dict(r4_new)
+    full.update({k: v for k, v in out.items() if k not in full})
+    ordered = list(r4_new) + [k for k in _R4_NEXT if k in full]
+    seen = set(ordered)
+    ordered += [k for k in full if k not in seen]
+    return {k: full[k] for k in ordered}
+
+
+# the 39 entries whose green driver row dates from round 2 (outside the
+# round-3 correctness window) — run right after the r4 additions so
+# their rows refresh this round
+_R4_NEXT = [
+    "m_having", "m_multifact", "m_fanout_immunity", "m_nd_count_distinct",
+    "m_nd_median", "m_nd_at_all", "m_cte", "m_groupby_all", "m_topk",
+    "m_rollup", "m_window_measure", "m_row_level_listing12",
+    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q4", "tpch_q7",
+    "tpch_q10", "tpch_q14", "tpch_q18", "tpch_q19", "tpch_q8", "tpch_q13",
+    "tpch_q15", "tpch_q17", "ops_window_running", "ops_percentiles",
+    "tpch_q22", "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+    "dedup_simhash", "dedup_simhash_pairs", "dedup_clusters",
+    "mm_decode_real", "mm_resize", "dedup_embedding", "sim_knn_bruteforce",
+]
 
 
 # ---------------------------------------------------------------------------
@@ -2026,4 +2110,87 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS bucket, event_type,
                COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
         FROM events GROUP BY 1, 2"""
+    # -- round-4 additions --------------------------------------------------
+    o["text_repetition"] = f"""
+        WITH norm AS (SELECT doc_id,
+               list_filter(string_split({_NORM_DOC}, ' '), t -> t <> '') AS w
+               FROM documents),
+        cw AS (SELECT doc_id, word, COUNT(*) AS cnt
+               FROM (SELECT doc_id, UNNEST(w) AS word FROM norm)
+               GROUP BY 1, 2),
+        agg AS (SELECT doc_id, SUM(cnt) AS n_words, COUNT(*) AS n_distinct,
+                MAX(cnt) AS top_cnt,
+                SUM(CASE WHEN cnt > 1 THEN (cnt - 1) * LENGTH(word)
+                    ELSE 0 END) AS dup_chars,
+                SUM(cnt * LENGTH(word)) AS tot_chars
+                FROM cw GROUP BY 1),
+        bg AS (SELECT doc_id,
+               CASE WHEN len(w) >= 2
+                    THEN [w[i] || ' ' || w[i + 1] for i in range(1, len(w))]
+                    ELSE [] END AS bgs
+               FROM norm)
+        SELECT a.doc_id, CAST(a.n_words AS BIGINT) AS n_words,
+               ROUND(1.0 - a.n_distinct / CAST(greatest(a.n_words, 1)
+                     AS DOUBLE), 6) AS dup_word_frac,
+               ROUND(1.0 - len(list_distinct(b.bgs))
+                     / CAST(greatest(len(b.bgs), 1) AS DOUBLE), 6)
+                 AS dup_bigram_frac,
+               ROUND(a.top_cnt / CAST(greatest(a.n_words, 1) AS DOUBLE), 6)
+                 AS top_word_frac,
+               ROUND(a.dup_chars / CAST(greatest(a.tot_chars, 1)
+                     AS DOUBLE), 6) AS dup_char_frac
+        FROM agg a JOIN bg b ON a.doc_id = b.doc_id"""
+    o["text_source_quota"] = """
+        SELECT doc_id, source, quota_rank FROM (
+          SELECT doc_id, source,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                   AS quota_rank
+          FROM documents)
+        WHERE quota_rank <= 10"""
+    o["text_tfidf"] = f"""
+        WITH w AS (SELECT doc_id AS id,
+               UNNEST(list_filter(string_split({_NORM_DOC}, ' '),
+                      t -> t <> '')) AS term
+               FROM documents),
+        tf AS (SELECT id, term, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+        dfx AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (SELECT id, tf.term, tf, df,
+               ROUND(tf * LN((n_docs + 1) / CAST(df + 1 AS DOUBLE)), 6)
+                 AS tfidf
+               FROM tf JOIN dfx USING (term) CROSS JOIN n)
+        SELECT id AS doc_id, term, tf, df, tfidf, term_rank FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+                 ORDER BY tfidf DESC, term) AS term_rank FROM scored)
+        WHERE term_rank <= 3"""
+    o["text_split"] = _split_oracle()
+    o["dedup_incremental"] = f"""
+        WITH norm AS (SELECT doc_id AS id, {_NORM_DOC} AS t FROM documents),
+        sets AS (SELECT id, list_distinct([substring(t, i, 5)
+                 for i in range(1, greatest(1, length(t) - 4) + 1)]) AS shs
+                 FROM norm),
+        hashed AS (SELECT id, list_transform(shs, s ->
+                   CAST(CONCAT('0x', SUBSTRING(md5(s), 1, 15)) AS BIGINT)
+                   % 2147483647) AS hs FROM sets),
+        sigs AS (SELECT id, [list_min(list_transform(hs, h ->
+                 ((2 * i + 1) * h + i * 40503 + 1) % 2147483647))
+                 for i in range(0, 32)] AS sig FROM hashed),
+        banded AS (SELECT id, sig, t.b AS band,
+                   md5(CAST(sig[t.b * 4 + 1 : t.b * 4 + 4] AS VARCHAR)) AS bhash
+                   FROM sigs, range(0, 8) t(b)),
+        cand AS (SELECT DISTINCT n.id AS new_id, c.id AS corpus_id
+                 FROM banded c JOIN banded n
+                 ON c.band = n.band AND c.bhash = n.bhash
+                 AND c.id % 5 <> 0 AND n.id % 5 = 0)
+        SELECT new_id, corpus_id,
+               ROUND(list_sum(list_transform(list_zip(sn.sig, sc.sig),
+                     x -> CASE WHEN x[1] = x[2] THEN 1 ELSE 0 END))
+                     / len(sn.sig), 6) AS est_jaccard
+        FROM cand
+        JOIN sigs sn ON sn.id = new_id
+        JOIN sigs sc ON sc.id = corpus_id
+        WHERE list_sum(list_transform(list_zip(sn.sig, sc.sig),
+              x -> CASE WHEN x[1] = x[2] THEN 1 ELSE 0 END))
+              / len(sn.sig) >= 0.5"""
     return o

@@ -185,3 +185,109 @@ def test_curation_report_custom_source_col_no_nchars(spark):
     rows = rep.collect()
     assert rows and rep.columns == ["origin", "n_docs", "total_chars"]
     assert all(r["total_chars"] > 0 for r in rows)
+
+
+def test_repetition_stats_known_fractions(spark):
+    from yardstick_spark.llm import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b"), (2, "x y z w")],
+        "doc_id BIGINT, text STRING",
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    r1 = rows[1]
+    assert r1["n_words"] == 4
+    # words {a:3, b:1}: distinct 2/4; bigrams [a a, a a, a b]: distinct 2/3
+    assert r1["dup_word_frac"] == 0.5
+    assert r1["dup_bigram_frac"] == round(1 - 2 / 3, 6)
+    assert r1["top_word_frac"] == 0.75
+    # repeats after first: 'a' twice -> 2 chars of 4 total word chars
+    assert r1["dup_char_frac"] == 0.5
+    r2 = rows[2]
+    assert r2["dup_word_frac"] == 0.0
+    assert r2["dup_bigram_frac"] == 0.0
+    assert r2["dup_char_frac"] == 0.0
+
+
+def test_source_quota_caps_and_prunes_map_side(spark):
+    from pyspark.sql import functions as F
+
+    from yardstick_spark.llm import source_quota
+    from yardstick_spark.plans import explain_str
+
+    docs = spark.range(100).selectExpr(
+        "id AS doc_id", "concat('s', id % 3) AS source"
+    )
+    out = source_quota(docs, per_source=7)
+    counts = {r["source"]: r["n"] for r in
+              out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert all(v == 7 for v in counts.values())
+    # determinism across runs
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, source_quota(docs, per_source=7).collect()))
+    assert a == b
+    assert "WindowGroupLimit" in explain_str(out), (
+        "quota rank must prune map-side"
+    )
+
+
+def test_tfidf_planted_rare_term_ranks_first(spark):
+    from yardstick_spark.llm import tfidf_terms
+
+    common = "the quick brown fox jumps over the lazy dog"
+    docs = spark.createDataFrame(
+        [(i, common + (" zyzzyva" if i == 0 else "")) for i in range(10)],
+        "doc_id BIGINT, text STRING",
+    )
+    top = {(r["doc_id"], r["term_rank"]): r["term"]
+           for r in tfidf_terms(docs, top_k=2).collect()}
+    assert top[(0, 1)] == "zyzzyva"  # df=1 dominates any common term
+
+
+def test_incremental_minhash_finds_cross_corpus_dup(spark):
+    from yardstick_spark.llm import clear_dedup_caches, incremental_minhash_pairs
+    from yardstick_spark.plans import explain_str
+
+    clear_dedup_caches()
+    base = ("spark shuffles data between stages when aggregations need "
+            "all values for one key together in a single place")
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "entirely different content about databases and "
+                        "storage engines with columnar layouts")],
+        "doc_id BIGINT, text STRING",
+    )
+    new = spark.createDataFrame(
+        [(100, base), (101, "yet another unrelated document mentioning "
+                            "nothing similar at all whatsoever")],
+        "doc_id BIGINT, text STRING",
+    )
+    pairs = incremental_minhash_pairs(new, corpus, threshold=0.5)
+    got = [(r["new_id"], r["corpus_id"]) for r in pairs.collect()]
+    assert got == [(100, 1)]
+    # the batch side broadcasts; the corpus side must not
+    assert "BroadcastHashJoin" in explain_str(pairs)
+    clear_dedup_caches()
+
+
+def test_split_corpus_deterministic_and_weighted(spark):
+    from pyspark.sql import functions as F
+
+    from yardstick_spark.llm import split_corpus
+
+    docs = spark.range(2000).selectExpr("id AS doc_id")
+    out = split_corpus(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert 0.75 < counts["train"] / 2000 < 0.85
+    # stable under repartitioning (unlike randomSplit)
+    a = sorted(map(tuple, out.select("doc_id", "split").collect()))
+    b = sorted(map(tuple,
+                   split_corpus(docs.repartition(13),
+                                {"train": 0.8, "val": 0.1, "test": 0.1})
+                   .select("doc_id", "split").collect()))
+    assert a == b
+    # a different seed reshuffles assignments
+    c = split_corpus(docs, {"train": 0.8, "val": 0.1, "test": 0.1},
+                     seed="v2").select("doc_id", "split")
+    assert sorted(map(tuple, c.collect())) != a

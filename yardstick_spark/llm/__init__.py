@@ -11,6 +11,7 @@ from .cluster import connected_components, dedup_assign  # noqa: F401
 from .dedup import (  # noqa: F401
     clear_dedup_caches,
     exact_dedup,
+    incremental_minhash_pairs,
     minhash_signatures,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -53,7 +54,11 @@ from .text import (  # noqa: F401
     language_id,
     pii_redact,
     quality_score,
+    repetition_stats,
     sample_mixture,
+    source_quota,
+    split_corpus,
+    tfidf_terms,
     token_stats,
     top_terms,
 )

@@ -487,22 +487,11 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     with `zip_with`, then thresholded.  `max_bucket_size` guards the
     self-join against degenerate buckets (see `_cap_buckets`).
     """
-    rows = num_hashes // bands
     sigs = _cache(minhash_signatures(docs, text_col, id_col, k, num_hashes))
-    # bucket rows carry only (id, band, bhash) — signature arrays stay
-    # out of the candidate shuffle and are joined back once per pair
-    banded = sigs.select(
-        "id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {bands - 1}), "
-                f"b -> struct(b AS band, "
-                f"md5(cast(slice(signature, b * {rows} + 1, {rows}) AS STRING))"
-                f" AS bhash))"
-            )
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.bhash")
-    banded = _cap_buckets(banded, ["band", "bhash"], max_bucket_size)
+    banded = _cap_buckets(
+        _banded_buckets(sigs, num_hashes, bands),
+        ["band", "bhash"], max_bucket_size,
+    )
     cand = (
         banded.alias("a")
         .join(
@@ -625,4 +614,88 @@ def simhash_pairs(docs: DataFrame, text_col: str = "text",
                     F.expr("bit_count(sig_a ^ sig_b)").cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def _banded_buckets(sigs: DataFrame, num_hashes: int,
+                    bands: int) -> DataFrame:
+    """(id, band, bhash) bucket rows from a minhash signature table —
+    the slim shuffle/probe key used by every LSH candidate generator
+    (signature arrays stay out of the candidate exchange)."""
+    rows = num_hashes // bands
+    return sigs.select(
+        "id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), "
+                f"b -> struct(b AS band, "
+                f"md5(cast(slice(signature, b * {rows} + 1, {rows}) AS STRING))"
+                f" AS bhash))"
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bhash")
+
+
+def incremental_minhash_pairs(new_docs: DataFrame, corpus: DataFrame,
+                              text_col: str = "text",
+                              id_col: str = "doc_id", k: int = 5,
+                              num_hashes: int = 32, bands: int = 8,
+                              threshold: float = 0.5,
+                              broadcast_new: bool = True,
+                              max_bucket_size: int | None = None
+                              ) -> DataFrame:
+    """Cross-corpus near-dup pairs: each NEW document against an
+    EXISTING corpus — the incremental-ingest shape (dedup a fresh crawl
+    batch against the already-curated store without re-pairing the
+    store against itself).
+
+    Returns (new_id, corpus_id, est_jaccard), est >= threshold.
+
+    100 TB story: the batch side is ingest-sized, so its bucket rows
+    (and signatures, for the verify join) BROADCAST — the corpus side
+    is one scan computing signatures + a map-side probe of the
+    broadcast bucket hash table.  The corpus never shuffles and is
+    never self-joined; cost is O(corpus scan) + O(batch x matches),
+    independent of corpus pair count.  Set broadcast_new=False for an
+    atypically large batch and AQE picks the join strategy.
+    `max_bucket_size` caps degenerate corpus buckets (see
+    `_cap_buckets`).
+    """
+    new_sigs = _cache(
+        minhash_signatures(new_docs, text_col, id_col, k, num_hashes)
+    )
+    corp_sigs = minhash_signatures(corpus, text_col, id_col, k, num_hashes)
+    nb = _banded_buckets(new_sigs, num_hashes, bands)
+    cb = _cap_buckets(
+        _banded_buckets(corp_sigs, num_hashes, bands),
+        ["band", "bhash"], max_bucket_size,
+    )
+    hint = F.broadcast if broadcast_new else (lambda df: df)
+    cand = (
+        cb.alias("c")
+        .join(
+            hint(nb.alias("n")),
+            (F.col("c.band") == F.col("n.band"))
+            & (F.col("c.bhash") == F.col("n.bhash"))
+            & (F.col("c.id") != F.col("n.id")),
+        )
+        .select(F.col("n.id").alias("new_id"), F.col("c.id").alias("corpus_id"))
+        .distinct()
+    )
+    est = F.expr(
+        "round(aggregate(zip_with(sig_n, sig_c, (x, y) -> "
+        "IF(x = y, 1, 0)), 0, (acc, v) -> acc + v) / size(sig_n), 6)"
+    )
+    return (
+        cand.join(
+            hint(new_sigs.select(F.col("id").alias("new_id"),
+                                 F.col("signature").alias("sig_n"))),
+            "new_id",
+        )
+        .join(corp_sigs.select(F.col("id").alias("corpus_id"),
+                               F.col("signature").alias("sig_c")),
+              "corpus_id")
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("new_id", "corpus_id", "est_jaccard")
     )

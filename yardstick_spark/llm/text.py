@@ -380,3 +380,155 @@ def doc_fingerprint(docs: DataFrame, text_col: str = "text",
         F.expr(f"array_sort(array_distinct({mins}))").alias("fingerprint"),
         F.expr(f"md5({norm})").alias("content_hash"),
     )
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Within-document repetition signals (Gopher App. A repetition
+    family): duplicate-word fraction, duplicate-bigram fraction, the
+    most-frequent word's occurrence share, and the character share of
+    repeated word occurrences (chars in occurrences after each word's
+    first).
+
+    Scan-only array SQL — the mode and duplicate-char passes are one
+    run-length fold over the sorted token array each (no per-distinct
+    re-scan, no explode, no shuffle), so the operator stays
+    whole-stage-codegen and embarrassingly parallel at any corpus
+    size."""
+    norm = _NORM.format(c=text_col)
+    words = f"filter(split({norm}, ' '), t -> t <> '')"
+    n_words = f"greatest(size({words}), 1)"
+    bigrams = (
+        f"zip_with(slice({words}, 1, greatest(size({words}) - 1, 1)), "
+        f"slice({words}, 2, greatest(size({words}) - 1, 1)), "
+        f"(a, b) -> concat(a, ' ', b))"
+    )
+    n_bigrams = f"greatest(size({words}) - 1, 1)"
+    dup_word = (
+        f"round(1.0D - size(array_distinct({words})) "
+        f"/ CAST({n_words} AS DOUBLE), 6)"
+    )
+    dup_bigram = (
+        f"round(1.0D - size(array_distinct({bigrams})) "
+        f"/ CAST({n_bigrams} AS DOUBLE), 6)"
+    )
+    top_word = (
+        f"aggregate(array_sort({words}), "
+        f"struct(CAST('' AS STRING) AS prev, 0 AS run, 0 AS best), "
+        f"(s, x) -> struct(x AS prev, "
+        f"IF(x = s.prev, s.run + 1, 1) AS run, "
+        f"greatest(s.best, IF(x = s.prev, s.run + 1, 1)) AS best), "
+        f"s -> s.best)"
+    )
+    dup_chars = (
+        f"aggregate(array_sort({words}), "
+        f"struct(CAST('' AS STRING) AS prev, 0 AS dup, 0 AS tot), "
+        f"(s, x) -> struct(x AS prev, "
+        f"s.dup + IF(x = s.prev, length(x), 0) AS dup, "
+        f"s.tot + length(x) AS tot), "
+        f"s -> round(s.dup / CAST(greatest(s.tot, 1) AS DOUBLE), 6))"
+    )
+    from .dedup import _spread  # single-file corpora: use all cores
+
+    return _spread(docs).select(
+        F.col(id_col),
+        F.expr(f"size({words})").alias("n_words"),
+        F.expr(dup_word).alias("dup_word_frac"),
+        F.expr(dup_bigram).alias("dup_bigram_frac"),
+        F.expr(f"round({top_word} / CAST({n_words} AS DOUBLE), 6)")
+        .alias("top_word_frac"),
+        F.expr(dup_chars).alias("dup_char_frac"),
+    )
+
+
+def source_quota(docs: DataFrame, per_source: int,
+                 id_col: str = "doc_id",
+                 source_col: str = "source") -> DataFrame:
+    """Deterministic per-source quota sampling: keep at most
+    `per_source` documents of each source, chosen by a portable md5
+    order over ids (a seedless uniform draw both engines reproduce).
+
+    The rank window compiles to a map-side partial WindowGroupLimit —
+    each scan task forwards at most `per_source` rows per source, so
+    the reducer input is bounded by sources x quota, not corpus size:
+    the canonical "cap every domain" pass of a crawl pipeline."""
+    from pyspark.sql import Window
+
+    order = F.expr(f"md5(CAST({id_col} AS STRING))")
+    w = Window.partitionBy(source_col).orderBy(order, F.col(id_col))
+    return (
+        docs.withColumn("quota_rank", F.row_number().over(w))
+        .filter(F.col("quota_rank") <= per_source)
+        .select(F.col(id_col), F.col(source_col), "quota_rank")
+    )
+
+
+def tfidf_terms(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", top_k: int = 3,
+                min_df: int = 1) -> DataFrame:
+    """Top-`top_k` characteristic terms per document by tf-idf
+    (smoothed idf = ln((N + 1) / (df + 1))).
+
+    Shuffle topology at scale: explode -> groupBy(doc, term) for tf
+    (uniform keys, map-side combined), term-level df from the distinct
+    pairs (second map-side-combined aggregation), one join back on term
+    — AQE broadcasts the df table while vocabularies fit, falls back to
+    a uniform term-keyed exchange when they don't — and a per-doc rank
+    window that runs as a map-side partial WindowGroupLimit.  The doc
+    count N rides a 1-row broadcast cross join, not a collect."""
+    from pyspark.sql import Window
+
+    norm = _NORM.format(c=text_col)
+    words = f"filter(split({norm}, ' '), t -> t <> '')"
+    tf = (
+        docs.select(F.col(id_col).alias("id"),
+                    F.explode(F.expr(words)).alias("term"))
+        .groupBy("id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_tab = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.select(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_tab, "term")
+        .filter(F.col("df") >= min_df)
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.expr("round(tf * ln((n_docs + 1) / CAST(df + 1 AS DOUBLE)), 6)"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= top_k)
+        .select(F.col("id").alias(id_col), "term", "tf", "df",
+                "tfidf", "term_rank")
+    )
+
+
+def split_corpus(docs: DataFrame, weights: dict[str, float],
+                 id_col: str = "doc_id", seed: str = "") -> DataFrame:
+    """Deterministic weighted train/val/test split: each document draws
+    a portable md5-uniform value in [0, 1) from its id (plus an
+    optional seed string) and lands in the first split whose cumulative
+    weight exceeds the draw.  Reproducible across engines, runs, and
+    partitionings — unlike `randomSplit`, whose assignment depends on
+    partition layout.
+
+    Scan-only (one md5 + a CASE ladder, no shuffle).  For
+    leakage-safe splitting of near-duplicate families, feed cluster
+    ids from `dedup_assign` as `id_col` so every member of a dup
+    cluster lands in the same split."""
+    total = sum(weights.values())
+    u = (f"(CAST(conv(substring(md5(concat(CAST({id_col} AS STRING), "
+         f"'{seed}')), 1, 15), 16, 10) AS BIGINT) % 1000000) / 1000000.0")
+    expr = "CASE"
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        expr += f" WHEN {u} < {acc!r} THEN '{name}'"
+    expr += f" ELSE '{names[-1]}' END"
+    return docs.withColumn("split", F.expr(expr))
