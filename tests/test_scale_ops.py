@@ -387,3 +387,48 @@ def test_ivf_seeded_udf_path_matches_literal(spark, monkeypatch):
             .select("query_id", "neighbor_id", "sim", "rank").collect())
     )
     assert lit == udf
+
+
+def test_dedup_signature_store_roundtrip(spark, tmp_path):
+    # persisted-store probe must find exactly the pairs the direct
+    # incremental path finds, without re-reading the corpus text
+    from yardstick_spark.llm import (
+        clear_dedup_caches,
+        incremental_minhash_pairs,
+        incremental_pairs_against_store,
+        minhash_signatures,
+        save_dedup_signatures,
+    )
+
+    clear_dedup_caches()
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    new = docs.filter("doc_id % 5 = 0")
+    corpus = docs.filter("doc_id % 5 <> 0")
+    path = str(tmp_path / "sigstore")
+    save_dedup_signatures(minhash_signatures(corpus), path)
+    direct = sorted(map(tuple,
+                        incremental_minhash_pairs(new, corpus).collect()))
+    stored = sorted(map(tuple,
+                        incremental_pairs_against_store(new, spark, path)
+                        .collect()))
+    assert direct == stored
+    clear_dedup_caches()
+
+
+def test_tfidf_rank_prunes_map_side(spark):
+    from yardstick_spark.llm import tfidf_terms
+    from yardstick_spark.plans import explain_str
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert "WindowGroupLimit" in explain_str(tfidf_terms(docs, top_k=3))
+
+
+def test_repetition_stats_is_shuffle_free(spark):
+    from yardstick_spark.llm import repetition_stats
+    from yardstick_spark.plans import explain_str
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = explain_str(repetition_stats(docs))
+    # one round-robin spread for single-file inputs is allowed; no
+    # key-hash exchange may appear
+    assert "hashpartitioning" not in plan.lower()

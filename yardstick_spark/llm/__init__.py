@@ -12,6 +12,9 @@ from .dedup import (  # noqa: F401
     clear_dedup_caches,
     exact_dedup,
     incremental_minhash_pairs,
+    incremental_pairs_against_store,
+    load_dedup_signatures,
+    save_dedup_signatures,
     minhash_signatures,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,

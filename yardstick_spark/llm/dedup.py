@@ -699,3 +699,71 @@ def incremental_minhash_pairs(new_docs: DataFrame, corpus: DataFrame,
         .filter(F.col("est_jaccard") >= threshold)
         .select("new_id", "corpus_id", "est_jaccard")
     )
+
+
+def save_dedup_signatures(sigs: DataFrame, path: str,
+                          num_hashes: int = 32, bands: int = 8) -> None:
+    """Persist a minhash signature table plus its banded bucket rows —
+    the corpus half of incremental dedup, built once per corpus
+    version.  Bucket rows are written PARTITIONED BY band so a probe
+    of one band prunes to one directory family; signatures are a plain
+    parquet keyed by id."""
+    sigs.write.mode("overwrite").parquet(f"{path}/signatures")
+    (_banded_buckets(sigs, num_hashes, bands)
+     .write.mode("overwrite").partitionBy("band")
+     .parquet(f"{path}/buckets"))
+
+
+def load_dedup_signatures(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """(signatures, buckets) read back from `save_dedup_signatures`."""
+    return (
+        spark.read.parquet(f"{path}/signatures"),
+        spark.read.parquet(f"{path}/buckets"),
+    )
+
+
+def incremental_pairs_against_store(new_docs: DataFrame, spark, path: str,
+                                    text_col: str = "text",
+                                    id_col: str = "doc_id", k: int = 5,
+                                    num_hashes: int = 32, bands: int = 8,
+                                    threshold: float = 0.5,
+                                    broadcast_new: bool = True) -> DataFrame:
+    """`incremental_minhash_pairs` against a PERSISTED signature store
+    (build once with `minhash_signatures` + `save_dedup_signatures`,
+    probe per ingest batch — the deployment shape).  The corpus text is
+    never re-read and never re-hashed: cost is O(batch) + a scan of the
+    bucket/signature parquet, independent of corpus text size."""
+    corp_sigs, corp_buckets = load_dedup_signatures(spark, path)
+    new_sigs = _cache(
+        minhash_signatures(new_docs, text_col, id_col, k, num_hashes)
+    )
+    nb = _banded_buckets(new_sigs, num_hashes, bands)
+    hint = F.broadcast if broadcast_new else (lambda df: df)
+    cand = (
+        corp_buckets.alias("c")
+        .join(
+            hint(nb.alias("n")),
+            (F.col("c.band") == F.col("n.band"))
+            & (F.col("c.bhash") == F.col("n.bhash"))
+            & (F.col("c.id") != F.col("n.id")),
+        )
+        .select(F.col("n.id").alias("new_id"), F.col("c.id").alias("corpus_id"))
+        .distinct()
+    )
+    est = F.expr(
+        "round(aggregate(zip_with(sig_n, sig_c, (x, y) -> "
+        "IF(x = y, 1, 0)), 0, (acc, v) -> acc + v) / size(sig_n), 6)"
+    )
+    return (
+        cand.join(
+            hint(new_sigs.select(F.col("id").alias("new_id"),
+                                 F.col("signature").alias("sig_n"))),
+            "new_id",
+        )
+        .join(corp_sigs.select(F.col("id").alias("corpus_id"),
+                               F.col("signature").alias("sig_c")),
+              "corpus_id")
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("new_id", "corpus_id", "est_jaccard")
+    )
