@@ -291,3 +291,28 @@ def test_split_corpus_deterministic_and_weighted(spark):
     c = split_corpus(docs, {"train": 0.8, "val": 0.1, "test": 0.1},
                      seed="v2").select("doc_id", "split")
     assert sorted(map(tuple, c.collect())) != a
+
+
+def test_decontaminate_bloom_superset_of_exact(spark):
+    # bloom verdicts must contain every exact verdict (no false
+    # negatives) and over-flag only a bounded fraction
+    from yardstick_spark.llm import decontaminate, decontaminate_bloom
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.filter("source = 'src0' AND doc_id % 10 = 0")
+    corpus = docs.filter("NOT (source = 'src0' AND doc_id % 10 = 0)")
+    exact = {r["doc_id"]: r for r in
+             decontaminate(corpus, bench, n=4).collect()}
+    bloom = {r["doc_id"]: r for r in
+             decontaminate_bloom(corpus, bench, n=4).collect()}
+    assert set(exact) == set(bloom)
+    fp = 0
+    for did, er in exact.items():
+        br = bloom[did]
+        assert br["n_grams"] == er["n_grams"]
+        assert br["n_hits"] >= er["n_hits"], "bloom lost a true hit"
+        if er["contaminated"]:
+            assert br["contaminated"], "bloom must never under-flag"
+        elif br["contaminated"]:
+            fp += 1
+    assert fp <= max(2, len(exact) // 20), f"too many false positives: {fp}"

@@ -52,6 +52,7 @@ from .pipeline import (  # noqa: F401
 from .text import (  # noqa: F401
     chunk_documents,
     decontaminate,
+    decontaminate_bloom,
     doc_fingerprint,
     gopher_filter,
     language_id,

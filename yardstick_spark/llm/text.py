@@ -9,6 +9,7 @@ oracle can reproduce them bit-for-bit.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 _NORM = "regexp_replace(lower(trim({c})), '\\\\s+', ' ')"
@@ -532,3 +533,93 @@ def split_corpus(docs: DataFrame, weights: dict[str, float],
         expr += f" WHEN {u} < {acc!r} THEN '{name}'"
     expr += f" ELSE '{names[-1]}' END"
     return docs.withColumn("split", F.expr(expr))
+
+
+def decontaminate_bloom(docs: DataFrame, benchmark: DataFrame, n: int = 8,
+                        threshold: int = 1, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        bench_text_col: str | None = None,
+                        m_bits: int = 1 << 20,
+                        k_hashes: int = 5) -> DataFrame:
+    """`decontaminate` for benchmark gram sets too large to broadcast
+    exactly: the eval set compresses to an `m_bits` Bloom bitmap
+    (k_hashes portable hash probes per gram) that ships to executors
+    inside an Arrow-UDF closure — kilobytes instead of the gram
+    relation, at the price of a bounded false-positive rate
+    (~(1 - e^(-k·n/m))^k; n=10^6 grams at the 1 MiB/5-hash default is
+    ≈2.2 %).  False negatives are impossible, so `contaminated` here is
+    a superset of the exact operator's verdicts — the safe direction
+    for decontamination (over-removal, never leakage).
+
+    The bitmap is built driver-side from the benchmark's distinct gram
+    hash positions (eval-set sized, k·n_grams ints — bounded by the
+    same argument as `decontaminate`'s broadcast).  The corpus side
+    stays one scan: grams per doc via array SQL, membership via one
+    vectorized numpy pass per Arrow batch.
+
+    Returns (id_col, n_grams, n_hits, hit_frac, contaminated) with
+    n_hits counting grams the filter reports present."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from .dedup import _portable_hash, _spread
+
+    bench_grams = _word_ngrams(bench_text_col or text_col, n)
+
+    def f_concat(i: int) -> str:
+        return f"concat(gram, '{i}')"
+
+    pos_exprs = [
+        F.expr(
+            f"pmod({_portable_hash(f_concat(i))}, {m_bits})"
+        ).alias(f"p{i}")
+        for i in range(k_hashes)
+    ]
+    positions = (
+        benchmark.select(F.explode(F.expr(bench_grams)).alias("gram"))
+        .distinct()
+        .select(*pos_exprs)
+        .collect()
+    )
+    bitmap = np.zeros(m_bits, dtype=bool)
+    for row in positions:
+        for i in range(k_hashes):
+            bitmap[row[f"p{i}"]] = True
+
+    salts = [str(i) for i in range(k_hashes)]
+
+    @pandas_udf("int")
+    def bloom_hits(grams: pd.Series) -> pd.Series:
+        import hashlib
+
+        out = np.zeros(len(grams), dtype="int32")
+        for j, gs in enumerate(grams):
+            if gs is None:
+                continue
+            hits = 0
+            for g in gs:
+                ok = True
+                for s in salts:
+                    h = int(hashlib.md5((g + s).encode()).hexdigest()[:15],
+                            16) % m_bits
+                    if not bitmap[h]:
+                        ok = False
+                        break
+                hits += ok
+            out[j] = hits
+        return pd.Series(out)
+
+    base = _spread(docs).select(
+        F.col(id_col),
+        F.expr(_word_ngrams(text_col, n)).alias("__grams"),
+    )
+    return base.select(
+        F.col(id_col),
+        F.size("__grams").alias("n_grams"),
+        bloom_hits(F.col("__grams")).alias("n_hits"),
+    ).select(
+        id_col, "n_grams", "n_hits",
+        F.expr("round(n_hits / CAST(greatest(n_grams, 1) AS DOUBLE), 6)")
+        .alias("hit_frac"),
+        (F.col("n_hits") >= threshold).alias("contaminated"),
+    )
