@@ -119,3 +119,48 @@ def test_orc_round_trip(spark, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(
         map(tuple, df.collect())
     )
+
+
+def test_dedup_ingest_stream_equals_batch(spark, tmp_path):
+    # streaming probe of the persisted signature store must produce the
+    # same pair SET as the batch operator (per-band duplicates allowed
+    # on the streaming-native path; none in this corpus below bands=8)
+    from yardstick_spark.llm import (
+        clear_dedup_caches,
+        incremental_minhash_pairs,
+        minhash_signatures,
+        save_dedup_signatures,
+    )
+    from yardstick_spark.streaming import dedup_ingest_stream
+
+    clear_dedup_caches()
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    corpus = docs.filter("doc_id % 5 <> 0")
+    store = str(tmp_path / "sigstore")
+    save_dedup_signatures(minhash_signatures(corpus), store)
+
+    # stream the "new batch" docs from a parquet dir
+    new_dir = str(tmp_path / "incoming")
+    docs.filter("doc_id % 5 = 0").select("doc_id", "text").write.parquet(new_dir)
+    schema = spark.read.parquet(new_dir).schema
+    stream = spark.readStream.schema(schema).parquet(new_dir)
+    pairs = dedup_ingest_stream(stream, spark, store)
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName("ingest_pairs_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ingest"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in
+           spark.table("ingest_pairs_test")
+           .select("new_id", "corpus_id", "est_jaccard").collect()}
+    want = {tuple(r) for r in
+            incremental_minhash_pairs(
+                docs.filter("doc_id % 5 = 0"),
+                corpus).collect()}
+    assert got == want and got, f"stream {len(got)} vs batch {len(want)}"
+    clear_dedup_caches()

@@ -316,3 +316,18 @@ def test_decontaminate_bloom_superset_of_exact(spark):
         elif br["contaminated"]:
             fp += 1
     assert fp <= max(2, len(exact) // 20), f"too many false positives: {fp}"
+
+
+def test_source_quota_order_col_keeps_best(spark):
+    from pyspark.sql import functions as F
+
+    from yardstick_spark.llm import source_quota
+
+    docs = spark.range(60).selectExpr(
+        "id AS doc_id", "concat('s', id % 2) AS source",
+        "CAST(id AS DOUBLE) AS quality",
+    )
+    out = source_quota(docs, per_source=5, order_col="quality")
+    kept = sorted(r["doc_id"] for r in out.collect())
+    # highest-quality = highest ids in each of the two sources
+    assert kept == sorted(list(range(50, 60)))

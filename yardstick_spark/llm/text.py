@@ -444,10 +444,13 @@ def repetition_stats(docs: DataFrame, text_col: str = "text",
 
 def source_quota(docs: DataFrame, per_source: int,
                  id_col: str = "doc_id",
-                 source_col: str = "source") -> DataFrame:
+                 source_col: str = "source",
+                 order_col: str | None = None) -> DataFrame:
     """Deterministic per-source quota sampling: keep at most
-    `per_source` documents of each source, chosen by a portable md5
-    order over ids (a seedless uniform draw both engines reproduce).
+    `per_source` documents of each source — by default chosen by a
+    portable md5 order over ids (a seedless uniform draw both engines
+    reproduce); pass `order_col` (e.g. a quality score) to keep each
+    source's BEST documents instead (descending, id tie-break).
 
     The rank window compiles to a map-side partial WindowGroupLimit —
     each scan task forwards at most `per_source` rows per source, so
@@ -455,8 +458,11 @@ def source_quota(docs: DataFrame, per_source: int,
     the canonical "cap every domain" pass of a crawl pipeline."""
     from pyspark.sql import Window
 
-    order = F.expr(f"md5(CAST({id_col} AS STRING))")
-    w = Window.partitionBy(source_col).orderBy(order, F.col(id_col))
+    order = (
+        [F.col(order_col).desc()] if order_col
+        else [F.expr(f"md5(CAST({id_col} AS STRING))")]
+    )
+    w = Window.partitionBy(source_col).orderBy(*order, F.col(id_col))
     return (
         docs.withColumn("quota_rank", F.row_number().over(w))
         .filter(F.col("quota_rank") <= per_source)

@@ -1,6 +1,10 @@
 """Structured Streaming operators (beyond reference parity — the
 reference has no streaming surface, SURVEY.md §2.7)."""
 
+from .ingest import (  # noqa: F401
+    dedup_ingest_stream,
+    start_dedup_ingest,
+)
 from .joins import (  # noqa: F401
     attribution_batch,
     attribution_stream,

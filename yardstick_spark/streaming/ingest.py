@@ -1,0 +1,120 @@
+"""Streaming ingest deduplication: probe a persisted minhash signature
+store (llm.dedup.save_dedup_signatures) from a document stream — the
+production shape where a crawl feed lands continuously and every batch
+must be checked against the accumulated corpus.
+
+The probe is a STREAM-STATIC join: the stream side computes signatures
+and band buckets scan-side (stateless — no watermark, no streaming
+state), the static side is the store's band-partitioned bucket parquet
+and signature parquet.  Spark re-plans the static side per micro-batch,
+so a store refreshed by a nightly `save_dedup_signatures` run is picked
+up without restarting the query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def dedup_ingest_stream(new_docs: DataFrame, spark, store_path: str,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        k: int = 5, num_hashes: int = 32, bands: int = 8,
+                        threshold: float = 0.5) -> DataFrame:
+    """Streaming (new_id, corpus_id, est_jaccard) pairs for a document
+    stream probed against a persisted signature store.  `new_docs` is a
+    streaming DataFrame with (id_col, text_col).
+
+    Identical arithmetic to `llm.dedup.incremental_pairs_against_store`
+    — the batch twin the oracle checks; stream≡batch is tested in
+    tests/test_sinks_stateful.py.  All stream-side work is stateless
+    projection (signatures + buckets per row), so the only streaming
+    state is the sink's; the static bucket join broadcasts the stream
+    side per micro-batch under AQE exactly like the batch path."""
+    from ..llm.dedup import _banded_buckets, _portable_hash, _MH_P
+
+    base = f"transform(shs, s -> pmod({_portable_hash('s')}, {_MH_P}))"
+    sig = (
+        f"transform(sequence(0, {num_hashes - 1}), i -> "
+        f"array_min(transform(__ys_sh_h, "
+        f"h -> pmod((2 * i + 1) * h + i * 40503 + 1, {_MH_P}))))"
+    )
+    norm = f"regexp_replace(lower(trim({text_col})), '\\\\s+', ' ')"
+    shingle = (
+        f"array_distinct(transform("
+        f"sequence(1, greatest(1, length(__norm) - {k - 1})), "
+        f"i -> substring(__norm, i, {k})))"
+    )
+    # streaming side: no cache barriers available — keep the signature
+    # computation a straight projection chain (each micro-batch is
+    # ingest-sized, so the re-inlining hazard the batch path caches
+    # against is bounded by batch size, not corpus size)
+    new_sigs = (
+        new_docs.select(
+            F.col(id_col).alias("id"), F.expr(norm).alias("__norm")
+        )
+        .select("id", F.expr(shingle).alias("shs"))
+        .select("id", F.expr(base).alias("__ys_sh_h"))
+        .select("id", F.expr(sig).alias("signature"))
+    )
+    nb = _banded_buckets(new_sigs, num_hashes, bands)
+    corp_sigs = spark.read.parquet(f"{store_path}/signatures")
+    corp_buckets = spark.read.parquet(f"{store_path}/buckets")
+    # NO candidate-level distinct: dropDuplicates on a stream keeps
+    # every pair in state FOREVER (unbounded), and a streaming groupBy
+    # has the same problem.  A pair colliding in several bands emits
+    # one row per colliding band instead — duplication bounded by
+    # `bands`, with identical (new_id, corpus_id, est_jaccard) values,
+    # which any idempotent sink (MERGE/upsert) absorbs.  Use
+    # `start_dedup_ingest` for exact per-batch pair sets.
+    cand = (
+        nb.alias("n")
+        .join(
+            corp_buckets.alias("c"),
+            (F.col("c.band") == F.col("n.band"))
+            & (F.col("c.bhash") == F.col("n.bhash"))
+            & (F.col("c.id") != F.col("n.id")),
+        )
+        .select(F.col("n.id").alias("new_id"),
+                F.col("c.id").alias("corpus_id"))
+    )
+    est = F.expr(
+        "round(aggregate(zip_with(sig_n, sig_c, (x, y) -> "
+        "IF(x = y, 1, 0)), 0, (acc, v) -> acc + v) / size(sig_n), 6)"
+    )
+    return (
+        cand.join(new_sigs.select(F.col("id").alias("new_id"),
+                                  F.col("signature").alias("sig_n")),
+                  "new_id")
+        .join(corp_sigs.select(F.col("id").alias("corpus_id"),
+                               F.col("signature").alias("sig_c")),
+              "corpus_id")
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("new_id", "corpus_id", "est_jaccard")
+    )
+
+
+def start_dedup_ingest(new_docs: DataFrame, spark, store_path: str,
+                       sink, text_col: str = "text",
+                       id_col: str = "doc_id", k: int = 5,
+                       num_hashes: int = 32, bands: int = 8,
+                       threshold: float = 0.5, **stream_opts):
+    """foreachBatch twin of `dedup_ingest_stream` with EXACT per-batch
+    semantics: each micro-batch runs the tested batch operator
+    (`llm.dedup.incremental_pairs_against_store`), including its
+    candidate distinct — legal there because the dedup scope is one
+    batch, not unbounded stream history.  `sink(pairs_df, batch_id)`
+    receives the finished pair DataFrame per batch.  Returns the
+    started StreamingQuery."""
+    from ..llm.dedup import incremental_pairs_against_store
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        pairs = incremental_pairs_against_store(
+            batch_df, spark, store_path, text_col=text_col,
+            id_col=id_col, k=k, num_hashes=num_hashes, bands=bands,
+            threshold=threshold, broadcast_new=True,
+        )
+        sink(pairs, batch_id)
+
+    return (new_docs.writeStream.foreachBatch(_process)
+            .options(**stream_opts).start())
