@@ -242,3 +242,36 @@ def test_double_quoted_identifiers_with_spark_dialect_flag(spark):
         assert len({r["t"] for r in rows}) == 1
     finally:
         spark.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", saved)
+
+
+def test_qualify_clause_rewrites_to_spark(spark):
+    # DuckDB QUALIFY has no Spark counterpart; the compat layer wraps
+    # the select and filters on the projected window predicate
+    import yardstick_spark as yp
+
+    ys = yp.connect(spark)
+    spark.range(10).selectExpr(
+        "id", "id % 2 AS grp"
+    ).createOrReplaceTempView("q_t")
+    rows = ys.sql(
+        "SELECT grp, id FROM q_t "
+        "QUALIFY row_number() OVER (PARTITION BY grp ORDER BY id DESC) = 1 "
+        "ORDER BY grp"
+    ).collect()
+    assert [(r["grp"], r["id"]) for r in rows] == [(0, 8), (1, 9)]
+    # nested subquery QUALIFY + DISTINCT motion
+    rows = ys.sql(
+        "SELECT DISTINCT grp FROM ("
+        "SELECT grp, id FROM q_t "
+        "QUALIFY rank() OVER (ORDER BY id) <= 4) ORDER BY grp"
+    ).collect()
+    assert [r["grp"] for r in rows] == [0, 1]
+    # QUALIFY on a measure query (expansion then compat rewrite)
+    ys2 = yp.connect(spark)
+    ys2.sql("CREATE OR REPLACE VIEW qm2 AS SELECT grp, "
+            "SUM(id) AS MEASURE s FROM q_t")
+    rows = ys2.sql(
+        "SELECT grp, AGGREGATE(s) AS s FROM qm2 GROUP BY grp "
+        "QUALIFY row_number() OVER (ORDER BY s DESC) = 1"
+    ).collect()
+    assert [(r["grp"], r["s"]) for r in rows] == [(1, 25)]

@@ -337,6 +337,8 @@ def normalize_statement_to_spark(sql: str) -> str:
     out = normalize_expr_to_spark(out)
     out = _apply_value_corrections(out)
     out = _MAIN_SCHEMA_RE.sub("", out)
+    if re.search(r"\bQUALIFY\b", out, re.IGNORECASE):
+        out = rewrite_qualify(out)
     out = _GENSERIES_ALIASED_RE.sub(
         lambda m: (
             f"(SELECT explode(sequence({m.group(1)})) AS {m.group(3)}) "
@@ -351,3 +353,79 @@ def normalize_statement_to_spark(sql: str) -> str:
         out,
     )
     return out
+
+
+def rewrite_qualify(sql: str) -> str:
+    """DuckDB `QUALIFY <window predicate>` → Spark, which lacks the
+    clause: the SELECT is wrapped, the predicate becomes a projected
+    boolean, and the outer query filters on it and drops it with
+    `* EXCEPT` — DuckDB's evaluation order (windows after
+    HAVING/GROUP BY, QUALIFY before DISTINCT/ORDER BY) is preserved by
+    stripping DISTINCT from the inner select and re-applying it
+    outside.  Applied bottom-up through subqueries; SELECTs without
+    QUALIFY pass through byte-identical."""
+    from ..parser import parse_select
+    from ..sqlutil import (
+        find_first_top_level_keyword,
+        find_top_level_keyword,
+        skip_code_unit,
+    )
+
+    # recurse into parenthesized regions first (innermost QUALIFY wins)
+    i, n = 0, len(sql)
+    out = sql
+    while i < len(out):
+        j = skip_code_unit(out, i)
+        if j > i:
+            i = j
+            continue
+        if out[i] == "(":
+            close = find_matching_paren(out, i)
+            if close is None:
+                break
+            inner = out[i + 1:close]
+            new_inner = rewrite_qualify(inner)
+            if new_inner != inner:
+                out = out[:i + 1] + new_inner + out[close:]
+                close = i + 1 + len(new_inner)
+            i = close + 1
+            continue
+        i += 1
+
+    qpos = find_top_level_keyword(out, "QUALIFY")
+    if qpos is None:
+        return out
+    info = parse_select(out)
+    if info is None or info.from_start is None:
+        return out
+    cond_start = qpos + len("QUALIFY")
+    tail_kw = find_first_top_level_keyword(
+        out, cond_start,
+        ["ORDER BY", "LIMIT", "OFFSET", "WINDOW",
+         "UNION", "INTERSECT", "EXCEPT"],
+    )
+    cond_end = tail_kw[0] if tail_kw else len(out)
+    cond = out[cond_start:cond_end].strip().rstrip(";")
+    head = out[:qpos].rstrip()
+    tail = out[cond_end:]
+    distinct = ""
+    if info.distinct:
+        # QUALIFY filters BEFORE DISTINCT in DuckDB: windows see the
+        # pre-distinct rows, so DISTINCT moves to the outer projection
+        m = re.match(r"(\s*SELECT\s+)DISTINCT\s+", head, re.IGNORECASE)
+        if m:
+            head = m.group(1) + head[m.end():]
+            distinct = "DISTINCT "
+    # the predicate evaluates over the select's RESULT rows (DuckDB
+    # scoping: QUALIFY sees output aliases, windows run after
+    # GROUP BY/HAVING), so it is computed in a middle wrapper over the
+    # original select rather than injected into its projection — which
+    # would resolve aliases against the base relation instead.  Named
+    # windows (`OVER w`) from a WINDOW clause stay in the inner scope
+    # and cannot be referenced; Spark surfaces that as an unresolved
+    # reference, matching the shim's documented limits.
+    return (
+        f"SELECT {distinct}* EXCEPT (__ys_qualify) FROM ("
+        f"SELECT *, ({cond}) AS __ys_qualify FROM ({head}) AS __ys_qi"
+        f") AS __ys_qw WHERE __ys_qualify {tail}"
+    )
