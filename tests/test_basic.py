@@ -275,3 +275,20 @@ def test_qualify_clause_rewrites_to_spark(spark):
         "QUALIFY row_number() OVER (ORDER BY s DESC) = 1"
     ).collect()
     assert [(r["grp"], r["s"]) for r in rows] == [(1, 25)]
+
+
+def test_duckdb_star_exclude_and_sample(spark):
+    import yardstick_spark as yp
+
+    ys = yp.connect(spark)
+    spark.range(10).selectExpr(
+        "id", "id % 2 AS g", "id * 2 AS v"
+    ).createOrReplaceTempView("ex_t")
+    rows = ys.sql("SELECT * EXCLUDE (g, v) FROM ex_t ORDER BY id").collect()
+    assert [r.asDict() for r in rows[:2]] == [{"id": 0}, {"id": 1}]
+    # the word in a string literal or identifier must survive
+    rows = ys.sql("SELECT 'EXCLUDE' AS w, id FROM ex_t LIMIT 1").collect()
+    assert rows[0]["w"] == "EXCLUDE"
+    # USING SAMPLE forms parse and bound the row count
+    assert ys.sql("SELECT id FROM ex_t USING SAMPLE 3 ROWS").count() == 3
+    assert ys.sql("SELECT id FROM ex_t USING SAMPLE 100%").count() == 10

@@ -339,6 +339,10 @@ def normalize_statement_to_spark(sql: str) -> str:
     out = _MAIN_SCHEMA_RE.sub("", out)
     if re.search(r"\bQUALIFY\b", out, re.IGNORECASE):
         out = rewrite_qualify(out)
+    if re.search(r"\bEXCLUDE\b", out, re.IGNORECASE):
+        out = rewrite_star_exclude(out)
+    if re.search(r"\bUSING\s+SAMPLE\b", out, re.IGNORECASE):
+        out = rewrite_using_sample(out)
     out = _GENSERIES_ALIASED_RE.sub(
         lambda m: (
             f"(SELECT explode(sequence({m.group(1)})) AS {m.group(3)}) "
@@ -429,3 +433,45 @@ def rewrite_qualify(sql: str) -> str:
         f"SELECT *, ({cond}) AS __ys_qualify FROM ({head}) AS __ys_qi"
         f") AS __ys_qw WHERE __ys_qualify {tail}"
     )
+
+
+_USING_SAMPLE_PCT_RE = re.compile(
+    r"\bUSING\s+SAMPLE\s+(\d+(?:\.\d+)?)\s*(?:%|\bPERCENT\b)",
+    re.IGNORECASE,
+)
+_USING_SAMPLE_ROWS_RE = re.compile(
+    r"\bUSING\s+SAMPLE\s+(\d+)\s*(?:\bROWS?\b)", re.IGNORECASE
+)
+
+
+def rewrite_star_exclude(sql: str) -> str:
+    """DuckDB `* EXCLUDE (cols)` → Spark `* EXCEPT (cols)`.  Only the
+    EXCLUDE keyword directly following a star (plain or qualified
+    `t.*`) is touched, so identifiers/strings containing the word pass
+    through untouched."""
+    from ..sqlutil import is_word_boundary, iter_code, prev_nonspace
+
+    upper = sql.upper()
+    out = []
+    last = 0
+    for i, c, depth in iter_code(sql):
+        if (
+            c in "Ee"
+            and upper.startswith("EXCLUDE", i)
+            and is_word_boundary(sql, i, i + 7)
+        ):
+            p = prev_nonspace(sql, i)
+            if p >= 0 and sql[p] == "*":
+                out.append(sql[last:i])
+                out.append("EXCEPT")
+                last = i + 7
+    out.append(sql[last:])
+    return "".join(out)
+
+
+def rewrite_using_sample(sql: str) -> str:
+    """DuckDB `USING SAMPLE n% | n ROWS` → Spark `TABLESAMPLE
+    (n PERCENT | n ROWS)` (both engines sample randomly; results are
+    non-deterministic either way)."""
+    out = _USING_SAMPLE_PCT_RE.sub(lambda m: f"TABLESAMPLE ({m.group(1)} PERCENT)", sql)
+    return _USING_SAMPLE_ROWS_RE.sub(lambda m: f"TABLESAMPLE ({m.group(1)} ROWS)", out)
