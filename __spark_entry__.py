@@ -955,6 +955,20 @@ def _q_mm_resize(spark, sf_dir):
     )
 
 
+def _q_mm_stats(spark, sf_dir):
+    # gradient PPMs (even ids) + constant-sample WAVs (odd ids): every
+    # statistic — channel mean/min/max/RMS, audio zero-crossing rate —
+    # is an analytic function of the id, so the oracle verifies the
+    # real decode + numpy statistics without parsing binaries
+    from yardstick_spark.llm import media_stats, synth_gradient_media, synth_media
+
+    docs = _docs(spark, sf_dir)
+    media = synth_gradient_media(docs.filter("doc_id % 2 = 0")).union(
+        synth_media(docs.filter("doc_id % 2 = 1"))
+    )
+    return media_stats(media)
+
+
 def _q_mm_frames(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -1101,6 +1115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf": _q_text_tfidf,
         "dedup_incremental": _q_dedup_incremental,
         "text_split": _q_text_split,
+        "mm_stats": _q_mm_stats,
         "tpch_q12": _measure_runner(_MEASURE_QUERIES["tpch_q12"]),
     }
     out: dict[str, Callable] = {
@@ -2165,6 +2180,35 @@ def oracle_sql() -> dict[str, str]:
                  ORDER BY tfidf DESC, term) AS term_rank FROM scored)
         WHERE term_rank <= 3"""
     o["text_split"] = _split_oracle()
+    # gradient image pixels are (i + id) % 251 over i in [0, w*h);
+    # audio is n copies of the constant sample (id % 1000 - 500)
+    o["mm_stats"] = """
+        WITH g AS (SELECT doc_id,
+                          doc_id % 13 + 3 AS w, doc_id % 7 + 2 AS h,
+                          doc_id % 50 + 10 AS n_aud,
+                          (doc_id % 1000 - 500) / 32768.0 AS s
+                   FROM documents),
+        px AS (SELECT doc_id, w, h,
+                      ((doc_id + i.r) % 251) / 255.0 AS v
+               FROM g, generate_series(0, 119) AS i(r)
+               WHERE doc_id % 2 = 0 AND i.r < w * h),
+        img AS (SELECT doc_id, 'ppm' AS kind,
+                       CAST(w * h * 3 AS BIGINT) AS n_samples,
+                       ROUND(AVG(v), 6) AS mean_val,
+                       ROUND(MIN(v), 6) AS min_val,
+                       ROUND(MAX(v), 6) AS max_val,
+                       ROUND(SQRT(AVG(POW(v, 2))), 6) AS rms,
+                       CAST(NULL AS DOUBLE) AS zcr
+                FROM px GROUP BY doc_id, w, h),
+        aud AS (SELECT doc_id, 'wav' AS kind,
+                       CAST(n_aud AS BIGINT) AS n_samples,
+                       ROUND(s, 6) AS mean_val, ROUND(s, 6) AS min_val,
+                       ROUND(s, 6) AS max_val, ROUND(ABS(s), 6) AS rms,
+                       0.0 AS zcr
+                FROM g WHERE doc_id % 2 = 1)
+        SELECT doc_id AS media_id, kind, n_samples, mean_val, min_val,
+               max_val, rms, zcr
+        FROM (SELECT * FROM img UNION ALL SELECT * FROM aud)"""
     o["dedup_incremental"] = f"""
         WITH norm AS (SELECT doc_id AS id, {_NORM_DOC} AS t FROM documents),
         sets AS (SELECT id, list_distinct([substring(t, i, 5)

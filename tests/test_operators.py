@@ -443,3 +443,29 @@ def test_streaming_watermark_drops_late_rows(spark, tmp_path):
     # on-time rows DID emit — an empty sink can't mask the late-drop
     assert "click" in types, "closed on-time window must have emitted"
     assert "late" not in types, "row behind the watermark must be dropped"
+
+
+def test_media_stats_known_values(spark):
+    # hand-built payloads: a 2x1 PPM with pixels (0, 255) per channel
+    # and a 4-sample WAV crossing zero twice
+    import numpy as np
+
+    from yardstick_spark.llm import media_stats, write_ppm, write_wav
+
+    img = write_ppm(2, 1, bytes([0, 0, 0, 255, 255, 255]))
+    wav = write_wav(np.array([100, -100, 50, -50], dtype="<i2"))
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(img)), (2, "audio", bytearray(wav)),
+         (3, "video", bytearray(b"notacontainer"))],
+        "media_id BIGINT, media_type STRING, payload BINARY",
+    )
+    rows = {r["media_id"]: r for r in media_stats(media).collect()}
+    i = rows[1]
+    assert (i["kind"], i["n_samples"]) == ("ppm", 6)
+    assert i["mean_val"] == 0.5 and i["min_val"] == 0.0 and i["max_val"] == 1.0
+    assert i["rms"] == round((0.5) ** 0.5, 6)
+    a = rows[2]
+    assert (a["kind"], a["n_samples"]) == ("wav", 4)
+    assert a["zcr"] == 1.0  # every adjacent pair flips sign
+    r = rows[3]
+    assert r["kind"] == "raw" and r["mean_val"] is None

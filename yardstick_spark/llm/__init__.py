@@ -25,6 +25,7 @@ from .multimodal import (  # noqa: F401
     attach_media_column,
     decode_media,
     frame_sample,
+    media_stats,
     parse_ppm,
     parse_wav,
     resize_media,
