@@ -849,6 +849,12 @@ def _split_oracle() -> str:
     return f"SELECT doc_id, source, {expr} AS split FROM documents"
 
 
+def _q_text_pack(spark, sf_dir):
+    from yardstick_spark.llm import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), max_tokens=64)
+
+
 def _q_dedup_incremental(spark, sf_dir):
     # incremental-ingest shape: every 5th doc is the "new batch",
     # deduped against the remaining corpus without a corpus self-join
@@ -1116,6 +1122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": _q_dedup_incremental,
         "text_split": _q_text_split,
         "mm_stats": _q_mm_stats,
+        "text_pack": _q_text_pack,
         "tpch_q12": _measure_runner(_MEASURE_QUERIES["tpch_q12"]),
     }
     out: dict[str, Callable] = {
@@ -2209,6 +2216,24 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id AS media_id, kind, n_samples, mean_val, min_val,
                max_val, rms, zcr
         FROM (SELECT * FROM img UNION ALL SELECT * FROM aud)"""
+    o["text_pack"] = f"""
+        WITH t AS (SELECT doc_id,
+               len(list_filter(string_split({_NORM_DOC}, ' '),
+                   t -> t <> '')) AS n
+               FROM documents),
+        c AS (SELECT doc_id, n,
+              SUM(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cend
+              FROM t WHERE n > 0),
+        s AS (SELECT doc_id, n, cend, cend - n AS cstart FROM c)
+        SELECT doc_id,
+               CAST(cstart // 64 + o.k AS BIGINT) AS seq_id,
+               CAST(GREATEST(cstart, (cstart // 64 + o.k) * 64) - cstart
+                    AS BIGINT) AS doc_tok_start,
+               CAST(LEAST(cend, (cstart // 64 + o.k + 1) * 64)
+                    - GREATEST(cstart, (cstart // 64 + o.k) * 64)
+                    AS BIGINT) AS n_tok
+        FROM s, generate_series(0, 8) o(k)
+        WHERE cstart // 64 + o.k <= (cend - 1) // 64"""
     o["dedup_incremental"] = f"""
         WITH norm AS (SELECT doc_id AS id, {_NORM_DOC} AS t FROM documents),
         sets AS (SELECT id, list_distinct([substring(t, i, 5)

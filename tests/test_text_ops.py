@@ -331,3 +331,34 @@ def test_source_quota_order_col_keeps_best(spark):
     kept = sorted(r["doc_id"] for r in out.collect())
     # highest-quality = highest ids in each of the two sources
     assert kept == sorted(list(range(50, 60)))
+
+
+def test_pack_sequences_covers_stream_exactly(spark):
+    from pyspark.sql import functions as F
+
+    from yardstick_spark.llm import pack_sequences, token_stats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    packed = pack_sequences(docs, max_tokens=64)
+    total_tokens = (token_stats(docs).agg(F.sum("n_tokens")).collect()[0][0])
+    # every token lands in exactly one (doc, seq) span
+    assert packed.agg(F.sum("n_tok")).collect()[0][0] == total_tokens
+    # every sequence except the last is exactly full
+    per_seq = {r["seq_id"]: r["s"] for r in
+               packed.groupBy("seq_id").agg(F.sum("n_tok").alias("s")).collect()}
+    last = max(per_seq)
+    assert all(v == 64 for k, v in per_seq.items() if k != last)
+    assert 0 < per_seq[last] <= 64
+    # spans within a doc are contiguous from zero
+    bad = packed.groupBy("doc_id").agg(
+        F.min("doc_tok_start").alias("mn"),
+        (F.sum("n_tok")).alias("tot"),
+        (F.max(F.col("doc_tok_start") + F.col("n_tok"))).alias("end"),
+    ).filter("mn <> 0 OR tot <> end").count()
+    assert bad == 0
+    # stable under a different input partitioning (two-phase cumsum)
+    a = sorted(map(tuple, packed.collect()))
+    b = sorted(map(tuple,
+                   pack_sequences(docs.repartition(7), max_tokens=64)
+                   .collect()))
+    assert a == b

@@ -57,6 +57,7 @@ from .text import (  # noqa: F401
     doc_fingerprint,
     gopher_filter,
     language_id,
+    pack_sequences,
     pii_redact,
     quality_score,
     repetition_stats,

@@ -629,3 +629,74 @@ def decontaminate_bloom(docs: DataFrame, benchmark: DataFrame, n: int = 8,
         .alias("hit_frac"),
         (F.col("n_hits") >= threshold).alias("contaminated"),
     )
+
+
+def pack_sequences(docs: DataFrame, max_tokens: int,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """GPT-style sequence packing: concatenate every document's token
+    stream in id order and cut it into fixed `max_tokens` windows.
+    Returns one row per (document × overlapped sequence):
+    (id_col, seq_id, doc_tok_start, n_tok) — a doc straddling a cut
+    emits one row per sequence it spans, so a loader can gather each
+    training sequence's pieces by seq_id.
+
+    The global running token offset is NOT a single-partition window:
+    rows are range-partitioned by id and cumsummed per partition
+    (windows keyed on spark_partition_id run in parallel), partition
+    totals — one row per partition — come to the driver for an exact
+    prefix sum, and the offsets broadcast back.  This is the standard
+    two-phase scan; the only driver state is #partitions integers, so
+    the op holds at any corpus size.  Empty documents are skipped
+    (zero-width spans would attach to an arbitrary cut)."""
+    from pyspark.sql import Window
+
+    norm = _NORM.format(c=text_col)
+    n_tok = f"size(filter(split({norm}, ' '), t -> t <> ''))"
+    toks = (
+        docs.select(F.col(id_col).alias("id"), F.expr(n_tok).alias("n"))
+        .filter(F.col("n") > 0)
+        .repartitionByRange(F.col("id"))
+        .sortWithinPartitions("id")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    w = Window.partitionBy("pid").orderBy("id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    local = toks.withColumn("lcum", F.sum("n").over(w))
+    part_totals = (
+        local.groupBy("pid").agg(F.max("lcum").alias("ptotal"))
+        .collect()
+    )
+    offsets = {}
+    acc = 0
+    for row in sorted(part_totals, key=lambda r: r["pid"]):
+        offsets[row["pid"]] = acc
+        acc += row["ptotal"]
+    off_df = local.sparkSession.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()],
+        "pid INT, poff BIGINT",
+    )
+    spans = (
+        local.join(F.broadcast(off_df), "pid")
+        .withColumn("cend", F.col("poff") + F.col("lcum"))
+        .withColumn("cstart", F.col("cend") - F.col("n"))
+    )
+    return (
+        spans.withColumn(
+            "seq_id",
+            F.explode(F.expr(
+                f"sequence(cstart DIV {max_tokens}, "
+                f"(cend - 1) DIV {max_tokens})"
+            )),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "seq_id",
+            (F.greatest(F.col("cstart"), F.col("seq_id") * max_tokens)
+             - F.col("cstart")).alias("doc_tok_start"),
+            (F.least(F.col("cend"), (F.col("seq_id") + 1) * max_tokens)
+             - F.greatest(F.col("cstart"), F.col("seq_id") * max_tokens))
+            .alias("n_tok"),
+        )
+    )
