@@ -849,6 +849,21 @@ def _split_oracle() -> str:
     return f"SELECT doc_id, source, {expr} AS split FROM documents"
 
 
+def _q_events_json(spark, sf_dir):
+    # semi-structured column handling: the events.props JSON string is
+    # parsed scan-side (get_json_object stays in codegen) and the
+    # extracted field aggregates per event type
+    _ys(spark, sf_dir)
+    return spark.sql(
+        "SELECT event_type, COUNT(*) AS n, "
+        "CAST(SUM(CAST(get_json_object(props, '$.k') AS BIGINT)) "
+        "AS BIGINT) AS k_sum, "
+        "MIN(CAST(get_json_object(props, '$.k') AS BIGINT)) AS k_min, "
+        "MAX(CAST(get_json_object(props, '$.k') AS BIGINT)) AS k_max "
+        "FROM events GROUP BY event_type ORDER BY event_type"
+    )
+
+
 def _q_text_pack(spark, sf_dir):
     from yardstick_spark.llm import pack_sequences
 
@@ -883,6 +898,15 @@ def _q_text_mixture(spark, sf_dir):
     return sample_mixture(
         _docs(spark, sf_dir), rates=_MIX_RATES, default_rate=0.1
     ).select("doc_id", "source", "n_chars")
+
+
+def _q_pipeline_full(spark, sf_dir):
+    from yardstick_spark.llm import curate_corpus_full
+
+    return curate_corpus_full(
+        _docs(spark, sf_dir), rates=_MIX_RATES, default_rate=0.5,
+        max_dup_word_frac=0.6, per_source=15, splits=_SPLIT_W,
+    ).select("doc_id", "source", "split")
 
 
 def _q_pipeline_curation(spark, sf_dir):
@@ -1123,6 +1147,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_split": _q_text_split,
         "mm_stats": _q_mm_stats,
         "text_pack": _q_text_pack,
+        "events_json": _q_events_json,
+        "pipeline_curation_full": _q_pipeline_full,
         "tpch_q12": _measure_runner(_MEASURE_QUERIES["tpch_q12"]),
     }
     out: dict[str, Callable] = {
@@ -1998,7 +2024,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT term, COUNT(*) AS df
         FROM (SELECT unnest(words) AS term FROM w)
         GROUP BY term ORDER BY df DESC, term LIMIT 20"""
-    o["pipeline_curation"] = f"""
+    curation_ctes = f"""
         WITH norm AS (SELECT doc_id, source, n_chars, {_NORM_DOC} AS t
                       FROM documents),
         w AS (SELECT doc_id, source, n_chars, t,
@@ -2018,17 +2044,17 @@ def oracle_sql() -> dict[str, str]:
                 + CAST(list_contains(words, 'is') AS INT)
                 + CAST(list_contains(words, 'in') AS INT) AS sh
               FROM w),
-        q AS (SELECT doc_id, source, n_chars, t FROM f
+        q AS (SELECT doc_id, source, n_chars, t, words FROM f
               WHERE n_words BETWEEN 15 AND 100000
                 AND ROUND(mwl, 6) BETWEEN 2.0 AND 10.0
                 AND ROUND(COALESCE(list_max(list_transform(list_distinct(bigrams),
                       b -> len(list_filter(bigrams, x -> x = b)))), 0)
                     / CAST(greatest(n_words - 1, 1) AS DOUBLE), 6) < 0.08
                 AND sh >= 1),
-        d AS (SELECT doc_id, source, n_chars,
+        d AS (SELECT doc_id, source, n_chars, words,
                 MIN(doc_id) OVER (PARTITION BY md5(t)) AS keep_id
               FROM q),
-        m AS (SELECT doc_id, source, n_chars FROM d
+        m AS (SELECT doc_id, source, n_chars, words FROM d
               WHERE doc_id = keep_id
                 AND CAST(CONCAT('0x', SUBSTRING(
                       md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))
@@ -2036,10 +2062,24 @@ def oracle_sql() -> dict[str, str]:
                     < CAST((CASE WHEN source = 'src0' THEN 1.0
                                  WHEN source = 'src1' THEN 0.5
                                  WHEN source = 'src2' THEN 0.25
-                                 ELSE 0.5 END) * 1000000 AS BIGINT))
+                                 ELSE 0.5 END) * 1000000 AS BIGINT))"""
+    o["pipeline_curation"] = curation_ctes + """
         SELECT source, COUNT(*) AS n_docs,
                CAST(SUM(n_chars) AS BIGINT) AS total_chars
         FROM m GROUP BY source ORDER BY source"""
+    split_case = _split_oracle().split("doc_id, source, ")[1].rsplit(
+        " AS split FROM documents", 1)[0]
+    o["pipeline_curation_full"] = curation_ctes + f""",
+        r AS (SELECT doc_id, source FROM m
+              WHERE ROUND(1.0 - len(list_distinct(words))
+                    / CAST(greatest(len(words), 1) AS DOUBLE), 6) <= 0.6),
+        qt AS (SELECT doc_id, source FROM (
+                 SELECT doc_id, source,
+                        ROW_NUMBER() OVER (PARTITION BY source
+                          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                          AS rk
+                 FROM r) WHERE rk <= 15)
+        SELECT doc_id, source, {split_case} AS split FROM qt"""
     o["text_chunks"] = f"""
         WITH norm AS (SELECT doc_id, {_NORM_DOC} AS t FROM documents),
         w AS (SELECT doc_id,
@@ -2216,6 +2256,12 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id AS media_id, kind, n_samples, mean_val, min_val,
                max_val, rms, zcr
         FROM (SELECT * FROM img UNION ALL SELECT * FROM aud)"""
+    o["events_json"] = """
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_sum,
+               MIN(CAST(props->>'k' AS BIGINT)) AS k_min,
+               MAX(CAST(props->>'k' AS BIGINT)) AS k_max
+        FROM events GROUP BY event_type ORDER BY event_type"""
     o["text_pack"] = f"""
         WITH t AS (SELECT doc_id,
                len(list_filter(string_split({_NORM_DOC}, ' '),

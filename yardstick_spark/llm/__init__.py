@@ -48,6 +48,7 @@ from .similarity import (  # noqa: F401
 )
 from .pipeline import (  # noqa: F401
     curate_corpus,
+    curate_corpus_full,
     curation_report,
 )
 from .text import (  # noqa: F401

@@ -67,3 +67,40 @@ def curation_report(docs: DataFrame, rates: dict[str, float],
         )
         .orderBy(source_col)
     )
+
+
+def curate_corpus_full(docs: DataFrame, rates: dict[str, float],
+                       text_col: str = "text", id_col: str = "doc_id",
+                       source_col: str = "source", seed: int = 42,
+                       default_rate: float = 0.0,
+                       min_stop_hits: int = 1,
+                       max_dup_word_frac: float | None = None,
+                       per_source: int | None = None,
+                       splits: dict[str, float] | None = None) -> DataFrame:
+    """`curate_corpus` plus the round-4 stages, in pipeline order:
+
+        Gopher filter → exact dedup → mixture sampling
+        → repetition filter (dup_word_frac cap) → per-source quota
+        → train/val/test split column
+
+    Every added stage is scan-only or a bounded window (`source_quota`
+    is a map-side WindowGroupLimit), so the composed chain keeps the
+    base pipeline's scale profile; each stage is optional (None skips
+    it) and the whole chain stays SQL-expressible for the oracle."""
+    from .text import repetition_stats, source_quota, split_corpus
+
+    kept = curate_corpus(docs, rates, text_col, id_col, source_col,
+                         seed, default_rate, min_stop_hits)
+    if max_dup_word_frac is not None:
+        ok = (
+            repetition_stats(kept, text_col, id_col)
+            .filter(F.col("dup_word_frac") <= max_dup_word_frac)
+            .select(id_col)
+        )
+        kept = kept.join(ok, id_col)
+    if per_source is not None:
+        q = source_quota(kept, per_source, id_col, source_col).select(id_col)
+        kept = kept.join(q, id_col)
+    if splits:
+        kept = split_corpus(kept, splits, id_col)
+    return kept
