@@ -849,6 +849,12 @@ def _split_oracle() -> str:
     return f"SELECT doc_id, source, {expr} AS split FROM documents"
 
 
+def _q_text_fp_overlap(spark, sf_dir):
+    from yardstick_spark.llm import fingerprint_overlap_pairs
+
+    return fingerprint_overlap_pairs(_docs(spark, sf_dir), min_shared=2)
+
+
 def _q_events_json(spark, sf_dir):
     # semi-structured column handling: the events.props JSON string is
     # parsed scan-side (get_json_object stays in codegen) and the
@@ -1149,6 +1155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pack": _q_text_pack,
         "events_json": _q_events_json,
         "pipeline_curation_full": _q_pipeline_full,
+        "text_fp_overlap": _q_text_fp_overlap,
         "tpch_q12": _measure_runner(_MEASURE_QUERIES["tpch_q12"]),
     }
     out: dict[str, Callable] = {
@@ -1959,6 +1966,25 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, md5(t) AS content_hash, len(fp) AS n_prints,
                fp[1] AS min_print
         FROM m"""
+    o["text_fp_overlap"] = f"""
+        WITH norm AS (SELECT doc_id, {_NORM_DOC} AS t FROM documents),
+        w AS (SELECT doc_id,
+              list_filter(string_split(t, ' '), x -> x <> '') AS words FROM norm),
+        g AS (SELECT doc_id, [concat_ws(' ', words[i], words[i+1], words[i+2],
+                   words[i+3]) for i in range(1, greatest(1, len(words) - 3) + 1)]
+              AS grams FROM w),
+        h AS (SELECT doc_id, list_transform(grams, g ->
+                CAST(CONCAT('0x', SUBSTRING(md5(g), 1, 15)) AS BIGINT)) AS gh
+              FROM g),
+        m AS (SELECT doc_id, list_sort(list_distinct(
+                [list_min(gh[i:i+15]) for i in
+                 range(1, greatest(1, len(gh) - 15) + 1)])) AS fp
+              FROM h),
+        e AS (SELECT doc_id AS id, UNNEST(fp) AS fph FROM m)
+        SELECT a.id AS id_a, b.id AS id_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM e a JOIN e b ON a.fph = b.fph AND a.id < b.id
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2"""
     o["text_gopher"] = f"""
         WITH norm AS (SELECT doc_id, {_NORM_DOC} AS t FROM documents),
         w AS (SELECT doc_id,

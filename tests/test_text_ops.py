@@ -362,3 +362,24 @@ def test_pack_sequences_covers_stream_exactly(spark):
                    pack_sequences(docs.repartition(7), max_tokens=64)
                    .collect()))
     assert a == b
+
+
+def test_fingerprint_overlap_detects_copied_passage(spark):
+    from yardstick_spark.llm import fingerprint_overlap_pairs
+
+    passage = ("the quick brown fox jumps over the lazy dog while the "
+               "cat watches from a warm windowsill nearby every day "
+               "without fail during the long summer afternoons")
+    docs = spark.createDataFrame(
+        [
+            (1, "intro text first " + passage + " closing remarks here"),
+            (2, "completely different framing then " + passage),
+            (3, "no shared content at all just unrelated words about "
+                "databases indexes and storage engines running fast"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             fingerprint_overlap_pairs(docs, min_shared=1).collect()}
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)

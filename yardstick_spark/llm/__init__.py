@@ -56,6 +56,7 @@ from .text import (  # noqa: F401
     decontaminate,
     decontaminate_bloom,
     doc_fingerprint,
+    fingerprint_overlap_pairs,
     gopher_filter,
     language_id,
     pack_sequences,

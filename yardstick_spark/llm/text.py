@@ -700,3 +700,34 @@ def pack_sequences(docs: DataFrame, max_tokens: int,
             .alias("n_tok"),
         )
     )
+
+
+def fingerprint_overlap_pairs(docs: DataFrame, min_shared: int = 2,
+                              text_col: str = "text",
+                              id_col: str = "doc_id",
+                              window: int = 16) -> DataFrame:
+    """Shared-substring candidate pairs via winnowing fingerprints:
+    documents sharing >= `min_shared` fingerprint hashes very likely
+    share verbatim word-4-gram runs (the MOSS plagiarism-detection
+    rule) — the cheap cross-document detector for copied passages that
+    whole-document dedup misses.
+
+    Returns (id_a, id_b, n_shared) with id_a < id_b.  The join key is
+    one fingerprint hash (md5-uniform, no hot keys); each side carries
+    only (id, hash), and the per-pair count is a map-side-combined
+    aggregation — the same bounded bucket-join shape as every other
+    candidate generator in `llm.dedup`."""
+    fp = (
+        doc_fingerprint(docs, text_col, id_col, window)
+        .select(F.col(id_col).alias("id"),
+                F.explode("fingerprint").alias("h"))
+    )
+    return (
+        fp.alias("a")
+        .join(fp.alias("b"),
+              (F.col("a.h") == F.col("b.h"))
+              & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
