@@ -361,25 +361,45 @@ def doc_fingerprint(docs: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", window: int = 16) -> DataFrame:
     """Winnowing-style fingerprint: the minimum portable hash over each
     sliding window of word 4-grams, collected as a sorted distinct set.
-    Compact representative of the document for containment checks."""
+    Compact representative of the document for containment checks.
+
+    Staged with cache barriers (the `_shingled` pattern): without
+    them, Catalyst collapses the projections and re-inlines the whole
+    words→grams→md5 chain into every window lambda AND into any
+    pushed-down filter a consumer adds — interpreted HOF lambdas get
+    no common-subexpression elimination, so an explode+join consumer
+    (fingerprint_overlap_pairs) went quadratic-in-expression-depth
+    (measured 88 s → 0.9 s at sf0.01).  The cached intermediates are
+    one short array row per document."""
+    from .dedup import _cache, _spread
+
     norm = _NORM.format(c=text_col)
-    words = f"filter(split({norm}, ' '), t -> t <> '')"
-    grams = (
-        f"transform(sequence(1, greatest(1, size({words}) - 3)), "
-        f"i -> concat_ws(' ', slice({words}, i, 4)))"
-    )
-    ghash = (
-        f"transform({grams}, g -> "
-        f"CAST(conv(substring(md5(g), 1, 15), 16, 10) AS BIGINT))"
+    words = f"filter(split(__ys_norm, ' '), t -> t <> '')"
+    hashed = _cache(
+        _spread(docs.select(F.col(id_col), F.col(text_col).alias("__t")))
+        .select(
+            F.col(id_col),
+            F.expr(_NORM.format(c="__t")).alias("__ys_norm"),
+        )
+        .select(
+            F.col(id_col),
+            F.expr("md5(__ys_norm)").alias("content_hash"),
+            F.expr(
+                f"transform(transform(sequence(1, greatest(1, "
+                f"size({words}) - 3)), "
+                f"i -> concat_ws(' ', slice({words}, i, 4))), g -> "
+                f"CAST(conv(substring(md5(g), 1, 15), 16, 10) AS BIGINT))"
+            ).alias("__ys_gh"),
+        )
     )
     mins = (
-        f"transform(sequence(1, greatest(1, size({ghash}) - {window - 1})), "
-        f"i -> array_min(slice({ghash}, i, {window})))"
+        f"transform(sequence(1, greatest(1, size(__ys_gh) - {window - 1})), "
+        f"i -> array_min(slice(__ys_gh, i, {window})))"
     )
-    return docs.select(
+    return hashed.select(
         F.col(id_col),
         F.expr(f"array_sort(array_distinct({mins}))").alias("fingerprint"),
-        F.expr(f"md5({norm})").alias("content_hash"),
+        "content_hash",
     )
 
 
