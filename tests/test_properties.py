@@ -391,3 +391,37 @@ def test_p12_expansion_idempotent(spark):
         once = ys.rewrite(sql)
         twice = ys.rewrite(once)
         assert twice == once, f"{name}: expansion not idempotent"
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    counts=st.lists(st.integers(min_value=0, max_value=37),
+                    min_size=1, max_size=40),
+    max_tokens=st.integers(min_value=1, max_value=19),
+)
+def test_p7_pack_sequences_matches_python_reference(spark, counts, max_tokens):
+    # pack_sequences' two-phase distributed cumsum must equal the
+    # trivial sequential packing computed in Python
+    from yardstick_spark.llm import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * c)) for i, c in enumerate(counts)],
+        "doc_id BIGINT, text STRING",
+    )
+    got = sorted(map(tuple,
+                     pack_sequences(docs, max_tokens=max_tokens)
+                     .select("doc_id", "seq_id", "doc_tok_start", "n_tok")
+                     .collect()))
+    want = []
+    pos = 0
+    for i, c in enumerate(counts):
+        if c == 0:
+            continue
+        start, end = pos, pos + c
+        for seq in range(start // max_tokens, (end - 1) // max_tokens + 1):
+            lo = max(start, seq * max_tokens)
+            hi = min(end, (seq + 1) * max_tokens)
+            want.append((i, seq, lo - start, hi - lo))
+        pos = end
+    assert got == sorted(want)
