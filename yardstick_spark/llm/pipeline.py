@@ -87,10 +87,15 @@ def curate_corpus_full(docs: DataFrame, rates: dict[str, float],
     is a map-side WindowGroupLimit), so the composed chain keeps the
     base pipeline's scale profile; each stage is optional (None skips
     it) and the whole chain stays SQL-expressible for the oracle."""
+    from .dedup import _cache
     from .text import repetition_stats, source_quota, split_corpus
 
     kept = curate_corpus(docs, rates, text_col, id_col, source_col,
                          seed, default_rate, min_stop_hits)
+    if max_dup_word_frac is not None or per_source is not None:
+        # the added stages self-join `kept`; without a barrier each
+        # reference re-evaluates the whole curation chain (measured 4x)
+        kept = _cache(kept)
     if max_dup_word_frac is not None:
         ok = (
             repetition_stats(kept, text_col, id_col)
