@@ -425,13 +425,15 @@ def repetition_stats(docs: DataFrame, text_col: str = "text",
         f"(a, b) -> concat(a, ' ', b))"
     )
     n_bigrams = f"greatest(size({words}) - 1, 1)"
+    # IF(empty, 0): 1 - 0/greatest(0,1) would report an empty doc as
+    # fully duplicated (and diverge from the oracle's inner-join shape)
     dup_word = (
-        f"round(1.0D - size(array_distinct({words})) "
-        f"/ CAST({n_words} AS DOUBLE), 6)"
+        f"IF(size({words}) = 0, 0.0D, round(1.0D "
+        f"- size(array_distinct({words})) / CAST({n_words} AS DOUBLE), 6))"
     )
     dup_bigram = (
-        f"round(1.0D - size(array_distinct({bigrams})) "
-        f"/ CAST({n_bigrams} AS DOUBLE), 6)"
+        f"IF(size({words}) = 0, 0.0D, round(1.0D "
+        f"- size(array_distinct({bigrams})) / CAST({n_bigrams} AS DOUBLE), 6))"
     )
     top_word = (
         f"aggregate(array_sort({words}), "
@@ -549,6 +551,8 @@ def split_corpus(docs: DataFrame, weights: dict[str, float],
     ids from `dedup_assign` as `id_col` so every member of a dup
     cluster lands in the same split."""
     total = sum(weights.values())
+    if not weights or total <= 0:
+        raise ValueError("split_corpus: weights must sum to a positive value")
     u = (f"(CAST(conv(substring(md5(concat(CAST({id_col} AS STRING), "
          f"'{seed}')), 1, 15), 16, 10) AS BIGINT) % 1000000) / 1000000.0")
     expr = "CASE"
