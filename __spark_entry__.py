@@ -849,6 +849,12 @@ def _split_oracle() -> str:
     return f"SELECT doc_id, source, {expr} AS split FROM documents"
 
 
+def _q_text_report(spark, sf_dir):
+    from yardstick_spark.llm import corpus_report
+
+    return corpus_report(_docs(spark, sf_dir))
+
+
 def _q_text_fp_overlap(spark, sf_dir):
     from yardstick_spark.llm import fingerprint_overlap_pairs
 
@@ -1156,6 +1162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json": _q_events_json,
         "pipeline_curation_full": _q_pipeline_full,
         "text_fp_overlap": _q_text_fp_overlap,
+        "text_corpus_report": _q_text_report,
         "tpch_q12": _measure_runner(_MEASURE_QUERIES["tpch_q12"]),
     }
     out: dict[str, Callable] = {
@@ -2282,6 +2289,20 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id AS media_id, kind, n_samples, mean_val, min_val,
                max_val, rms, zcr
         FROM (SELECT * FROM img UNION ALL SELECT * FROM aud)"""
+    o["text_corpus_report"] = f"""
+        WITH b AS (SELECT source, lang,
+               len(list_filter(string_split({_NORM_DOC}, ' '),
+                   t -> t <> '')) AS nw,
+               length({_NORM_DOC}) AS nc,
+               ROUND(length(regexp_replace({_NORM_DOC}, '[^a-z]', '', 'g'))
+                 / CAST(greatest(length({_NORM_DOC}), 1) AS DOUBLE), 6) AS ar
+               FROM documents)
+        SELECT source, lang, COUNT(*) AS n_docs,
+               CAST(SUM(nw) AS BIGINT) AS total_tokens,
+               CAST(SUM(nc) AS BIGINT) AS total_chars,
+               ROUND(AVG(nw), 6) AS avg_tokens,
+               ROUND(AVG(ar), 6) AS avg_alpha_ratio
+        FROM b GROUP BY source, lang ORDER BY source, lang"""
     o["events_json"] = """
         SELECT event_type, COUNT(*) AS n,
                CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_sum,

@@ -383,3 +383,20 @@ def test_fingerprint_overlap_detects_copied_passage(spark):
              fingerprint_overlap_pairs(docs, min_shared=1).collect()}
     assert (1, 2) in pairs
     assert not any(3 in p for p in pairs)
+
+
+def test_fingerprint_overlap_max_df_caps_hot_prints(spark):
+    from yardstick_spark.llm import (
+        clear_dedup_caches, fingerprint_overlap_pairs,
+    )
+
+    clear_dedup_caches()
+    boiler = ("one two three four five six seven eight nine ten eleven "
+              "twelve thirteen fourteen fifteen sixteen seventeen eighteen "
+              "nineteen twenty")
+    docs = spark.createDataFrame(
+        [(i, boiler) for i in range(30)], "doc_id BIGINT, text STRING"
+    )
+    assert fingerprint_overlap_pairs(docs, min_shared=1).count() == 30 * 29 // 2
+    assert fingerprint_overlap_pairs(docs, min_shared=1, max_df=10).count() == 0
+    clear_dedup_caches()

@@ -53,6 +53,7 @@ from .pipeline import (  # noqa: F401
 )
 from .text import (  # noqa: F401
     chunk_documents,
+    corpus_report,
     decontaminate,
     decontaminate_bloom,
     doc_fingerprint,

@@ -729,7 +729,8 @@ def pack_sequences(docs: DataFrame, max_tokens: int,
 def fingerprint_overlap_pairs(docs: DataFrame, min_shared: int = 2,
                               text_col: str = "text",
                               id_col: str = "doc_id",
-                              window: int = 16) -> DataFrame:
+                              window: int = 16,
+                              max_df: int | None = None) -> DataFrame:
     """Shared-substring candidate pairs via winnowing fingerprints:
     documents sharing >= `min_shared` fingerprint hashes very likely
     share verbatim word-4-gram runs (the MOSS plagiarism-detection
@@ -740,12 +741,28 @@ def fingerprint_overlap_pairs(docs: DataFrame, min_shared: int = 2,
     one fingerprint hash (md5-uniform, no hot keys); each side carries
     only (id, hash), and the per-pair count is a map-side-combined
     aggregation — the same bounded bucket-join shape as every other
-    candidate generator in `llm.dedup`."""
+    candidate generator in `llm.dedup`.
+
+    `max_df` is the degenerate-print backstop (same argument as
+    `dedup._cap_buckets`): a boilerplate 4-gram run whose window-min
+    hash lands in 10^5 documents makes the self-join quadratic IN THAT
+    PRINT; capping document frequency drops such prints (they carry no
+    discriminative signal) while pair recall through rarer shared
+    prints is untouched.  The frequency window shuffles on the same
+    key as the join, so the guard adds no new shuffle topology."""
     fp = (
         doc_fingerprint(docs, text_col, id_col, window)
         .select(F.col(id_col).alias("id"),
                 F.explode("fingerprint").alias("h"))
     )
+    if max_df:
+        from pyspark.sql import Window
+
+        fp = (
+            fp.withColumn("__df", F.count("*").over(Window.partitionBy("h")))
+            .filter(F.col("__df") <= max_df)
+            .drop("__df")
+        )
     return (
         fp.alias("a")
         .join(fp.alias("b"),
@@ -754,4 +771,41 @@ def fingerprint_overlap_pairs(docs: DataFrame, min_shared: int = 2,
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def corpus_report(docs: DataFrame, text_col: str = "text",
+                  source_col: str = "source",
+                  lang_col: str = "lang") -> DataFrame:
+    """One-scan corpus accounting per (source, lang): document count,
+    token/char totals, mean quality-proxy ratios — the dashboard
+    numbers a pipeline owner watches, computed as a single
+    map-combined groupBy instead of one pass per metric.
+
+    Every input expression is scan-only SQL shared inside one
+    projection, so the whole report costs one corpus read + one
+    bounded shuffle (groups = sources × languages)."""
+    norm = _NORM.format(c=text_col)
+    words = f"filter(split({norm}, ' '), t -> t <> '')"
+    alpha = f"length(regexp_replace({norm}, '[^a-z]', ''))"
+    return (
+        docs.select(
+            F.col(source_col).alias("source"),
+            F.col(lang_col).alias("lang"),
+            F.expr(f"size({words})").alias("__nw"),
+            F.expr(f"length({norm})").alias("__nc"),
+            F.expr(
+                f"round({alpha} / CAST(greatest(length({norm}), 1) "
+                f"AS DOUBLE), 6)"
+            ).alias("__ar"),
+        )
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("__nw").alias("total_tokens"),
+            F.sum("__nc").alias("total_chars"),
+            F.expr("round(avg(__nw), 6)").alias("avg_tokens"),
+            F.expr("round(avg(__ar), 6)").alias("avg_alpha_ratio"),
+        )
+        .orderBy("source", "lang")
     )
