@@ -849,6 +849,22 @@ def _split_oracle() -> str:
     return f"SELECT doc_id, source, {expr} AS split FROM documents"
 
 
+def _q_events_funnel(spark, sf_dir):
+    from yardstick_spark.operators import funnel_counts
+
+    _ys(spark, sf_dir)
+    return funnel_counts(
+        spark.table("events"), ["signup", "view", "click", "purchase"]
+    )
+
+
+def _q_events_retention(spark, sf_dir):
+    from yardstick_spark.operators import retention_cohorts
+
+    _ys(spark, sf_dir)
+    return retention_cohorts(spark.table("events"))
+
+
 def _q_text_report(spark, sf_dir):
     from yardstick_spark.llm import corpus_report
 
@@ -1163,6 +1179,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_curation_full": _q_pipeline_full,
         "text_fp_overlap": _q_text_fp_overlap,
         "text_corpus_report": _q_text_report,
+        "events_funnel": _q_events_funnel,
+        "events_retention": _q_events_retention,
         "tpch_q12": _measure_runner(_MEASURE_QUERIES["tpch_q12"]),
     }
     out: dict[str, Callable] = {
@@ -2303,6 +2321,34 @@ def oracle_sql() -> dict[str, str]:
                ROUND(AVG(nw), 6) AS avg_tokens,
                ROUND(AVG(ar), 6) AS avg_alpha_ratio
         FROM b GROUP BY source, lang ORDER BY source, lang"""
+    o["events_funnel"] = """
+        WITH s0 AS (SELECT user_id AS u, MIN(ts) AS t FROM events
+                    WHERE event_type = 'signup' GROUP BY user_id),
+        s1 AS (SELECT e.user_id AS u, MIN(e.ts) AS t FROM events e
+               JOIN s0 ON s0.u = e.user_id
+               WHERE e.event_type = 'view' AND e.ts >= s0.t
+               GROUP BY e.user_id),
+        s2 AS (SELECT e.user_id AS u, MIN(e.ts) AS t FROM events e
+               JOIN s1 ON s1.u = e.user_id
+               WHERE e.event_type = 'click' AND e.ts >= s1.t
+               GROUP BY e.user_id),
+        s3 AS (SELECT e.user_id AS u, MIN(e.ts) AS t FROM events e
+               JOIN s2 ON s2.u = e.user_id
+               WHERE e.event_type = 'purchase' AND e.ts >= s2.t
+               GROUP BY e.user_id)
+        SELECT 0 AS stage_idx, 'signup' AS stage, COUNT(*) AS n FROM s0
+        UNION ALL SELECT 1, 'view', COUNT(*) FROM s1
+        UNION ALL SELECT 2, 'click', COUNT(*) FROM s2
+        UNION ALL SELECT 3, 'purchase', COUNT(*) FROM s3"""
+    o["events_retention"] = """
+        WITH days AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+                      FROM events),
+        cohort AS (SELECT u, MIN(d) AS c0 FROM days GROUP BY u)
+        SELECT CAST(c0 AS VARCHAR) AS cohort_day,
+               date_diff('day', c0, d) AS day_offset,
+               COUNT(*) AS n_users
+        FROM days JOIN cohort USING (u)
+        GROUP BY 1, 2 ORDER BY 1, 2"""
     o["events_json"] = """
         SELECT event_type, COUNT(*) AS n,
                CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS k_sum,

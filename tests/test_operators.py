@@ -469,3 +469,27 @@ def test_media_stats_known_values(spark):
     assert a["zcr"] == 1.0  # every adjacent pair flips sign
     r = rows[3]
     assert r["kind"] == "raw" and r["mean_val"] is None
+
+
+def test_funnel_monotone_and_ordered(spark):
+    from yardstick_spark.operators import funnel_counts, retention_cohorts
+
+    ev = spark.createDataFrame(
+        [
+            (1, "signup", "2024-01-01 10:00:00"),
+            (1, "view", "2024-01-01 11:00:00"),
+            (1, "click", "2024-01-01 12:00:00"),
+            (2, "signup", "2024-01-02 10:00:00"),
+            (2, "view", "2024-01-02 09:00:00"),  # view BEFORE signup: no
+            (3, "view", "2024-01-03 10:00:00"),  # never signed up
+        ],
+        "user_id BIGINT, event_type STRING, ts_s STRING",
+    ).selectExpr("user_id", "event_type", "CAST(ts_s AS TIMESTAMP) AS ts")
+    rows = {r["stage"]: r["n"] for r in
+            funnel_counts(ev, ["signup", "view", "click"]).collect()}
+    assert rows == {"signup": 2, "view": 1, "click": 1}
+    ret = {(r["cohort_day"], r["day_offset"]): r["n_users"]
+           for r in retention_cohorts(ev).collect()}
+    assert ret[("2024-01-01", 0)] == 1
+    assert ret[("2024-01-02", 0)] == 1
+    assert ret[("2024-01-03", 0)] == 1

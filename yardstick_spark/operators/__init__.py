@@ -2,6 +2,7 @@
 DataFrame primitives (SURVEY.md §7 phase 4 — beyond reference parity)."""
 
 from .asof import asof_join  # noqa: F401
+from .funnel import funnel_counts, retention_cohorts  # noqa: F401
 from .range_join import range_join  # noqa: F401
 from .rollup_hier import (  # noqa: F401
     rollup_coarser,
