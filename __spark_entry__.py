@@ -849,6 +849,32 @@ def _split_oracle() -> str:
     return f"SELECT doc_id, source, {expr} AS split FROM documents"
 
 
+def _q_emb_stats(spark, sf_dir):
+    # per-label embedding hygiene stats: count, dim, norm distribution
+    _ys(spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    norm = ("sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE)), "
+            "0D, (s, v) -> s + v * v))")
+    return (
+        spark.table("embeddings")
+        .select(
+            "label",
+            F.expr("size(embedding)").alias("dim"),
+            F.expr(f"round({norm}, 6)").alias("nrm"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.max("dim").alias("dim"),
+            F.expr("round(avg(nrm), 6)").alias("avg_norm"),
+            F.expr("round(min(nrm), 6)").alias("min_norm"),
+            F.expr("round(max(nrm), 6)").alias("max_norm"),
+        )
+        .orderBy("label")
+    )
+
+
 def _q_events_funnel(spark, sf_dir):
     from yardstick_spark.operators import funnel_counts
 
@@ -1180,6 +1206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fp_overlap": _q_text_fp_overlap,
         "text_corpus_report": _q_text_report,
         "events_funnel": _q_events_funnel,
+        "emb_stats": _q_emb_stats,
         "events_retention": _q_events_retention,
         "tpch_q12": _measure_runner(_MEASURE_QUERIES["tpch_q12"]),
     }
@@ -2321,6 +2348,16 @@ def oracle_sql() -> dict[str, str]:
                ROUND(AVG(nw), 6) AS avg_tokens,
                ROUND(AVG(ar), 6) AS avg_alpha_ratio
         FROM b GROUP BY source, lang ORDER BY source, lang"""
+    o["emb_stats"] = """
+        WITH b AS (SELECT label, len(embedding) AS dim,
+               ROUND(SQRT(list_sum(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS nrm
+               FROM embeddings)
+        SELECT label, COUNT(*) AS n, MAX(dim) AS dim,
+               ROUND(AVG(nrm), 6) AS avg_norm,
+               ROUND(MIN(nrm), 6) AS min_norm,
+               ROUND(MAX(nrm), 6) AS max_norm
+        FROM b GROUP BY label ORDER BY label"""
     o["events_funnel"] = """
         WITH s0 AS (SELECT user_id AS u, MIN(ts) AS t FROM events
                     WHERE event_type = 'signup' GROUP BY user_id),

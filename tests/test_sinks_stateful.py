@@ -164,3 +164,31 @@ def test_dedup_ingest_stream_equals_batch(spark, tmp_path):
                 corpus).collect()}
     assert got == want and got, f"stream {len(got)} vs batch {len(want)}"
     clear_dedup_caches()
+
+
+def test_write_sorted_skips_files_on_range_predicate(spark, tmp_path):
+    import glob
+
+    from yardstick_spark.plans import explain_str
+    from yardstick_spark.sources import write_sorted
+
+    ev = spark.range(0, 100_000).selectExpr(
+        "id AS k", "id % 97 AS payload"
+    )
+    out = str(tmp_path / "sorted")
+    write_sorted(ev, out, ["k"], target_files=8)
+    files = sorted(glob.glob(f"{out}/part-*.parquet"))
+    assert len(files) == 8
+    # disjoint ranges: each file's keys must not overlap its neighbors
+    bounds = []
+    for f in files:
+        mm = spark.read.parquet(f).selectExpr(
+            "min(k) AS lo", "max(k) AS hi").collect()[0]
+        bounds.append((mm["lo"], mm["hi"]))
+    bounds.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(bounds, bounds[1:]):
+        assert hi1 < lo2, f"overlapping file ranges {hi1} >= {lo2}"
+    back = spark.read.parquet(out).filter("k BETWEEN 10 AND 20")
+    plan = explain_str(back)
+    assert "PushedFilters: [" in plan and "GreaterThanOrEqual(k,10)" in plan
+    assert back.count() == 11

@@ -16,4 +16,5 @@ from .write import (  # noqa: F401
     read_bucketed,
     write_bucketed,
     write_partitioned,
+    write_sorted,
 )

@@ -33,3 +33,24 @@ def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
 
 def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def write_sorted(df: DataFrame, path: str, sort_cols: list[str],
+                 mode: str = "overwrite",
+                 target_files: int | None = None) -> None:
+    """Range-sorted parquet layout: repartitionByRange on `sort_cols`
+    (each output file covers a disjoint key range) + sortWithinPartitions
+    (rows ordered inside each file), so every parquet row group carries
+    tight min/max statistics on the sort keys.  Point/range predicates
+    on those keys then skip whole files AND row groups at scan time —
+    the third leg of the layout toolkit next to directory partitioning
+    (low-cardinality keys) and bucketing (join keys): use range-sorting
+    for high-cardinality range-filtered keys (timestamps, ids).
+
+    One shuffle at write time buys every subsequent read's skipping;
+    `target_files` caps output file count (defaults to the session's
+    shuffle parallelism)."""
+    cols = [df[c] for c in sort_cols]
+    part = (df.repartitionByRange(target_files, *cols) if target_files
+            else df.repartitionByRange(*cols))
+    part.sortWithinPartitions(*sort_cols).write.mode(mode).parquet(path)
