@@ -146,6 +146,13 @@ def test_dedup_ingest_stream_equals_batch(spark, tmp_path):
     schema = spark.read.parquet(new_dir).schema
     stream = spark.readStream.schema(schema).parquet(new_dir)
     pairs = dedup_ingest_stream(stream, spark, store)
+    # every join must be stream-static: exactly ONE streaming source in
+    # the plan (a stream-stream self-join would buffer unbounded state
+    # and rematch stale rows on recurring doc_ids)
+    n_stream_sources = str(
+        pairs._jdf.queryExecution().logical()
+    ).count("StreamingRelation")
+    assert n_stream_sources == 1, n_stream_sources
     q = (
         pairs.writeStream.format("memory")
         .queryName("ingest_pairs_test")

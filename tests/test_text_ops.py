@@ -209,6 +209,20 @@ def test_repetition_stats_known_fractions(spark):
     assert r2["dup_char_frac"] == 0.0
 
 
+def test_repetition_stats_drops_empty_docs(spark):
+    # the oracle reaches repetition stats through an unnested word
+    # table (inner join) — empty/whitespace-only docs have no word
+    # rows there, so the Spark side must drop them too
+    from yardstick_spark.llm import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(1, "a a"), (2, ""), (3, "   "), (4, None)],
+        "doc_id BIGINT, text STRING",
+    )
+    ids = [r["doc_id"] for r in repetition_stats(docs).collect()]
+    assert ids == [1]
+
+
 def test_source_quota_caps_and_prunes_map_side(spark):
     from pyspark.sql import functions as F
 
@@ -291,6 +305,18 @@ def test_split_corpus_deterministic_and_weighted(spark):
     c = split_corpus(docs, {"train": 0.8, "val": 0.1, "test": 0.1},
                      seed="v2").select("doc_id", "split")
     assert sorted(map(tuple, c.collect())) != a
+
+
+def test_split_corpus_rejects_injectable_names(spark):
+    import pytest
+
+    from yardstick_spark.llm import split_corpus
+
+    docs = spark.range(5).selectExpr("id AS doc_id")
+    with pytest.raises(ValueError, match="may not contain"):
+        split_corpus(docs, {"tra'in": 1.0})
+    with pytest.raises(ValueError, match="may not contain"):
+        split_corpus(docs, {"train": 1.0}, seed="x' OR '1")
 
 
 def test_decontaminate_bloom_superset_of_exact(spark):

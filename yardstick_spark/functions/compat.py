@@ -471,7 +471,16 @@ def rewrite_star_exclude(sql: str) -> str:
 
 def rewrite_using_sample(sql: str) -> str:
     """DuckDB `USING SAMPLE n% | n ROWS` → Spark `TABLESAMPLE
-    (n PERCENT | n ROWS)` (both engines sample randomly; results are
-    non-deterministic either way)."""
+    (n PERCENT | n ROWS)`.
+
+    Semantics caveat: the PERCENT form samples randomly in both
+    engines (Bernoulli-style; non-deterministic either way).  The ROWS
+    form does NOT match: DuckDB's `USING SAMPLE n ROWS` is a random
+    reservoir sample, while Spark's `TABLESAMPLE (n ROWS)` is a
+    deterministic prefix LIMIT over the scan order.  The rewrite keeps
+    the row COUNT contract (what compat callers rely on), not the
+    distribution; callers needing a genuinely random n-row sample
+    should write `ORDER BY rand() LIMIT n` instead — deliberately not
+    auto-rewritten to that here because it forces a total sort."""
     out = _USING_SAMPLE_PCT_RE.sub(lambda m: f"TABLESAMPLE ({m.group(1)} PERCENT)", sql)
     return _USING_SAMPLE_ROWS_RE.sub(lambda m: f"TABLESAMPLE ({m.group(1)} ROWS)", out)

@@ -108,6 +108,28 @@ def _centroid_matrix(centroids: DataFrame):
     return cells, mat
 
 
+def _sq_dists(A, mat, mat_sq):
+    """Squared euclidean distances via the matmul identity
+    ||a-c||^2 = ||a||^2 + ||c||^2 - 2 a·c.  O(rows × lists) output
+    memory — the 3D broadcast form ((A[:,None,:]-mat)²).sum() allocates
+    rows × lists × dim float64 per Arrow batch, which at the 4k-64k
+    list sizes this path exists for (e.g. 10k rows × 16k lists × 128
+    dims ≈ 160 GB) OOMs the executor.  ||a||^2 is dropped: constant
+    per row, so argmin/ordering over cells is unchanged and we never
+    compare distances across rows.  Tiny negative values from
+    cancellation don't matter for ordering ties beyond float noise,
+    matching the literal path within 1e-9."""
+    import numpy as np
+
+    return mat_sq[None, :] - 2.0 * (A @ mat.T)
+
+
+# rows per distance-matrix chunk inside one Arrow batch: bounds peak
+# memory at _CHUNK_ROWS × n_lists × 8 bytes (512 × 65536 × 8 = 256 MB
+# worst case) regardless of spark.sql.execution.arrow.maxRecordsPerBatch
+_CHUNK_ROWS = 512
+
+
 def _assign_cell_udf(cells, mat):
     """Scan-side nearest-centroid assignment via Arrow batches; the
     centroid matrix lives in the closure, not the expression tree.
@@ -116,6 +138,8 @@ def _assign_cell_udf(cells, mat):
     struct-min rule."""
     from pyspark.sql.functions import pandas_udf
 
+    mat_sq = (mat * mat).sum(axis=1)
+
     @pandas_udf("int")
     def assign(arr: pd.Series) -> pd.Series:
         import numpy as np
@@ -123,8 +147,11 @@ def _assign_cell_udf(cells, mat):
         if len(arr) == 0:
             return pd.Series([], dtype="int32")
         A = np.vstack(arr.to_numpy()).astype(np.float64)
-        d2 = ((A[:, None, :] - mat[None, :, :]) ** 2).sum(axis=2)
-        return pd.Series(cells[np.argmin(d2, axis=1)].astype("int32"))
+        out = np.empty(len(A), dtype="int32")
+        for s in range(0, len(A), _CHUNK_ROWS):
+            d2 = _sq_dists(A[s:s + _CHUNK_ROWS], mat, mat_sq)
+            out[s:s + _CHUNK_ROWS] = cells[np.argmin(d2, axis=1)]
+        return pd.Series(out)
 
     return assign
 
@@ -135,6 +162,8 @@ def _probe_cells_udf(cells, mat, n_probe: int):
     array_sort over (d, cell) structs."""
     from pyspark.sql.functions import pandas_udf
 
+    mat_sq = (mat * mat).sum(axis=1)
+
     @pandas_udf("array<int>")
     def probe(qv: pd.Series) -> pd.Series:
         import numpy as np
@@ -142,11 +171,12 @@ def _probe_cells_udf(cells, mat, n_probe: int):
         if len(qv) == 0:
             return pd.Series([], dtype=object)
         Q = np.vstack(qv.to_numpy()).astype(np.float64)
-        d2 = ((Q[:, None, :] - mat[None, :, :]) ** 2).sum(axis=2)
         out = []
-        for row in d2:
-            order = np.lexsort((cells, row))[:n_probe]
-            out.append([int(c) for c in cells[order]])
+        for s in range(0, len(Q), _CHUNK_ROWS):
+            d2 = _sq_dists(Q[s:s + _CHUNK_ROWS], mat, mat_sq)
+            for row in d2:
+                order = np.lexsort((cells, row))[:n_probe]
+                out.append([int(c) for c in cells[order]])
         return pd.Series(out)
 
     return probe

@@ -453,7 +453,11 @@ def repetition_stats(docs: DataFrame, text_col: str = "text",
     )
     from .dedup import _spread  # single-file corpora: use all cores
 
-    return _spread(docs).select(
+    # empty/whitespace-only docs are dropped, not zero-filled: every
+    # downstream consumer (gopher filter, oracle's unnest-join shape)
+    # treats "no words" as "no repetition signal", and emitting a
+    # zero row would diverge from the word-table inner-join row set
+    return _spread(docs).filter(F.expr(f"size({words}) > 0")).select(
         F.col(id_col),
         F.expr(f"size({words})").alias("n_words"),
         F.expr(dup_word).alias("dup_word_frac"),
@@ -553,6 +557,17 @@ def split_corpus(docs: DataFrame, weights: dict[str, float],
     total = sum(weights.values())
     if not weights or total <= 0:
         raise ValueError("split_corpus: weights must sum to a positive value")
+    # names and seed are interpolated into SQL string literals — reject
+    # quote/backslash/control characters rather than attempt escaping
+    # (engine-portable, and a split named "tra'in" is a bug anyway)
+    import re as _re
+
+    for s in [seed, *weights]:
+        if _re.search(r"[\'\"\\\x00-\x1f]", s):
+            raise ValueError(
+                f"split_corpus: split name/seed {s!r} may not contain "
+                "quotes, backslashes, or control characters"
+            )
     u = (f"(CAST(conv(substring(md5(concat(CAST({id_col} AS STRING), "
          f"'{seed}')), 1, 15), 16, 10) AS BIGINT) % 1000000) / 1000000.0")
     expr = "CASE"
@@ -672,8 +687,19 @@ def pack_sequences(docs: DataFrame, max_tokens: int,
     prefix sum, and the offsets broadcast back.  This is the standard
     two-phase scan; the only driver state is #partitions integers, so
     the op holds at any corpus size.  Empty documents are skipped
-    (zero-width spans would attach to an arbitrary cut)."""
+    (zero-width spans would attach to an arbitrary cut).
+
+    `local` is CACHED before the driver collect: repartitionByRange
+    samples its boundaries with a plan-dependent seed, so re-executing
+    the lineage for the consumer's action could land boundary rows in
+    a different spark_partition_id than the one the collected offsets
+    were computed from, silently corrupting every downstream offset.
+    The cache pins the partitioning the collect saw; the final join
+    reads those same materialized partitions (registered with
+    dedup._CACHED so clear_dedup_caches() releases it)."""
     from pyspark.sql import Window
+
+    from .dedup import _cache
 
     norm = _NORM.format(c=text_col)
     n_tok = f"size(filter(split({norm}, ' '), t -> t <> ''))"
@@ -687,7 +713,7 @@ def pack_sequences(docs: DataFrame, max_tokens: int,
     w = Window.partitionBy("pid").orderBy("id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    local = toks.withColumn("lcum", F.sum("n").over(w))
+    local = _cache(toks.withColumn("lcum", F.sum("n").over(w)))
     part_totals = (
         local.groupBy("pid").agg(F.max("lcum").alias("ptotal"))
         .collect()

@@ -27,10 +27,17 @@ def dedup_ingest_stream(new_docs: DataFrame, spark, store_path: str,
     Identical arithmetic to `llm.dedup.incremental_pairs_against_store`
     — the batch twin the oracle checks; stream≡batch is tested in
     tests/test_sinks_stateful.py.  All stream-side work is stateless
-    projection (signatures + buckets per row), so the only streaming
-    state is the sink's; the static bucket join broadcasts the stream
-    side per micro-batch under AQE exactly like the batch path."""
-    from ..llm.dedup import _banded_buckets, _portable_hash, _MH_P
+    projection (signatures + buckets per row), and the signature rides
+    each banded bucket row so EVERY join here is stream-static (bucket
+    probe, then corpus-signature fetch) — a stream joined only against
+    parquet needs no watermark and keeps zero state.  Joining `cand`
+    back to `new_sigs` instead would be a stream-stream self-join:
+    Spark would buffer both sides in the state store unboundedly and a
+    doc_id recurring in a later batch could rematch stale buffered
+    rows.  Carrying the ~32-int signature through the (band, bhash)
+    exchange costs bands×|signature| bytes per doc — bounded by the
+    micro-batch, the correct trade for statelessness."""
+    from ..llm.dedup import _portable_hash, _MH_P
 
     base = f"transform(shs, s -> pmod({_portable_hash('s')}, {_MH_P}))"
     sig = (
@@ -56,7 +63,21 @@ def dedup_ingest_stream(new_docs: DataFrame, spark, store_path: str,
         .select("id", F.expr(base).alias("__ys_sh_h"))
         .select("id", F.expr(sig).alias("signature"))
     )
-    nb = _banded_buckets(new_sigs, num_hashes, bands)
+    # banded bucket rows WITH the signature attached (unlike the batch
+    # path's slim _banded_buckets): the stream side must never be
+    # joined to itself, so the verify payload rides the probe rows
+    rows = num_hashes // bands
+    nb = new_sigs.select(
+        "id", "signature",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), "
+                f"b -> struct(b AS band, "
+                f"md5(cast(slice(signature, b * {rows} + 1, {rows}) AS STRING))"
+                f" AS bhash))"
+            )
+        ).alias("bb"),
+    ).select("id", "signature", "bb.band", "bb.bhash")
     corp_sigs = spark.read.parquet(f"{store_path}/signatures")
     corp_buckets = spark.read.parquet(f"{store_path}/buckets")
     # NO candidate-level distinct: dropDuplicates on a stream keeps
@@ -75,6 +96,7 @@ def dedup_ingest_stream(new_docs: DataFrame, spark, store_path: str,
             & (F.col("c.id") != F.col("n.id")),
         )
         .select(F.col("n.id").alias("new_id"),
+                F.col("n.signature").alias("sig_n"),
                 F.col("c.id").alias("corpus_id"))
     )
     est = F.expr(
@@ -82,12 +104,9 @@ def dedup_ingest_stream(new_docs: DataFrame, spark, store_path: str,
         "IF(x = y, 1, 0)), 0, (acc, v) -> acc + v) / size(sig_n), 6)"
     )
     return (
-        cand.join(new_sigs.select(F.col("id").alias("new_id"),
-                                  F.col("signature").alias("sig_n")),
-                  "new_id")
-        .join(corp_sigs.select(F.col("id").alias("corpus_id"),
-                               F.col("signature").alias("sig_c")),
-              "corpus_id")
+        cand.join(corp_sigs.select(F.col("id").alias("corpus_id"),
+                                   F.col("signature").alias("sig_c")),
+                  "corpus_id")
         .withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= threshold)
         .select("new_id", "corpus_id", "est_jaccard")
