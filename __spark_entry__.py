@@ -1257,25 +1257,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     full = dict(r4_new)
     full.update({k: v for k, v in out.items() if k not in full})
-    ordered = list(r4_new) + [k for k in _R4_NEXT if k in full]
-    seen = set(ordered)
-    ordered += [k for k in full if k not in seen]
-    return {k: full[k] for k in ordered}
+    lead = [k for k in (*_R5_NEW, *_R5_STALE_R2, *_R5_STALE_R3)
+            if k in full]
+    seen = set(lead)
+    return {k: full[k] for k in (*lead, *(k for k in full
+                                          if k not in seen))}
 
 
-# the 39 entries whose green driver row dates from round 2 (outside the
-# round-3 correctness window) — run right after the r4 additions so
-# their rows refresh this round
-_R4_NEXT = [
-    "m_having", "m_multifact", "m_fanout_immunity", "m_nd_count_distinct",
-    "m_nd_median", "m_nd_at_all", "m_cte", "m_groupby_all", "m_topk",
-    "m_rollup", "m_window_measure", "m_row_level_listing12",
-    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q4", "tpch_q7",
-    "tpch_q10", "tpch_q14", "tpch_q18", "tpch_q19", "tpch_q8", "tpch_q13",
-    "tpch_q15", "tpch_q17", "ops_window_running", "ops_percentiles",
-    "tpch_q22", "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-    "dedup_simhash", "dedup_simhash_pairs", "dedup_clusters",
-    "mm_decode_real", "mm_resize", "dedup_embedding", "sim_knn_bruteforce",
+# Round-5 driver-window rotation (the driver's correctness gate
+# truncates at 50 entries): new round-5 operators first, then the 4
+# entries whose last green driver row dates from round 2 (re-verified
+# locally in round 4 via tests/oracle_diff.py, but the driver record
+# should show it), then the 49 round-3-green entries.  The 50 entries
+# green in CORRECTNESS_r04 fall to the back — every inventory entry
+# then has a green driver row within the last two rounds.
+_R5_NEW: list[str] = []  # populated as round-5 operators land
+
+_R5_STALE_R2 = [
+    "dedup_embedding", "mm_decode_real", "mm_resize", "sim_knn_bruteforce",
+]
+
+_R5_STALE_R3 = [
+    "sim_knn_lsh", "sim_knn_lsh_multiprobe", "sim_knn_ivf", "text_tokens",
+    "text_quality", "text_langid", "text_fingerprint", "text_gopher",
+    "text_pii", "text_topterms", "text_chunks", "pipeline_curation",
+    "text_mixture", "mm_decode", "mm_frame_sample", "events_tumbling",
+    "events_attribution", "events_sliding", "events_sessionize",
+    "ops_asof_join", "ops_range_join", "events_rollup_daily",
+    "ops_topk_per_group", "text_decontaminate", "tpch_q2", "tpch_q9",
+    "tpch_q11", "tpch_q16", "tpch_q20", "tpch_q21", "m_cube", "ops_pivot",
+    "ops_window_funcs", "ops_unpivot", "m_grouping_sets", "m_star_join",
+    "m_at_set_const", "m_derived_at_all", "m_agg_basic", "m_grand_total",
+    "m_at_all_share", "m_at_all_dim", "m_at_where", "m_at_set_yoy",
+    "m_at_visible", "m_at_chained", "m_at_all_month", "m_derived_ratio",
+    "m_implicit_default",
 ]
 
 
