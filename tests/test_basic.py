@@ -292,3 +292,66 @@ def test_duckdb_star_exclude_and_sample(spark):
     # USING SAMPLE forms parse and bound the row count
     assert ys.sql("SELECT id FROM ex_t USING SAMPLE 3 ROWS").count() == 3
     assert ys.sql("SELECT id FROM ex_t USING SAMPLE 100%").count() == 10
+
+
+def test_catalog_sidecar_roundtrip_new_session(spark, tmp_path):
+    # a brand-new wrapper session (fresh catalog, fresh temp-view
+    # namespace via spark.newSession) must be able to reload persisted
+    # measure views and answer AGGREGATE() queries — the reference gets
+    # this for free from its .db-file catalog (measures.rs:56-57)
+    import yardstick_spark as yp
+
+    ys = yp.connect(spark)
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet") \
+        .createOrReplaceTempView("li_persist")
+    ys.sql("CREATE OR REPLACE VIEW li_pm AS SELECT l_returnflag, "
+           "SUM(l_extendedprice * (1 - l_discount)) AS MEASURE rev, "
+           "COUNT(*) AS MEASURE n FROM li_persist")
+    want = sorted(map(tuple, ys.sql(
+        "SELECT l_returnflag, ROUND(AGGREGATE(rev), 2) AS r, "
+        "AGGREGATE(n) AS n FROM li_pm GROUP BY l_returnflag"
+    ).collect()))
+    path = str(tmp_path / "catalog.json")
+    ys.save_catalog(path)
+
+    s2 = spark.newSession()
+    s2.read.parquet("/root/testdata/sf0.001/lineitem.parquet") \
+        .createOrReplaceTempView("li_persist")
+    ys2 = yp.connect(s2)
+    assert ys2.catalog.views == {}
+    n = ys2.load_catalog(path)
+    assert n == 1
+    got = sorted(map(tuple, ys2.sql(
+        "SELECT l_returnflag, ROUND(AGGREGATE(rev), 2) AS r, "
+        "AGGREGATE(n) AS n FROM li_pm GROUP BY l_returnflag"
+    ).collect()))
+    assert got == want and got
+
+
+def test_catalog_dict_roundtrip_excludes_temps():
+    from yardstick_spark.catalog import (
+        MeasureCatalog, MeasureView, ViewMeasure,
+    )
+
+    cat = MeasureCatalog()
+    perm = MeasureView(
+        view_name="v1",
+        measures=[ViewMeasure("rev", "SUM(x)", True),
+                  ViewMeasure("ratio", "rev / n", False)],
+        base_query="SELECT * FROM t",
+        base_table="t",
+        base_relation_sql="SELECT * FROM t",
+        dimension_exprs={"y": "YEAR(d)"},
+        group_by_cols=[],
+    )
+    temp = MeasureView(
+        view_name="tmp1", measures=[ViewMeasure("m", "SUM(z)", True)],
+        base_query="SELECT * FROM z", base_table="z",
+        base_relation_sql=None, dimension_exprs={}, group_by_cols=[],
+        is_temp=True,
+    )
+    cat.register(perm)
+    cat.register(temp)
+    back = MeasureCatalog.from_dict(cat.to_dict())
+    assert set(back.views) == {"v1"}  # temps don't persist
+    assert back.views["v1"] == perm

@@ -78,6 +78,25 @@ class MeasureCatalog:
     def get(self, view_name: str) -> MeasureView | None:
         return self.views.get(self._key(view_name))
 
+    # -- persistence (reference keeps its catalog in the DuckDB .db file
+    # via a process-global registry, measures.rs:56-57; a Spark session's
+    # catalog is process-lifetime, so measure metadata serializes to a
+    # JSON sidecar and/or each hive view's TBLPROPERTIES) ---------------
+
+    def to_dict(self) -> dict:
+        return {
+            "version": 1,
+            "views": [view_to_dict(v) for v in self.views.values()
+                      if not v.is_temp],
+        }
+
+    @classmethod
+    def from_dict(cls, data: dict) -> "MeasureCatalog":
+        cat = cls()
+        for v in data.get("views", []):
+            cat.register(view_from_dict(v))
+        return cat
+
     def known_measure_names(self) -> set[str]:
         out: set[str] = set()
         for v in self.views.values():
@@ -151,4 +170,47 @@ def build_resolved(v: MeasureView, m: ViewMeasure) -> ResolvedMeasure:
         dimension_exprs=v.dimension_exprs,
         view_group_by_cols=v.group_by_cols,
         expression=m.expression,
+    )
+
+
+def view_to_dict(v: MeasureView) -> dict:
+    """Plain-dict form of one catalog entry — dataclass fields verbatim,
+    so a reload round-trips bit-exactly."""
+    return {
+        "view_name": v.view_name,
+        "measures": [
+            {
+                "column_name": m.column_name,
+                "expression": m.expression,
+                "is_decomposable": m.is_decomposable,
+                "is_window": m.is_window,
+            }
+            for m in v.measures
+        ],
+        "base_query": v.base_query,
+        "base_table": v.base_table,
+        "base_relation_sql": v.base_relation_sql,
+        "dimension_exprs": dict(v.dimension_exprs),
+        "group_by_cols": list(v.group_by_cols),
+    }
+
+
+def view_from_dict(d: dict) -> MeasureView:
+    return MeasureView(
+        view_name=d["view_name"],
+        measures=[
+            ViewMeasure(
+                column_name=m["column_name"],
+                expression=m["expression"],
+                is_decomposable=m["is_decomposable"],
+                is_window=m.get("is_window", False),
+            )
+            for m in d["measures"]
+        ],
+        base_query=d["base_query"],
+        base_table=d.get("base_table"),
+        base_relation_sql=d.get("base_relation_sql"),
+        dimension_exprs=dict(d.get("dimension_exprs") or {}),
+        group_by_cols=list(d.get("group_by_cols") or []),
+        is_temp=False,
     )

@@ -246,6 +246,7 @@ class MeasureSession:
                         self._batch_temp_views[key] = self.catalog.get(key)
                 df = self.spark.sql(clean)
                 self.catalog.register(cv.view)
+                self._persist_view_properties(cv.view)
                 return df
             # CTAS / CREATE VIEW with measure queries in the body (S4,
             # cpp:1935-1958 / no_semantic_prefix.test:2112-2148;
@@ -361,6 +362,123 @@ class MeasureSession:
         from .api import MeasureQuery
 
         return MeasureQuery(self, view)
+
+    # -- catalog persistence ------------------------------------------------
+    # The reference's catalog lives in the DuckDB .db file, so measure
+    # views survive the process for free (measures.rs:56-57).  A Spark
+    # measure catalog is session-lifetime; two persistence paths close
+    # the gap:
+    #   * JSON sidecar — save_catalog(path) / load_catalog(path): works
+    #     against any catalog implementation; load re-creates the Spark
+    #     (temp) views from their cleaned bodies, so a brand-new session
+    #     is query-ready after one call.
+    #   * hive TBLPROPERTIES — permanent measure views created against a
+    #     hive metastore automatically carry their measure metadata in
+    #     the view's 'yardstick.measures' property, and
+    #     MeasureSession.load(spark) rebuilds the catalog by scanning
+    #     the metastore — no sidecar file to lose, and the metadata
+    #     travels with the view through SHOW CREATE / backups.
+
+    _TBLPROP = "yardstick.measures"
+
+    def save_catalog(self, path: str) -> None:
+        """Write every permanent measure view's metadata (and cleaned
+        body) to a JSON sidecar.  Driver-side file I/O on catalog-sized
+        data — no Spark jobs."""
+        import json
+        from pathlib import Path
+
+        Path(path).write_text(
+            json.dumps(self.catalog.to_dict(), indent=1) + "\n"
+        )
+
+    def load_catalog(self, path: str, recreate_views: bool = True) -> int:
+        """Load a JSON sidecar written by save_catalog into this
+        session's catalog (merging over existing entries) and, unless
+        recreate_views=False, re-create each view in the Spark session
+        from its stored clean body so measure queries run immediately.
+        Returns the number of views loaded."""
+        import json
+        from pathlib import Path
+
+        from .catalog import view_from_dict
+
+        data = json.loads(Path(path).read_text())
+        n = 0
+        for d in data.get("views", []):
+            view = view_from_dict(d)
+            self.catalog.register(view)
+            if recreate_views:
+                self.spark.sql(
+                    f"CREATE OR REPLACE TEMPORARY VIEW {view.view_name} "
+                    f"AS {view.base_query}"
+                )
+            n += 1
+        return n
+
+    def _persist_view_properties(self, view) -> None:
+        """Stamp a hive-backed permanent view with its measure metadata
+        (TBLPROPERTIES survive the process with the metastore).  No-op
+        on the in-memory catalog, where permanent views are demoted to
+        temps anyway (LIMITATIONS.md §10)."""
+        import json
+
+        impl = self.spark.conf.get(
+            "spark.sql.catalogImplementation", "in-memory"
+        )
+        if impl != "hive" or view.is_temp:
+            return
+        from .catalog import view_to_dict
+
+        payload = json.dumps(view_to_dict(view), separators=(",", ":"))
+        payload = payload.replace("\\", "\\\\").replace("'", "\\'")
+        try:
+            self.spark.sql(
+                f"ALTER VIEW {view.view_name} SET TBLPROPERTIES "
+                f"('{self._TBLPROP}' = '{payload}')"
+            )
+        except Exception as e:  # noqa: BLE001
+            _warnings.warn(
+                f"could not persist measure metadata for "
+                f"{view.view_name}: {e}", stacklevel=2,
+            )
+
+    @classmethod
+    def load(cls, spark: SparkSession, **kwargs) -> "MeasureSession":
+        """Build a MeasureSession whose catalog is rebuilt from the
+        metastore: every view in the current database carrying the
+        'yardstick.measures' property is re-registered.  The inverse of
+        the automatic TBLPROPERTIES stamping on CREATE ... AS MEASURE
+        against a hive catalog — a new process pointed at the same
+        warehouse is query-ready without re-running DDL."""
+        import json
+
+        from .catalog import view_from_dict
+
+        session = cls(spark, **kwargs)
+        try:
+            tables = spark.catalog.listTables()
+        except Exception:  # noqa: BLE001
+            return session
+        for t in tables:
+            if (t.tableType or "").upper() not in ("VIEW", "PERSISTENT_VIEW"):
+                continue
+            try:
+                rows = spark.sql(
+                    f"SHOW TBLPROPERTIES {t.name} ('{cls._TBLPROP}')"
+                ).collect()
+            except Exception:  # noqa: BLE001
+                continue
+            if not rows:
+                continue
+            val = rows[0]["value"]
+            if not val or val.startswith("Table") and "does not have" in val:
+                continue
+            try:
+                session.catalog.register(view_from_dict(json.loads(val)))
+            except (ValueError, KeyError):
+                continue
+        return session
 
     # -- catalog API --------------------------------------------------------
 
