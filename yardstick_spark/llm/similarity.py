@@ -312,60 +312,95 @@ def embedding_dedup_pairs(corpus: DataFrame, id_col: str = "vec_id",
     Each band hashes with its own `n_planes` hyperplanes (seed offset
     per band); a pair is a candidate if it collides in ANY band —
     recall = 1 - (1 - p^n_planes)^bands for per-plane agreement p, so
-    bands buy recall and planes bound bucket size.  The self-join key
-    is (band, bucket): near-uniform, never an all-pairs cross product;
-    shuffle volume is bands * n rows.  Feed the output to
-    `dedup_assign` for per-document keep/drop verdicts.
+    bands buy recall and planes bound bucket size.
+
+    Verification is PER-BUCKET MATRIX, not per-pair join: each
+    (band, bucket) group's vectors verify all-pairs in one numpy fold
+    inside `applyInPandas`, and only pairs that can reach the threshold
+    leave the group.  The vectors ride the bucket shuffle, so shuffle
+    volume is bands × corpus — linear, vs the previous per-pair join
+    that shipped TWO dim-length vectors per candidate through an Arrow
+    exchange (quadratic in bucket size: 256 k candidates × 2 × 64
+    doubles ≈ 260 MB at sf0.1 against this path's 8 MB).  Sub-threshold
+    pairs never enter any exchange; the cross-band distinct sees only
+    survivors.  `max_bucket_size` still caps degenerate buckets before
+    the group-by, and within a group the fold is row-chunked, so one
+    task's memory is O(chunk × bucket), not O(bucket²).
+
+    Float semantics are bit-identical to the previous pair path (and
+    the DuckDB oracle): sequential left-fold over dimensions for dot
+    and norms, `dot / (sqrt(na) * sqrt(nb))`, ROUND-then-threshold on
+    the Spark side.  Feed the output to `dedup_assign` for
+    per-document keep/drop verdicts.
     """
     del dim  # signs adapt to size(vec) inside the UDF; kept for API compat
+    del max_broadcast_pairs  # no pair-level join remains; API compat
+    import numpy as np
+
     buckets = _band_buckets_udf(n_planes, bands, seed)(F.col(vec_col))
-    # bucket rows carry only (id, band, bucket): vectors stay out of the
-    # candidate shuffle and are joined back once per distinct pair.
-    # localCheckpoint materializes the tiny bucket table ONCE so the
-    # self-join sides don't each recompute + re-exchange it (one
-    # barrier beats two AQE stage chains at the job floor), and the
-    # barrier job is one Arrow hop — no dim-probe scan, no giant
-    # literal tree to analyze/codegen.  (_spread, not _spread_by_bytes:
-    # one fat partition was measured SLOWER here — the checkpoint stage
-    # serializes and AQE loses its broadcast estimate for the
-    # self-join; 32-way spread wins at every size.)
     from .dedup import _cap_buckets, _spread
 
-    c = _cap_buckets(
+    b = _cap_buckets(
         _spread(corpus).select(
             F.col(id_col).alias("id"),
+            F.expr(_as_double(vec_col)).alias("v"),
             F.posexplode(buckets).alias("band", "bucket"),
         ),
         ["band", "bucket"], max_bucket_size,
-    ).localCheckpoint()
-    cand = (
-        c.alias("a")
-        .join(
-            c.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
     )
-    # measured-small pair list broadcasts; the vector table never
-    # shuffles (same policy as the dedup verification joins)
-    from .dedup import _pairs_hint
+    # emit every pair whose RAW sim could still round up to the
+    # threshold; the exact ROUND(.,4)-then-compare happens in SQL below
+    # so HALF_UP semantics match the previous path and the oracle
+    margin = threshold - 5e-5
 
-    cand = _pairs_hint(cand, max_broadcast_pairs)
-    vv = corpus.select(
-        F.col(id_col).alias("id"), F.expr(_as_double(vec_col)).alias("v")
+    def verify(pdf):
+        ids = pdf["id"].to_numpy()
+        vs = pdf["v"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids, vs = ids[order], vs[order]
+        out_a, out_b, out_s = [], [], []
+        for dm, sel in _length_groups(vs):
+            gi = ids[sel]
+            A = np.vstack(vs[sel]).astype(np.float64)
+            n = len(gi)
+            if n < 2:
+                continue
+            # sequential per-dimension fold — the same float additions,
+            # in the same order, as _cosine_udf / the SQL aggregate()
+            nrm = np.zeros(n)
+            for d in range(dm):
+                nrm += A[:, d] * A[:, d]
+            root = np.sqrt(nrm)
+            for s in range(0, n - 1, 1024):
+                hi = min(s + 1024, n - 1)
+                C = A[s:hi]  # rows i; partners are rows > i
+                dot = np.zeros((hi - s, n))
+                for d in range(dm):
+                    dot += C[:, d:d + 1] * A[None, :, d]
+                denom = root[s:hi, None] * root[None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sims = dot / denom
+                for i in range(hi - s):
+                    j = np.nonzero(
+                        (sims[i, s + i + 1:] >= margin)
+                        & (denom[i, s + i + 1:] > 0)
+                    )[0] + s + i + 1
+                    if j.size:
+                        out_a.extend([int(gi[s + i])] * j.size)
+                        out_b.extend(int(x) for x in gi[j])
+                        out_s.extend(float(x) for x in sims[i, j])
+        return pd.DataFrame({"id_a": pd.Series(out_a, dtype="int64"),
+                             "id_b": pd.Series(out_b, dtype="int64"),
+                             "sim": pd.Series(out_s, dtype="float64")})
+
+    pairs = b.groupBy("band", "bucket").applyInPandas(
+        verify, schema="id_a BIGINT, id_b BIGINT, sim DOUBLE"
     )
+    # a pair colliding in several bands yields bit-identical rows
+    # (same fold over the same rows) — distinct over survivors only
     return (
-        cand.join(vv.select(F.col("id").alias("id_a"),
-                            F.col("v").alias("va")), "id_a")
-        .join(vv.select(F.col("id").alias("id_b"),
-                        F.col("v").alias("vb")), "id_b")
-        .select(
-            "id_a", "id_b",
-            F.round(_cosine_udf()(F.col("va"), F.col("vb")), 4).alias("sim"),
-        )
+        pairs.distinct()
+        .select("id_a", "id_b", F.round("sim", 4).alias("sim"))
         .filter(F.col("sim") >= threshold)
     )
 
