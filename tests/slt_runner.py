@@ -53,7 +53,8 @@ class Record:
 
 def parse_slt(path: str) -> list[Record]:
     records: list[Record] = []
-    lines = open(path).read().splitlines()
+    with open(path, encoding="utf-8") as f:
+        lines = f.read().splitlines()
     i, n = 0, len(lines)
     while i < n:
         line = lines[i].strip()

@@ -99,12 +99,17 @@ def test_at_set(sales_v):
 
 
 def test_visible_with_where(sales_v):
-    df = sales_v.sql(
-        "SELECT region, AGGREGATE(revenue) AS rev, "
-        "AGGREGATE(revenue) AT (ALL) AS total, "
-        "AGGREGATE(revenue) AT (VISIBLE) AS vis "
-        "FROM sales_v WHERE year = 2023 GROUP BY region"
-    )
+    import pytest
+
+    # AT (ALL) dropping the outer year filter is exactly the S12
+    # warning contract — assert the warning instead of leaking it
+    with pytest.warns(UserWarning, match="does not preserve outer WHERE"):
+        df = sales_v.sql(
+            "SELECT region, AGGREGATE(revenue) AS rev, "
+            "AGGREGATE(revenue) AT (ALL) AS total, "
+            "AGGREGATE(revenue) AT (VISIBLE) AS vis "
+            "FROM sales_v WHERE year = 2023 GROUP BY region"
+        )
     # AT (ALL) ignores outer WHERE (375); VISIBLE honors it per-group
     assert rows(df) == [("EU", 75.0, 375.0, 75.0), ("US", 150.0, 375.0, 150.0)]
 

@@ -277,3 +277,30 @@ def test_all_dim_with_having_keeps_join_and_full_totals(ysq):
             r["yt"], full[(r["d_year"], r["l_returnflag"])], rel_tol=1e-12
         ), "subtotal must ignore the HAVING filter"
 
+
+
+def test_tpch_dim_joins_broadcast(spark):
+    # q2/q5/q9/q21 join small dimensions (supplier/nation/region/part)
+    # into fact scans; those joins must stay broadcast — a config or
+    # AQE-threshold regression that silently reintroduces shuffle joins
+    # for dimensions would add a full fact-table exchange per dim at
+    # 100 TB.  Counts are the number of dimension joins per query (the
+    # remaining big-big joins — lineitem⋈orders, the q21 EXISTS
+    # self-joins — may legitimately shuffle).
+    import __spark_entry__ as entry
+    from yardstick_spark.plans import explain_str
+
+    sf = "/root/testdata/sf0.001"
+    qs = entry.queries()
+    expected = {"tpch_q2": 4,   # supplier, nation, region, part
+                "tpch_q5": 3,   # supplier, nation, region
+                "tpch_q9": 3,   # supplier, part, nation
+                "tpch_q21": 1}  # supplier
+    for name, n_dims in expected.items():
+        plan = explain_str(qs[name](spark, sf))
+        n = plan.count("BroadcastHashJoin")
+        assert n >= n_dims, f"{name}: {n} broadcast joins < {n_dims}"
+    # q2 joins dims onto an already-aggregated lineitem relation — no
+    # big-big join exists, so NO join in its plan may shuffle
+    plan = explain_str(qs["tpch_q2"](spark, sf))
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan

@@ -426,3 +426,29 @@ def test_fingerprint_overlap_max_df_caps_hot_prints(spark):
     assert fingerprint_overlap_pairs(docs, min_shared=1).count() == 30 * 29 // 2
     assert fingerprint_overlap_pairs(docs, min_shared=1, max_df=10).count() == 0
     clear_dedup_caches()
+
+
+def test_pipeline_caches_do_not_accumulate(spark):
+    # operators register cache barriers in dedup._CACHED; a long-lived
+    # session that clears between runs must not grow the JVM's
+    # persisted-RDD set run over run (the documented lifecycle contract
+    # in yardstick_spark.llm.__doc__)
+    from yardstick_spark.llm import clear_dedup_caches
+    from yardstick_spark.llm.pipeline import curate_corpus_full
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    jsc = spark.sparkContext._jsc.sc()
+
+    def run_once():
+        curate_corpus_full(
+            docs, {"web": 0.5}, default_rate=0.5,
+            max_dup_word_frac=0.9, per_source=50,
+            splits={"train": 0.9, "val": 0.1},
+        ).count()
+        clear_dedup_caches()
+
+    run_once()
+    baseline = jsc.getPersistentRDDs().size()
+    for _ in range(3):
+        run_once()
+    assert jsc.getPersistentRDDs().size() <= baseline

@@ -5,6 +5,17 @@ are greenfield Spark-first designs for the 100 TB data-pipeline use case:
 deduplication (exact / minhash-LSH / simhash / n-gram Jaccard),
 similarity search over embeddings, text analysis (language id, quality,
 tokens, fingerprints), and multimodal binary-column plumbing.
+
+CACHE LIFECYCLE — read this if your session is long-lived.  Several
+operators here register `cache()` / `localCheckpoint()` barriers
+(candidate tables, curated sets, signature batches) so one logical
+pass isn't recomputed per consumer.  Those barriers live until
+explicitly released: call `clear_dedup_caches()` between pipeline
+runs (bench.py does; a notebook or service should too), or the
+persisted-RDD set grows with every run.  Results already materialized
+stay valid after clearing; unmaterialized lazy results recompute
+(correct, just slower).  `tests/test_text_ops.py::
+test_pipeline_caches_do_not_accumulate` pins the contract.
 """
 
 from .cluster import connected_components, dedup_assign  # noqa: F401

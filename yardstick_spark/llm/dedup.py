@@ -636,6 +636,52 @@ def _banded_buckets(sigs: DataFrame, num_hashes: int,
     ).select("id", "bb.band", "bb.bhash")
 
 
+def _probe_and_verify(new_sigs: DataFrame, corp_sigs: DataFrame,
+                      corp_buckets: DataFrame, num_hashes: int,
+                      bands: int, threshold: float,
+                      broadcast_new: bool) -> DataFrame:
+    """Shared scorer for the incremental-dedup family: probe the
+    corpus bucket rows with the (cached) new-batch signatures' banded
+    buckets, then estimate jaccard on the distinct candidates.  The
+    batch side is ingest-sized, so its bucket rows and signatures
+    BROADCAST (broadcast_new=True); the corpus side is one scan +
+    map-side probe — it never shuffles and is never self-joined.  Both
+    public entry points (`incremental_minhash_pairs`,
+    `incremental_pairs_against_store`) and the foreachBatch streaming
+    path run exactly this plan, so a threshold/estimate change lands
+    in every incremental consumer at once."""
+    nb = _banded_buckets(new_sigs, num_hashes, bands)
+    hint = F.broadcast if broadcast_new else (lambda df: df)
+    cand = (
+        corp_buckets.alias("c")
+        .join(
+            hint(nb.alias("n")),
+            (F.col("c.band") == F.col("n.band"))
+            & (F.col("c.bhash") == F.col("n.bhash"))
+            & (F.col("c.id") != F.col("n.id")),
+        )
+        .select(F.col("n.id").alias("new_id"), F.col("c.id").alias("corpus_id"))
+        .distinct()
+    )
+    est = F.expr(
+        "round(aggregate(zip_with(sig_n, sig_c, (x, y) -> "
+        "IF(x = y, 1, 0)), 0, (acc, v) -> acc + v) / size(sig_n), 6)"
+    )
+    return (
+        cand.join(
+            hint(new_sigs.select(F.col("id").alias("new_id"),
+                                 F.col("signature").alias("sig_n"))),
+            "new_id",
+        )
+        .join(corp_sigs.select(F.col("id").alias("corpus_id"),
+                               F.col("signature").alias("sig_c")),
+              "corpus_id")
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("new_id", "corpus_id", "est_jaccard")
+    )
+
+
 def incremental_minhash_pairs(new_docs: DataFrame, corpus: DataFrame,
                               text_col: str = "text",
                               id_col: str = "doc_id", k: int = 5,
@@ -665,40 +711,12 @@ def incremental_minhash_pairs(new_docs: DataFrame, corpus: DataFrame,
         minhash_signatures(new_docs, text_col, id_col, k, num_hashes)
     )
     corp_sigs = minhash_signatures(corpus, text_col, id_col, k, num_hashes)
-    nb = _banded_buckets(new_sigs, num_hashes, bands)
     cb = _cap_buckets(
         _banded_buckets(corp_sigs, num_hashes, bands),
         ["band", "bhash"], max_bucket_size,
     )
-    hint = F.broadcast if broadcast_new else (lambda df: df)
-    cand = (
-        cb.alias("c")
-        .join(
-            hint(nb.alias("n")),
-            (F.col("c.band") == F.col("n.band"))
-            & (F.col("c.bhash") == F.col("n.bhash"))
-            & (F.col("c.id") != F.col("n.id")),
-        )
-        .select(F.col("n.id").alias("new_id"), F.col("c.id").alias("corpus_id"))
-        .distinct()
-    )
-    est = F.expr(
-        "round(aggregate(zip_with(sig_n, sig_c, (x, y) -> "
-        "IF(x = y, 1, 0)), 0, (acc, v) -> acc + v) / size(sig_n), 6)"
-    )
-    return (
-        cand.join(
-            hint(new_sigs.select(F.col("id").alias("new_id"),
-                                 F.col("signature").alias("sig_n"))),
-            "new_id",
-        )
-        .join(corp_sigs.select(F.col("id").alias("corpus_id"),
-                               F.col("signature").alias("sig_c")),
-              "corpus_id")
-        .withColumn("est_jaccard", est)
-        .filter(F.col("est_jaccard") >= threshold)
-        .select("new_id", "corpus_id", "est_jaccard")
-    )
+    return _probe_and_verify(new_sigs, corp_sigs, cb, num_hashes, bands,
+                             threshold, broadcast_new)
 
 
 def save_dedup_signatures(sigs: DataFrame, path: str,
@@ -737,33 +755,5 @@ def incremental_pairs_against_store(new_docs: DataFrame, spark, path: str,
     new_sigs = _cache(
         minhash_signatures(new_docs, text_col, id_col, k, num_hashes)
     )
-    nb = _banded_buckets(new_sigs, num_hashes, bands)
-    hint = F.broadcast if broadcast_new else (lambda df: df)
-    cand = (
-        corp_buckets.alias("c")
-        .join(
-            hint(nb.alias("n")),
-            (F.col("c.band") == F.col("n.band"))
-            & (F.col("c.bhash") == F.col("n.bhash"))
-            & (F.col("c.id") != F.col("n.id")),
-        )
-        .select(F.col("n.id").alias("new_id"), F.col("c.id").alias("corpus_id"))
-        .distinct()
-    )
-    est = F.expr(
-        "round(aggregate(zip_with(sig_n, sig_c, (x, y) -> "
-        "IF(x = y, 1, 0)), 0, (acc, v) -> acc + v) / size(sig_n), 6)"
-    )
-    return (
-        cand.join(
-            hint(new_sigs.select(F.col("id").alias("new_id"),
-                                 F.col("signature").alias("sig_n"))),
-            "new_id",
-        )
-        .join(corp_sigs.select(F.col("id").alias("corpus_id"),
-                               F.col("signature").alias("sig_c")),
-              "corpus_id")
-        .withColumn("est_jaccard", est)
-        .filter(F.col("est_jaccard") >= threshold)
-        .select("new_id", "corpus_id", "est_jaccard")
-    )
+    return _probe_and_verify(new_sigs, corp_sigs, corp_buckets,
+                             num_hashes, bands, threshold, broadcast_new)

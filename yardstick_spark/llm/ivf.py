@@ -41,10 +41,16 @@ def build_ivf_index(corpus: DataFrame, id_col: str = "vec_id",
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    feats = corpus.select(
+    # registered via dedup._cache so clear_dedup_caches() releases the
+    # feature blocks (the returned `assigned` frame still reads them;
+    # unmaterialized consumers recompute after a clear — documented
+    # lifecycle in llm.__doc__)
+    from .dedup import _cache
+
+    feats = _cache(corpus.select(
         F.col(id_col).alias("id"),
         F.expr(_as_vec(vec_col)).alias("arr"),
-    ).withColumn("features", array_to_vector("arr")).cache()
+    ).withColumn("features", array_to_vector("arr")))
     km = KMeans(k=n_lists, seed=seed, predictionCol="cell",
                 maxIter=max_iter, initMode="random")
     model = km.fit(feats)

@@ -26,14 +26,19 @@ def curate_corpus(docs: DataFrame, rates: dict[str, float],
     """Surviving documents after quality filter → exact dedup →
     mixture sampling.  Returns the original doc rows (all columns) of
     the kept set — feed to `chunk_documents` / `token_stats` next."""
-    # localCheckpoint: the keep-list is referenced by both the dedup
-    # window and the survivor join — without the barrier each reference
-    # re-evaluates the Gopher expression chain (bigram mode etc.) over
-    # the full corpus (measured 14s -> 4s at sf0.1).  The materialized
-    # set is one id per surviving doc.
-    keep_q = (
+    # registered cache barrier: the keep-list is referenced by both the
+    # dedup window and the survivor join — without the barrier each
+    # reference re-evaluates the Gopher expression chain (bigram mode
+    # etc.) over the full corpus (measured 14s -> 4s at sf0.1).  The
+    # materialized set is one id per surviving doc.  _cache (not
+    # localCheckpoint) so clear_dedup_caches() releases it — a
+    # localCheckpoint here leaked one persisted RDD per pipeline run
+    # until JVM GC got around to it.
+    from .dedup import _cache as _reg_cache
+
+    keep_q = _reg_cache(
         gopher_filter(docs, text_col, id_col, min_stop_hits=min_stop_hits)
-        .filter("keep").select(id_col).localCheckpoint()
+        .filter("keep").select(id_col)
     )
     filtered = docs.join(keep_q, id_col)
     # dedup AFTER the quality filter: a surviving doc must not be
