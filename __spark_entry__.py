@@ -834,6 +834,35 @@ def _q_text_tfidf(spark, sf_dir):
     return tfidf_terms(_docs(spark, sf_dir), top_k=3)
 
 
+def _q_dedup_semantic(spark, sf_dir):
+    # SemDeDup: cluster-scoped embedding near-dup pairs (one cell per
+    # vector via deterministic seeded centroids, all-pairs cosine
+    # within the cell only) — the clustered-space complement of the
+    # banded-LSH dedup_embedding entry
+    from yardstick_spark.llm import semantic_dedup_pairs
+
+    _ys(spark, sf_dir)
+    return semantic_dedup_pairs(spark.table("embeddings"),
+                                threshold=0.3, n_lists=8)
+
+
+def _q_text_mixture_weights(spark, sf_dir):
+    # XLM-R/mT5 temperature sampling: alpha-smoothed source weights and
+    # the per-source rates realizing them (mass = characters)
+    from yardstick_spark.llm import temperature_mixture_weights
+
+    return temperature_mixture_weights(_docs(spark, sf_dir), alpha=0.3,
+                                       chars_col="n_chars")
+
+
+def _q_text_unigram_logprob(spark, sf_dir):
+    # CCNet-style LM filter proxy: per-doc mean -ln p(token) under the
+    # corpus's own unigram distribution
+    from yardstick_spark.llm import unigram_logprob
+
+    return unigram_logprob(_docs(spark, sf_dir))
+
+
 _SPLIT_W = {"train": 0.8, "val": 0.1, "test": 0.1}
 
 
@@ -1219,6 +1248,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_stats": _q_emb_stats,
         "events_retention": _q_events_retention,
         "tpch_q12": _measure_runner(_MEASURE_QUERIES["tpch_q12"]),
+        # round-5 additions (ordered first via _R5_NEW)
+        "dedup_semantic": _q_dedup_semantic,
+        "text_mixture_weights": _q_text_mixture_weights,
+        "text_unigram_logprob": _q_text_unigram_logprob,
     }
     out: dict[str, Callable] = {
         "sim_knn_lsh": _q_knn_lsh,
@@ -1281,7 +1314,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # should show it), then the 49 round-3-green entries.  The 50 entries
 # green in CORRECTNESS_r04 fall to the back — every inventory entry
 # then has a green driver row within the last two rounds.
-_R5_NEW: list[str] = []  # populated as round-5 operators land
+_R5_NEW: list[str] = [
+    "dedup_semantic", "text_mixture_weights", "text_unigram_logprob",
+]
 
 _R5_STALE_R2 = [
     "dedup_embedding", "mm_decode_real", "mm_resize", "sim_knn_bruteforce",
@@ -1987,6 +2022,59 @@ def oracle_sql() -> dict[str, str]:
           SELECT *, CAST(row_number() OVER (PARTITION BY query_id
                      ORDER BY sim DESC, neighbor_id) AS INT) AS rank
           FROM scored) WHERE rank <= 10"""
+    o["dedup_semantic"] = """
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                   FROM embeddings),
+        b AS (SELECT vec_id, e,
+                CAST(CONCAT('0x', SUBSTRING(md5(CAST(vec_id AS VARCHAR)),
+                     1, 15)) AS BIGINT) % 8 AS hcell
+              FROM v),
+        s AS (SELECT hcell, MIN(vec_id) AS seed_id FROM b GROUP BY hcell),
+        cents AS (SELECT s.hcell AS cell, v.e AS c FROM s
+                  JOIN v ON v.vec_id = s.seed_id),
+        asg AS (SELECT vec_id, e, cell FROM (
+            SELECT b.vec_id, b.e, cents.cell,
+              row_number() OVER (PARTITION BY b.vec_id ORDER BY
+                list_sum(list_transform(list_zip(b.e, cents.c),
+                  x -> (x[1] - x[2]) * (x[1] - x[2]))), cents.cell) AS rn
+            FROM b CROSS JOIN cents) WHERE rn = 1),
+        scored AS (
+          SELECT CAST(a.cell AS BIGINT) AS cell, a.vec_id AS id_a,
+            b2.vec_id AS id_b,
+            ROUND(list_sum(list_transform(list_zip(a.e, b2.e),
+                    x -> x[1] * x[2]))
+              / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
+                 * sqrt(list_sum(list_transform(b2.e, x -> x * x)))), 4)
+              AS sim
+          FROM asg a JOIN asg b2
+            ON a.cell = b2.cell AND a.vec_id < b2.vec_id)
+        SELECT cell, id_a, id_b, sim FROM scored WHERE sim >= 0.3"""
+    o["text_mixture_weights"] = """
+        WITH per AS (SELECT source, SUM(n_chars) AS mass
+                     FROM documents GROUP BY source),
+        sh AS (SELECT source, mass,
+                 mass / CAST(SUM(mass) OVER () AS DOUBLE) AS share
+               FROM per)
+        SELECT source, CAST(mass AS BIGINT) AS mass,
+               ROUND(share, 6) AS share,
+               ROUND(POWER(share, 0.3)
+                 / SUM(POWER(share, 0.3)) OVER (), 6) AS weight,
+               ROUND((POWER(share, 0.3) / share)
+                 / MAX(POWER(share, 0.3) / share) OVER (), 6) AS rate
+        FROM sh"""
+    o["text_unigram_logprob"] = f"""
+        WITH w AS (SELECT doc_id AS id,
+               UNNEST(list_filter(string_split({_NORM_DOC}, ' '),
+                      t -> t <> '')) AS term
+               FROM documents),
+        tf AS (SELECT id, term, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+        cf AS (SELECT term, SUM(tf) AS cf FROM tf GROUP BY 1),
+        tot AS (SELECT SUM(cf) AS total FROM cf)
+        SELECT tf.id AS doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+               ROUND(SUM(tf * -LN(cf / CAST(total AS DOUBLE)))
+                 / SUM(tf), 6) AS nll
+        FROM tf JOIN cf USING (term) CROSS JOIN tot
+        GROUP BY tf.id"""
     o["sim_knn_bruteforce"] = """
         WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         q AS (SELECT * FROM v WHERE vec_id < 5),

@@ -452,3 +452,94 @@ def test_pipeline_caches_do_not_accumulate(spark):
     for _ in range(3):
         run_once()
     assert jsc.getPersistentRDDs().size() <= baseline
+
+
+def test_temperature_mixture_weights_math(spark):
+    from yardstick_spark.llm import temperature_mixture_weights
+
+    # 3 sources with 80/15/5 shares
+    rows = [(i, "t", "a" if i < 80 else ("b" if i < 95 else "c"))
+            for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, "
+                                 "source string")
+    out = {r["source"]: r for r in
+           temperature_mixture_weights(docs, alpha=0.5).collect()}
+    # shares preserved
+    assert out["a"]["share"] == 0.8 and out["c"]["share"] == 0.05
+    # alpha < 1 flattens: rare source's weight rises above its share,
+    # dominant source's falls below
+    assert out["c"]["weight"] > 0.05 and out["a"]["weight"] < 0.8
+    assert abs(sum(r["weight"] for r in out.values()) - 1.0) < 1e-5
+    # rates: most-upsampled source keeps everything, others downsample
+    assert out["c"]["rate"] == 1.0
+    assert out["a"]["rate"] < out["b"]["rate"] < 1.0
+    # alpha = 1 is the identity mixture: every rate is 1
+    nat = temperature_mixture_weights(docs, alpha=1.0).collect()
+    assert all(r["rate"] == 1.0 for r in nat)
+    import pytest
+
+    with pytest.raises(ValueError):
+        temperature_mixture_weights(docs, alpha=0.0)
+
+
+def test_unigram_logprob_known_values(spark):
+    import math
+
+    from yardstick_spark.llm import unigram_logprob
+
+    # corpus: 4 tokens total; p(a)=3/4, p(b)=1/4
+    docs = spark.createDataFrame(
+        [(1, "a a a"), (2, "b")], "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in unigram_logprob(docs).collect()}
+    assert out[1]["n_tokens"] == 3 and out[2]["n_tokens"] == 1
+    assert out[1]["nll"] == round(-math.log(0.75), 6)
+    assert out[2]["nll"] == round(-math.log(0.25), 6)
+
+
+def test_semantic_dedup_within_cell_complete(spark):
+    # every within-cell pair at/above threshold must be reported —
+    # recall loss may only come from pairs split across cells
+    from pyspark.sql import functions as F
+
+    from yardstick_spark.llm import semantic_dedup_pairs
+    from yardstick_spark.llm.ivf import assign_cells, seed_centroids, _as_vec
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet")
+    got = {(r["id_a"], r["id_b"]) for r in
+           semantic_dedup_pairs(emb, threshold=0.3, n_lists=4).collect()}
+    # brute-force the same cells
+    cents = seed_centroids(emb, n_lists=4)
+    asg = assign_cells(
+        emb.select(F.col("vec_id").alias("id"),
+                   F.expr(_as_vec("embedding")).alias("arr")),
+        cents, 4)
+    cos = ("round(aggregate(zip_with(a.arr, b.arr, (x, y) -> x * y), 0D, "
+           "(s, v) -> s + v) / (sqrt(aggregate(a.arr, 0D, (s, v) -> "
+           "s + v * v)) * sqrt(aggregate(b.arr, 0D, (s, v) -> "
+           "s + v * v))), 4)")
+    want = {(r["id_a"], r["id_b"]) for r in
+            asg.alias("a").join(
+                asg.alias("b"),
+                (F.col("a.cell") == F.col("b.cell"))
+                & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"),
+                    F.expr(cos).alias("sim"))
+            .filter("sim >= 0.3").collect()}
+    assert got == want and got
+
+
+def test_semantic_dedup_verdicts_min_id_priority(spark):
+    from yardstick_spark.llm import (
+        semantic_dedup_pairs, semantic_dedup_verdicts,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet")
+    pairs = semantic_dedup_pairs(emb, threshold=0.3, n_lists=4).collect()
+    dup_ids = {r["id_b"] for r in pairs}
+    got = {r["vec_id"] for r in
+           semantic_dedup_verdicts(emb, threshold=0.3, n_lists=4)
+           .filter("is_duplicate").collect()}
+    assert got == dup_ids and got

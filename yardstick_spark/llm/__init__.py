@@ -56,6 +56,8 @@ from .similarity import (  # noqa: F401
     lsh_bucketed_knn,
     lsh_plane_dots_expr,
     lsh_probe_buckets_expr,
+    semantic_dedup_pairs,
+    semantic_dedup_verdicts,
 )
 from .pipeline import (  # noqa: F401
     curate_corpus,
@@ -78,7 +80,9 @@ from .text import (  # noqa: F401
     sample_mixture,
     source_quota,
     split_corpus,
+    temperature_mixture_weights,
     tfidf_terms,
     token_stats,
     top_terms,
+    unigram_logprob,
 )

@@ -188,6 +188,46 @@ def _probe_cells_udf(cells, mat, n_probe: int):
     return probe
 
 
+_D2 = ("aggregate(zip_with({v}, s.c, (a, b) -> (a - b) * (a - b)), "
+       "0D, (acc, x) -> acc + x)")
+
+
+def _centroid_literals(cent_df: DataFrame) -> str:
+    """Comma-joined named_struct('cell', i, 'c', array(...)) literals
+    for the SQL-expression centroid path (≤ _LITERAL_CENTROID_LIMIT)."""
+    cents = sorted(
+        (int(r["cell"]), [float(x) for x in r["centroid"]])
+        for r in cent_df.collect()
+    )
+    return ", ".join(
+        f"named_struct('cell', {cell}, 'c', array("
+        + ", ".join(f"{x!r}D" for x in vec) + "))"
+        for cell, vec in cents
+    )
+
+
+def assign_cells(vectors: DataFrame, cent_df: DataFrame, n_lists: int,
+                 vec_col: str = "arr") -> DataFrame:
+    """`vectors` plus a `cell` column: nearest centroid by squared
+    euclidean distance, ties to the lower cell id.  Scan-side with zero
+    extra shuffle either way: the SQL-literal expression up to
+    `_LITERAL_CENTROID_LIMIT` cells (engine-portable — the DuckDB
+    oracles reproduce it bit-exactly), the Arrow-UDF matmul path above
+    (closure-carried centroid matrix, O(1) driver-side plan cost).
+    Shared by `ivf_knn_seeded` and `semantic_dedup_pairs`."""
+    if n_lists > _LITERAL_CENTROID_LIMIT:
+        cells, mat = _centroid_matrix(cent_df)
+        return vectors.withColumn(
+            "cell", _assign_cell_udf(cells, mat)(F.col(vec_col))
+        )
+    cent_lits = _centroid_literals(cent_df)
+    # nearest cell: lexicographic struct min over (d2, cell) — ties
+    # to the lower cell id, same rule the SQL oracle applies.
+    assign = (f"array_min(transform(array({cent_lits}), s -> "
+              f"struct({_D2.format(v=vec_col)} AS d, s.cell AS cell))).cell")
+    return vectors.withColumn("cell", F.expr(assign))
+
+
 def ivf_knn_seeded(corpus: DataFrame, queries: DataFrame, k: int = 10,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    n_lists: int = 16, n_probe: int = 4) -> DataFrame:
@@ -216,35 +256,18 @@ def ivf_knn_seeded(corpus: DataFrame, queries: DataFrame, k: int = 10,
         F.col(id_col).alias("query_id"),
         F.expr(_as_vec(vec_col)).alias("qv"),
     )
+    assigned = assign_cells(corpus_sel, cent_df, n_lists, "arr")
     if n_lists > _LITERAL_CENTROID_LIMIT:
         cells, mat = _centroid_matrix(cent_df)
-        assigned = corpus_sel.withColumn(
-            "cell", _assign_cell_udf(cells, mat)(F.col("arr"))
-        )
         probes = query_sel.withColumn(
             "cell",
             F.explode(_probe_cells_udf(cells, mat, n_probe)(F.col("qv"))),
         )
     else:
-        cents = sorted(
-            (int(r["cell"]), [float(x) for x in r["centroid"]])
-            for r in cent_df.collect()
-        )
-        cent_lits = ", ".join(
-            f"named_struct('cell', {cell}, 'c', array("
-            + ", ".join(f"{x!r}D" for x in vec) + "))"
-            for cell, vec in cents
-        )
-        d2 = ("aggregate(zip_with({v}, s.c, (a, b) -> (a - b) * (a - b)), "
-              "0D, (acc, x) -> acc + x)")
-        # nearest cell: lexicographic struct min over (d2, cell) — ties
-        # to the lower cell id, same rule the SQL oracle applies.
-        assign = (f"array_min(transform(array({cent_lits}), s -> "
-                  f"struct({d2.format(v='arr')} AS d, s.cell AS cell))).cell")
+        cent_lits = _centroid_literals(cent_df)
         probe = (f"transform(slice(array_sort(transform(array({cent_lits}), "
-                 f"s -> struct({d2.format(v='qv')} AS d, s.cell AS cell))), "
+                 f"s -> struct({_D2.format(v='qv')} AS d, s.cell AS cell))), "
                  f"1, {n_probe}), p -> p.cell)")
-        assigned = corpus_sel.withColumn("cell", F.expr(assign))
         probes = query_sel.withColumn("cell", F.explode(F.expr(probe)))
     cos = (
         "aggregate(zip_with(qv, arr, (x, y) -> x * y), 0D, (s, v) -> s + v)"

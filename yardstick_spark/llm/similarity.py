@@ -298,59 +298,19 @@ def lsh_probe_buckets_expr(dots_col: str, n_planes: int = 8,
     )
 
 
-def embedding_dedup_pairs(corpus: DataFrame, id_col: str = "vec_id",
-                          vec_col: str = "embedding",
-                          threshold: float = 0.4, n_planes: int = 6,
-                          bands: int = 8, seed: int = 42,
-                          max_broadcast_pairs: int | None = None,
-                          dim: int | None = None,
-                          max_bucket_size: int | None = None) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: candidates from banded
-    random-hyperplane LSH buckets, verified with exact cosine and
-    thresholded.  Returns (id_a, id_b, sim) with id_a < id_b.
-
-    Each band hashes with its own `n_planes` hyperplanes (seed offset
-    per band); a pair is a candidate if it collides in ANY band —
-    recall = 1 - (1 - p^n_planes)^bands for per-plane agreement p, so
-    bands buy recall and planes bound bucket size.
-
-    Verification is PER-BUCKET MATRIX, not per-pair join: each
-    (band, bucket) group's vectors verify all-pairs in one numpy fold
-    inside `applyInPandas`, and only pairs that can reach the threshold
-    leave the group.  The vectors ride the bucket shuffle, so shuffle
-    volume is bands × corpus — linear, vs the previous per-pair join
-    that shipped TWO dim-length vectors per candidate through an Arrow
-    exchange (quadratic in bucket size: 256 k candidates × 2 × 64
-    doubles ≈ 260 MB at sf0.1 against this path's 8 MB).  Sub-threshold
-    pairs never enter any exchange; the cross-band distinct sees only
-    survivors.  `max_bucket_size` still caps degenerate buckets before
-    the group-by, and within a group the fold is row-chunked, so one
-    task's memory is O(chunk × bucket), not O(bucket²).
-
-    Float semantics are bit-identical to the previous pair path (and
-    the DuckDB oracle): sequential left-fold over dimensions for dot
-    and norms, `dot / (sqrt(na) * sqrt(nb))`, ROUND-then-threshold on
-    the Spark side.  Feed the output to `dedup_assign` for
-    per-document keep/drop verdicts.
-    """
-    del dim  # signs adapt to size(vec) inside the UDF; kept for API compat
-    del max_broadcast_pairs  # no pair-level join remains; API compat
+def _allpairs_verifier(threshold: float, group_col: str | None = None):
+    """`applyInPandas` function verifying ALL pairs within one group
+    (rows: id, v [, group_col]) by exact cosine in a chunked numpy
+    fold, emitting only pairs whose RAW sim could still round up to
+    `threshold` (margin 5e-5; the exact ROUND(.,4)-then-compare happens
+    SQL-side so HALF_UP semantics match the DuckDB oracles).  The fold
+    is the same sequential per-dimension accumulation as `_cosine_udf`,
+    so results are bit-identical to the per-pair SQL path.  Row-chunked
+    (1024), so one task's memory is O(chunk × group), not O(group²).
+    `group_col` (if given) is passed through as a constant output
+    column — used by `semantic_dedup_pairs` to keep the cell id."""
     import numpy as np
 
-    buckets = _band_buckets_udf(n_planes, bands, seed)(F.col(vec_col))
-    from .dedup import _cap_buckets, _spread
-
-    b = _cap_buckets(
-        _spread(corpus).select(
-            F.col(id_col).alias("id"),
-            F.expr(_as_double(vec_col)).alias("v"),
-            F.posexplode(buckets).alias("band", "bucket"),
-        ),
-        ["band", "bucket"], max_bucket_size,
-    )
-    # emit every pair whose RAW sim could still round up to the
-    # threshold; the exact ROUND(.,4)-then-compare happens in SQL below
-    # so HALF_UP semantics match the previous path and the oracle
     margin = threshold - 5e-5
 
     def verify(pdf):
@@ -389,12 +349,69 @@ def embedding_dedup_pairs(corpus: DataFrame, id_col: str = "vec_id",
                         out_a.extend([int(gi[s + i])] * j.size)
                         out_b.extend(int(x) for x in gi[j])
                         out_s.extend(float(x) for x in sims[i, j])
-        return pd.DataFrame({"id_a": pd.Series(out_a, dtype="int64"),
-                             "id_b": pd.Series(out_b, dtype="int64"),
-                             "sim": pd.Series(out_s, dtype="float64")})
+        res = {"id_a": pd.Series(out_a, dtype="int64"),
+               "id_b": pd.Series(out_b, dtype="int64"),
+               "sim": pd.Series(out_s, dtype="float64")}
+        if group_col is not None:
+            gval = pdf[group_col].iloc[0] if len(pdf) else 0
+            res = {group_col: pd.Series([gval] * len(out_a),
+                                        dtype="int64"), **res}
+        return pd.DataFrame(res)
 
+    return verify
+
+
+def embedding_dedup_pairs(corpus: DataFrame, id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          threshold: float = 0.4, n_planes: int = 6,
+                          bands: int = 8, seed: int = 42,
+                          max_broadcast_pairs: int | None = None,
+                          dim: int | None = None,
+                          max_bucket_size: int | None = None) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: candidates from banded
+    random-hyperplane LSH buckets, verified with exact cosine and
+    thresholded.  Returns (id_a, id_b, sim) with id_a < id_b.
+
+    Each band hashes with its own `n_planes` hyperplanes (seed offset
+    per band); a pair is a candidate if it collides in ANY band —
+    recall = 1 - (1 - p^n_planes)^bands for per-plane agreement p, so
+    bands buy recall and planes bound bucket size.
+
+    Verification is PER-BUCKET MATRIX, not per-pair join: each
+    (band, bucket) group's vectors verify all-pairs in one numpy fold
+    inside `applyInPandas`, and only pairs that can reach the threshold
+    leave the group.  The vectors ride the bucket shuffle, so shuffle
+    volume is bands × corpus — linear, vs the previous per-pair join
+    that shipped TWO dim-length vectors per candidate through an Arrow
+    exchange (quadratic in bucket size: 256 k candidates × 2 × 64
+    doubles ≈ 260 MB at sf0.1 against this path's 8 MB).  Sub-threshold
+    pairs never enter any exchange; the cross-band distinct sees only
+    survivors.  `max_bucket_size` still caps degenerate buckets before
+    the group-by, and within a group the fold is row-chunked, so one
+    task's memory is O(chunk × bucket), not O(bucket²).
+
+    Float semantics are bit-identical to the previous pair path (and
+    the DuckDB oracle): sequential left-fold over dimensions for dot
+    and norms, `dot / (sqrt(na) * sqrt(nb))`, ROUND-then-threshold on
+    the Spark side.  Feed the output to `dedup_assign` for
+    per-document keep/drop verdicts.
+    """
+    del dim  # signs adapt to size(vec) inside the UDF; kept for API compat
+    del max_broadcast_pairs  # no pair-level join remains; API compat
+    buckets = _band_buckets_udf(n_planes, bands, seed)(F.col(vec_col))
+    from .dedup import _cap_buckets, _spread
+
+    b = _cap_buckets(
+        _spread(corpus).select(
+            F.col(id_col).alias("id"),
+            F.expr(_as_double(vec_col)).alias("v"),
+            F.posexplode(buckets).alias("band", "bucket"),
+        ),
+        ["band", "bucket"], max_bucket_size,
+    )
     pairs = b.groupBy("band", "bucket").applyInPandas(
-        verify, schema="id_a BIGINT, id_b BIGINT, sim DOUBLE"
+        _allpairs_verifier(threshold),
+        schema="id_a BIGINT, id_b BIGINT, sim DOUBLE",
     )
     # a pair colliding in several bands yields bit-identical rows
     # (same fold over the same rows) — distinct over survivors only
@@ -402,6 +419,74 @@ def embedding_dedup_pairs(corpus: DataFrame, id_col: str = "vec_id",
         pairs.distinct()
         .select("id_a", "id_b", F.round("sim", 4).alias("sim"))
         .filter(F.col("sim") >= threshold)
+    )
+
+
+def semantic_dedup_pairs(corpus: DataFrame, id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         threshold: float = 0.4,
+                         n_lists: int = 8) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, then verify
+    all-pairs cosine WITHIN each cluster only — the scalable
+    approximation that made semantic dedup tractable for LAION/web
+    corpora.  Returns (cell, id_a, id_b, sim) with id_a < id_b and
+    ROUND(sim, 4) >= threshold.
+
+    Differences from `embedding_dedup_pairs` (banded LSH): one
+    partition of the space (each vector lands in exactly ONE cell via
+    deterministic seeded centroids — `ivf.seed_centroids`), so recall
+    is bounded by cluster purity rather than band count, and the
+    shuffle is 1 × corpus instead of bands × corpus.  Use this when
+    duplicates are *semantic neighborhoods* (clustered structure);
+    use the LSH operator for worst-case scattered near-dups.
+
+    100 TB shape: centroid assignment is scan-side (SQL literal or
+    Arrow-UDF closure — `ivf.assign_cells`), the only shuffle is the
+    cell group-by carrying each vector once, and verification is the
+    shared chunked matrix fold (`_allpairs_verifier`) so sub-threshold
+    pairs never enter an exchange.  Degenerate cells are bounded by
+    n_lists sizing (cells ≈ corpus / n_lists; raise n_lists to shrink
+    the quadratic term exactly like SemDeDup's k)."""
+    from .ivf import _as_vec, assign_cells, seed_centroids
+
+    cent_df = seed_centroids(corpus, id_col, vec_col, n_lists)
+    vectors = corpus.select(
+        F.col(id_col).alias("id"),
+        F.expr(_as_vec(vec_col)).alias("arr"),
+    )
+    assigned = assign_cells(vectors, cent_df, n_lists).select(
+        "cell", "id", F.col("arr").alias("v")
+    )
+    pairs = assigned.groupBy("cell").applyInPandas(
+        _allpairs_verifier(threshold, group_col="cell"),
+        schema="cell BIGINT, id_a BIGINT, id_b BIGINT, sim DOUBLE",
+    )
+    return (
+        pairs.select("cell", "id_a", "id_b",
+                     F.round("sim", 4).alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def semantic_dedup_verdicts(corpus: DataFrame, id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            threshold: float = 0.4,
+                            n_lists: int = 8) -> DataFrame:
+    """Per-vector keep/drop verdicts from `semantic_dedup_pairs` under
+    the SemDeDup keep-one rule with min-id priority: a vector is a
+    duplicate iff some LOWER-id vector in its cell is within the
+    cosine threshold.  One anti-joinable drop-list — no connected
+    components needed, because the priority order makes the rule
+    local to each pair."""
+    drops = (semantic_dedup_pairs(corpus, id_col, vec_col,
+                                  threshold, n_lists)
+             .select(F.col("id_b").alias("__drop_id")).distinct())
+    return corpus.join(
+        drops, F.col(id_col) == F.col("__drop_id"), "left"
+    ).select(
+        F.col(id_col),
+        F.col("__drop_id").isNotNull().alias("is_duplicate"),
     )
 
 

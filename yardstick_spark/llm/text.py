@@ -291,6 +291,78 @@ def sample_mixture(docs: DataFrame, rates: dict[str, float],
     )
 
 
+def temperature_mixture_weights(docs: DataFrame, alpha: float = 0.3,
+                                source_col: str = "source",
+                                chars_col: str | None = None) -> DataFrame:
+    """Temperature-based source sampling weights (the multilingual
+    mixing rule of XLM-R / mT5: q_s ∝ p_s^alpha): per source, its raw
+    share of the corpus, the alpha-smoothed target weight, and the
+    per-document sampling rate that realizes the target in one pass of
+    `sample_mixture` (rate_s ∝ q_s / p_s, scaled so max rate = 1 —
+    i.e. keep the most-upsampled source whole and downsample the
+    rest).  alpha = 1 keeps natural proportions; alpha → 0 approaches
+    uniform over sources.
+
+    Share is by document count, or by characters when `chars_col`
+    names a length column.  One map-side-combined groupBy over sources
+    plus window normalizations over the (tiny) per-source table — the
+    corpus is scanned once."""
+    if not 0 < alpha <= 1:
+        raise ValueError("temperature_mixture_weights: alpha in (0, 1]")
+    mass = (F.sum(chars_col) if chars_col else F.count("*")).alias("mass")
+    per = docs.groupBy(source_col).agg(mass)
+    return (
+        per.withColumn("share", F.expr(
+            "mass / CAST(SUM(mass) OVER () AS DOUBLE)"))
+        .withColumn("weight", F.expr(
+            f"round(POWER(share, {alpha!r}) "
+            f"/ SUM(POWER(share, {alpha!r})) OVER (), 6)"))
+        .withColumn("rate", F.expr(
+            f"round((POWER(share, {alpha!r}) / share) "
+            f"/ MAX(POWER(share, {alpha!r}) / share) OVER (), 6)"))
+        .select(source_col, F.col("mass").cast("bigint").alias("mass"),
+                F.round("share", 6).alias("share"), "weight", "rate")
+    )
+
+
+def unigram_logprob(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Per-document mean negative log-likelihood under the corpus's own
+    unigram model — the cheap engine-native stand-in for CCNet-style LM
+    perplexity filtering: boilerplate and in-distribution text scores
+    low, lexically unusual (often noisy) text scores high.  Returns
+    (id_col, n_tokens, nll) with nll = (Σ_t tf_dt · -ln p(t)) / n_doc
+    and p(t) = corpus_count(t) / corpus_tokens.
+
+    Same shuffle topology as `tfidf_terms`: explode → (doc, term) tf
+    (uniform keys, map-side combined), term-level corpus counts as a
+    second map-side-combined agg joined back (AQE broadcasts while the
+    vocabulary fits), total token count on a 1-row broadcast.  The
+    per-doc reduction is the final uniform-key agg — no windows, no
+    driver state."""
+    norm = _NORM.format(c=text_col)
+    words = f"filter(split({norm}, ' '), t -> t <> '')"
+    tf = (
+        docs.select(F.col(id_col).alias("id"),
+                    F.explode(F.expr(words)).alias("term"))
+        .groupBy("id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    cf = tf.groupBy("term").agg(F.sum("tf").alias("cf"))
+    total = cf.select(F.sum("cf").alias("total"))
+    return (
+        tf.join(cf, "term")
+        .join(F.broadcast(total))
+        .groupBy("id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            F.expr("round(SUM(tf * -ln(cf / CAST(total AS DOUBLE))) "
+                   "/ SUM(tf), 6)").alias("nll"),
+        )
+        .select(F.col("id").alias(id_col), "n_tokens", "nll")
+    )
+
+
 def _word_ngrams(text_col: str, n: int) -> str:
     """Distinct word n-gram array over the normalized text; empty (not
     short-slice-padded) when the document has fewer than n words, so a
