@@ -357,14 +357,23 @@ _MEASURE_QUERIES: dict[str, str] = {
     ),
     # q18: large-volume orders (IN subquery with HAVING)
     "tpch_q18": (
+        # the qualifying-orders set is a JOIN against a named CTE, not
+        # an IN-subquery: Catalyst pushes an IN-predicate into BOTH
+        # sides of the orders x lineitem join, duplicating the full
+        # lineitem aggregation (two scans, two agg exchanges, two
+        # sort-merge semis — measured 5.0 s at 10x sf0.1).  The CTE
+        # computes it ONCE and the HAVING filter makes it tiny, so AQE
+        # broadcasts it to both consumers (1.7 s, identical rows).
+        # Legal because GROUP BY keys are unique — JOIN == IN here.
+        "WITH bigord AS (SELECT l_orderkey AS bokey FROM lineitem "
+        "GROUP BY l_orderkey HAVING SUM(l_quantity) > 150) "
         "SELECT c.c_name AS cname, c.c_custkey AS custkey, "
         "o.o_orderkey AS okey, CAST(o.o_orderdate AS STRING) AS odate, "
         "ROUND(o.o_totalprice, 2) AS total, "
         "ROUND(SUM(l.l_quantity), 2) AS sum_qty "
-        "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
+        "FROM orders o JOIN bigord ON o.o_orderkey = bokey "
+        "JOIN customer c ON c.c_custkey = o.o_custkey "
         "JOIN lineitem l ON o.o_orderkey = l.l_orderkey "
-        "WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem "
-        "GROUP BY l_orderkey HAVING SUM(l_quantity) > 150) "
         "GROUP BY c.c_name, c.c_custkey, o.o_orderkey, "
         "CAST(o.o_orderdate AS STRING), ROUND(o.o_totalprice, 2) "
         "ORDER BY total DESC, okey LIMIT 100"

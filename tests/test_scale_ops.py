@@ -370,13 +370,16 @@ def test_simhash_bucket_cap_wiring(spark):
 
 
 def test_ivf_seeded_udf_path_matches_literal(spark, monkeypatch):
-    # above _LITERAL_CENTROID_LIMIT the seeded IVF swaps the SQL-literal
-    # centroid tree for an Arrow-UDF closure; both paths must select the
-    # same cells/probes and therefore the same neighbor set
+    # the default Arrow-UDF centroid closure and the SQL-literal
+    # centroid tree (the engine-portable spec the oracles transcribe)
+    # must select the same cells/probes and therefore the same
+    # neighbor set — this parity is what licenses shipping the faster
+    # Arrow path as the default at every size
     import yardstick_spark.llm.ivf as ivf
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     q = emb.limit(5)
+    monkeypatch.setattr(ivf, "_LITERAL_CENTROID_LIMIT", 10**9)
     lit = sorted(
         map(tuple, ivf.ivf_knn_seeded(emb, q, k=5, n_lists=8, n_probe=3)
             .select("query_id", "neighbor_id", "sim", "rank").collect())

@@ -93,12 +93,19 @@ def seed_centroids(corpus: DataFrame, id_col: str = "vec_id",
     )
 
 
-# above this many centroids the SQL-literal centroid tree stops being
-# a fixed-size expression and starts costing the driver O(n_lists*dim)
-# analysis/codegen per query — switch to the Arrow-UDF path (same
-# pattern the LSH planes use: the matrix rides the serialized closure
-# to every executor, still scan-side, still zero extra shuffle)
-_LITERAL_CENTROID_LIMIT = 256
+# centroid-count threshold below which assignment/probing uses the
+# SQL-literal centroid tree instead of the Arrow-UDF matmul closure.
+# Default 0: the Arrow path wins at EVERY measured size (sf0.1 ivf
+# query 1.50 s -> 1.08 s, 10x corpus 3.7 s -> 1.8 s — Spark's
+# higher-order-function lambdas evaluate interpreted per element, so
+# the literal d2 fold costs corpus x n_lists x dim interpreter steps),
+# is bit-identical to the literal path (same sequential fold; parity
+# pinned by test_ivf_seeded_udf_path_matches_literal), and above ~256
+# lists the literal tree additionally costs the driver O(n_lists*dim)
+# analysis/codegen per query.  The literal branch is kept as the
+# engine-portable spec (the DuckDB oracles transcribe it) and as the
+# no-Python-workers fallback: raise this bound to prefer it.
+_LITERAL_CENTROID_LIMIT = 0
 
 
 def _centroid_matrix(centroids: DataFrame):
