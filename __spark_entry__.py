@@ -585,20 +585,29 @@ _MEASURE_QUERIES: dict[str, str] = {
     # supplier was late (EXISTS + NOT EXISTS; lateness = shipped more
     # than 60 days after order date, testdata has no receipt/commit dates)
     "tpch_q21": (
+        # EXISTS/NOT-EXISTS collapsed into ONE per-order aggregate:
+        # Spark plans the subqueries as two extra lineitem scans + two
+        # sort-merge semi/anti joins (3 fact scans total).  Per order,
+        # n_supp >= 2 <=> EXISTS another supplier, and (given l1 late)
+        # n_late = 1 <=> NOT EXISTS another LATE supplier — so one
+        # distinct-count aggregate replaces both correlated subqueries
+        # (2 fact scans, one semi-join becomes a small broadcast join;
+        # 3.4 s -> 1.7 s at 10x sf0.1, identical rows).  The DuckDB
+        # oracle keeps the textbook EXISTS form as the spec.
+        "WITH ostat AS (SELECT l_orderkey AS okey, "
+        "COUNT(DISTINCT l_suppkey) AS n_supp, "
+        "COUNT(DISTINCT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY "
+        "THEN l_suppkey END) AS n_late "
+        "FROM lineitem JOIN orders ON o_orderkey = l_orderkey "
+        "WHERE o_orderstatus = 'F' GROUP BY l_orderkey) "
         "SELECT s.s_name AS sname, COUNT(*) AS numwait "
         "FROM supplier s "
         "JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey "
         "JOIN orders o ON o.o_orderkey = l1.l_orderkey "
+        "JOIN ostat ON ostat.okey = l1.l_orderkey "
         "WHERE o.o_orderstatus = 'F' "
         "AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY "
-        "AND EXISTS (SELECT 1 FROM lineitem l2 "
-        "WHERE l2.l_orderkey = l1.l_orderkey "
-        "AND l2.l_suppkey <> l1.l_suppkey) "
-        "AND NOT EXISTS (SELECT 1 FROM lineitem l3 "
-        "JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey "
-        "WHERE l3.l_orderkey = l1.l_orderkey "
-        "AND l3.l_suppkey <> l1.l_suppkey "
-        "AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY) "
+        "AND ostat.n_supp >= 2 AND ostat.n_late = 1 "
         "GROUP BY s.s_name "
         "ORDER BY numwait DESC, sname LIMIT 20"
     ),

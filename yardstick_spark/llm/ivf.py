@@ -276,26 +276,38 @@ def ivf_knn_seeded(corpus: DataFrame, queries: DataFrame, k: int = 10,
                  f"s -> struct({_D2.format(v='qv')} AS d, s.cell AS cell))), "
                  f"1, {n_probe}), p -> p.cell)")
         probes = query_sel.withColumn("cell", F.explode(F.expr(probe)))
-    cos = (
-        "aggregate(zip_with(qv, arr, (x, y) -> x * y), 0D, (s, v) -> s + v)"
-        " / (sqrt(aggregate(qv, 0D, (s, v) -> s + v * v))"
-        " * sqrt(aggregate(arr, 0D, (s, v) -> s + v * v)))"
-    )
-    scored = (
-        assigned.join(F.broadcast(probes), "cell")
-        .filter(F.col("query_id") != F.col("id"))
-        .select(
-            "query_id",
-            F.col("id").alias("neighbor_id"),
-            F.round(F.expr(cos), 4).alias("sim"),
-        )
-    )
+    scored = _score_probed(assigned, probes, "arr")
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id")
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+    )
+
+
+def _score_probed(assigned: DataFrame, probes: DataFrame,
+                  vec_name: str) -> DataFrame:
+    """Cosine-score (query, corpus) candidates of the probe join.
+    Norms are folded once per vector SCAN-SIDE on each input, so the
+    per-candidate expression is the dot product alone — the norm folds
+    are interpreted HOF lambdas, and folding them per candidate tripled
+    the inner-loop interpreter steps (same measurement as
+    brute_force_knn).  The probe side broadcasts; same left-to-right FP
+    fold, bit-identical results."""
+    nrm = "sqrt(aggregate({v}, 0D, (s, v) -> s + v * v))"
+    a = assigned.withColumn("cn", F.expr(nrm.format(v=vec_name)))
+    p = probes.withColumn("qn", F.expr(nrm.format(v="qv")))
+    dot = (f"aggregate(zip_with(qv, {vec_name}, (x, y) -> x * y), 0D, "
+           "(s, v) -> s + v)")
+    return (
+        a.join(F.broadcast(p), "cell")
+        .filter(F.col("query_id") != F.col("id"))
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            F.round(F.expr(f"({dot} / (qn * cn))"), 4).alias("sim"),
+        )
     )
 
 
@@ -367,20 +379,7 @@ def _ivf_probe_score(assigned: DataFrame, centroids: DataFrame,
         .filter(F.col("rnk") <= n_probe)
         .select("query_id", "qv", "cell")
     )
-    cos = (
-        "aggregate(zip_with(qv, arr, (x, y) -> x * y), 0D, (s, v) -> s + v)"
-        " / (sqrt(aggregate(qv, 0D, (s, v) -> s + v * v))"
-        " * sqrt(aggregate(arr, 0D, (s, v) -> s + v * v)))"
-    )
-    scored = (
-        assigned.join(probes, "cell")
-        .filter(F.col("query_id") != F.col("id"))
-        .select(
-            "query_id",
-            F.col("id").alias("neighbor_id"),
-            F.round(F.expr(cos), 4).alias("sim"),
-        )
-    )
+    scored = _score_probed(assigned, probes, "arr")
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id")
     )
