@@ -199,3 +199,43 @@ def test_write_sorted_skips_files_on_range_predicate(spark, tmp_path):
     plan = explain_str(back)
     assert "PushedFilters: [" in plan and "GreaterThanOrEqual(k,10)" in plan
     assert back.count() == 11
+
+
+def test_semantic_ingest_stream_equals_batch(spark, tmp_path):
+    # streaming IVF-index probe must produce the same pair set as the
+    # batch twin, with a single streaming source (stream-static only)
+    from yardstick_spark.llm import (
+        build_ivf_index, save_ivf_index, semantic_pairs_against_index,
+    )
+    from yardstick_spark.streaming import semantic_ingest_stream
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = emb.filter("vec_id % 5 <> 0")
+    new = emb.filter("vec_id % 5 = 0")
+    idx = str(tmp_path / "ivf_idx")
+    assigned, cents = build_ivf_index(corpus, n_lists=4, seed=7)
+    save_ivf_index(assigned, cents, idx)
+
+    new_dir = str(tmp_path / "incoming_vecs")
+    new.write.parquet(new_dir)
+    schema = spark.read.parquet(new_dir).schema
+    stream = spark.readStream.schema(schema).parquet(new_dir)
+    pairs = semantic_ingest_stream(stream, spark, idx,
+                                   threshold=0.3, n_probe=2)
+    n_stream_sources = str(
+        pairs._jdf.queryExecution().logical()
+    ).count("StreamingRelation")
+    assert n_stream_sources == 1, n_stream_sources
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName("sem_ingest_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sem"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.table("sem_ingest_test").collect()}
+    want = {tuple(r) for r in semantic_pairs_against_index(
+        new, spark, idx, threshold=0.3, n_probe=2).collect()}
+    assert got == want and got, f"stream {len(got)} vs batch {len(want)}"

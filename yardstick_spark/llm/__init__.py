@@ -48,6 +48,7 @@ from .multimodal import (  # noqa: F401
 from .ivf import (  # noqa: F401
     build_ivf_index, ivf_knn, ivf_knn_seeded, ivf_query_index,
     load_ivf_index, save_ivf_index, seed_centroids,
+    semantic_pairs_against_index,
 )
 from .similarity import (  # noqa: F401
     brute_force_knn,

@@ -387,3 +387,45 @@ def _ivf_probe_score(assigned: DataFrame, centroids: DataFrame,
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def semantic_pairs_against_index(new_vecs: DataFrame, spark, path: str,
+                                 threshold: float = 0.4,
+                                 id_col: str = "vec_id",
+                                 vec_col: str = "embedding",
+                                 n_probe: int = 1) -> DataFrame:
+    """Incremental semantic dedup: probe NEW embeddings against a
+    PERSISTED IVF index (`build_ivf_index`/`seed_centroids` +
+    `save_ivf_index`) — the ingest twin of
+    `similarity.semantic_dedup_pairs`, and the batch twin of
+    `streaming.ingest.semantic_ingest_stream`.  Returns
+    (new_id, corpus_id, sim) with ROUND(sim, 4) >= threshold.
+
+    The corpus is never re-embedded, re-assigned, or self-joined: new
+    vectors are assigned to their n_probe nearest stored centroids
+    scan-side (Arrow closure — the centroid table is collected once at
+    plan-build, bounded by n_lists), and the join against the
+    cell-PARTITIONED assignments parquet prunes to the probed cell
+    directories.  Cost per ingest batch: O(batch) + a scan of the
+    matched cells.  n_probe > 1 trades extra probed cells for recall
+    on vectors near a cell boundary, exactly like the kNN probe."""
+    assigned, centroids = load_ivf_index(spark, path)
+    cells, mat = _centroid_matrix(centroids)
+    new_sel = new_vecs.select(
+        F.col(id_col).alias("query_id"),
+        F.expr(_as_vec(vec_col)).alias("qv"),
+    )
+    if n_probe <= 1:
+        probes = new_sel.withColumn(
+            "cell", _assign_cell_udf(cells, mat)(F.col("qv")))
+    else:
+        probes = new_sel.withColumn(
+            "cell",
+            F.explode(_probe_cells_udf(cells, mat, n_probe)(F.col("qv"))),
+        )
+    return (
+        _score_probed(assigned, probes, "arr")
+        .select(F.col("query_id").alias("new_id"),
+                F.col("neighbor_id").alias("corpus_id"), "sim")
+        .filter(F.col("sim") >= threshold)
+    )

@@ -3,6 +3,7 @@ reference has no streaming surface, SURVEY.md §2.7)."""
 
 from .ingest import (  # noqa: F401
     dedup_ingest_stream,
+    semantic_ingest_stream,
     start_dedup_ingest,
 )
 from .joins import (  # noqa: F401

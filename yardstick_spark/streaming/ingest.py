@@ -137,3 +137,33 @@ def start_dedup_ingest(new_docs: DataFrame, spark, store_path: str,
 
     return (new_docs.writeStream.foreachBatch(_process)
             .options(**stream_opts).start())
+
+
+def semantic_ingest_stream(new_vecs: DataFrame, spark, index_path: str,
+                           threshold: float = 0.4,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           n_probe: int = 1) -> DataFrame:
+    """Streaming semantic dedup: probe an EMBEDDING stream against a
+    persisted IVF index (`llm.ivf.save_ivf_index`) — the semantic twin
+    of `dedup_ingest_stream`.  Returns a streaming DataFrame of
+    (new_id, corpus_id, sim) with ROUND(sim, 4) >= threshold.
+
+    Same statelessness argument as the minhash path: the stream side is
+    pure projection (scan-side centroid assignment via an Arrow closure
+    whose matrix is collected from the STATIC centroid parquet at
+    plan-build), and the only join is stream-static against the
+    cell-partitioned assignments parquet — no watermark, no state
+    store, and a corpus refreshed by a nightly re-index is picked up
+    per micro-batch.  Identical arithmetic to the batch twin
+    `llm.ivf.semantic_pairs_against_index` (stream≡batch is tested in
+    tests/test_sinks_stateful.py)."""
+    from ..llm.ivf import semantic_pairs_against_index
+
+    # the batch twin's plan is already stream-safe: one streaming
+    # source (the probe side), static assignments/centroids, no
+    # aggregation — reuse it verbatim
+    return semantic_pairs_against_index(
+        new_vecs, spark, index_path, threshold=threshold,
+        id_col=id_col, vec_col=vec_col, n_probe=n_probe,
+    )
