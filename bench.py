@@ -148,19 +148,24 @@ def main() -> None:
         "dedup_clusters": 3,
         "dedup_embedding": 2,
     }
+    # The warm reps are TIMED too (free samples): min over warms+timed
+    # reps.  A 100-query run drifts — heap fragmentation and worker
+    # churn can inflate a query 2-4× depending on its position in the
+    # run (measured ops_asof_join 0.36 s standalone vs 0.94 s late in
+    # a full run) — and more cold-cache samples tighten the min toward
+    # the plan's cost.  The JIT-cold first sample is practically never
+    # the min, so including it adds no bias.
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name, fn in qs.items():
-        for _ in range(HEAVY_WARMS.get(name, 1)):
-            _clear_caches()
-            try:
-                fn(spark, sf_dir).count()
-            except Exception:  # noqa: BLE001
-                break
         best = -1.0
-        for _rep in range(2):
+        # ONE gc per query (before its sample series), not per rep:
+        # hundreds of full System.gc() calls across the run flush the
+        # JIT code cache — measured the n-gram join stuck at 8.5 s
+        # min-of-5 under per-rep gc vs ~2.8 s steady with per-query gc
+        _gc()
+        for _rep in range(HEAVY_WARMS.get(name, 1) + 2):
             _clear_caches()
-            _gc()
             t0 = time.perf_counter()
             try:
                 df = fn(spark, sf_dir)
