@@ -435,3 +435,28 @@ def test_repetition_stats_is_shuffle_free(spark):
     # one round-robin spread for single-file inputs is allowed; no
     # key-hash exchange may appear
     assert "hashpartitioning" not in plan.lower()
+
+
+def test_semantic_dedup_tolerates_null_and_ragged_vectors(spark):
+    # NULL / length-mismatched embeddings must get a NULL cell (rows
+    # dropped by the cell join), not crash the Arrow assignment UDF
+    from pyspark.sql import functions as F
+
+    from yardstick_spark.llm import semantic_dedup_pairs
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet").limit(60)
+    dirty = emb.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") % 7 == 0, F.lit(None))
+        .when(F.col("vec_id") % 5 == 0,
+              F.expr("slice(embedding, 1, 32)"))
+        .otherwise(F.col("embedding")),
+    )
+    pairs = semantic_dedup_pairs(dirty, threshold=-2.0, n_lists=4).collect()
+    bad = {r["vec_id"] for r in dirty.collect()
+           if r["vec_id"] % 7 == 0 or r["vec_id"] % 5 == 0}
+    for p in pairs:
+        assert p["id_a"] not in bad and p["id_b"] not in bad
+        assert p["sim"] is not None and p["sim"] == p["sim"]
+    assert pairs

@@ -79,7 +79,12 @@ def seed_centroids(corpus: DataFrame, id_col: str = "vec_id",
     """
     h = (f"CAST(conv(substring(md5(CAST({id_col} AS STRING)), 1, 15), "
          f"16, 10) AS BIGINT)")
-    b = corpus.select(
+    # NULL/empty vectors can never seed a cell (a NULL centroid would
+    # poison every distance fold downstream); the filter is a no-op on
+    # clean corpora, so the SQL oracles — which don't model it — agree
+    b = corpus.filter(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)
+    ).select(
         F.col(id_col).alias("id"),
         F.expr(_as_vec(vec_col)).alias("arr"),
         F.expr(f"pmod({h}, {n_lists})").alias("cell"),
@@ -109,13 +114,26 @@ _LITERAL_CENTROID_LIMIT = 0
 
 
 def _centroid_matrix(centroids: DataFrame):
-    """(cells_sorted, matrix) with row i = centroid of cells_sorted[i]."""
+    """(cells_sorted, matrix) with row i = centroid of cells_sorted[i].
+    On a ragged corpus the seeded centroids can disagree on dimension;
+    the matrix keeps only the MAJORITY dimension's cells (ties to the
+    smaller dim — deterministic), and the assignment UDFs drop vectors
+    whose dim doesn't match the matrix, so mixed-dim corpora degrade
+    to NULL cells instead of a vstack crash."""
     import numpy as np
 
     rows = sorted(
         (int(r["cell"]), [float(x) for x in r["centroid"]])
         for r in centroids.collect()
+        if r["centroid"] is not None and len(r["centroid"]) > 0
     )
+    if not rows:
+        return np.array([], dtype=np.int64), np.zeros((0, 1))
+    from collections import Counter
+
+    dims = Counter(len(v) for _, v in rows)
+    best_dim = min(sorted(dims), key=lambda d: (-dims[d], d))
+    rows = [(c, v) for c, v in rows if len(v) == best_dim]
     cells = np.array([c for c, _ in rows], dtype=np.int64)
     mat = np.array([v for _, v in rows], dtype=np.float64)
     return cells, mat
@@ -148,8 +166,12 @@ def _assign_cell_udf(cells, mat):
     centroid matrix lives in the closure, not the expression tree.
     Ties break to the lower cell id (rows are cell-sorted and argmin
     returns the first minimum), matching the literal path's
-    struct-min rule."""
+    struct-min rule.  NULL / empty / centroid-dim-mismatched vectors
+    get a NULL cell (dropped by the downstream equi-join on cell) —
+    never a vstack crash."""
     from pyspark.sql.functions import pandas_udf
+
+    from .similarity import _length_groups
 
     mat_sq = (mat * mat).sum(axis=1)
 
@@ -157,13 +179,19 @@ def _assign_cell_udf(cells, mat):
     def assign(arr: pd.Series) -> pd.Series:
         import numpy as np
 
-        if len(arr) == 0:
-            return pd.Series([], dtype="int32")
-        A = np.vstack(arr.to_numpy()).astype(np.float64)
-        out = np.empty(len(A), dtype="int32")
-        for s in range(0, len(A), _CHUNK_ROWS):
-            d2 = _sq_dists(A[s:s + _CHUNK_ROWS], mat, mat_sq)
-            out[s:s + _CHUNK_ROWS] = cells[np.argmin(d2, axis=1)]
+        vs = arr.to_numpy()
+        out = np.empty(len(vs), dtype=object)
+        out[:] = None
+        for dm, sel in _length_groups(vs):
+            if dm != mat.shape[1]:
+                continue
+            A = np.vstack(vs[sel]).astype(np.float64)
+            res = np.empty(len(A), dtype="int64")
+            for s in range(0, len(A), _CHUNK_ROWS):
+                d2 = _sq_dists(A[s:s + _CHUNK_ROWS], mat, mat_sq)
+                res[s:s + _CHUNK_ROWS] = cells[np.argmin(d2, axis=1)]
+            for j, v in zip(sel, res):
+                out[j] = int(v)
         return pd.Series(out)
 
     return assign
@@ -172,8 +200,11 @@ def _assign_cell_udf(cells, mat):
 def _probe_cells_udf(cells, mat, n_probe: int):
     """Scan-side probe selection: the n_probe nearest cells per query
     vector, ordered by (d2, cell) — lexsort mirrors the literal path's
-    array_sort over (d, cell) structs."""
+    array_sort over (d, cell) structs.  NULL / empty / dim-mismatched
+    query vectors probe a NULL cell list (explode drops them)."""
     from pyspark.sql.functions import pandas_udf
+
+    from .similarity import _length_groups
 
     mat_sq = (mat * mat).sum(axis=1)
 
@@ -181,15 +212,21 @@ def _probe_cells_udf(cells, mat, n_probe: int):
     def probe(qv: pd.Series) -> pd.Series:
         import numpy as np
 
-        if len(qv) == 0:
-            return pd.Series([], dtype=object)
-        Q = np.vstack(qv.to_numpy()).astype(np.float64)
-        out = []
-        for s in range(0, len(Q), _CHUNK_ROWS):
-            d2 = _sq_dists(Q[s:s + _CHUNK_ROWS], mat, mat_sq)
-            for row in d2:
-                order = np.lexsort((cells, row))[:n_probe]
-                out.append([int(c) for c in cells[order]])
+        vs = qv.to_numpy()
+        out = np.empty(len(vs), dtype=object)
+        out[:] = None
+        for dm, sel in _length_groups(vs):
+            if dm != mat.shape[1]:
+                continue
+            Q = np.vstack(vs[sel]).astype(np.float64)
+            probes = []
+            for s in range(0, len(Q), _CHUNK_ROWS):
+                d2 = _sq_dists(Q[s:s + _CHUNK_ROWS], mat, mat_sq)
+                for row in d2:
+                    order = np.lexsort((cells, row))[:n_probe]
+                    probes.append([int(c) for c in cells[order]])
+            for j, p in zip(sel, probes):
+                out[j] = p
         return pd.Series(out)
 
     return probe

@@ -463,9 +463,13 @@ def semantic_dedup_pairs(corpus: DataFrame, id_col: str = "vec_id",
         F.col(id_col).alias("id"),
         F.expr(_as_vec(vec_col)).alias("arr"),
     )
-    assigned = assign_cells(vectors, cent_df, n_lists).select(
-        "cell", "id", F.col("arr").alias("v")
-    )
+    # NULL cells (NULL / empty / dim-mismatched vectors the assignment
+    # UDF could not place) are dropped BEFORE the group-by: they carry
+    # nothing verifiable, and a NULL-cell group would reach the
+    # verifier as one giant pseudo-bucket
+    assigned = assign_cells(vectors, cent_df, n_lists).filter(
+        F.col("cell").isNotNull()
+    ).select("cell", "id", F.col("arr").alias("v"))
     pairs = assigned.groupBy("cell").applyInPandas(
         _allpairs_verifier(threshold, group_col="cell"),
         schema="cell BIGINT, id_a BIGINT, id_b BIGINT, sim DOUBLE",
