@@ -941,6 +941,22 @@ def _q_events_funnel(spark, sf_dir):
     )
 
 
+def _q_events_transitions(spark, sf_dir):
+    # first-order Markov transition matrix over per-user event streams
+    from yardstick_spark.operators import event_transitions
+
+    _ys(spark, sf_dir)
+    return event_transitions(spark.table("events"))
+
+
+def _q_events_anomaly(spark, sf_dir):
+    # per-type daily volume z-scores (monitoring primitive)
+    from yardstick_spark.operators import daily_anomalies
+
+    _ys(spark, sf_dir)
+    return daily_anomalies(spark.table("events"), z_threshold=2.0)
+
+
 def _q_events_retention(spark, sf_dir):
     from yardstick_spark.operators import retention_cohorts
 
@@ -1270,6 +1286,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic": _q_dedup_semantic,
         "text_mixture_weights": _q_text_mixture_weights,
         "text_unigram_logprob": _q_text_unigram_logprob,
+        "events_transitions": _q_events_transitions,
+        "events_anomaly": _q_events_anomaly,
     }
     out: dict[str, Callable] = {
         "sim_knn_lsh": _q_knn_lsh,
@@ -1334,6 +1352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # then has a green driver row within the last two rounds.
 _R5_NEW: list[str] = [
     "dedup_semantic", "text_mixture_weights", "text_unigram_logprob",
+    "events_transitions", "events_anomaly",
 ]
 
 _R5_STALE_R2 = [
@@ -2508,6 +2527,34 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT 1, 'view', COUNT(*) FROM s1
         UNION ALL SELECT 2, 'click', COUNT(*) FROM s2
         UNION ALL SELECT 3, 'purchase', COUNT(*) FROM s3"""
+    o["events_transitions"] = """
+        WITH seq AS (SELECT event_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS next_type
+               FROM events),
+        pairs AS (SELECT event_type AS from_type, next_type AS to_type,
+               COUNT(*) AS n FROM seq WHERE next_type IS NOT NULL
+               GROUP BY 1, 2)
+        SELECT from_type, to_type, n,
+               ROUND(n / CAST(SUM(n) OVER (PARTITION BY from_type)
+                 AS DOUBLE), 6) AS p
+        FROM pairs"""
+    o["events_anomaly"] = """
+        WITH per AS (SELECT event_type,
+               CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+               COUNT(*) AS n FROM events GROUP BY 1, 2)
+        SELECT event_type, day, n,
+               ROUND(CASE WHEN stddev_pop(n) OVER
+                   (PARTITION BY event_type) = 0 THEN 0.0
+                 ELSE (n - avg(n) OVER (PARTITION BY event_type))
+                   / stddev_pop(n) OVER (PARTITION BY event_type)
+                 END, 6) AS z,
+               abs(ROUND(CASE WHEN stddev_pop(n) OVER
+                   (PARTITION BY event_type) = 0 THEN 0.0
+                 ELSE (n - avg(n) OVER (PARTITION BY event_type))
+                   / stddev_pop(n) OVER (PARTITION BY event_type)
+                 END, 6)) >= 2.0 AS is_anomaly
+        FROM per"""
     o["events_retention"] = """
         WITH days AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
                       FROM events),

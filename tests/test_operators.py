@@ -493,3 +493,55 @@ def test_funnel_monotone_and_ordered(spark):
     assert ret[("2024-01-01", 0)] == 1
     assert ret[("2024-01-02", 0)] == 1
     assert ret[("2024-01-03", 0)] == 1
+
+
+def test_event_transitions_known_matrix(spark):
+    from yardstick_spark.operators import event_transitions
+
+    rows = [
+        # user 1: a -> b -> a ; user 2: a -> b ; user 3: b (no pair)
+        (1, 1, "2024-01-01 00:00:00", "a"),
+        (2, 1, "2024-01-01 00:01:00", "b"),
+        (3, 1, "2024-01-01 00:02:00", "a"),
+        (4, 2, "2024-01-01 00:00:00", "a"),
+        (5, 2, "2024-01-01 00:01:00", "b"),
+        (6, 3, "2024-01-01 00:00:00", "b"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts string, event_type string"
+    ).selectExpr("event_id", "user_id",
+                 "CAST(ts AS TIMESTAMP) AS ts", "event_type")
+    got = {(r["from_type"], r["to_type"]): (r["n"], r["p"])
+           for r in event_transitions(ev).collect()}
+    assert got == {("a", "b"): (2, 1.0), ("b", "a"): (1, 1.0)}
+
+
+def test_daily_anomalies_flags_spike(spark):
+    from pyspark.sql import functions as F
+
+    from yardstick_spark.operators import daily_anomalies
+
+    # type x: 10 events/day for 9 days, 100 on day 10 -> day-10 z >> 2;
+    # type y: constant -> z = 0 everywhere (stddev 0 guard)
+    rows = []
+    eid = 0
+    for d in range(1, 10):
+        for _ in range(10):
+            rows.append((eid, f"2024-01-{d:02d} 12:00:00", "x")); eid += 1
+    for _ in range(100):
+        rows.append((eid, "2024-01-10 12:00:00", "x")); eid += 1
+    for d in range(1, 11):
+        for _ in range(5):
+            rows.append((eid, f"2024-01-{d:02d} 12:00:00", "y")); eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, ts string, event_type string"
+    ).withColumn("ts", F.expr("CAST(ts AS TIMESTAMP)"))
+    out = {(r["event_type"], r["day"]): r
+           for r in daily_anomalies(ev).collect()}
+    assert out[("x", "2024-01-10")]["is_anomaly"] is True
+    assert out[("x", "2024-01-10")]["z"] > 2.5
+    assert all(not v["is_anomaly"] for (t, _), v in out.items() if t == "y")
+    assert all(v["z"] == 0.0 for (t, _), v in out.items() if t == "y")
+    # the nine normal x days sit below the spike's pull, not flagged
+    assert all(not out[("x", f"2024-01-{d:02d}")]["is_anomaly"]
+               for d in range(1, 10))

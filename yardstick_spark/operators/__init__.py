@@ -2,7 +2,12 @@
 DataFrame primitives (SURVEY.md §7 phase 4 — beyond reference parity)."""
 
 from .asof import asof_join  # noqa: F401
-from .funnel import funnel_counts, retention_cohorts  # noqa: F401
+from .funnel import (  # noqa: F401
+    daily_anomalies,
+    event_transitions,
+    funnel_counts,
+    retention_cohorts,
+)
 from .range_join import range_join  # noqa: F401
 from .rollup_hier import (  # noqa: F401
     rollup_coarser,

@@ -75,3 +75,66 @@ def retention_cohorts(events: DataFrame, user_col: str = "user_id",
         .agg(F.count("*").alias("n_users"))
         .orderBy("cohort_day", "day_offset")
     )
+
+
+def event_transitions(events: DataFrame,
+                      user_col: str = "user_id",
+                      type_col: str = "event_type",
+                      ts_col: str = "ts",
+                      id_col: str = "event_id") -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for every (from_type, to_type) pair of CONSECUTIVE
+    events of one user (ordered by timestamp, ties broken by event id
+    so the sequence is total and engine-portable), the transition
+    count and its probability given from_type.
+
+    Returns (from_type, to_type, n, p) with p = n / Σ_to n.
+
+    Scale shape: ONE shuffle on user_id for the LAG window (per-user
+    sequences are independent), then a map-side-combined count over
+    the (from, to) pairs — type-pair cardinality output, and the
+    per-from normalization is a window over that tiny table.  No
+    sessionization state, no per-user collect."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    pairs = (
+        events.withColumn("__next", F.lead(type_col).over(w))
+        .filter(F.col("__next").isNotNull())
+        .groupBy(F.col(type_col).alias("from_type"),
+                 F.col("__next").alias("to_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    return pairs.withColumn(
+        "p",
+        F.expr("round(n / CAST(SUM(n) OVER "
+               "(PARTITION BY from_type) AS DOUBLE), 6)"),
+    )
+
+
+def daily_anomalies(events: DataFrame, z_threshold: float = 2.0,
+                    type_col: str = "event_type",
+                    ts_col: str = "ts") -> DataFrame:
+    """Per-type daily volume anomalies: each (event_type, day) count
+    scored as a z-score against that type's own daily mean/stddev; the
+    monitoring primitive behind every "traffic looks weird today"
+    alert.
+
+    Returns (event_type, day, n, z, is_anomaly) for every type-day.
+    Population stddev (stddev_pop) so a 2-day type isn't NULL-scored;
+    single-day types get z = 0 (no variance, nothing to flag).
+
+    Scale shape: one map-side-combined groupBy to type-day grain (the
+    hard reduction — output is types × days, tiny), then windows over
+    that table partitioned by type."""
+    day = F.expr(f"CAST(CAST({ts_col} AS DATE) AS STRING)")
+    per = (events.groupBy(F.col(type_col).alias("event_type"),
+                          day.alias("day"))
+           .agg(F.count("*").alias("n")))
+    z = ("round(IF(stddev_pop(n) OVER (PARTITION BY event_type) = 0, 0.0D, "
+         "(n - avg(n) OVER (PARTITION BY event_type)) "
+         "/ stddev_pop(n) OVER (PARTITION BY event_type)), 6)")
+    return (
+        per.withColumn("z", F.expr(z))
+        .withColumn("is_anomaly", F.expr(f"abs(z) >= {z_threshold!r}"))
+    )
