@@ -941,6 +941,14 @@ def _q_events_funnel(spark, sf_dir):
     )
 
 
+def _q_text_sample_weighted(spark, sf_dir):
+    # Efraimidis-Spirakis weighted sampling: 100 docs, chars as weight
+    from yardstick_spark.llm import sample_weighted
+
+    return sample_weighted(_docs(spark, sf_dir), k=100,
+                           weight_col="n_chars")
+
+
 def _q_events_transitions(spark, sf_dir):
     # first-order Markov transition matrix over per-user event streams
     from yardstick_spark.operators import event_transitions
@@ -1288,6 +1296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_logprob": _q_text_unigram_logprob,
         "events_transitions": _q_events_transitions,
         "events_anomaly": _q_events_anomaly,
+        "text_sample_weighted": _q_text_sample_weighted,
     }
     out: dict[str, Callable] = {
         "sim_knn_lsh": _q_knn_lsh,
@@ -1352,7 +1361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # then has a green driver row within the last two rounds.
 _R5_NEW: list[str] = [
     "dedup_semantic", "text_mixture_weights", "text_unigram_logprob",
-    "events_transitions", "events_anomaly",
+    "events_transitions", "events_anomaly", "text_sample_weighted",
 ]
 
 _R5_STALE_R2 = [
@@ -2527,6 +2536,15 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT 1, 'view', COUNT(*) FROM s1
         UNION ALL SELECT 2, 'click', COUNT(*) FROM s2
         UNION ALL SELECT 3, 'purchase', COUNT(*) FROM s3"""
+    o["text_sample_weighted"] = """
+        SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+               ROUND(-LN(((CAST(CONCAT('0x',
+                   SUBSTRING(md5(CONCAT('42:', CAST(doc_id AS VARCHAR))),
+                   1, 15)) AS BIGINT) % 1000000) + 1) / 1000000.0)
+                 / n_chars, 9) AS samp_key
+        FROM documents
+        WHERE n_chars IS NOT NULL AND n_chars > 0
+        ORDER BY samp_key, doc_id LIMIT 100"""
     o["events_transitions"] = """
         WITH seq AS (SELECT event_type,
                LEAD(event_type) OVER (PARTITION BY user_id

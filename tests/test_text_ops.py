@@ -586,3 +586,34 @@ def test_unigram_logprob_invariants(spark):
     assert out.count() == docs.filter(
         "size(filter(split(regexp_replace(lower(trim(text)), '\\\\s+', ' ')"
         ", ' '), t -> t <> '')) > 0").count()
+
+
+def test_sample_weighted_es_properties(spark):
+    from pyspark.sql import functions as F
+
+    from yardstick_spark.llm import sample_weighted
+    from yardstick_spark.plans import explain_str
+
+    # 2000 docs: half weight 1, half weight 50 — heavy docs must
+    # dominate the sample far beyond their 50% population share
+    docs = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        F.expr("IF(id % 2 = 0, 1, 50)").alias("w"),
+    )
+    got = sample_weighted(docs, k=200, weight_col="w")
+    rows = got.collect()
+    assert len(rows) == 200
+    heavy = sum(1 for r in rows if r["weight"] == 50.0)
+    assert heavy > 170, f"weight-50 docs won only {heavy}/200"
+    # deterministic + partition-layout independent
+    again = sample_weighted(docs.repartition(13), k=200, weight_col="w")
+    assert sorted(r["doc_id"] for r in rows) == sorted(
+        r["doc_id"] for r in again.collect())
+    # zero/negative/null weights never win
+    dirty = docs.withColumn(
+        "w", F.expr("IF(doc_id < 100, 0, IF(doc_id < 200, -5, w))"))
+    winners = {r["doc_id"] for r in
+               sample_weighted(dirty, k=500, weight_col="w").collect()}
+    assert all(i >= 200 for i in winners)
+    # global top-k runs as a per-partition partial (no full sort)
+    assert "TakeOrderedAndProject" in explain_str(got)

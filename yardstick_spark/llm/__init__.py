@@ -79,6 +79,7 @@ from .text import (  # noqa: F401
     quality_score,
     repetition_stats,
     sample_mixture,
+    sample_weighted,
     source_quota,
     split_corpus,
     temperature_mixture_weights,

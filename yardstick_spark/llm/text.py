@@ -363,6 +363,40 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text",
     )
 
 
+def sample_weighted(docs: DataFrame, k: int, weight_col: str,
+                    id_col: str = "doc_id", seed: int = 42) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via the Efraimidis–
+    Spirakis one-pass key (2006): each row draws a deterministic
+    md5-uniform u ∈ (0, 1] from its id and competes with key
+    -ln(u) / w — the k smallest keys are exactly a weight-proportional
+    sample without replacement.  The data-mixing primitive for "pick
+    k documents, long ones proportionally more often", reproducible
+    across runs, engines, and partitionings (no RNG state).
+
+    Returns the k winning rows as (id_col, weight, samp_key), ordered
+    by key.  Rows with NULL or non-positive weight never win (they get
+    an infinite key — excluded before ranking).
+
+    Scale shape: scan-side key computation + a global top-k, which
+    Spark executes as per-partition TakeOrdered(k) forwarding only k
+    rows per task to the single merge — no full sort, no shuffle of
+    the corpus."""
+    u = (f"((CAST(conv(substring(md5(concat('{seed}:', "
+         f"CAST({id_col} AS STRING))), 1, 15), 16, 10) AS BIGINT) "
+         f"% 1000000) + 1) / 1000000.0")
+    return (
+        docs.filter(F.col(weight_col).isNotNull()
+                    & (F.col(weight_col) > 0))
+        .select(
+            F.col(id_col),
+            F.col(weight_col).cast("double").alias("weight"),
+            F.expr(f"round(-ln({u}) / {weight_col}, 9)").alias("samp_key"),
+        )
+        .orderBy("samp_key", id_col)
+        .limit(k)
+    )
+
+
 def _word_ngrams(text_col: str, n: int) -> str:
     """Distinct word n-gram array over the normalized text; empty (not
     short-slice-padded) when the document has fewer than n words, so a
