@@ -941,6 +941,27 @@ def _q_events_funnel(spark, sf_dir):
     )
 
 
+def _q_ops_profile(spark, sf_dir):
+    # one-scan column profiler over lineitem (data-quality primitive)
+    from yardstick_spark.operators import profile_table
+
+    _ys(spark, sf_dir)
+    return profile_table(
+        spark.table("lineitem"),
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+         "l_returnflag", "l_linestatus"],
+    )
+
+
+def _q_ops_histogram(spark, sf_dir):
+    # equi-width histogram with explicit bounds (single scan)
+    from yardstick_spark.operators import numeric_histogram
+
+    _ys(spark, sf_dir)
+    return numeric_histogram(spark.table("lineitem"), "l_extendedprice",
+                             bins=20, lo=0.0, hi=60000.0)
+
+
 def _q_text_sample_weighted(spark, sf_dir):
     # Efraimidis-Spirakis weighted sampling: 100 docs, chars as weight
     from yardstick_spark.llm import sample_weighted
@@ -1297,6 +1318,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_transitions": _q_events_transitions,
         "events_anomaly": _q_events_anomaly,
         "text_sample_weighted": _q_text_sample_weighted,
+        "ops_profile": _q_ops_profile,
+        "ops_histogram": _q_ops_histogram,
     }
     out: dict[str, Callable] = {
         "sim_knn_lsh": _q_knn_lsh,
@@ -1362,6 +1385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _R5_NEW: list[str] = [
     "dedup_semantic", "text_mixture_weights", "text_unigram_logprob",
     "events_transitions", "events_anomaly", "text_sample_weighted",
+    "ops_profile", "ops_histogram",
 ]
 
 _R5_STALE_R2 = [
@@ -2536,6 +2560,45 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT 1, 'view', COUNT(*) FROM s1
         UNION ALL SELECT 2, 'click', COUNT(*) FROM s2
         UNION ALL SELECT 3, 'purchase', COUNT(*) FROM s3"""
+    o["ops_profile"] = """
+        SELECT 'l_orderkey' AS column_name, 'n_rows' AS metric, CAST(COUNT(*) AS VARCHAR) AS value FROM lineitem
+        UNION ALL SELECT 'l_orderkey', 'n_null', CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS VARCHAR) FROM lineitem
+        UNION ALL SELECT 'l_orderkey', 'n_distinct', CAST(COUNT(DISTINCT l_orderkey) AS VARCHAR) FROM lineitem
+        UNION ALL SELECT 'l_orderkey', 'min', COALESCE(CAST(MIN(l_orderkey) AS VARCHAR), 'NULL') FROM lineitem
+        UNION ALL SELECT 'l_orderkey', 'max', COALESCE(CAST(MAX(l_orderkey) AS VARCHAR), 'NULL') FROM lineitem
+        UNION ALL SELECT 'l_partkey' AS column_name, 'n_rows' AS metric, CAST(COUNT(*) AS VARCHAR) AS value FROM lineitem
+        UNION ALL SELECT 'l_partkey', 'n_null', CAST(SUM(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS VARCHAR) FROM lineitem
+        UNION ALL SELECT 'l_partkey', 'n_distinct', CAST(COUNT(DISTINCT l_partkey) AS VARCHAR) FROM lineitem
+        UNION ALL SELECT 'l_partkey', 'min', COALESCE(CAST(MIN(l_partkey) AS VARCHAR), 'NULL') FROM lineitem
+        UNION ALL SELECT 'l_partkey', 'max', COALESCE(CAST(MAX(l_partkey) AS VARCHAR), 'NULL') FROM lineitem
+        UNION ALL SELECT 'l_suppkey' AS column_name, 'n_rows' AS metric, CAST(COUNT(*) AS VARCHAR) AS value FROM lineitem
+        UNION ALL SELECT 'l_suppkey', 'n_null', CAST(SUM(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END) AS VARCHAR) FROM lineitem
+        UNION ALL SELECT 'l_suppkey', 'n_distinct', CAST(COUNT(DISTINCT l_suppkey) AS VARCHAR) FROM lineitem
+        UNION ALL SELECT 'l_suppkey', 'min', COALESCE(CAST(MIN(l_suppkey) AS VARCHAR), 'NULL') FROM lineitem
+        UNION ALL SELECT 'l_suppkey', 'max', COALESCE(CAST(MAX(l_suppkey) AS VARCHAR), 'NULL') FROM lineitem
+        UNION ALL SELECT 'l_quantity' AS column_name, 'n_rows' AS metric, CAST(COUNT(*) AS VARCHAR) AS value FROM lineitem
+        UNION ALL SELECT 'l_quantity', 'n_null', CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS VARCHAR) FROM lineitem
+        UNION ALL SELECT 'l_quantity', 'n_distinct', CAST(COUNT(DISTINCT l_quantity) AS VARCHAR) FROM lineitem
+        UNION ALL SELECT 'l_quantity', 'min', COALESCE(CAST(MIN(l_quantity) AS VARCHAR), 'NULL') FROM lineitem
+        UNION ALL SELECT 'l_quantity', 'max', COALESCE(CAST(MAX(l_quantity) AS VARCHAR), 'NULL') FROM lineitem
+        UNION ALL SELECT 'l_returnflag' AS column_name, 'n_rows' AS metric, CAST(COUNT(*) AS VARCHAR) AS value FROM lineitem
+        UNION ALL SELECT 'l_returnflag', 'n_null', CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS VARCHAR) FROM lineitem
+        UNION ALL SELECT 'l_returnflag', 'n_distinct', CAST(COUNT(DISTINCT l_returnflag) AS VARCHAR) FROM lineitem
+        UNION ALL SELECT 'l_returnflag', 'min', COALESCE(CAST(MIN(l_returnflag) AS VARCHAR), 'NULL') FROM lineitem
+        UNION ALL SELECT 'l_returnflag', 'max', COALESCE(CAST(MAX(l_returnflag) AS VARCHAR), 'NULL') FROM lineitem
+        UNION ALL SELECT 'l_linestatus' AS column_name, 'n_rows' AS metric, CAST(COUNT(*) AS VARCHAR) AS value FROM lineitem
+        UNION ALL SELECT 'l_linestatus', 'n_null', CAST(SUM(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS VARCHAR) FROM lineitem
+        UNION ALL SELECT 'l_linestatus', 'n_distinct', CAST(COUNT(DISTINCT l_linestatus) AS VARCHAR) FROM lineitem
+        UNION ALL SELECT 'l_linestatus', 'min', COALESCE(CAST(MIN(l_linestatus) AS VARCHAR), 'NULL') FROM lineitem
+        UNION ALL SELECT 'l_linestatus', 'max', COALESCE(CAST(MAX(l_linestatus) AS VARCHAR), 'NULL') FROM lineitem"""
+    o["ops_histogram"] = """
+        WITH b AS (SELECT CAST(LEAST(19, GREATEST(0,
+               FLOOR((l_extendedprice - 0.0) / 3000.0))) AS INT) AS bucket
+               FROM lineitem WHERE l_extendedprice IS NOT NULL)
+        SELECT bucket, ROUND(0.0 + bucket * 3000.0, 6) AS lo,
+               ROUND(0.0 + (bucket + 1) * 3000.0, 6) AS hi,
+               COUNT(*) AS n
+        FROM b GROUP BY bucket"""
     o["text_sample_weighted"] = """
         SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
                ROUND(-LN(((CAST(CONCAT('0x',

@@ -545,3 +545,51 @@ def test_daily_anomalies_flags_spike(spark):
     # the nine normal x days sit below the spike's pull, not flagged
     assert all(not out[("x", f"2024-01-{d:02d}")]["is_anomaly"]
                for d in range(1, 10))
+
+
+def test_profile_table_single_scan_and_nulls(spark):
+    from yardstick_spark.operators import profile_table
+    from yardstick_spark.plans import read_schema_columns
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b"), (None, None)],
+        "k BIGINT, s STRING",
+    )
+    prof = profile_table(df)
+    rows = {(r["column_name"], r["metric"]): r["value"]
+            for r in prof.collect()}
+    assert rows[("k", "n_rows")] == "4"
+    assert rows[("k", "n_null")] == "1" and rows[("s", "n_null")] == "2"
+    assert rows[("k", "n_distinct")] == "3"
+    assert rows[("s", "min")] == "a" and rows[("s", "max")] == "b"
+    # all-null column renders 'NULL', never a NULL row
+    allnull = spark.createDataFrame([(None,), (None,)], "x STRING")
+    rows = {(r["column_name"], r["metric"]): r["value"]
+            for r in profile_table(allnull).collect()}
+    assert rows[("x", "min")] == "NULL" and rows[("x", "max")] == "NULL"
+    # single scan: exactly one parquet read in the physical plan
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    assert len(read_schema_columns(
+        profile_table(li, ["l_orderkey", "l_quantity"]))) == 1
+
+
+def test_numeric_histogram_edges_and_clamp(spark):
+    import pytest
+
+    from yardstick_spark.operators import numeric_histogram
+
+    df = spark.createDataFrame(
+        [(-5.0,), (0.0,), (4.9,), (5.0,), (9.9,), (10.0,), (25.0,), (None,)],
+        "x DOUBLE",
+    )
+    out = {r["bucket"]: r for r in
+           numeric_histogram(df, "x", 2, 0.0, 10.0).collect()}
+    # bucket 0 = [0,5): 0.0, 4.9, plus -5 clamped -> 3
+    assert out[0]["n"] == 3 and out[0]["lo"] == 0.0 and out[0]["hi"] == 5.0
+    # bucket 1 = [5,10]: 5.0, 9.9, 10.0 folded, 25 clamped -> 4
+    assert out[1]["n"] == 4
+    assert sum(r["n"] for r in out.values()) == 7  # NULL excluded
+    with pytest.raises(ValueError):
+        numeric_histogram(df, "x", 0, 0.0, 10.0)
+    with pytest.raises(ValueError):
+        numeric_histogram(df, "x", 4, 10.0, 10.0)

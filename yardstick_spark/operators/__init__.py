@@ -8,6 +8,7 @@ from .funnel import (  # noqa: F401
     funnel_counts,
     retention_cohorts,
 )
+from .profile import numeric_histogram, profile_table  # noqa: F401
 from .range_join import range_join  # noqa: F401
 from .rollup_hier import (  # noqa: F401
     rollup_coarser,
