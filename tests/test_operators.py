@@ -567,10 +567,17 @@ def test_profile_table_single_scan_and_nulls(spark):
     rows = {(r["column_name"], r["metric"]): r["value"]
             for r in profile_table(allnull).collect()}
     assert rows[("x", "min")] == "NULL" and rows[("x", "max")] == "NULL"
-    # single scan: exactly one parquet read in the physical plan
+    # plan shape: one base scan (both columns) + one PRUNED scan per
+    # distinct count — never the (k+1)x expand of a fused multi-distinct
     li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
-    assert len(read_schema_columns(
-        profile_table(li, ["l_orderkey", "l_quantity"]))) == 1
+    prof = profile_table(li, ["l_orderkey", "l_quantity"])
+    scans = read_schema_columns(prof)
+    assert len(scans) == 3
+    assert sorted(map(tuple, scans)) == [
+        ("l_orderkey",), ("l_orderkey", "l_quantity"), ("l_quantity",)]
+    from yardstick_spark.plans import explain_str
+
+    assert "Expand" not in explain_str(prof)
 
 
 def test_numeric_histogram_edges_and_clamp(spark):
