@@ -962,6 +962,76 @@ def _q_ops_histogram(spark, sf_dir):
                              bins=20, lo=0.0, hi=60000.0)
 
 
+def _q_emb_hard_negatives(spark, sf_dir):
+    # contrastive-data mining: top-5 most-similar DIFFERENT-label
+    # vectors per anchor (broadcast anchors, map-side top-k)
+    from yardstick_spark.llm import hard_negatives
+
+    _ys(spark, sf_dir)
+    emb = spark.table("embeddings")
+    return hard_negatives(emb, emb.filter("vec_id < 5"), k=5)
+
+
+def _q_emb_prototypes(spark, sf_dir):
+    # per-label centroid components (scalarized for the value hash):
+    # (label, n_vecs, pos, c) — one posexplode + label x dim agg
+    from pyspark.sql import functions as F
+
+    from yardstick_spark.llm import label_prototypes
+
+    _ys(spark, sf_dir)
+    return (
+        label_prototypes(spark.table("embeddings"))
+        .select("label", "n_vecs",
+                F.posexplode("centroid").alias("pos", "c"))
+    )
+
+
+def _q_emb_medoids(spark, sf_dir):
+    # nearest-real-vector to each label centroid
+    from yardstick_spark.llm import label_medoids
+
+    _ys(spark, sf_dir)
+    return label_medoids(spark.table("embeddings"))
+
+
+def _q_emb_quantize(spark, sf_dir):
+    # int8 scalar quantization (per-dim min/max scale); per-vector
+    # code aggregates keep the output scalar for the value hash
+    from pyspark.sql import functions as F
+
+    from yardstick_spark.llm import quantize_embeddings
+
+    _ys(spark, sf_dir)
+    return quantize_embeddings(spark.table("embeddings")).select(
+        "vec_id",
+        F.expr("aggregate(qvec, 0, (s, v) -> s + v)").alias("q_sum"),
+        F.expr("array_min(qvec)").alias("q_min"),
+        F.expr("array_max(qvec)").alias("q_max"),
+    )
+
+
+def _q_sim_knn_quantized(spark, sf_dir):
+    # top-k cosine over the DEQUANTIZED int8 representation — the 4x-
+    # smaller index searched with the same broadcast/top-k plan shape
+    from yardstick_spark.llm import quantization_params, \
+        quantize_embeddings, quantized_knn
+
+    _ys(spark, sf_dir)
+    emb = spark.table("embeddings")
+    params = quantization_params(emb)
+    qv = quantize_embeddings(emb, params=params)
+    return quantized_knn(qv, qv.filter("vec_id < 5"), params, k=10)
+
+
+def _q_events_paths(spark, sf_dir):
+    # top-20 most common 3-event user journeys (path n-grams)
+    from yardstick_spark.operators import event_paths
+
+    _ys(spark, sf_dir)
+    return event_paths(spark.table("events"), length=3, top_k=20)
+
+
 def _q_text_sample_weighted(spark, sf_dir):
     # Efraimidis-Spirakis weighted sampling: 100 docs, chars as weight
     from yardstick_spark.llm import sample_weighted
@@ -1320,6 +1390,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_sample_weighted": _q_text_sample_weighted,
         "ops_profile": _q_ops_profile,
         "ops_histogram": _q_ops_histogram,
+        "emb_hard_negatives": _q_emb_hard_negatives,
+        "emb_prototypes": _q_emb_prototypes,
+        "emb_medoids": _q_emb_medoids,
+        "emb_quantize": _q_emb_quantize,
+        "sim_knn_quantized": _q_sim_knn_quantized,
+        "events_paths": _q_events_paths,
     }
     out: dict[str, Callable] = {
         "sim_knn_lsh": _q_knn_lsh,
@@ -1385,7 +1461,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _R5_NEW: list[str] = [
     "dedup_semantic", "text_mixture_weights", "text_unigram_logprob",
     "events_transitions", "events_anomaly", "text_sample_weighted",
-    "ops_profile", "ops_histogram",
+    "ops_profile", "ops_histogram", "emb_hard_negatives",
+    "emb_prototypes", "emb_medoids", "emb_quantize",
+    "sim_knn_quantized", "events_paths",
 ]
 
 _R5_STALE_R2 = [
@@ -2620,6 +2698,101 @@ def oracle_sql() -> dict[str, str]:
                ROUND(n / CAST(SUM(n) OVER (PARTITION BY from_type)
                  AS DOUBLE), 6) AS p
         FROM pairs"""
+    o["emb_hard_negatives"] = """
+        WITH v AS (SELECT vec_id, label,
+                          CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        a AS (SELECT * FROM v WHERE vec_id < 5),
+        scored AS (
+          SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+            c.vec_id AS negative_id, c.label AS negative_label,
+            ROUND(list_sum(list_transform(list_zip(a.e, c.e), x -> x[1] * x[2]))
+              / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
+                 * sqrt(list_sum(list_transform(c.e, x -> x * x)))), 4) AS sim
+          FROM v c CROSS JOIN a WHERE c.label <> a.label)
+        SELECT anchor_id, anchor_label, negative_id, negative_label, sim,
+               rank FROM (
+          SELECT *, CAST(row_number() OVER (PARTITION BY anchor_id
+                     ORDER BY sim DESC, negative_id) AS INT) AS rank
+          FROM scored) WHERE rank <= 5"""
+    o["emb_prototypes"] = """
+        WITH v AS (SELECT label, CAST(embedding AS DOUBLE[]) AS e
+                   FROM embeddings),
+        p AS (SELECT CAST(unnest(range(0, 64)) AS INT) AS pos)
+        SELECT label, COUNT(*) AS n_vecs, pos,
+               ROUND(AVG(e[pos + 1]), 6) AS c
+        FROM v CROSS JOIN p GROUP BY label, pos"""
+    o["emb_medoids"] = """
+        WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+                   FROM embeddings),
+        p AS (SELECT CAST(unnest(range(0, 64)) AS INT) AS pos),
+        cent AS (SELECT label, pos, AVG(e[pos + 1]) AS c
+                 FROM v CROSS JOIN p GROUP BY label, pos),
+        cl AS (SELECT label, list(c ORDER BY pos) AS ce
+               FROM cent GROUP BY label),
+        scored AS (
+          SELECT v.label, v.vec_id AS medoid_id,
+            ROUND(list_sum(list_transform(list_zip(v.e, cl.ce),
+                x -> x[1] * x[2]))
+              / (sqrt(list_sum(list_transform(v.e, x -> x * x)))
+                 * sqrt(list_sum(list_transform(cl.ce, x -> x * x)))), 4)
+              AS sim
+          FROM v JOIN cl USING (label))
+        SELECT label, medoid_id, sim FROM (
+          SELECT *, row_number() OVER (PARTITION BY label
+                     ORDER BY sim DESC, medoid_id) AS rn
+          FROM scored) WHERE rn = 1"""
+    o["emb_quantize"] = """
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                   FROM embeddings),
+        p AS (SELECT CAST(unnest(range(0, 64)) AS INT) AS pos),
+        params AS (SELECT pos, MIN(e[pos + 1]) AS mn, MAX(e[pos + 1]) AS mx
+                   FROM v CROSS JOIN p GROUP BY pos),
+        codes AS (SELECT vec_id,
+            CASE WHEN mx = mn THEN 0 ELSE
+              CAST(GREATEST(-128, LEAST(127,
+                FLOOR((e[pos + 1] - mn) / (mx - mn) * 255 + 0.5) - 128))
+                AS INT) END AS q
+          FROM v CROSS JOIN params)
+        SELECT vec_id, CAST(SUM(q) AS INT) AS q_sum,
+               MIN(q) AS q_min, MAX(q) AS q_max
+        FROM codes GROUP BY vec_id"""
+    o["sim_knn_quantized"] = """
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                   FROM embeddings),
+        p AS (SELECT CAST(unnest(range(0, 64)) AS INT) AS pos),
+        params AS (SELECT pos, MIN(e[pos + 1]) AS mn, MAX(e[pos + 1]) AS mx
+                   FROM v CROSS JOIN p GROUP BY pos),
+        codes AS (SELECT vec_id, pos, mn, mx,
+            CASE WHEN mx = mn THEN 0 ELSE
+              CAST(GREATEST(-128, LEAST(127,
+                FLOOR((e[pos + 1] - mn) / (mx - mn) * 255 + 0.5) - 128))
+                AS INT) END AS q
+          FROM v CROSS JOIN params),
+        deq AS (SELECT vec_id, list((q + 128) / 255.0 * (mx - mn) + mn
+                                    ORDER BY pos) AS e
+                FROM codes GROUP BY vec_id),
+        q AS (SELECT * FROM deq WHERE vec_id < 5),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            ROUND(list_sum(list_transform(list_zip(q.e, c.e), x -> x[1] * x[2]))
+              / (sqrt(list_sum(list_transform(q.e, x -> x * x)))
+                 * sqrt(list_sum(list_transform(c.e, x -> x * x)))), 4) AS sim
+          FROM deq c CROSS JOIN q WHERE c.vec_id <> q.vec_id)
+        SELECT query_id, neighbor_id, sim, rank FROM (
+          SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+          FROM scored) WHERE rank <= 10"""
+    o["events_paths"] = """
+        WITH s AS (SELECT event_type,
+               LEAD(event_type, 1) OVER w AS t1,
+               LEAD(event_type, 2) OVER w AS t2
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        c AS (SELECT event_type || ' > ' || t1 || ' > ' || t2 AS path,
+               COUNT(*) AS n FROM s WHERE t2 IS NOT NULL GROUP BY 1)
+        SELECT path, n, rank FROM (
+          SELECT *, CAST(row_number() OVER (ORDER BY n DESC, path)
+                    AS INT) AS rank FROM c) WHERE rank <= 20"""
     o["events_anomaly"] = """
         WITH per AS (SELECT event_type,
                CAST(CAST(ts AS DATE) AS VARCHAR) AS day,

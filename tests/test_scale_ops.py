@@ -460,3 +460,163 @@ def test_semantic_dedup_tolerates_null_and_ragged_vectors(spark):
         assert p["id_a"] not in bad and p["id_b"] not in bad
         assert p["sim"] is not None and p["sim"] == p["sim"]
     assert pairs
+
+
+# ---------------------------------------------------------------- mining
+
+
+def test_hard_negatives_never_share_label(spark):
+    from yardstick_spark.llm import brute_force_knn, hard_negatives
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    anchors = emb.filter("vec_id < 4")
+    hn = hard_negatives(emb, anchors, k=5).collect()
+    assert len(hn) == 4 * 5
+    labels = {r["vec_id"]: r["label"] for r in emb.collect()}
+    for r in hn:
+        assert r["anchor_label"] == labels[r["anchor_id"]]
+        assert r["negative_label"] == labels[r["negative_id"]]
+        assert r["anchor_label"] != r["negative_label"]
+    # ranks contiguous 1..k per anchor, sims non-increasing
+    by_anchor = {}
+    for r in sorted(hn, key=lambda r: (r["anchor_id"], r["rank"])):
+        by_anchor.setdefault(r["anchor_id"], []).append(r)
+    for rows in by_anchor.values():
+        assert [r["rank"] for r in rows] == list(range(1, 6))
+        sims = [r["sim"] for r in rows]
+        assert sims == sorted(sims, reverse=True)
+    # hard negatives are exactly the kNN restricted to other labels
+    knn = brute_force_knn(emb, anchors, k=2000).collect()
+    for a, rows in by_anchor.items():
+        expect = [r["neighbor_id"] for r in sorted(
+            knn, key=lambda r: (r["rank"]))
+            if r["query_id"] == a and labels[r["neighbor_id"]] != labels[a]
+        ][:5]
+        assert [r["negative_id"] for r in rows] == expect
+
+
+def test_hard_negatives_max_sim_band(spark):
+    from yardstick_spark.llm import hard_negatives
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    hn = hard_negatives(emb, emb.filter("vec_id < 4"), k=5,
+                        max_sim=0.2).collect()
+    assert hn and all(r["sim"] <= 0.2 for r in hn)
+
+
+def test_label_prototypes_and_medoids(spark):
+    import numpy as np
+
+    from yardstick_spark.llm import label_medoids, label_prototypes
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = emb.collect()
+    protos = {r["label"]: r for r in label_prototypes(emb).collect()}
+    # n_vecs partitions the corpus; centroid is the per-dim mean
+    assert sum(r["n_vecs"] for r in protos.values()) == len(rows)
+    for label, p in protos.items():
+        member = np.array([list(r["embedding"]) for r in rows
+                           if r["label"] == label], dtype=np.float64)
+        assert p["n_vecs"] == member.shape[0]
+        np.testing.assert_allclose(
+            np.array(p["centroid"]), member.mean(axis=0), atol=1e-6)
+    # medoid: the member vector with max cosine against its centroid
+    meds = {r["label"]: r for r in label_medoids(emb).collect()}
+    assert set(meds) == set(protos)
+    for label, m in meds.items():
+        cent = np.array(protos[label]["centroid"])
+        best_id, best_sim = None, -2.0
+        for r in rows:
+            if r["label"] != label:
+                continue
+            v = np.array(list(r["embedding"]), dtype=np.float64)
+            sim = round(float(v @ cent / (np.linalg.norm(v)
+                        * np.linalg.norm(cent))), 4)
+            if sim > best_sim or (sim == best_sim
+                                  and r["vec_id"] < best_id):
+                best_id, best_sim = r["vec_id"], sim
+        assert m["medoid_id"] == best_id
+        assert abs(m["sim"] - best_sim) <= 2e-4  # centroid rounding
+
+
+# ------------------------------------------------------------- quantize
+
+
+def test_quantize_codes_and_reconstruction(spark):
+    import numpy as np
+
+    from yardstick_spark.llm import (dequantize_expr, quantization_params,
+                                     quantize_embeddings)
+    from yardstick_spark.llm.quantize import _params_arrays
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    params = quantization_params(emb)
+    prows = sorted(params.collect(), key=lambda r: r["pos"])
+    qv = quantize_embeddings(emb, params=params)
+    got = {r["vec_id"]: list(r["qvec"]) for r in qv.collect()}
+    src = {r["vec_id"]: list(r["embedding"]) for r in emb.collect()}
+    assert set(got) == set(src)
+    for codes in got.values():
+        assert all(-128 <= q <= 127 for q in codes)
+    # reconstruction error bounded by half a quantization step per dim
+    mns, rngs = _params_arrays(params)
+    deq = qv.select("vec_id",
+                    F.expr(dequantize_expr("qvec", mns, rngs)).alias("d"))
+    for r in deq.collect():
+        orig = np.array(src[r["vec_id"]], dtype=np.float64)
+        rec = np.array(list(r["d"]))
+        for i, (o, x) in enumerate(zip(orig, rec)):
+            step = (prows[i]["mx"] - prows[i]["mn"]) / 255.0
+            assert abs(o - x) <= step / 2 + 1e-12
+
+
+def test_quantized_knn_recall(spark):
+    from yardstick_spark.llm import (brute_force_knn, quantization_params,
+                                     quantize_embeddings, quantized_knn)
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    params = quantization_params(emb)
+    qv = quantize_embeddings(emb, params=params)
+    queries = emb.filter("vec_id < 10")
+    exact = brute_force_knn(emb, queries, k=10).collect()
+    quant = quantized_knn(qv, qv.filter("vec_id < 10"), params,
+                          k=10).collect()
+    ex = {}
+    for r in exact:
+        ex.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    qs = {}
+    for r in quant:
+        qs.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [len(ex[q] & qs[q]) / 10 for q in ex]
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+def test_quantize_frozen_params_for_new_batch(spark):
+    # production shape: params frozen at index build, applied to a new
+    # ingest batch — codes for shared vectors must be identical
+    from yardstick_spark.llm import quantization_params, quantize_embeddings
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    params = quantization_params(emb)
+    all_codes = {r["vec_id"]: list(r["qvec"]) for r in
+                 quantize_embeddings(emb, params=params).collect()}
+    batch = emb.filter("vec_id % 3 = 0")
+    batch_codes = {r["vec_id"]: list(r["qvec"]) for r in
+                   quantize_embeddings(batch, params=params).collect()}
+    assert batch_codes == {k: v for k, v in all_codes.items()
+                           if k % 3 == 0}
+
+
+def test_event_paths_matches_transitions_totals(spark):
+    from yardstick_spark.operators import event_paths, event_transitions
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    paths = event_paths(ev, length=2, top_k=10**9).collect()
+    trans = event_transitions(ev).collect()
+    # length-2 paths ARE the transition matrix (counts must agree)
+    got = {tuple(r["path"].split(" > ")): r["n"] for r in paths}
+    want = {(r["from_type"], r["to_type"]): r["n"] for r in trans}
+    assert got == want
+    ranks = sorted(r["rank"] for r in paths)
+    assert ranks == list(range(1, len(paths) + 1))

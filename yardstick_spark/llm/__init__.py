@@ -60,6 +60,18 @@ from .similarity import (  # noqa: F401
     semantic_dedup_pairs,
     semantic_dedup_verdicts,
 )
+from .mining import (  # noqa: F401
+    hard_negatives,
+    label_medoids,
+    label_prototypes,
+)
+from .quantize import (  # noqa: F401
+    dequantize_expr,
+    quantization_params,
+    quantize_embeddings,
+    quantize_expr,
+    quantized_knn,
+)
 from .pipeline import (  # noqa: F401
     curate_corpus,
     curate_corpus_full,

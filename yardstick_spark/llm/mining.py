@@ -1,0 +1,147 @@
+"""Contrastive-training data mining over an embedding column:
+hard-negative selection, per-label prototypes (centroids), and medoids.
+
+Training-data pipelines for retrieval / contrastive models need, for
+each anchor, the most-similar vectors that are NOT of its class
+(hard negatives — the pairs that actually move the loss), plus a
+per-class prototype vector for clustering, drift monitoring, and
+centroid-based labeling.
+
+100 TB design:
+- `hard_negatives` keeps the corpus partitioned and broadcasts the
+  (small) anchor set, exactly like `similarity.brute_force_knn`: the
+  scoring join never shuffles corpus rows, and the final top-k filter
+  runs as a map-side partial WindowGroupLimit — each scan task forwards
+  at most k rows per anchor, so no reducer sees corpus-proportional
+  input.  For corpus-scale anchor sets, compose with the LSH/IVF
+  candidate generators in `similarity` / `ivf` instead of the exact
+  scorer.
+- `label_prototypes` is one posexplode + (label, pos) partial-agg
+  groupBy: the shuffle carries labels x dim partially-aggregated sums
+  per map task (bounded by the label-vocabulary, not the row count),
+  then rebuilds the centroid array with a sorted collect_list whose
+  group cardinality is the label count.
+- `label_medoids` broadcasts the (labels-row) centroid table back
+  against ONE corpus scan; the per-label argmax is again a map-side
+  WindowGroupLimit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .similarity import _as_double
+
+
+def hard_negatives(corpus: DataFrame, anchors: DataFrame, k: int = 5,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   label_col: str = "label",
+                   max_sim: float | None = None,
+                   round_to: int | None = 4) -> DataFrame:
+    """Top-k most-similar DIFFERENT-label vectors per anchor:
+    (anchor_id, anchor_label, negative_id, negative_label, sim, rank).
+
+    `anchors` is expected small (it is broadcast).  `max_sim` bounds
+    the band from above ("semi-hard" mining: exclude near-duplicates
+    that are probably label noise rather than informative negatives).
+    Norms are precomputed scan-side on both inputs so the per-pair
+    expression is the dot product alone; the fold is the same
+    left-to-right `aggregate` as every other cosine in the package, so
+    results are bit-identical to the DuckDB oracle."""
+    nrm = "sqrt(aggregate({v}, 0D, (s, v) -> s + v * v))"
+    a = anchors.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("anchor_label"),
+        F.expr(_as_double(vec_col)).alias("av"),
+    ).withColumn("an", F.expr(nrm.format(v="av")))
+    c = corpus.select(
+        F.col(id_col).alias("negative_id"),
+        F.col(label_col).alias("negative_label"),
+        F.expr(_as_double(vec_col)).alias("cv"),
+    ).withColumn("cn", F.expr(nrm.format(v="cv")))
+    dot = "aggregate(zip_with(av, cv, (x, y) -> x * y), 0D, (s, v) -> s + v)"
+    sim = F.expr(f"({dot} / (an * cn))")
+    if round_to is not None:
+        sim = F.round(sim, round_to)
+    scored = (
+        c.join(F.broadcast(a))
+        .filter(F.col("anchor_label") != F.col("negative_label"))
+        .select("anchor_id", "anchor_label", "negative_id",
+                "negative_label", sim.alias("sim"))
+    )
+    if max_sim is not None:
+        scored = scored.filter(F.col("sim") <= max_sim)
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("sim").desc(), F.col("negative_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def label_prototypes(vecs: DataFrame, id_col: str = "vec_id",
+                     vec_col: str = "embedding",
+                     label_col: str = "label",
+                     round_to: int | None = 6) -> DataFrame:
+    """Per-label centroid: (label, n_vecs, centroid array<double>).
+
+    posexplode -> (label, pos) mean -> ordered collect_list.  The
+    groupBy is partially aggregated map-side, so the shuffle moves
+    labels x dim sums per task regardless of corpus size; the rebuild
+    group count equals the label vocabulary.  Component means are
+    ROUND()ed (default 6 dp) so the centroid is reproducible across
+    partitionings up to summation order at the 1e-6 level."""
+    parts = (
+        vecs.select(F.col(label_col).alias("label"),
+                    F.posexplode(F.expr(_as_double(vec_col)))
+                    .alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.avg("val").alias("mean_val"), F.count("*").alias("n"))
+    )
+    if round_to is not None:
+        parts = parts.withColumn("mean_val", F.round("mean_val", round_to))
+    return (
+        parts.groupBy("label")
+        .agg(
+            F.max("n").alias("n_vecs"),
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, mean_val))), "
+                "s -> s.mean_val)"
+            ).alias("centroid"),
+        )
+    )
+
+
+def label_medoids(vecs: DataFrame, id_col: str = "vec_id",
+                  vec_col: str = "embedding", label_col: str = "label",
+                  round_to: int | None = 4) -> DataFrame:
+    """The real vector nearest its label's centroid:
+    (label, medoid_id, sim) — ties broken by smallest id.
+
+    One corpus scan joined to the broadcast centroid table (one row
+    per label); per-label argmax via row_number, executed as a
+    map-side WindowGroupLimit."""
+    cents = label_prototypes(vecs, id_col=id_col, vec_col=vec_col,
+                             label_col=label_col, round_to=None)
+    nrm = "sqrt(aggregate({v}, 0D, (s, v) -> s + v * v))"
+    v = vecs.select(
+        F.col(id_col).alias("medoid_id"),
+        F.col(label_col).alias("label"),
+        F.expr(_as_double(vec_col)).alias("vv"),
+    ).withColumn("vn", F.expr(nrm.format(v="vv")))
+    c = cents.select("label", F.col("centroid").alias("cv")).withColumn(
+        "cn", F.expr(nrm.format(v="cv")))
+    dot = "aggregate(zip_with(vv, cv, (x, y) -> x * y), 0D, (s, v) -> s + v)"
+    sim = F.expr(f"({dot} / (vn * cn))")
+    if round_to is not None:
+        sim = F.round(sim, round_to)
+    scored = v.join(F.broadcast(c), "label").select(
+        "label", "medoid_id", sim.alias("sim"))
+    w = Window.partitionBy("label").orderBy(
+        F.col("sim").desc(), F.col("medoid_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") == 1)
+        .select("label", "medoid_id", "sim")
+    )

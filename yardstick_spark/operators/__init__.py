@@ -4,6 +4,7 @@ DataFrame primitives (SURVEY.md §7 phase 4 — beyond reference parity)."""
 from .asof import asof_join  # noqa: F401
 from .funnel import (  # noqa: F401
     daily_anomalies,
+    event_paths,
     event_transitions,
     funnel_counts,
     retention_cohorts,

@@ -138,3 +138,39 @@ def daily_anomalies(events: DataFrame, z_threshold: float = 2.0,
         per.withColumn("z", F.expr(z))
         .withColumn("is_anomaly", F.expr(f"abs(z) >= {z_threshold!r}"))
     )
+
+
+def event_paths(events: DataFrame, length: int = 3, top_k: int = 20,
+                user_col: str = "user_id", type_col: str = "event_type",
+                ts_col: str = "ts", id_col: str = "event_id") -> DataFrame:
+    """Top-k most common event-type paths of `length` consecutive
+    events per user — the n-gram generalization of
+    `event_transitions` (which is the length-2 case), used for "what
+    do users actually do" journey mining.
+
+    Returns (path, n, rank) with path = " > "-joined type sequence,
+    rank by count desc then path asc (total order, engine-portable).
+
+    Scale shape: the same SINGLE user_id shuffle as event_transitions
+    feeds length-1 stacked LEAD windows over one sort, then a
+    map-side-combined count whose key cardinality is the distinct-path
+    vocabulary (bounded by types^length, not events), and the final
+    top-k is one tiny sort."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    df = events.select(F.col(type_col).alias("t0"),
+                       F.col(user_col), F.col(ts_col), F.col(id_col))
+    for i in range(1, length):
+        df = df.withColumn(f"t{i}", F.lead("t0", i).over(w))
+    path = F.concat_ws(" > ", *[F.col(f"t{i}") for i in range(length)])
+    counts = (
+        df.filter(F.col(f"t{length - 1}").isNotNull())
+        .groupBy(path.alias("path"))
+        .agg(F.count("*").alias("n"))
+    )
+    wr = Window.orderBy(F.col("n").desc(), F.col("path"))
+    return (
+        counts.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= top_k)
+    )
