@@ -1032,6 +1032,20 @@ def _q_events_paths(spark, sf_dir):
     return event_paths(spark.table("events"), length=3, top_k=20)
 
 
+def _q_text_vocab_coverage(spark, sf_dir):
+    # tokenizer-vocab sizing: top-100 terms and the token-coverage curve
+    from yardstick_spark.llm import vocab_coverage
+
+    return vocab_coverage(_docs(spark, sf_dir), top_n=100)
+
+
+def _q_text_ngrams(spark, sf_dir):
+    # corpus-wide bigram occurrence counts (BPE merge-candidate mining)
+    from yardstick_spark.llm import ngram_counts
+
+    return ngram_counts(_docs(spark, sf_dir), n=2, top_k=50)
+
+
 def _q_text_sample_weighted(spark, sf_dir):
     # Efraimidis-Spirakis weighted sampling: 100 docs, chars as weight
     from yardstick_spark.llm import sample_weighted
@@ -1396,6 +1410,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_quantize": _q_emb_quantize,
         "sim_knn_quantized": _q_sim_knn_quantized,
         "events_paths": _q_events_paths,
+        "text_vocab_coverage": _q_text_vocab_coverage,
+        "text_ngrams": _q_text_ngrams,
     }
     out: dict[str, Callable] = {
         "sim_knn_lsh": _q_knn_lsh,
@@ -1463,7 +1479,8 @@ _R5_NEW: list[str] = [
     "events_transitions", "events_anomaly", "text_sample_weighted",
     "ops_profile", "ops_histogram", "emb_hard_negatives",
     "emb_prototypes", "emb_medoids", "emb_quantize",
-    "sim_knn_quantized", "events_paths",
+    "sim_knn_quantized", "events_paths", "text_vocab_coverage",
+    "text_ngrams",
 ]
 
 _R5_STALE_R2 = [
@@ -2793,6 +2810,30 @@ def oracle_sql() -> dict[str, str]:
         SELECT path, n, rank FROM (
           SELECT *, CAST(row_number() OVER (ORDER BY n DESC, path)
                     AS INT) AS rank FROM c) WHERE rank <= 20"""
+    o["text_vocab_coverage"] = f"""
+        WITH norm AS (SELECT {_NORM_DOC} AS t FROM documents),
+        w AS (SELECT unnest(list_filter(string_split(t, ' '),
+                            x -> x <> '')) AS term FROM norm),
+        tf AS (SELECT term, COUNT(*) AS tf FROM w GROUP BY term),
+        tot AS (SELECT SUM(tf) AS total FROM tf),
+        top AS (SELECT term, tf FROM tf ORDER BY tf DESC, term LIMIT 100)
+        SELECT CAST(row_number() OVER (ORDER BY tf DESC, term) AS INT)
+                 AS rank, term, tf,
+               ROUND(SUM(tf) OVER (ORDER BY tf DESC, term
+                       ROWS UNBOUNDED PRECEDING)
+                 / CAST((SELECT total FROM tot) AS DOUBLE), 6) AS cum_frac
+        FROM top"""
+    o["text_ngrams"] = f"""
+        WITH norm AS (SELECT {_NORM_DOC} AS t FROM documents),
+        w AS (SELECT list_filter(string_split(t, ' '), x -> x <> '')
+                AS words FROM norm),
+        g AS (SELECT unnest([concat_ws(' ', words[i], words[i+1])
+                             for i in range(1, len(words))]) AS ngram
+              FROM w WHERE len(words) >= 2),
+        c AS (SELECT ngram, COUNT(*) AS tf FROM g GROUP BY ngram
+              ORDER BY tf DESC, ngram LIMIT 50)
+        SELECT ngram, tf, CAST(row_number() OVER (ORDER BY tf DESC, ngram)
+                 AS INT) AS rank FROM c"""
     o["events_anomaly"] = """
         WITH per AS (SELECT event_type,
                CAST(CAST(ts AS DATE) AS VARCHAR) AS day,

@@ -620,3 +620,39 @@ def test_event_paths_matches_transitions_totals(spark):
     assert got == want
     ranks = sorted(r["rank"] for r in paths)
     assert ranks == list(range(1, len(paths) + 1))
+
+
+def test_profile_table_approx_error_bound(spark):
+    from yardstick_spark.operators import profile_table, profile_table_approx
+
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    cols = ["l_orderkey", "l_partkey", "l_returnflag"]
+    exact = {(r["column_name"], r["metric"]): r["value"]
+             for r in profile_table(li, cols).collect()}
+    approx = {(r["column_name"], r["metric"]): r["value"]
+              for r in profile_table_approx(li, cols, rsd=0.02).collect()}
+    for c in cols:
+        # non-sketch metrics are identical
+        for m in ("n_rows", "n_null", "min", "max"):
+            assert approx[(c, m)] == exact[(c, m)]
+        # HLL estimate within 3*rsd of the exact count
+        est = int(approx[(c, "n_distinct_approx")])
+        true = int(exact[(c, "n_distinct")])
+        assert abs(est - true) <= max(3 * 0.02 * true, 2), (c, est, true)
+    # the scale claim: ONE aggregation job regardless of column count
+    plan = profile_table_approx(li, cols)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("HashAggregate") <= 2, plan
+
+
+def test_vocab_coverage_curve(spark):
+    from yardstick_spark.llm import vocab_coverage
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = vocab_coverage(docs, top_n=50).collect()
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    fracs = [r["cum_frac"] for r in rows]
+    assert all(b >= a for a, b in zip(fracs, fracs[1:]))  # monotone
+    assert 0 < fracs[-1] <= 1.0
+    tfs = [r["tf"] for r in rows]
+    assert tfs == sorted(tfs, reverse=True)

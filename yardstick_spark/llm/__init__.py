@@ -90,6 +90,7 @@ from .text import (  # noqa: F401
     pii_redact,
     quality_score,
     repetition_stats,
+    ngram_counts,
     sample_mixture,
     sample_weighted,
     source_quota,
@@ -99,4 +100,5 @@ from .text import (  # noqa: F401
     token_stats,
     top_terms,
     unigram_logprob,
+    vocab_coverage,
 )

@@ -10,7 +10,7 @@ oracle can reproduce them bit-for-bit.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 _NORM = "regexp_replace(lower(trim({c})), '\\\\s+', ' ')"
 
@@ -941,3 +941,72 @@ def corpus_report(docs: DataFrame, text_col: str = "text",
         )
         .orderBy("source", "lang")
     )
+
+
+def vocab_coverage(docs: DataFrame, top_n: int = 100,
+                   text_col: str = "text") -> DataFrame:
+    """Token-coverage curve for tokenizer-vocabulary sizing: the
+    top-`top_n` terms by occurrence count and the cumulative fraction
+    of ALL corpus token occurrences a vocabulary truncated at each
+    rank would cover — the "how big does the vocab need to be" curve.
+
+    Returns (rank, term, tf, cum_frac) ordered by rank.
+
+    Scale shape: one explode + map-side-combined term count (the only
+    corpus-sized shuffle), a 1-row grand total broadcast, and a
+    distributed TakeOrdered for the top-n — the global window that
+    computes ranks and the running sum runs over the ALREADY-TRUNCATED
+    top_n rows, never over the full vocabulary."""
+    norm = _NORM.format(c=text_col)
+    words = f"filter(split({norm}, ' '), t -> t <> '')"
+    tf = (
+        docs.select(F.explode(F.expr(words)).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("tf"))
+    )
+    total = tf.agg(F.sum("tf").alias("__total"))
+    top = (tf.orderBy(F.col("tf").desc(), F.col("term")).limit(top_n)
+           .join(F.broadcast(total)))
+    w = Window.orderBy(F.col("tf").desc(), F.col("term"))
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .withColumn(
+            "cum_frac",
+            F.expr("round(SUM(tf) OVER (ORDER BY tf DESC, term "
+                   "ROWS UNBOUNDED PRECEDING) "
+                   "/ CAST(__total AS DOUBLE), 6)"),
+        )
+        .select("rank", "term", "tf", "cum_frac")
+    )
+
+
+def ngram_counts(docs: DataFrame, n: int = 2, top_k: int = 50,
+                 text_col: str = "text") -> DataFrame:
+    """Top-k corpus-wide word n-grams by OCCURRENCE count (not
+    document frequency) — the merge-candidate primitive behind
+    BPE-style tokenizer training and collocation mining.
+
+    Returns (ngram, tf, rank) by count desc, ngram asc.
+
+    One explode of per-doc n-gram arrays (occurrences kept, unlike
+    `decontaminate`'s distinct sets) into a map-side-combined count;
+    top-k is a distributed TakeOrdered, rank assigned over k rows."""
+    if n < 1:
+        raise ValueError("ngram_counts: need n >= 1")
+    norm = _NORM.format(c=text_col)
+    words = f"filter(split({norm}, ' '), t -> t <> '')"
+    grams = (
+        f"transform(sequence(1, size(__w) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(__w, i, {n})))"
+    )
+    counts = (
+        docs.select(F.expr(words).alias("__w"))
+        .filter(F.expr(f"size(__w) >= {n}"))
+        .select(F.explode(F.expr(grams)).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("tf"))
+        .orderBy(F.col("tf").desc(), F.col("ngram"))
+        .limit(top_k)
+    )
+    w = Window.orderBy(F.col("tf").desc(), F.col("ngram"))
+    return counts.withColumn("rank", F.row_number().over(w))

@@ -9,7 +9,11 @@ from .funnel import (  # noqa: F401
     funnel_counts,
     retention_cohorts,
 )
-from .profile import numeric_histogram, profile_table  # noqa: F401
+from .profile import (  # noqa: F401
+    numeric_histogram,
+    profile_table,
+    profile_table_approx,
+)
 from .range_join import range_join  # noqa: F401
 from .rollup_hier import (  # noqa: F401
     rollup_coarser,

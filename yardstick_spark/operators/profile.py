@@ -88,3 +88,39 @@ def numeric_histogram(df: DataFrame, col: str, bins: int,
             "n",
         )
     )
+
+
+def profile_table_approx(df: DataFrame, columns: list[str] | None = None,
+                         rsd: float = 0.05) -> DataFrame:
+    """`profile_table` with HyperLogLog++ distinct counts
+    (`approx_count_distinct`, relative standard deviation `rsd`) —
+    the 100 TB path.  Exact distinct counts force either a k-way input
+    expand or one pruned pass per column (see `profile_table`); the
+    HLL sketch is single-pass and MERGEABLE, so ALL columns profile in
+    ONE scan with map-side partial sketches regardless of column count
+    or cardinality.  Output schema matches `profile_table` with metric
+    'n_distinct_approx' in place of 'n_distinct'; the estimate's error
+    is bounded by `rsd` (defaults to Spark's 5 %), property-tested in
+    tests/test_scale_ops.py."""
+    cols = columns or df.columns
+    base = df.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+          .alias(f"__null_{c}") for c in cols],
+        *[F.min(c).cast("string").alias(f"__min_{c}") for c in cols],
+        *[F.max(c).cast("string").alias(f"__max_{c}") for c in cols],
+        *[F.approx_count_distinct(c, rsd).alias(f"__d_{c}")
+          for c in cols],
+    )
+    pieces = []
+    for c in cols:
+        pieces.append(
+            f"'{c}', 'n_rows', CAST(__n AS STRING), "
+            f"'{c}', 'n_null', CAST(__null_{c} AS STRING), "
+            f"'{c}', 'n_distinct_approx', CAST(__d_{c} AS STRING), "
+            f"'{c}', 'min', COALESCE(__min_{c}, 'NULL'), "
+            f"'{c}', 'max', COALESCE(__max_{c}, 'NULL')"
+        )
+    stack = (f"stack({5 * len(cols)}, " + ", ".join(pieces)
+             + ") AS (column_name, metric, value)")
+    return base.select(F.expr(stack))
