@@ -304,3 +304,29 @@ def test_tpch_dim_joins_broadcast(spark):
     # big-big join exists, so NO join in its plan may shuffle
     plan = explain_str(qs["tpch_q2"](spark, sf))
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_mining_and_quantized_plans(spark):
+    # hard negatives / quantized kNN keep the kNN plan contract: the
+    # anchor/query side broadcasts (corpus rows never shuffle for
+    # scoring) and the per-anchor top-k prunes map-side
+    from yardstick_spark.llm import (
+        hard_negatives, label_medoids, quantization_params,
+        quantize_embeddings, quantized_knn,
+    )
+    from yardstick_spark.plans import has_broadcast_join, has_partial_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    hn = hard_negatives(emb, emb.filter("vec_id < 5"), k=5)
+    assert has_broadcast_join(hn)
+    assert has_partial_topk(hn)
+    params = quantization_params(emb)
+    qv = quantize_embeddings(emb, params=params)
+    qk = quantized_knn(qv, qv.filter("vec_id < 5"), params, k=10)
+    assert has_broadcast_join(qk)
+    assert has_partial_topk(qk)
+    # medoids: the labels-row centroid table broadcasts; per-label
+    # argmax prunes map-side
+    md = label_medoids(emb)
+    assert has_broadcast_join(md)
+    assert has_partial_topk(md)
