@@ -282,6 +282,39 @@ def test_qualify_clause_rewrites_to_spark(spark):
     assert [(r["grp"], r["s"]) for r in rows] == [(1, 25)]
 
 
+def test_qualify_named_window_refs(spark):
+    # QUALIFY referencing a named window from the WINDOW clause: the
+    # spec is inlined into the wrapper predicate, and the retained
+    # inner WINDOW clause is rewritten self-contained (Spark lacks
+    # DuckDB's `w2 AS (w1 ORDER BY x)` inheritance grammar)
+    import yardstick_spark as yp
+
+    ys = yp.connect(spark)
+    spark.sql("CREATE OR REPLACE TEMP VIEW qw_t AS SELECT * FROM VALUES "
+              "(1,10),(1,20),(2,5),(2,9),(2,7) AS t(grp, id)")
+    rows = ys.sql(
+        "SELECT grp, id, rank() OVER w AS r FROM qw_t "
+        "WINDOW w AS (PARTITION BY grp ORDER BY id DESC) "
+        "QUALIFY row_number() OVER w = 1 ORDER BY grp"
+    ).collect()
+    assert [(r["grp"], r["id"], r["r"]) for r in rows] == [
+        (1, 20, 1), (2, 9, 1)]
+    # window inheritance expanded on both the predicate and inner scope
+    rows = ys.sql(
+        "SELECT grp, id FROM qw_t WINDOW w1 AS (PARTITION BY grp), "
+        "w2 AS (w1 ORDER BY id) QUALIFY rank() OVER w2 <= 2"
+    ).collect()
+    assert sorted((r["grp"], r["id"]) for r in rows) == [
+        (1, 10), (1, 20), (2, 5), (2, 7)]
+    # QUALIFY written before the WINDOW clause (DuckDB accepts both
+    # orders): the clause relocates into the inner select
+    rows = ys.sql(
+        "SELECT grp, id FROM qw_t QUALIFY row_number() OVER w = 1 "
+        "WINDOW w AS (PARTITION BY grp ORDER BY id)"
+    ).collect()
+    assert sorted((r["grp"], r["id"]) for r in rows) == [(1, 10), (2, 5)]
+
+
 def test_duckdb_star_exclude_and_sample(spark):
     import yardstick_spark as yp
 

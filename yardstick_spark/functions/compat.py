@@ -359,6 +359,99 @@ def normalize_statement_to_spark(sql: str) -> str:
     return out
 
 
+def _named_windows(select_sql: str) -> dict[str, str]:
+    """Top-level `WINDOW name AS (spec), ...` definitions of a SELECT,
+    with nested name references expanded (`w2 AS (w1 ORDER BY x)` —
+    standard window-clause inheritance) so every returned spec is
+    self-contained."""
+    from ..sqlutil import find_top_level_keyword
+
+    wpos = find_top_level_keyword(select_sql, "WINDOW")
+    if wpos is None:
+        return {}
+    defs: dict[str, str] = {}
+    i = wpos + len("WINDOW")
+    n = len(select_sql)
+    while True:
+        m = re.match(r'\s*([A-Za-z_][A-Za-z_0-9]*|"[^"]+")\s+AS\s*\(',
+                     select_sql[i:], re.IGNORECASE)
+        if not m:
+            break
+        name = m.group(1).strip('"').lower()
+        open_pos = i + m.end() - 1
+        close = find_matching_paren(select_sql, open_pos)
+        if close is None:
+            break
+        defs[name] = select_sql[open_pos + 1:close].strip()
+        i = close + 1
+        while i < n and select_sql[i].isspace():
+            i += 1
+        if i < n and select_sql[i] == ",":
+            i += 1
+        else:
+            break
+    # expand `name AS (other ORDER BY ...)` inheritance
+    for name, spec in list(defs.items()):
+        m = re.match(r"([A-Za-z_][A-Za-z_0-9]*)\b(.*)", spec, re.DOTALL)
+        if m and m.group(1).lower() in defs and m.group(1).lower() != name:
+            defs[name] = (defs[m.group(1).lower()] + " "
+                          + m.group(2).strip()).strip()
+    return defs
+
+
+def _inline_named_windows(cond: str, defs: dict[str, str]) -> str:
+    """Replace bare `OVER name` references in a QUALIFY predicate with
+    the window's parenthesized spec."""
+    if not defs:
+        return cond
+
+    def sub(m: re.Match) -> str:
+        name = m.group(1).strip('"').lower()
+        if name in defs:
+            return f"OVER ({defs[name]})"
+        return m.group(0)
+
+    return re.sub(r'\bOVER\s+([A-Za-z_][A-Za-z_0-9]*|"[^"]+")',
+                  sub, cond, flags=re.IGNORECASE)
+
+
+def _expand_window_clause(select_sql: str, defs: dict[str, str]) -> str:
+    """Rewrite a SELECT's top-level WINDOW clause so every definition
+    is self-contained (inheritance references expanded) — Spark's
+    window-clause grammar accepts only full specs inside the parens."""
+    from ..sqlutil import find_top_level_keyword
+
+    if not defs:
+        return select_sql
+    wpos = find_top_level_keyword(select_sql, "WINDOW")
+    if wpos is None:
+        return select_sql
+    out = select_sql
+    i = wpos + len("WINDOW")
+    while True:
+        m = re.match(r'\s*([A-Za-z_][A-Za-z_0-9]*|"[^"]+")\s+AS\s*\(',
+                     out[i:], re.IGNORECASE)
+        if not m:
+            break
+        name = m.group(1).strip('"').lower()
+        open_pos = i + m.end() - 1
+        close = find_matching_paren(out, open_pos)
+        if close is None:
+            break
+        if name in defs:
+            out = out[:open_pos + 1] + defs[name] + out[close:]
+            close = open_pos + 1 + len(defs[name])
+        i = close + 1
+        n = len(out)
+        while i < n and out[i].isspace():
+            i += 1
+        if i < n and out[i] == ",":
+            i += 1
+        else:
+            break
+    return out
+
+
 def rewrite_qualify(sql: str) -> str:
     """DuckDB `QUALIFY <window predicate>` → Spark, which lacks the
     clause: the SELECT is wrapped, the predicate becomes a projected
@@ -412,6 +505,27 @@ def rewrite_qualify(sql: str) -> str:
     cond = out[cond_start:cond_end].strip().rstrip(";")
     head = out[:qpos].rstrip()
     tail = out[cond_end:]
+    # a WINDOW clause written AFTER the QUALIFY (DuckDB accepts both
+    # orders) would land in the OUTER query after wrapping; relocate it
+    # into the inner select so its names resolve for the projections
+    wpos = find_top_level_keyword(tail, "WINDOW")
+    if wpos is not None:
+        wend_kw = find_first_top_level_keyword(
+            tail, wpos + len("WINDOW"),
+            ["ORDER BY", "LIMIT", "OFFSET",
+             "UNION", "INTERSECT", "EXCEPT"],
+        )
+        wend = wend_kw[0] if wend_kw else len(tail)
+        head = head + " " + tail[wpos:wend].strip().rstrip(";")
+        tail = tail[:wpos] + " " + tail[wend:]
+    # named windows stay in the inner scope, so an `OVER w` in the
+    # predicate would be unresolved in the wrapper — inline the spec;
+    # the inner WINDOW clause is also rewritten self-contained because
+    # Spark's grammar lacks DuckDB's `w2 AS (w1 ORDER BY x)` window
+    # inheritance
+    wdefs = _named_windows(head)
+    cond = _inline_named_windows(cond, wdefs)
+    head = _expand_window_clause(head, wdefs)
     distinct = ""
     if info.distinct:
         # QUALIFY filters BEFORE DISTINCT in DuckDB: windows see the
@@ -425,9 +539,9 @@ def rewrite_qualify(sql: str) -> str:
     # GROUP BY/HAVING), so it is computed in a middle wrapper over the
     # original select rather than injected into its projection — which
     # would resolve aliases against the base relation instead.  Named
-    # windows (`OVER w`) from a WINDOW clause stay in the inner scope
-    # and cannot be referenced; Spark surfaces that as an unresolved
-    # reference, matching the shim's documented limits.
+    # windows (`OVER w`) referenced by the predicate are inlined from
+    # the select's WINDOW clause above, since that clause stays in the
+    # inner scope.
     return (
         f"SELECT {distinct}* EXCEPT (__ys_qualify) FROM ("
         f"SELECT *, ({cond}) AS __ys_qualify FROM ({head}) AS __ys_qi"
