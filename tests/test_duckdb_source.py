@@ -149,3 +149,43 @@ def test_write_duckdb_rejects_bad_mode_before_collect(spark, tmp_path):
     df = spark.createDataFrame([(1,)], "x bigint")
     with _pytest.raises(ValueError, match="unsupported mode"):
         write_duckdb(df, str(tmp_path / "m.duckdb"), "t", mode="upsert")
+
+
+def test_read_with_rejects_routes_bad_lines(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from yardstick_spark.sources import read_with_rejects
+
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        '{"id": 1, "txt": "ok"}\n'
+        'this is not json\n'
+        '{"id": 2, "txt": "also ok"}\n'
+        '{"id": "NaN-ish", "txt": 3}\n'   # type mismatch vs contract
+        '{broken\n'
+    )
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("txt", T.StringType()),
+    ])
+    good, bad = read_with_rejects(spark, str(p), fmt="json", schema=schema)
+    grows = sorted((r["id"], r["txt"]) for r in good.collect())
+    brows = sorted(r["raw_record"] for r in bad.collect())
+    # every input line is accounted for exactly once
+    assert grows == [(1, "ok"), (2, "also ok")]
+    assert len(brows) == 3
+    assert any("not json" in b for b in brows)
+    assert any("NaN-ish" in b for b in brows)
+    good.unpersist()
+    # csv form
+    c = tmp_path / "in.csv"
+    c.write_text("1,aa\n2,bb\nxx,cc,extra,cols\n3,dd\n")
+    cschema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("txt", T.StringType()),
+    ])
+    good, bad = read_with_rejects(spark, str(c), fmt="csv", schema=cschema)
+    assert sorted((r["id"], r["txt"]) for r in good.collect()) == [
+        (1, "aa"), (2, "bb"), (3, "dd")]
+    assert bad.count() == 1
+    good.unpersist()

@@ -11,7 +11,11 @@ from .duckdb_src import (  # noqa: F401
     read_duckdb_partitioned,
     write_duckdb,
 )
-from .register import register_parquet_dir, read_table  # noqa: F401
+from .register import (  # noqa: F401
+    read_table,
+    read_with_rejects,
+    register_parquet_dir,
+)
 from .write import (  # noqa: F401
     read_bucketed,
     write_bucketed,

@@ -47,3 +47,47 @@ def register_parquet_dir(
         read_table(spark, str(p)).createOrReplaceTempView(p.stem)
         registered.append(p.stem)
     return registered
+
+
+def read_with_rejects(spark: SparkSession, path: str, fmt: str = "json",
+                      schema=None, **options
+                      ) -> tuple[DataFrame, DataFrame]:
+    """PERMISSIVE ingest that ROUTES malformed records instead of
+    silently nulling them — the reject-file contract every bulk loader
+    needs: returns (good, bad) where `good` has the declared schema
+    and `bad` is (raw_record) for quarantine/replay.
+
+    A 100 TB crawl delivery always contains broken lines; FAILFAST
+    kills the whole job on the first one and plain PERMISSIVE leaves
+    silent NULL rows, so routing is the only shape that both finishes
+    and accounts for every input line.  Works for `json` (JSONL) and
+    `csv`.  If `schema` is omitted it is inferred in a separate pass
+    (fine interactively; production jobs should pass the contract
+    schema explicitly — inference over rejects-bearing data can widen
+    types).
+
+    The returned frames share ONE cached read: Spark's parsers drop
+    the corrupt-record column unless it is materialized before being
+    filtered on (the documented `columnNameOfCorruptRecord` caveat),
+    and the cache also means good+bad together cost a single scan.
+    Call `good.unpersist()` when done with both."""
+    from pyspark.sql import types as T
+
+    corrupt = "__ys_corrupt"
+    if schema is None:
+        base = getattr(spark.read.options(**options), fmt)(path)
+        schema = base.schema
+    if not any(f.name == corrupt for f in schema.fields):
+        schema = T.StructType(
+            list(schema.fields) + [T.StructField(corrupt, T.StringType())]
+        )
+    reader = (spark.read.schema(schema)
+              .option("mode", "PERMISSIVE")
+              .option("columnNameOfCorruptRecord", corrupt)
+              .options(**options))
+    df = getattr(reader, fmt)(path).cache()
+    good = (df.filter(F.col(corrupt).isNull())
+            .drop(corrupt))
+    bad = (df.filter(F.col(corrupt).isNotNull())
+           .select(F.col(corrupt).alias("raw_record")))
+    return good, bad
