@@ -1032,6 +1032,42 @@ def _q_events_paths(spark, sf_dir):
     return event_paths(spark.table("events"), length=3, top_k=20)
 
 
+def _q_ops_cdc_compact(spark, sf_dir):
+    # CDC compaction: latest surviving row per user, deletes dropped
+    from yardstick_spark.operators import cdc_compact
+
+    _ys(spark, sf_dir)
+    ch = spark.table("events").selectExpr(
+        "user_id", "event_id", "value", "ts",
+        "IF(event_type = 'error', 'D', 'U') AS op")
+    return cdc_compact(ch, ["user_id"], "ts", op_col="op",
+                       tiebreak_cols=["event_id"]) \
+        .select("user_id", "event_id", "value")
+
+
+def _q_ops_scd2(spark, sf_dir):
+    # Type-2 SCD merge over a customer dimension: % 7 keys change
+    # segment, % 13 keys arrive new, the rest no-op
+    from yardstick_spark.operators import scd2_merge
+
+    _ys(spark, sf_dir)
+    c = spark.table("customer")
+    dim = c.selectExpr(
+        "c_custkey AS k", "c_nationkey AS nat", "c_mktsegment AS seg",
+        "'2020-01-01' AS valid_from", "CAST(NULL AS STRING) AS valid_to",
+        "TRUE AS is_current")
+    upd = c.selectExpr(
+        "c_custkey AS k", "c_nationkey AS nat",
+        "CASE WHEN c_custkey % 7 = 0 THEN 'MOVED' "
+        "ELSE c_mktsegment END AS seg",
+        "'2021-06-01' AS ts")
+    newu = c.filter("c_custkey % 13 = 0").selectExpr(
+        "c_custkey + 1000000 AS k", "c_nationkey AS nat",
+        "'NEWSEG' AS seg", "'2021-06-01' AS ts")
+    return scd2_merge(dim, upd.unionAll(newu), ["k"], ["nat", "seg"],
+                      "ts")
+
+
 def _q_text_vocab_coverage(spark, sf_dir):
     # tokenizer-vocab sizing: top-100 terms and the token-coverage curve
     from yardstick_spark.llm import vocab_coverage
@@ -1412,6 +1448,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_paths": _q_events_paths,
         "text_vocab_coverage": _q_text_vocab_coverage,
         "text_ngrams": _q_text_ngrams,
+        "ops_cdc_compact": _q_ops_cdc_compact,
+        "ops_scd2": _q_ops_scd2,
     }
     out: dict[str, Callable] = {
         "sim_knn_lsh": _q_knn_lsh,
@@ -1480,7 +1518,7 @@ _R5_NEW: list[str] = [
     "ops_profile", "ops_histogram", "emb_hard_negatives",
     "emb_prototypes", "emb_medoids", "emb_quantize",
     "sim_knn_quantized", "events_paths", "text_vocab_coverage",
-    "text_ngrams",
+    "text_ngrams", "ops_cdc_compact", "ops_scd2",
 ]
 
 _R5_STALE_R2 = [
@@ -2810,6 +2848,42 @@ def oracle_sql() -> dict[str, str]:
         SELECT path, n, rank FROM (
           SELECT *, CAST(row_number() OVER (ORDER BY n DESC, path)
                     AS INT) AS rank FROM c) WHERE rank <= 20"""
+    o["ops_cdc_compact"] = """
+        WITH ch AS (SELECT user_id, event_id, value, ts,
+               CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+               FROM events),
+        r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC) AS rn FROM ch)
+        SELECT user_id, event_id, value FROM r
+        WHERE rn = 1 AND op <> 'D'"""
+    o["ops_scd2"] = """
+        WITH dim AS (SELECT c_custkey AS k, c_nationkey AS nat,
+               c_mktsegment AS seg, '2020-01-01' AS valid_from,
+               CAST(NULL AS VARCHAR) AS valid_to, TRUE AS is_current
+               FROM customer),
+        upd AS (
+          SELECT c_custkey AS k, c_nationkey AS nat,
+                 CASE WHEN c_custkey % 7 = 0 THEN 'MOVED'
+                      ELSE c_mktsegment END AS seg,
+                 '2021-06-01' AS ts
+          FROM customer
+          UNION ALL
+          SELECT c_custkey + 1000000, c_nationkey, 'NEWSEG', '2021-06-01'
+          FROM customer WHERE c_custkey % 13 = 0),
+        j AS (SELECT d.k AS dk, d.nat, d.seg, d.valid_from, d.valid_to,
+                     d.is_current, u.k AS uk, u.nat AS unat,
+                     u.seg AS useg, u.ts,
+                     NOT (d.nat IS NOT DISTINCT FROM u.nat
+                          AND d.seg IS NOT DISTINCT FROM u.seg) AS chg
+              FROM dim d FULL OUTER JOIN upd u ON d.k = u.k)
+        SELECT dk AS k, nat, seg, valid_from, valid_to, is_current
+          FROM j WHERE dk IS NOT NULL AND (uk IS NULL OR NOT chg)
+        UNION ALL
+        SELECT dk, nat, seg, valid_from, ts, FALSE
+          FROM j WHERE dk IS NOT NULL AND uk IS NOT NULL AND chg
+        UNION ALL
+        SELECT uk, unat, useg, ts, CAST(NULL AS VARCHAR), TRUE
+          FROM j WHERE uk IS NOT NULL AND (dk IS NULL OR chg)"""
     o["text_vocab_coverage"] = f"""
         WITH norm AS (SELECT {_NORM_DOC} AS t FROM documents),
         w AS (SELECT unnest(list_filter(string_split(t, ' '),

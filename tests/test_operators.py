@@ -600,3 +600,48 @@ def test_numeric_histogram_edges_and_clamp(spark):
         numeric_histogram(df, "x", 0, 0.0, 10.0)
     with pytest.raises(ValueError):
         numeric_histogram(df, "x", 4, 10.0, 10.0)
+
+
+def test_scd2_merge_invariants(spark):
+    import pytest
+    from pyspark.sql.utils import PythonException
+
+    from yardstick_spark.operators import cdc_compact, scd2_merge
+
+    dim = spark.createDataFrame(
+        [(1, "NY", "2020-01-01", None, True),
+         (1, "LA", "2019-01-01", "2020-01-01", False),
+         (2, "SF", "2020-01-01", None, True)],
+        "k INT, city STRING, valid_from STRING, valid_to STRING, "
+        "is_current BOOLEAN")
+    upd = spark.createDataFrame(
+        [(1, "CHI", "2021-06-01"), (2, "SF", "2021-06-01"),
+         (4, "DC", "2021-06-01")],
+        "k INT, city STRING, ts STRING")
+    out = scd2_merge(dim, upd, ["k"], ["city"], "ts")
+    rows = sorted((r.k, r.city, r.valid_from, r.valid_to, r.is_current)
+                  for r in out.collect())
+    assert rows == [
+        (1, "CHI", "2021-06-01", None, True),
+        (1, "LA", "2019-01-01", "2020-01-01", False),  # history intact
+        (1, "NY", "2020-01-01", "2021-06-01", False),  # closed
+        (2, "SF", "2020-01-01", None, True),           # no-op
+        (4, "DC", "2021-06-01", None, True),           # insert
+    ]
+    # exactly one current row per key; closed intervals are contiguous
+    cur = [r for r in rows if r[4]]
+    assert len({r[0] for r in cur}) == len(cur) == 3
+    # applying the SAME batch again is a no-op (merge is idempotent)
+    again = scd2_merge(out, upd, ["k"], ["city"], "ts")
+    assert sorted((r.k, r.city, r.valid_from, r.valid_to, r.is_current)
+                  for r in again.collect()) == rows
+    # duplicate update keys are rejected, not silently duplicated
+    dup = upd.unionAll(spark.createDataFrame(
+        [(1, "BOS", "2021-07-01")], "k INT, city STRING, ts STRING"))
+    with pytest.raises(Exception, match="cdc_compact"):
+        scd2_merge(dim, dup, ["k"], ["city"], "ts").collect()
+    # ...and cdc_compact is exactly the fix
+    fixed = scd2_merge(dim, cdc_compact(dup, ["k"], "ts"),
+                       ["k"], ["city"], "ts")
+    cur2 = {(r.k, r.city) for r in fixed.collect() if r.is_current}
+    assert (1, "BOS") in cur2

@@ -1,0 +1,118 @@
+"""Dimension-maintenance operators: CDC compaction (latest row per
+key) and Type-2 slowly-changing-dimension merge — the warehouse-side
+twins of the ingest operators in `llm/`.
+
+100 TB design: both operators are single key-partitioned passes.
+`cdc_compact` is one window executed as a map-side partial
+WindowGroupLimit (each scan task forwards at most one row per key);
+`scd2_merge` is ONE key-uniform join between the dimension's current
+slice and the (compacted) update batch — history rows pass through
+untouched via a partition-prunable `is_current` predicate, so a
+date/current-partitioned dimension table never rescans closed rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def cdc_compact(changes: DataFrame, key_cols: list[str], ts_col: str,
+                op_col: str | None = None, delete_op: str = "D",
+                tiebreak_cols: list[str] | None = None) -> DataFrame:
+    """Latest surviving row per key from a change-data-capture feed:
+    keeps each key's newest row by (`ts_col`, then `tiebreak_cols` so
+    the order is total and engine-portable), and — when `op_col` is
+    given — drops keys whose newest operation is `delete_op`.
+
+    The standard compaction before applying a CDC batch to a
+    dimension: one window, map-side WindowGroupLimit, no join."""
+    order = [F.col(ts_col).desc()] + [
+        F.col(c).desc() for c in (tiebreak_cols or [])]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    out = (changes.withColumn("__ys_rn", F.row_number().over(w))
+           .filter(F.col("__ys_rn") == 1).drop("__ys_rn"))
+    if op_col is not None:
+        out = out.filter(F.col(op_col) != delete_op).drop(op_col)
+    return out
+
+
+def scd2_merge(dim: DataFrame, updates: DataFrame, key_cols: list[str],
+               tracked_cols: list[str], ts_col: str,
+               valid_from: str = "valid_from", valid_to: str = "valid_to",
+               current_col: str = "is_current") -> DataFrame:
+    """Type-2 SCD merge: apply an update batch to a versioned
+    dimension, closing changed current rows and inserting new
+    versions, preserving full history.
+
+    `dim` carries (`key_cols`, `tracked_cols`, valid_from, valid_to,
+    is_current); `updates` carries (`key_cols`, `tracked_cols`,
+    `ts_col`) with AT MOST ONE row per key (run `cdc_compact` first —
+    enforced with a runtime raise_error guard rather than a separate
+    counting pass).  Semantics per update key:
+
+    - key absent from the current slice → INSERT (valid_from = ts,
+      open-ended, current)
+    - present with identical tracked values (NULL-safe) → no-op
+    - present with changed values → close the current row
+      (valid_to = ts, not current) and insert the new version
+
+    History rows (is_current = false) stream through untouched, so the
+    join input is |current slice| + |batch|, never the full history."""
+    upd_ren = updates.select(
+        *[F.col(c).alias(f"__u_{c}") for c in key_cols],
+        *[F.col(c).alias(f"__u_{c}") for c in tracked_cols],
+        F.col(ts_col).alias("__u_ts"),
+    )
+    # at-most-one-row-per-key contract: cheap distributed guard that
+    # fails the job with a clear message instead of silently emitting
+    # duplicate current rows
+    expected = set(key_cols) | set(tracked_cols) | {
+        valid_from, valid_to, current_col}
+    if set(dim.columns) != expected:
+        raise ValueError(
+            "scd2_merge: dim columns must be exactly keys + tracked + "
+            f"SCD columns; got {sorted(dim.columns)} vs "
+            f"{sorted(expected)}")
+    wk = Window.partitionBy(*[f"__u_{c}" for c in key_cols])
+    upd_ren = (
+        upd_ren.withColumn("__u_n", F.count(F.lit(1)).over(wk))
+        .filter(
+            F.when(F.col("__u_n") > 1, F.expr(
+                "raise_error('scd2_merge: updates contain duplicate "
+                "keys - run cdc_compact first')").cast("boolean"))
+            .otherwise(F.lit(True)))
+        .drop("__u_n")
+    )
+    history = dim.filter(~F.col(current_col))
+    current = dim.filter(F.col(current_col))
+    cond = [current[c].eqNullSafe(upd_ren[f"__u_{c}"]) for c in key_cols]
+    joined = current.join(upd_ren, cond, "full_outer")
+    changed = ~F.expr(" AND ".join(
+        f"({c} <=> __u_{c})" for c in tracked_cols))
+    has_dim = key_cols and current[key_cols[0]].isNotNull()
+    has_upd = F.col(f"__u_{key_cols[0]}").isNotNull()
+    # current rows: untouched (no update or identical), or closed
+    kept = (joined.filter(has_dim & (~has_upd | ~changed))
+            .select(*[current[c] for c in dim.columns]))
+    closed = (
+        joined.filter(has_dim & has_upd & changed)
+        .select(*[current[c] for c in dim.columns
+                  if c not in (valid_to, current_col)],
+                F.col("__u_ts").alias(valid_to),
+                F.lit(False).alias(current_col))
+        .select(*dim.columns)
+    )
+    inserted = (
+        joined.filter(has_upd & (~has_dim | changed))
+        .select(
+            *[F.col(f"__u_{c}").alias(c) for c in key_cols],
+            *[F.col(f"__u_{c}").alias(c) for c in tracked_cols],
+            F.col("__u_ts").alias(valid_from),
+            F.lit(None).cast(dim.schema[valid_to].dataType)
+            .alias(valid_to),
+            F.lit(True).alias(current_col),
+        )
+        .select(*dim.columns)
+    )
+    return history.unionByName(kept).unionByName(closed) \
+                  .unionByName(inserted)
