@@ -315,6 +315,31 @@ def test_qualify_named_window_refs(spark):
     assert sorted((r["grp"], r["id"]) for r in rows) == [(1, 10), (2, 5)]
 
 
+def test_duckdb_star_replace(spark):
+    # DuckDB `* REPLACE (expr AS col)` → `* EXCEPT (col), expr AS col`
+    # (value-identical; replaced columns append after the star)
+    import yardstick_spark as yp
+
+    ys = yp.connect(spark)
+    spark.sql("CREATE OR REPLACE TEMP VIEW sr_t AS SELECT * FROM VALUES "
+              "(1, 'X', 5.0), (2, 'Y', 7.0) AS t(id, nm, v)")
+    rows = ys.sql(
+        "SELECT * REPLACE (v * 2 AS v) FROM sr_t ORDER BY id").collect()
+    assert [(r["id"], r["nm"], r["v"]) for r in rows] == [
+        (1, "X", 10.0), (2, "Y", 14.0)]
+    # multi-item, qualified star, and the function form left alone
+    rows = ys.sql(
+        "SELECT t.* REPLACE (lower(nm) AS nm, v + 1 AS v) "
+        "FROM sr_t AS t WHERE id = 2").collect()
+    assert (rows[0]["nm"], rows[0]["v"]) == ("y", 8.0)
+    rows = ys.sql("SELECT REPLACE(nm, 'X', 'Z') AS r FROM sr_t "
+                  "ORDER BY id").collect()
+    assert [r["r"] for r in rows] == ["Z", "Y"]
+    # CREATE OR REPLACE statements pass through untouched
+    ys.sql("CREATE OR REPLACE TEMP VIEW sr_v AS SELECT id FROM sr_t")
+    assert spark.table("sr_v").count() == 2
+
+
 def test_duckdb_star_exclude_and_sample(spark):
     import yardstick_spark as yp
 

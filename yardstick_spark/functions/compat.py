@@ -341,6 +341,8 @@ def normalize_statement_to_spark(sql: str) -> str:
         out = rewrite_qualify(out)
     if re.search(r"\bEXCLUDE\b", out, re.IGNORECASE):
         out = rewrite_star_exclude(out)
+    if re.search(r"\bREPLACE\b", out, re.IGNORECASE):
+        out = rewrite_star_replace(out)
     if re.search(r"\bUSING\s+SAMPLE\b", out, re.IGNORECASE):
         out = rewrite_using_sample(out)
     out = _GENSERIES_ALIASED_RE.sub(
@@ -581,6 +583,61 @@ def rewrite_star_exclude(sql: str) -> str:
                 last = i + 7
     out.append(sql[last:])
     return "".join(out)
+
+
+def rewrite_star_replace(sql: str) -> str:
+    """DuckDB `* REPLACE (expr AS col, ...)` → Spark
+    `* EXCEPT (col, ...), expr AS col, ...`.
+
+    Spark has no REPLACE, but excluding the replaced column from the
+    star and re-projecting the expression under the same alias is
+    value-identical.  The one observable difference is COLUMN ORDER:
+    DuckDB keeps the replaced column in its original star position,
+    this rewrite appends it after the star — positional consumers of
+    `SELECT *` output should name their columns (documented in
+    LIMITATIONS.md §11).  Only REPLACE directly following a star
+    (plain or qualified `t.*`) is touched."""
+    from ..sqlutil import is_word_boundary, iter_code, prev_nonspace
+
+    while True:
+        upper = sql.upper()
+        hit = None
+        for i, c, depth in iter_code(sql):
+            if (
+                c in "Rr"
+                and upper.startswith("REPLACE", i)
+                and is_word_boundary(sql, i, i + 7)
+            ):
+                p = prev_nonspace(sql, i)
+                if p >= 0 and sql[p] == "*":
+                    j = i + 7
+                    while j < len(sql) and sql[j].isspace():
+                        j += 1
+                    if j < len(sql) and sql[j] == "(":
+                        hit = (i, j)
+                        break
+        if hit is None:
+            return sql
+        i, open_pos = hit
+        close = find_matching_paren(sql, open_pos)
+        if close is None:
+            return sql
+        inner = sql[open_pos + 1:close]
+        items = split_top_level(inner, ",")
+        names, exprs = [], []
+        for item in items:
+            m = re.match(r"(?s)^\s*(.*?)\s+AS\s+([A-Za-z_][A-Za-z_0-9]*"
+                         r'|"[^"]+")\s*$', item, re.IGNORECASE)
+            if not m:
+                # malformed REPLACE item: leave the statement untouched
+                # (Spark will surface its own parse error)
+                return sql
+            exprs.append(m.group(1).strip())
+            names.append(m.group(2))
+        except_list = ", ".join(names)
+        repro = ", ".join(f"{e} AS {n}" for e, n in zip(exprs, names))
+        sql = (sql[:i] + f"EXCEPT ({except_list}), {repro}"
+               + sql[close + 1:])
 
 
 def rewrite_using_sample(sql: str) -> str:
