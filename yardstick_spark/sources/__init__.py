@@ -21,4 +21,6 @@ from .write import (  # noqa: F401
     write_bucketed,
     write_partitioned,
     write_sorted,
+    write_zordered,
+    zorder_key_expr,
 )
