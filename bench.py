@@ -143,11 +143,11 @@ def main() -> None:
     # codegen stalls — the min measures the plan's cost, which is what
     # survives a scale-up, not the GC lottery.
     HEAVY_WARMS = {  # shingle-join family: C2 needs ~3 reps (9.9 ->
-        "dedup_ngram_jaccard": 3,  # 4.2 -> 3.5 -> 2.9 s measured)
-        "dedup_minhash_lsh": 3,
-        "dedup_clusters": 3,
-        "dedup_embedding": 2,
-    }
+        "dedup_ngram_jaccard": 5,  # 4.2 -> 3.5 -> 2.9 s measured); the
+        "dedup_minhash_lsh": 3,    # ngram series is also the noisiest
+        "dedup_clusters": 3,       # (2.8-7.6 s rep spread from GC +
+        "dedup_embedding": 2,      # interpreted-HOF pressure), so it
+    }                              # gets 7 min-samples, not 5
     # The warm reps are TIMED too (free samples): min over warms+timed
     # reps.  A 100-query run drifts — heap fragmentation and worker
     # churn can inflate a query 2-4× depending on its position in the
