@@ -656,3 +656,28 @@ def test_vocab_coverage_curve(spark):
     assert 0 < fracs[-1] <= 1.0
     tfs = [r["tf"] for r in rows]
     assert tfs == sorted(tfs, reverse=True)
+
+
+def test_mining_null_vector_safety(spark):
+    from pyspark.sql import functions as F
+
+    from yardstick_spark.llm import hard_negatives, label_medoids, \
+        label_prototypes
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet")
+    # inject a NULL vector, an empty vector, and a zero vector
+    broken = spark.createDataFrame(
+        [(90001, None, 0), (90002, [], 1), (90003, [0.0] * 64, 2)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>, label LONG")
+    mixed = emb.withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    ).unionByName(broken)
+    hn = hard_negatives(mixed, mixed.filter("vec_id < 3"), k=5).collect()
+    assert all(r["sim"] is not None for r in hn)
+    assert not any(r["negative_id"] in (90001, 90002, 90003) for r in hn)
+    # prototypes: NULL/empty rows contribute nothing; zero row counts
+    pr = {r["label"]: r for r in label_prototypes(mixed).collect()}
+    assert all(len(r["centroid"]) == 64 for r in pr.values())
+    md = label_medoids(mixed).collect()
+    assert all(r["sim"] is not None for r in md)

@@ -60,7 +60,7 @@ def hard_negatives(corpus: DataFrame, anchors: DataFrame, k: int = 5,
         F.expr(_as_double(vec_col)).alias("cv"),
     ).withColumn("cn", F.expr(nrm.format(v="cv")))
     dot = "aggregate(zip_with(av, cv, (x, y) -> x * y), 0D, (s, v) -> s + v)"
-    sim = F.expr(f"({dot} / (an * cn))")
+    sim = F.expr(f"({dot} / nullif(an * cn, 0D))")
     if round_to is not None:
         sim = F.round(sim, round_to)
     scored = (
@@ -71,6 +71,9 @@ def hard_negatives(corpus: DataFrame, anchors: DataFrame, k: int = 5,
     )
     if max_sim is not None:
         scored = scored.filter(F.col("sim") <= max_sim)
+    # NULL sims (NULL / zero-norm / length-mismatched vectors) must not
+    # occupy ranks: desc ordering puts NULL last but still numbers it
+    scored = scored.filter(F.col("sim").isNotNull())
     w = Window.partitionBy("anchor_id").orderBy(
         F.col("sim").desc(), F.col("negative_id")
     )
@@ -133,11 +136,12 @@ def label_medoids(vecs: DataFrame, id_col: str = "vec_id",
     c = cents.select("label", F.col("centroid").alias("cv")).withColumn(
         "cn", F.expr(nrm.format(v="cv")))
     dot = "aggregate(zip_with(vv, cv, (x, y) -> x * y), 0D, (s, v) -> s + v)"
-    sim = F.expr(f"({dot} / (vn * cn))")
+    sim = F.expr(f"({dot} / nullif(vn * cn, 0D))")
     if round_to is not None:
         sim = F.round(sim, round_to)
     scored = v.join(F.broadcast(c), "label").select(
-        "label", "medoid_id", sim.alias("sim"))
+        "label", "medoid_id", sim.alias("sim")) \
+        .filter(F.col("sim").isNotNull())
     w = Window.partitionBy("label").orderBy(
         F.col("sim").desc(), F.col("medoid_id"))
     return (

@@ -147,7 +147,7 @@ def brute_force_knn(corpus: DataFrame, queries: DataFrame, k: int = 10,
         F.expr(_as_double(vec_col)).alias("cv"),
     ).withColumn("cn", F.expr(nrm.format(v="cv")))
     dot = "aggregate(zip_with(qv, cv, (x, y) -> x * y), 0D, (s, v) -> s + v)"
-    sim = F.expr(f"({dot} / (qn * cn))")
+    sim = F.expr(f"({dot} / nullif(qn * cn, 0D))")
     if round_to is not None:
         sim = F.round(sim, round_to)
     scored = (
