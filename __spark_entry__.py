@@ -1068,6 +1068,34 @@ def _q_ops_scd2(spark, sf_dir):
                       "ts")
 
 
+def _q_ops_scd2_lookup(spark, sf_dir):
+    # point-in-time dimension lookup: each order reads the customer
+    # segment valid AT ITS ORDER DATE (no future-attribute leakage)
+    from yardstick_spark.operators import scd2_lookup
+
+    _ys(spark, sf_dir)
+    c = spark.table("customer")
+    dim = (
+        c.filter("c_custkey % 3 = 0").selectExpr(
+            "c_custkey AS k", "c_mktsegment AS seg",
+            "'1990-01-01' AS valid_from", "'1997-01-01' AS valid_to",
+            "FALSE AS is_current")
+        .unionAll(c.filter("c_custkey % 3 = 0").selectExpr(
+            "c_custkey AS k", "'MOVED' AS seg",
+            "'1997-01-01' AS valid_from", "CAST(NULL AS STRING) AS valid_to",
+            "TRUE AS is_current"))
+        .unionAll(c.filter("c_custkey % 3 <> 0").selectExpr(
+            "c_custkey AS k", "c_mktsegment AS seg",
+            "'1990-01-01' AS valid_from", "CAST(NULL AS STRING) AS valid_to",
+            "TRUE AS is_current"))
+    )
+    facts = spark.table("orders").selectExpr(
+        "o_orderkey", "o_custkey AS k",
+        "CAST(CAST(o_orderdate AS DATE) AS STRING) AS od")
+    return scd2_lookup(facts, dim, ["k"], "od").select(
+        "o_orderkey", "k", "od", "seg")
+
+
 def _q_text_vocab_coverage(spark, sf_dir):
     # tokenizer-vocab sizing: top-100 terms and the token-coverage curve
     from yardstick_spark.llm import vocab_coverage
@@ -1450,6 +1478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_ngrams": _q_text_ngrams,
         "ops_cdc_compact": _q_ops_cdc_compact,
         "ops_scd2": _q_ops_scd2,
+        "ops_scd2_lookup": _q_ops_scd2_lookup,
     }
     out: dict[str, Callable] = {
         "sim_knn_lsh": _q_knn_lsh,
@@ -1518,7 +1547,7 @@ _R5_NEW: list[str] = [
     "ops_profile", "ops_histogram", "emb_hard_negatives",
     "emb_prototypes", "emb_medoids", "emb_quantize",
     "sim_knn_quantized", "events_paths", "text_vocab_coverage",
-    "text_ngrams", "ops_cdc_compact", "ops_scd2",
+    "text_ngrams", "ops_cdc_compact", "ops_scd2", "ops_scd2_lookup",
 ]
 
 _R5_STALE_R2 = [
@@ -2884,6 +2913,24 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT uk, unat, useg, ts, CAST(NULL AS VARCHAR), TRUE
           FROM j WHERE uk IS NOT NULL AND (dk IS NULL OR chg)"""
+    o["ops_scd2_lookup"] = """
+        WITH dim AS (
+          SELECT c_custkey AS k, c_mktsegment AS seg,
+                 '1990-01-01' AS vf, '1997-01-01' AS vt
+          FROM customer WHERE c_custkey % 3 = 0
+          UNION ALL
+          SELECT c_custkey, 'MOVED', '1997-01-01', NULL
+          FROM customer WHERE c_custkey % 3 = 0
+          UNION ALL
+          SELECT c_custkey, c_mktsegment, '1990-01-01', NULL
+          FROM customer WHERE c_custkey % 3 <> 0),
+        f AS (SELECT o_orderkey, o_custkey AS k,
+                     CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS od
+              FROM orders)
+        SELECT f.o_orderkey, f.k, f.od, d.seg
+        FROM f LEFT JOIN dim d
+          ON d.k = f.k AND f.od >= d.vf
+             AND (d.vt IS NULL OR f.od < d.vt)"""
     o["text_vocab_coverage"] = f"""
         WITH norm AS (SELECT {_NORM_DOC} AS t FROM documents),
         w AS (SELECT unnest(list_filter(string_split(t, ' '),

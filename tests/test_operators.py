@@ -645,3 +645,31 @@ def test_scd2_merge_invariants(spark):
                        ["k"], ["city"], "ts")
     cur2 = {(r.k, r.city) for r in fixed.collect() if r.is_current}
     assert (1, "BOS") in cur2
+
+
+def test_scd2_lookup_point_in_time(spark):
+    from yardstick_spark.operators import scd2_lookup
+
+    dim = spark.createDataFrame(
+        [(1, "LA", "2019-01-01", "2020-01-01", False),
+         (1, "NY", "2020-01-01", None, True),
+         (2, "SF", "2020-01-01", None, True)],
+        "k INT, city STRING, valid_from STRING, valid_to STRING, "
+        "is_current BOOLEAN")
+    facts = spark.createDataFrame(
+        [(100, 1, "2019-06-01"), (101, 1, "2021-01-01"),
+         (102, 2, "2019-01-01"),   # before any version
+         (103, 3, "2021-01-01")],  # unknown key
+        "fid INT, k INT, ts STRING")
+    left = {r["fid"]: r["city"]
+            for r in scd2_lookup(facts, dim, ["k"], "ts").collect()}
+    # each fact sees the version valid at ITS OWN ts, never the
+    # current one (fid 100 must read LA, not NY)
+    assert left == {100: "LA", 101: "NY", 102: None, 103: None}
+    inner = {r["fid"]: r["city"] for r in
+             scd2_lookup(facts, dim, ["k"], "ts", how="inner").collect()}
+    assert inner == {100: "LA", 101: "NY"}
+    # boundary semantics: valid_from inclusive, valid_to exclusive
+    edge = spark.createDataFrame(
+        [(200, 1, "2020-01-01")], "fid INT, k INT, ts STRING")
+    assert scd2_lookup(edge, dim, ["k"], "ts").collect()[0]["city"] == "NY"

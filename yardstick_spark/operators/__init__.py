@@ -15,7 +15,7 @@ from .profile import (  # noqa: F401
     profile_table_approx,
 )
 from .range_join import range_join  # noqa: F401
-from .scd import cdc_compact, scd2_merge  # noqa: F401
+from .scd import cdc_compact, scd2_lookup, scd2_merge  # noqa: F401
 from .rollup_hier import (  # noqa: F401
     rollup_coarser,
     rollup_events,

@@ -116,3 +116,35 @@ def scd2_merge(dim: DataFrame, updates: DataFrame, key_cols: list[str],
     )
     return history.unionByName(kept).unionByName(closed) \
                   .unionByName(inserted)
+
+
+def scd2_lookup(facts: DataFrame, dim: DataFrame, key_cols: list[str],
+                fact_ts_col: str, valid_from: str = "valid_from",
+                valid_to: str = "valid_to",
+                how: str = "left") -> DataFrame:
+    """Point-in-time join: each fact row picks the dimension version
+    that was valid AT ITS OWN timestamp (`valid_from <= ts < valid_to`,
+    open-ended current rows match everything after their start) — the
+    feature-generation join that avoids label leakage, where joining
+    the current dimension would leak future attribute values into
+    historical training rows.
+
+    Key-uniform equi-join with the interval predicate as a residual
+    filter: versions per key are few (SCD depth), so the residual
+    costs O(versions) per fact, never a range-join blowup.  `how` is
+    'left' (facts with no valid version keep NULL attributes) or
+    'inner'."""
+    cond = [facts[c] == dim[c] for c in key_cols]
+    interval = (
+        (facts[fact_ts_col] >= dim[valid_from])
+        & (dim[valid_to].isNull() | (facts[fact_ts_col] < dim[valid_to]))
+    )
+    if how not in ("left", "inner"):
+        raise ValueError("scd2_lookup: how must be 'left' or 'inner'")
+    dim_attrs = [c for c in dim.columns if c not in key_cols]
+    # the interval predicate rides the join condition: as a post-filter
+    # it would drop unmatched fact rows from the LEFT form
+    return facts.join(dim, [*cond, interval], how).select(
+        *[facts[c] for c in facts.columns],
+        *[dim[c] for c in dim_attrs],
+    )
