@@ -330,3 +330,20 @@ def test_mining_and_quantized_plans(spark):
     md = label_medoids(emb)
     assert has_broadcast_join(md)
     assert has_partial_topk(md)
+
+
+def test_scd2_lookup_is_equi_join(spark):
+    # the interval predicate must ride as a RESIDUAL on a key equi-join
+    # (hash/sort-merge); a nested-loop plan would be O(facts x versions)
+    from yardstick_spark.operators import scd2_lookup
+    from yardstick_spark.plans import explain_str
+
+    dim = spark.createDataFrame(
+        [(1, "NY", "2020-01-01", None, True)],
+        "k INT, city STRING, valid_from STRING, valid_to STRING, "
+        "is_current BOOLEAN")
+    facts = spark.range(1000).selectExpr(
+        "id AS fid", "CAST(id % 10 AS INT) AS k", "'2021-01-01' AS ts")
+    plan = explain_str(scd2_lookup(facts, dim, ["k"], "ts"))
+    assert "NestedLoop" not in plan, plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
