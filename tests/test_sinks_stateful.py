@@ -300,3 +300,57 @@ def test_zordered_layout_tightens_file_stats(spark, tmp_path):
     # and the data survives the round trip
     assert (spark.read.parquet(zp).count()
             == spark.read.parquet(lp).count() == li.count())
+
+
+def test_scd2_ingest_stream_equals_batch(spark, tmp_path):
+    # streaming SCD2 maintenance must land on the same dimension state
+    # as applying the batches sequentially with the batch operator
+    from yardstick_spark.operators import cdc_compact, scd2_merge
+    from yardstick_spark.streaming import (
+        load_scd2_dim, save_scd2_dim, start_scd2_ingest,
+    )
+
+    dim0 = spark.createDataFrame(
+        [(1, "NY", "2020-01-01", None, True),
+         (2, "SF", "2020-01-01", None, True)],
+        "k LONG, city STRING, valid_from STRING, valid_to STRING, "
+        "is_current BOOLEAN")
+    dim_path = str(tmp_path / "dim")
+    save_scd2_dim(dim0, dim_path)
+
+    # two micro-batches arrive as two parquet files
+    inc = str(tmp_path / "inc")
+    b1 = spark.createDataFrame(
+        [(1, "CHI", "2021-01-01"), (3, "DC", "2021-01-01")],
+        "k LONG, city STRING, ts STRING")
+    b2 = spark.createDataFrame(
+        [(1, "BOS", "2022-01-01"), (1, "BOS", "2021-12-01"),  # dup key
+         (2, "SF", "2022-01-01")],                            # no-op
+        "k LONG, city STRING, ts STRING")
+    b1.coalesce(1).write.parquet(f"{inc}/f1")
+    schema = spark.read.parquet(f"{inc}/f1").schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(f"{inc}/f*"))
+    b2.coalesce(1).write.parquet(f"{inc}/f2")
+    q = start_scd2_ingest(
+        stream, spark, dim_path, ["k"], ["city"], "ts",
+        checkpointLocation=str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        (r.k, r.city, r.valid_from, r.valid_to, r.is_current)
+        for r in load_scd2_dim(spark, dim_path).collect())
+    # batch twin applied in the same (file) order
+    expect_dim = dim0
+    for b in (b1, b2):
+        expect_dim = scd2_merge(expect_dim, cdc_compact(b, ["k"], "ts"),
+                                ["k"], ["city"], "ts")
+    expect = sorted(
+        (r.k, r.city, r.valid_from, r.valid_to, r.is_current)
+        for r in expect_dim.collect())
+    assert got == expect
+    # the final state: 1 went NY -> CHI -> BOS with contiguous history
+    k1 = [(r[1], r[2], r[3]) for r in got if r[0] == 1]
+    assert ("BOS", "2022-01-01", None) in k1
+    assert ("CHI", "2021-01-01", "2022-01-01") in k1
+    assert ("NY", "2020-01-01", "2021-01-01") in k1

@@ -3,8 +3,11 @@ reference has no streaming surface, SURVEY.md §2.7)."""
 
 from .ingest import (  # noqa: F401
     dedup_ingest_stream,
+    load_scd2_dim,
+    save_scd2_dim,
     semantic_ingest_stream,
     start_dedup_ingest,
+    start_scd2_ingest,
 )
 from .joins import (  # noqa: F401
     attribution_batch,

@@ -167,3 +167,54 @@ def semantic_ingest_stream(new_vecs: DataFrame, spark, index_path: str,
         new_vecs, spark, index_path, threshold=threshold,
         id_col=id_col, vec_col=vec_col, n_probe=n_probe,
     )
+
+
+def start_scd2_ingest(updates, spark, dim_path: str,
+                      key_cols: list[str], tracked_cols: list[str],
+                      ts_col: str, **stream_opts):
+    """Streaming Type-2 SCD maintenance: each micro-batch of dimension
+    updates is compacted (latest row per key) and merged into a
+    versioned dimension snapshot via the tested batch operators
+    (`operators.scd.cdc_compact` + `scd2_merge`).
+
+    Snapshots are written to `{dim_path}/batch=<epoch_id>` — a NEW
+    directory per batch, because overwriting the directory a job is
+    concurrently reading is not atomic on a plain filesystem; readers
+    use `load_scd2_dim` to pick the newest snapshot.  Each snapshot is
+    the FULL dimension: correct and simple, but at warehouse scale the
+    per-batch rewrite cost is O(|dim|) — a production deployment
+    points this at a MERGE-capable table format (Delta/Iceberg), where
+    the identical merge plan rewrites only matched files.  Returns the
+    started StreamingQuery."""
+    from ..operators.scd import cdc_compact, scd2_merge
+
+    def _process(batch_df, batch_id: int) -> None:
+        dim = load_scd2_dim(spark, dim_path)
+        merged = scd2_merge(
+            dim, cdc_compact(batch_df, key_cols, ts_col),
+            key_cols, tracked_cols, ts_col)
+        merged.write.mode("overwrite").parquet(
+            f"{dim_path}/batch={batch_id}")
+
+    return (updates.writeStream.foreachBatch(_process)
+            .options(**stream_opts).start())
+
+
+def save_scd2_dim(dim, dim_path: str, batch_id: int = -1) -> None:
+    """Seed (or manually checkpoint) a dimension snapshot in the
+    layout `start_scd2_ingest` maintains — call once with the initial
+    dimension before starting the stream (epoch ids begin at 0, so the
+    seed lands at batch=-1)."""
+    dim.write.mode("overwrite").parquet(f"{dim_path}/batch={batch_id}")
+
+
+def load_scd2_dim(spark, dim_path: str):
+    """Newest dimension snapshot under `dim_path` (see
+    `start_scd2_ingest`); the `batch=<id>`-partitioned layout makes
+    'newest' one numeric max over directory names."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.option("basePath", dim_path).parquet(
+        f"{dim_path}/batch=*")
+    latest = df.agg(F.max("batch")).collect()[0][0]
+    return df.filter(F.col("batch") == latest).drop("batch")
