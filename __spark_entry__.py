@@ -1096,6 +1096,17 @@ def _q_ops_scd2_lookup(spark, sf_dir):
         "o_orderkey", "k", "od", "seg")
 
 
+def _q_pipeline_embeddings(spark, sf_dir):
+    # embedding-side curation composed end to end: norm-window filter
+    # -> SemDeDup keep-one -> int8 quantization on the survivors
+    from yardstick_spark.llm import prepare_embedding_corpus
+
+    _ys(spark, sf_dir)
+    return prepare_embedding_corpus(
+        spark.table("embeddings"), norm_lo=0.9, norm_hi=1.1,
+        threshold=0.3, n_lists=8)
+
+
 def _q_text_vocab_coverage(spark, sf_dir):
     # tokenizer-vocab sizing: top-100 terms and the token-coverage curve
     from yardstick_spark.llm import vocab_coverage
@@ -1479,6 +1490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ops_cdc_compact": _q_ops_cdc_compact,
         "ops_scd2": _q_ops_scd2,
         "ops_scd2_lookup": _q_ops_scd2_lookup,
+        "pipeline_embeddings": _q_pipeline_embeddings,
     }
     out: dict[str, Callable] = {
         "sim_knn_lsh": _q_knn_lsh,
@@ -1548,6 +1560,7 @@ _R5_NEW: list[str] = [
     "emb_prototypes", "emb_medoids", "emb_quantize",
     "sim_knn_quantized", "events_paths", "text_vocab_coverage",
     "text_ngrams", "ops_cdc_compact", "ops_scd2", "ops_scd2_lookup",
+    "pipeline_embeddings",
 ]
 
 _R5_STALE_R2 = [
@@ -2913,6 +2926,51 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT uk, unat, useg, ts, CAST(NULL AS VARCHAR), TRUE
           FROM j WHERE uk IS NOT NULL AND (dk IS NULL OR chg)"""
+    o["pipeline_embeddings"] = """
+        WITH v0 AS (SELECT vec_id, label,
+                           CAST(embedding AS DOUBLE[]) AS e
+                    FROM embeddings),
+        v AS (SELECT vec_id, label, e,
+                sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+              FROM v0),
+        ok AS (SELECT * FROM v WHERE nrm >= 0.9 AND nrm <= 1.1),
+        b AS (SELECT vec_id, e,
+                CAST(CONCAT('0x', SUBSTRING(md5(CAST(vec_id AS VARCHAR)),
+                     1, 15)) AS BIGINT) % 8 AS hcell
+              FROM ok),
+        s AS (SELECT hcell, MIN(vec_id) AS seed_id FROM b GROUP BY hcell),
+        cents AS (SELECT s.hcell AS cell, b2.e AS c FROM s
+                  JOIN b b2 ON b2.vec_id = s.seed_id),
+        asg AS (SELECT vec_id, e, cell FROM (
+            SELECT b.vec_id, b.e, cents.cell,
+              row_number() OVER (PARTITION BY b.vec_id ORDER BY
+                list_sum(list_transform(list_zip(b.e, cents.c),
+                  x -> (x[1] - x[2]) * (x[1] - x[2]))), cents.cell) AS rn
+            FROM b CROSS JOIN cents) WHERE rn = 1),
+        drops AS (SELECT DISTINCT b2.vec_id AS id_b
+          FROM asg a JOIN asg b2
+            ON a.cell = b2.cell AND a.vec_id < b2.vec_id
+          WHERE ROUND(list_sum(list_transform(list_zip(a.e, b2.e),
+                    x -> x[1] * x[2]))
+              / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
+                 * sqrt(list_sum(list_transform(b2.e, x -> x * x)))), 4)
+                >= 0.3),
+        kept AS (SELECT * FROM ok
+                 WHERE vec_id NOT IN (SELECT id_b FROM drops)),
+        p AS (SELECT CAST(unnest(range(0, 64)) AS INT) AS pos),
+        params AS (SELECT pos, MIN(e[pos + 1]) AS mn, MAX(e[pos + 1]) AS mx
+                   FROM kept CROSS JOIN p GROUP BY pos),
+        codes AS (SELECT vec_id,
+            CASE WHEN mx = mn THEN 0 ELSE
+              CAST(GREATEST(-128, LEAST(127,
+                FLOOR((e[pos + 1] - mn) / (mx - mn) * 255 + 0.5) - 128))
+                AS INT) END AS q
+          FROM kept CROSS JOIN params)
+        SELECT k.vec_id, k.label, ROUND(k.nrm, 6) AS norm,
+               CAST(SUM(c.q) AS INT) AS q_sum,
+               MIN(c.q) AS q_min, MAX(c.q) AS q_max
+        FROM kept k JOIN codes c ON c.vec_id = k.vec_id
+        GROUP BY k.vec_id, k.label, k.nrm"""
     o["ops_scd2_lookup"] = """
         WITH dim AS (
           SELECT c_custkey AS k, c_mktsegment AS seg,

@@ -681,3 +681,31 @@ def test_mining_null_vector_safety(spark):
     assert all(len(r["centroid"]) == 64 for r in pr.values())
     md = label_medoids(mixed).collect()
     assert all(r["sim"] is not None for r in md)
+
+
+def test_prepare_embedding_corpus_stages(spark):
+    from pyspark.sql import functions as F
+
+    from yardstick_spark.llm import (prepare_embedding_corpus,
+                                     semantic_dedup_verdicts)
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.01/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>"))
+    # inject hygiene failures: zero vector and an unnormalized one
+    bad = spark.createDataFrame(
+        [(90001, [0.0] * 64, 0), (90002, [5.0] * 64, 1)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>, label LONG")
+    out = prepare_embedding_corpus(
+        emb.unionByName(bad), norm_lo=0.9, norm_hi=1.1,
+        threshold=0.3, n_lists=8)
+    ids = {r["vec_id"] for r in out.collect()}
+    assert 90001 not in ids and 90002 not in ids  # norm filter works
+    # survivors = exactly the non-duplicate verdicts of the clean set
+    keep = {r["vec_id"] for r in
+            semantic_dedup_verdicts(emb, threshold=0.3, n_lists=8)
+            .filter("NOT is_duplicate").collect()}
+    assert ids == keep
+    rows = out.collect()
+    assert all(0.9 <= r["norm"] <= 1.1 for r in rows)
+    assert all(-128 <= r["q_min"] <= r["q_max"] <= 127 for r in rows)

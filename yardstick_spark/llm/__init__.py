@@ -76,6 +76,7 @@ from .pipeline import (  # noqa: F401
     curate_corpus,
     curate_corpus_full,
     curation_report,
+    prepare_embedding_corpus,
 )
 from .text import (  # noqa: F401
     chunk_documents,

@@ -114,3 +114,49 @@ def curate_corpus_full(docs: DataFrame, rates: dict[str, float],
     if splits:
         kept = split_corpus(kept, splits, id_col)
     return kept
+
+
+def prepare_embedding_corpus(vecs: DataFrame, id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             label_col: str | None = "label",
+                             norm_lo: float = 0.5, norm_hi: float = 2.0,
+                             threshold: float = 0.4, n_lists: int = 8,
+                             ) -> DataFrame:
+    """Embedding-side curation, composed end to end: norm-window
+    hygiene filter (drops zero/garbage/unnormalized vectors) →
+    SemDeDup keep-one semantic dedup (min-id representative per
+    near-dup pair) → int8 scalar quantization against the SURVIVORS'
+    scale (outliers removed before they stretch the quantization
+    range — the reason the stages compose in this order).
+
+    Returns one row per surviving vector: (id, [label], norm r6,
+    q_sum, q_min, q_max) — the quantized-index build manifest.
+
+    Scale profile inherited from the parts: the norm filter is
+    scan-side; SemDeDup shuffles each vector once to its cell; the
+    quantizer adds one dim-cardinality aggregation and a scan-side
+    transform.  The whole chain is SQL-expressible for the oracle."""
+    from .quantize import quantization_params, quantize_embeddings
+    from .similarity import semantic_dedup_pairs
+
+    norm = (f"sqrt(aggregate(transform({vec_col}, "
+            f"x -> CAST(x AS DOUBLE)), 0D, (s, v) -> s + v * v))")
+    ok = vecs.withColumn("__norm", F.expr(norm)).filter(
+        (F.col("__norm") >= norm_lo) & (F.col("__norm") <= norm_hi))
+    drops = (semantic_dedup_pairs(ok, id_col, vec_col,
+                                  threshold, n_lists)
+             .select(F.col("id_b").alias("__drop_id")).distinct())
+    kept = ok.join(drops, F.col(id_col) == F.col("__drop_id"),
+                   "left_anti")
+    params = quantization_params(kept, vec_col=vec_col)
+    keep_cols = ("__norm",) + ((label_col,) if label_col else ())
+    qv = quantize_embeddings(kept, id_col=id_col, vec_col=vec_col,
+                             params=params, keep_cols=keep_cols)
+    return qv.select(
+        F.col(id_col),
+        *([F.col(label_col)] if label_col else []),
+        F.round("__norm", 6).alias("norm"),
+        F.expr("aggregate(qvec, 0, (s, v) -> s + v)").alias("q_sum"),
+        F.expr("array_min(qvec)").alias("q_min"),
+        F.expr("array_max(qvec)").alias("q_max"),
+    )
