@@ -709,3 +709,26 @@ def test_prepare_embedding_corpus_stages(spark):
     rows = out.collect()
     assert all(0.9 <= r["norm"] <= 1.1 for r in rows)
     assert all(-128 <= r["q_min"] <= r["q_max"] <= 127 for r in rows)
+
+
+def test_profile_numeric_approx_rank_error(spark):
+    from yardstick_spark.operators import profile_numeric_approx
+
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    got = {(r["column_name"], r["quantile"]): r["value"] for r in
+           profile_numeric_approx(
+               li, ["l_extendedprice", "l_quantity"]).collect()}
+    vals = sorted(r["l_extendedprice"]
+                  for r in li.select("l_extendedprice").collect())
+    n = len(vals)
+    for q in (0.5, 0.95, 0.99):
+        est = got[("l_extendedprice", q)]
+        # rank error <= 1/accuracy (plus discreteness slack)
+        import bisect
+        rank = bisect.bisect_left(vals, est)
+        assert abs(rank - q * n) <= n / 10000 + 2, (q, rank, q * n)
+    # one aggregation regardless of column/quantile count
+    plan = profile_numeric_approx(li, ["l_extendedprice", "l_quantity"]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ObjectHashAggregate") <= 2 \
+        or plan.count("HashAggregate") <= 2, plan

@@ -11,6 +11,7 @@ from .funnel import (  # noqa: F401
 )
 from .profile import (  # noqa: F401
     numeric_histogram,
+    profile_numeric_approx,
     profile_table,
     profile_table_approx,
 )

@@ -124,3 +124,33 @@ def profile_table_approx(df: DataFrame, columns: list[str] | None = None,
     stack = (f"stack({5 * len(cols)}, " + ", ".join(pieces)
              + ") AS (column_name, metric, value)")
     return base.select(F.expr(stack))
+
+
+def profile_numeric_approx(df: DataFrame, columns: list[str],
+                           quantiles: tuple = (0.5, 0.95, 0.99),
+                           accuracy: int = 10000) -> DataFrame:
+    """Approximate quantiles for numeric columns in ONE scan:
+    `percentile_approx` (Greenwald-Khanna sketch) is single-pass and
+    MERGEABLE like the HLL sketch in `profile_table_approx`, so every
+    column and every quantile comes out of one aggregation with
+    map-side partial sketches — the 100 TB distribution-profiling
+    path, where exact percentiles would sort each column.
+
+    Returns long-format (column_name, quantile, value) with rank error
+    bounded by 1/accuracy (property-tested).  Non-numeric columns
+    raise at plan time (percentile_approx rejects them)."""
+    qlist = "array(" + ", ".join(repr(float(q)) for q in quantiles) + ")"
+    base = df.agg(
+        *[F.expr(f"percentile_approx({c}, {qlist}, {accuracy})")
+          .alias(f"__q_{c}") for c in columns],
+    )
+    pieces = []
+    for c in columns:
+        for i, q in enumerate(quantiles):
+            pieces.append(
+                f"'{c}', CAST({float(q)!r} AS DOUBLE), "
+                f"CAST(element_at(__q_{c}, {i + 1}) AS DOUBLE)")
+    stack = (f"stack({len(columns) * len(quantiles)}, "
+             + ", ".join(pieces)
+             + ") AS (column_name, quantile, value)")
+    return base.select(F.expr(stack))
