@@ -1096,6 +1096,38 @@ def _q_ops_scd2_lookup(spark, sf_dir):
         "o_orderkey", "k", "od", "seg")
 
 
+def _q_ops_expectations(spark, sf_dir):
+    # Deequ-style declarative quality gate: every row-level rule rides
+    # ONE single-scan aggregation per table; unique adds its one key
+    # shuffle; ref-integrity one key join (operators/quality.py)
+    from yardstick_spark.operators import (
+        check_expectations, in_range, in_set, matches, not_null,
+        ref_integrity, satisfies, unique)
+
+    _ys(spark, sf_dir)
+    li, orders = spark.table("lineitem"), spark.table("orders")
+    li_rules = [
+        not_null("l_orderkey"),
+        in_range("l_quantity", 1, 50),
+        in_set("l_returnflag", ["A", "N", "R"]),
+        satisfies("discount_is_fractional",
+                  "l_discount >= 0 AND l_discount < 1"),
+        matches("l_linestatus", "^[FO]$"),
+        ref_integrity("l_orderkey", orders, "o_orderkey",
+                      ref_name="orders"),
+    ]
+    o_rules = [
+        unique(["o_orderkey"]),
+        in_range("o_totalprice", 0, 1000000),
+        in_set("o_orderstatus", ["F", "O", "P"]),
+        matches("o_orderpriority", "^[1-5]-"),
+    ]
+    return (check_expectations(li, li_rules, prefix="lineitem.")
+            .unionByName(
+                check_expectations(orders, o_rules, prefix="orders."))
+            .orderBy("rule"))
+
+
 def _q_pipeline_embeddings(spark, sf_dir):
     # embedding-side curation composed end to end: norm-window filter
     # -> SemDeDup keep-one -> int8 quantization on the survivors
@@ -1491,6 +1523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ops_scd2": _q_ops_scd2,
         "ops_scd2_lookup": _q_ops_scd2_lookup,
         "pipeline_embeddings": _q_pipeline_embeddings,
+        "ops_expectations": _q_ops_expectations,
     }
     out: dict[str, Callable] = {
         "sim_knn_lsh": _q_knn_lsh,
@@ -1560,7 +1593,7 @@ _R5_NEW: list[str] = [
     "emb_prototypes", "emb_medoids", "emb_quantize",
     "sim_knn_quantized", "events_paths", "text_vocab_coverage",
     "text_ngrams", "ops_cdc_compact", "ops_scd2", "ops_scd2_lookup",
-    "pipeline_embeddings",
+    "pipeline_embeddings", "ops_expectations",
 ]
 
 _R5_STALE_R2 = [
@@ -2989,6 +3022,71 @@ def oracle_sql() -> dict[str, str]:
         FROM f LEFT JOIN dim d
           ON d.k = f.k AND f.od >= d.vf
              AND (d.vt IS NULL OR f.od < d.vt)"""
+    o["ops_expectations"] = """
+        WITH li AS (
+          SELECT COUNT(*) AS total,
+            CAST(SUM(CASE WHEN l_orderkey IS NOT NULL THEN 0 ELSE 1 END)
+                 AS BIGINT) AS f_notnull,
+            CAST(SUM(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1
+                 END) AS BIGINT) AS f_range,
+            CAST(SUM(CASE WHEN l_returnflag IN ('A','N','R') THEN 0
+                 ELSE 1 END) AS BIGINT) AS f_set,
+            CAST(SUM(CASE WHEN l_discount >= 0 AND l_discount < 1
+                 THEN 0 ELSE 1 END) AS BIGINT) AS f_disc,
+            CAST(SUM(CASE WHEN regexp_matches(CAST(l_linestatus AS
+                 VARCHAR), '^[FO]$') THEN 0 ELSE 1 END) AS BIGINT)
+                 AS f_status
+          FROM lineitem),
+        od AS (
+          SELECT COUNT(*) AS total,
+            CAST(SUM(CASE WHEN o_totalprice BETWEEN 0 AND 1000000 THEN 0
+                 ELSE 1 END) AS BIGINT) AS f_price,
+            CAST(SUM(CASE WHEN o_orderstatus IN ('F','O','P') THEN 0
+                 ELSE 1 END) AS BIGINT) AS f_ostatus,
+            CAST(SUM(CASE WHEN regexp_matches(CAST(o_orderpriority AS
+                 VARCHAR), '^[1-5]-') THEN 0 ELSE 1 END) AS BIGINT)
+                 AS f_prio
+          FROM orders),
+        uniq AS (
+          SELECT CAST(SUM(n) AS BIGINT) AS total,
+                 CAST(COALESCE(SUM(CASE WHEN n > 1 THEN n END), 0)
+                      AS BIGINT) AS failed
+          FROM (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey)),
+        refi AS (
+          SELECT COUNT(*) AS total,
+                 CAST(COALESCE(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1
+                      END), 0) AS BIGINT) AS failed
+          FROM (SELECT l_orderkey FROM lineitem
+                WHERE l_orderkey IS NOT NULL) l
+          LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+            ON l.l_orderkey = o.o_orderkey),
+        rows_out AS (
+          SELECT 'lineitem.not_null(l_orderkey)' AS rule, total,
+                 f_notnull AS failed FROM li
+          UNION ALL SELECT 'lineitem.in_range(l_quantity,1,50)', total,
+                 f_range FROM li
+          UNION ALL SELECT 'lineitem.in_set(l_returnflag)', total,
+                 f_set FROM li
+          UNION ALL SELECT
+                 'lineitem.satisfies(discount_is_fractional)',
+                 total, f_disc FROM li
+          UNION ALL SELECT 'lineitem.matches(l_linestatus)', total,
+                 f_status FROM li
+          UNION ALL SELECT
+                 'lineitem.ref_integrity(l_orderkey->orders.o_orderkey)',
+                 total, failed FROM refi
+          UNION ALL SELECT 'orders.unique(o_orderkey)', total, failed
+                 FROM uniq
+          UNION ALL SELECT 'orders.in_range(o_totalprice,0,1000000)',
+                 total, f_price FROM od
+          UNION ALL SELECT 'orders.in_set(o_orderstatus)', total,
+                 f_ostatus FROM od
+          UNION ALL SELECT 'orders.matches(o_orderpriority)', total,
+                 f_prio FROM od)
+        SELECT rule, total, failed,
+               ROUND(1.0 - failed * 1.0 / total, 6) AS pass_fraction,
+               failed = 0 AS ok
+        FROM rows_out ORDER BY rule"""
     o["text_vocab_coverage"] = f"""
         WITH norm AS (SELECT {_NORM_DOC} AS t FROM documents),
         w AS (SELECT unnest(list_filter(string_split(t, ' '),

@@ -673,3 +673,64 @@ def test_scd2_lookup_point_in_time(spark):
     edge = spark.createDataFrame(
         [(200, 1, "2020-01-01")], "fid INT, k INT, ts STRING")
     assert scd2_lookup(edge, dim, ["k"], "ts").collect()[0]["city"] == "NY"
+
+
+def test_check_expectations_counts_and_gate(spark):
+    from yardstick_spark.operators import (
+        check_expectations, in_range, in_set, matches, not_null,
+        ref_integrity, satisfies, unique)
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "A", "x-1"), (2, None, "A", "x-2"),
+         (3, 99.0, "Z", "y-3"), (3, 5.0, "B", "x-4"),
+         (None, 5.0, "B", "x-5")],
+        "k INT, v DOUBLE, flag STRING, code STRING")
+    ref = spark.createDataFrame([(1,), (2,), (3,)], "rk INT")
+    out = check_expectations(df, [
+        not_null("k"),
+        in_range("v", 0, 50),          # NULL v fails, 99 fails -> 2
+        in_set("flag", ["A", "B"]),    # Z fails -> 1
+        matches("code", "^x-"),        # y-3 fails -> 1
+        satisfies("k_positive", "k > 0"),  # NULL k fails -> 1
+        unique(["k"]),                 # two k=3 rows -> 2 failed
+        ref_integrity("k", ref, "rk"),  # all non-null k present -> 0
+    ])
+    got = {r.rule: (r.total, r.failed, r.ok) for r in out.collect()}
+    assert got["not_null(k)"] == (5, 1, False)
+    assert got["in_range(v,0,50)"] == (5, 2, False)
+    assert got["in_set(flag)"] == (5, 1, False)
+    assert got["matches(code)"] == (5, 1, False)
+    assert got["satisfies(k_positive)"] == (5, 1, False)
+    assert got["unique(k)"] == (5, 2, False)
+    assert got["ref_integrity(k->ref.rk)"] == (4, 0, True)
+    # pass_fraction is failed-complement on the rule's own denominator
+    fr = {r.rule: r.pass_fraction for r in out.collect()}
+    assert fr["in_range(v,0,50)"] == 0.6
+    assert fr["ref_integrity(k->ref.rk)"] == 1.0
+    # the batch gate: all row-level rules green on a clean slice
+    clean = df.filter("k IS NOT NULL AND v IS NOT NULL AND v <= 50 "
+                      "AND flag IN ('A','B') AND code LIKE 'x-%'")
+    gate = check_expectations(clean, [
+        not_null("k"), in_range("v", 0, 50), in_set("flag", ["A", "B"]),
+    ])
+    assert gate.filter("NOT ok").isEmpty()
+
+
+def test_check_expectations_single_scan_for_row_rules(spark):
+    # all row-level rules must share ONE aggregation over ONE scan:
+    # the physical plan has exactly one table scan and no join/shuffle
+    # beyond the final single-partition reduce
+    from yardstick_spark.operators import (
+        check_expectations, in_range, not_null, satisfies)
+
+    df = spark.range(1000).selectExpr("id AS k", "id * 2.0 AS v")
+    out = check_expectations(df, [
+        not_null("k"), in_range("v", 0, 5000),
+        satisfies("even", "v % 2 = 0"), in_range("k", 0, 999),
+    ])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Range (") == 1  # exactly one source scan
+    assert "partial_sum" in plan       # map-side combined
+    assert "Join" not in plan
+    # the only exchange is the final 1-row reduce
+    assert plan.count("Exchange") == plan.count("Exchange SinglePartition")

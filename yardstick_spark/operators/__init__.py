@@ -15,6 +15,16 @@ from .profile import (  # noqa: F401
     profile_table,
     profile_table_approx,
 )
+from .quality import (  # noqa: F401
+    check_expectations,
+    in_range,
+    in_set,
+    matches,
+    not_null,
+    ref_integrity,
+    satisfies,
+    unique,
+)
 from .range_join import range_join  # noqa: F401
 from .scd import cdc_compact, scd2_lookup, scd2_merge  # noqa: F401
 from .rollup_hier import (  # noqa: F401
