@@ -1128,6 +1128,22 @@ def _q_ops_expectations(spark, sf_dir):
             .orderBy("rule"))
 
 
+def _q_text_heavy_hitters(spark, sf_dir):
+    # exact top-20 term frequencies WITHOUT the full-vocabulary
+    # shuffle: per-partition Misra-Gries sketches -> certified
+    # candidate set -> exact recount (operators/heavy.py); at 100 TB
+    # the shuffle is O(partitions x capacity), not O(vocab)
+    from pyspark.sql import functions as F
+
+    from yardstick_spark.llm.text import _NORM
+    from yardstick_spark.operators import heavy_hitters
+
+    norm = _NORM.format(c="text")
+    words = _docs(spark, sf_dir).select(F.explode(F.expr(
+        f"filter(split({norm}, ' '), t -> t <> '')")).alias("term"))
+    return heavy_hitters(words, "term", k=20, capacity=4096)
+
+
 def _q_pipeline_embeddings(spark, sf_dir):
     # embedding-side curation composed end to end: norm-window filter
     # -> SemDeDup keep-one -> int8 quantization on the survivors
@@ -1524,6 +1540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ops_scd2_lookup": _q_ops_scd2_lookup,
         "pipeline_embeddings": _q_pipeline_embeddings,
         "ops_expectations": _q_ops_expectations,
+        "text_heavy_hitters": _q_text_heavy_hitters,
     }
     out: dict[str, Callable] = {
         "sim_knn_lsh": _q_knn_lsh,
@@ -1593,7 +1610,7 @@ _R5_NEW: list[str] = [
     "emb_prototypes", "emb_medoids", "emb_quantize",
     "sim_knn_quantized", "events_paths", "text_vocab_coverage",
     "text_ngrams", "ops_cdc_compact", "ops_scd2", "ops_scd2_lookup",
-    "pipeline_embeddings", "ops_expectations",
+    "pipeline_embeddings", "ops_expectations", "text_heavy_hitters",
 ]
 
 _R5_STALE_R2 = [
@@ -3087,6 +3104,12 @@ def oracle_sql() -> dict[str, str]:
                ROUND(1.0 - failed * 1.0 / total, 6) AS pass_fraction,
                failed = 0 AS ok
         FROM rows_out ORDER BY rule"""
+    o["text_heavy_hitters"] = f"""
+        WITH norm AS (SELECT {_NORM_DOC} AS t FROM documents),
+        w AS (SELECT unnest(list_filter(string_split(t, ' '),
+                            x -> x <> '')) AS term FROM norm)
+        SELECT term, COUNT(*) AS n FROM w
+        GROUP BY term ORDER BY n DESC, term LIMIT 20"""
     o["text_vocab_coverage"] = f"""
         WITH norm AS (SELECT {_NORM_DOC} AS t FROM documents),
         w AS (SELECT unnest(list_filter(string_split(t, ' '),

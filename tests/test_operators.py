@@ -734,3 +734,32 @@ def test_check_expectations_single_scan_for_row_rules(spark):
     assert "Join" not in plan
     # the only exchange is the final 1-row reduce
     assert plan.count("Exchange") == plan.count("Exchange SinglePartition")
+
+
+def test_heavy_hitters_exact_and_gated(spark):
+    import pytest
+
+    from yardstick_spark.operators import heavy_hitters
+
+    # zipf-ish: term_i appears ~ 3000/i times, spread over 8 partitions
+    df = spark.range(0, 12000, 1, 8).selectExpr(
+        "concat('t', cast(cast(12000 / (id + 1) as int) as string)) "
+        "AS term")
+    got = [(r.term, r.n) for r in
+           heavy_hitters(df, "term", k=10, capacity=64).collect()]
+    want = [(r.term, r.n) for r in
+            df.groupBy("term").count().selectExpr("term", "count AS n")
+            .orderBy("n", ascending=False).orderBy(
+                [F.desc("n"), F.asc("term")]).limit(10).collect()]
+    assert got == want
+    # sketch too small to certify on a flat distribution -> explicit
+    # error with the remedy, never a silently-approximate answer
+    flat = spark.range(0, 10000, 1, 8).selectExpr(
+        "cast(id % 5000 as string) AS term")
+    with pytest.raises(ValueError, match="capacity"):
+        heavy_hitters(flat, "term", k=3, capacity=8).collect()
+    # ...and a big enough sketch certifies even there
+    ok = heavy_hitters(flat, "term", k=3, capacity=6000).collect()
+    assert [r.n for r in ok] == [2, 2, 2]
+    # empty input
+    assert heavy_hitters(df.filter("1=0"), "term", k=5).count() == 0

@@ -15,6 +15,7 @@ from .profile import (  # noqa: F401
     profile_table,
     profile_table_approx,
 )
+from .heavy import heavy_hitters  # noqa: F401
 from .quality import (  # noqa: F401
     check_expectations,
     in_range,
