@@ -47,6 +47,9 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default="")
+    ap.add_argument("--out", default="",
+                    help="also write per-query verdicts to this JSON "
+                         "file (durable record of a full local sweep)")
     args = ap.parse_args()
 
     import duckdb
@@ -77,6 +80,7 @@ def main() -> int:
     oracles = entry.oracle_sql()
     only = {s for s in args.only.split(",") if s}
     n_pass = n_fail = n_rowsonly = 0
+    verdicts: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -86,10 +90,12 @@ def main() -> int:
             scols = [c.lower() for c in sdf.columns]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error {type(e).__name__}: {str(e)[:300]}")
+            verdicts[name] = {"status": "fail", "reason": "spark error"}
             n_fail += 1
             continue
         if name not in oracles:
             print(f"ROWS-ONLY {name}: {len(srows)} rows (no oracle)")
+            verdicts[name] = {"status": "rows_only", "rows": len(srows)}
             n_rowsonly += 1
             continue
         try:
@@ -98,14 +104,17 @@ def main() -> int:
             ocols = [c.lower() for c in res.columns]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error {type(e).__name__}: {str(e)[:300]}")
+            verdicts[name] = {"status": "fail", "reason": "duckdb error"}
             n_fail += 1
             continue
         if sorted(scols) != sorted(ocols):
             print(f"FAIL {name}: columns {sorted(scols)} != {sorted(ocols)}")
+            verdicts[name] = {"status": "fail", "reason": "columns"}
             n_fail += 1
             continue
         if len(srows) != len(orows):
             print(f"FAIL {name}: rows {len(srows)} != {len(orows)}")
+            verdicts[name] = {"status": "fail", "reason": "row count"}
             n_fail += 1
             continue
         sn = normalize([[r[c] for c in sdf.columns] for r in srows], scols)
@@ -113,11 +122,21 @@ def main() -> int:
         if sn != on:
             bad = [(a, b) for a, b in zip(sn, on) if a != b][:3]
             print(f"FAIL {name}: value mismatch, e.g. {bad}")
+            verdicts[name] = {"status": "fail", "reason": "values"}
             n_fail += 1
             continue
         print(f"PASS {name} ({len(srows)} rows)")
+        verdicts[name] = {"status": "pass", "rows": len(srows)}
         n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
+    if args.out:
+        import json
+
+        Path(args.out).write_text(json.dumps(
+            {"sf_dir": args.sf_dir,
+             "summary": {"pass": n_pass, "fail": n_fail,
+                         "rows_only": n_rowsonly},
+             "queries": verdicts}, indent=1) + "\n")
     return 1 if n_fail else 0
 
 
