@@ -1144,6 +1144,55 @@ def _q_text_heavy_hitters(spark, sf_dir):
     return heavy_hitters(words, "term", k=20, capacity=4096)
 
 
+def _q_ops_incremental_agg(spark, sf_dir):
+    # materialized-rollup refresh: the pre-1998 aggregate is the
+    # stored state, 1998 is the ingest batch — merge costs
+    # O(batch + group cardinality), never a history rescan
+    # (operators/incremental.py); result must equal full recompute
+    from pyspark.sql import functions as F
+
+    from yardstick_spark.operators import incremental_agg_merge
+
+    _ys(spark, sf_dir)
+    li = spark.table("lineitem").selectExpr(
+        "l_returnflag", "l_linestatus", "l_quantity",
+        "l_extendedprice", "YEAR(l_shipdate) AS y")
+    keys = ["l_returnflag", "l_linestatus"]
+    old_agg = (li.filter("y < 1998").groupBy(*keys)
+               .agg(F.sum("l_quantity").alias("l_quantity"),
+                    F.sum("l_extendedprice").alias("l_extendedprice"),
+                    F.count(F.lit(1)).alias("cnt")))
+    delta = li.filter("y >= 1998")
+    merged = incremental_agg_merge(
+        old_agg, delta, keys, ["l_quantity", "l_extendedprice"])
+    return merged.select(
+        *keys,
+        F.round("l_quantity", 2).alias("sum_qty"),
+        F.round("l_extendedprice", 2).alias("sum_price"),
+        "cnt").orderBy(*keys)
+
+
+def _q_ops_table_diff(spark, sf_dir):
+    # snapshot reconciliation: one null-safe full outer join on the
+    # key classifies every row as inserted/deleted/updated
+    from pyspark.sql import functions as F
+
+    from yardstick_spark.operators import table_diff
+
+    _ys(spark, sf_dir)
+    c = spark.table("customer")
+    old = c.select("c_custkey", "c_nationkey", "c_mktsegment")
+    new = (c.filter("c_custkey % 13 <> 0")          # deletes
+           .selectExpr("c_custkey", "c_nationkey",
+                       "IF(c_custkey % 7 = 0, 'MOVED', c_mktsegment) "
+                       "AS c_mktsegment")           # updates
+           .unionAll(c.filter("c_custkey % 11 = 0").selectExpr(
+               "c_custkey + 1000000 AS c_custkey", "c_nationkey",
+               "'NEWSEG' AS c_mktsegment")))        # inserts
+    return table_diff(old, new, ["c_custkey"]).orderBy(
+        "c_custkey", "change")
+
+
 def _q_pipeline_embeddings(spark, sf_dir):
     # embedding-side curation composed end to end: norm-window filter
     # -> SemDeDup keep-one -> int8 quantization on the survivors
@@ -1541,6 +1590,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_embeddings": _q_pipeline_embeddings,
         "ops_expectations": _q_ops_expectations,
         "text_heavy_hitters": _q_text_heavy_hitters,
+        "ops_incremental_agg": _q_ops_incremental_agg,
+        "ops_table_diff": _q_ops_table_diff,
     }
     out: dict[str, Callable] = {
         "sim_knn_lsh": _q_knn_lsh,
@@ -1611,6 +1662,7 @@ _R5_NEW: list[str] = [
     "sim_knn_quantized", "events_paths", "text_vocab_coverage",
     "text_ngrams", "ops_cdc_compact", "ops_scd2", "ops_scd2_lookup",
     "pipeline_embeddings", "ops_expectations", "text_heavy_hitters",
+    "ops_incremental_agg", "ops_table_diff",
 ]
 
 _R5_STALE_R2 = [
@@ -3104,6 +3156,37 @@ def oracle_sql() -> dict[str, str]:
                ROUND(1.0 - failed * 1.0 / total, 6) AS pass_fraction,
                failed = 0 AS ok
         FROM rows_out ORDER BY rule"""
+    o["ops_incremental_agg"] = """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_price,
+               COUNT(*) AS cnt
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus"""
+    o["ops_table_diff"] = """
+        WITH old_s AS (SELECT c_custkey, c_nationkey, c_mktsegment
+                       FROM customer),
+        new_s AS (
+          SELECT c_custkey, c_nationkey,
+                 CASE WHEN c_custkey % 7 = 0 THEN 'MOVED'
+                      ELSE c_mktsegment END AS c_mktsegment
+          FROM customer WHERE c_custkey % 13 <> 0
+          UNION ALL
+          SELECT c_custkey + 1000000, c_nationkey, 'NEWSEG'
+          FROM customer WHERE c_custkey % 11 = 0)
+        SELECT * FROM (
+          SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+                 CASE WHEN o.c_custkey IS NULL THEN 'I'
+                      WHEN n.c_custkey IS NULL THEN 'D'
+                      WHEN (o.c_nationkey IS DISTINCT FROM n.c_nationkey)
+                        OR (o.c_mktsegment IS DISTINCT FROM
+                            n.c_mktsegment) THEN 'U'
+                 END AS change
+          FROM old_s o FULL OUTER JOIN new_s n
+            ON o.c_custkey = n.c_custkey)
+        WHERE change IS NOT NULL
+        ORDER BY c_custkey, change"""
     o["text_heavy_hitters"] = f"""
         WITH norm AS (SELECT {_NORM_DOC} AS t FROM documents),
         w AS (SELECT unnest(list_filter(string_split(t, ' '),

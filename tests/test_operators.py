@@ -763,3 +763,57 @@ def test_heavy_hitters_exact_and_gated(spark):
     assert [r.n for r in ok] == [2, 2, 2]
     # empty input
     assert heavy_hitters(df.filter("1=0"), "term", k=5).count() == 0
+
+
+def test_incremental_agg_merge_equals_recompute(spark):
+    from yardstick_spark.operators import incremental_agg_merge
+    from yardstick_spark.sources import read_table
+
+    li = read_table(spark, f"{SF_DIR}/lineitem.parquet").selectExpr(
+        "l_returnflag AS rf", "l_quantity AS q",
+        "YEAR(l_shipdate) AS y")
+    old = (li.filter("y < 1998").groupBy("rf")
+           .agg(F.sum("q").alias("q"), F.count(F.lit(1)).alias("cnt")))
+    merged = incremental_agg_merge(old, li.filter("y >= 1998"),
+                                   ["rf"], ["q"])
+    want = (li.groupBy("rf")
+            .agg(F.sum("q").alias("q"), F.count(F.lit(1)).alias("cnt")))
+    got = {(r.rf): (round(r.q, 6), r.cnt) for r in merged.collect()}
+    exp = {(r.rf): (round(r.q, 6), r.cnt) for r in want.collect()}
+    assert got == exp
+    # a delta whose keys are all-new creates groups; weighted
+    # retraction of EVERYTHING in a group drops it entirely
+    import pyspark.sql.functions as SF
+    newrows = spark.createDataFrame(
+        [("Z", 5.0, 1), ("Z", 7.0, 1)], "rf STRING, q DOUBLE, w INT")
+    step1 = incremental_agg_merge(old, newrows, ["rf"], ["q"],
+                                  weight_col="w")
+    assert {r.rf: (r.q, r.cnt) for r in step1.collect()}["Z"] == (12.0, 2)
+    retract = newrows.withColumn("w", SF.lit(-1))
+    step2 = incremental_agg_merge(step1, retract, ["rf"], ["q"],
+                                  weight_col="w")
+    assert "Z" not in {r.rf for r in step2.collect()}
+    # the surviving groups are untouched by the Z churn
+    assert ({r.rf: r.cnt for r in step2.collect()} ==
+            {r.rf: r.cnt for r in old.collect()})
+
+
+def test_table_diff_classifies_and_filters_unchanged(spark):
+    from yardstick_spark.operators import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", None), (3, "c", 30), (4, "d", 40)],
+        "k INT, s STRING, v INT")
+    new = spark.createDataFrame(
+        [(1, "a", 10),          # unchanged -> absent from diff
+         (2, "b", 20),          # NULL -> value is an update
+         (3, None, 30),         # value -> NULL is an update
+         (5, "e", 50)],         # insert; 4 deleted
+        "k INT, s STRING, v INT")
+    got = {r.k: r.change for r in table_diff(old, new, ["k"]).collect()}
+    assert got == {2: "U", 3: "U", 4: "D", 5: "I"}
+    # compare_cols restricts sensitivity: diff on s only ignores v
+    got_s = {r.k: r.change
+             for r in table_diff(old, new, ["k"],
+                                 compare_cols=["s"]).collect()}
+    assert got_s == {3: "U", 4: "D", 5: "I"}

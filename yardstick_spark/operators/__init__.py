@@ -16,6 +16,7 @@ from .profile import (  # noqa: F401
     profile_table_approx,
 )
 from .heavy import heavy_hitters  # noqa: F401
+from .incremental import incremental_agg_merge, table_diff  # noqa: F401
 from .quality import (  # noqa: F401
     check_expectations,
     in_range,
