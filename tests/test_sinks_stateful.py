@@ -354,3 +354,48 @@ def test_scd2_ingest_stream_equals_batch(spark, tmp_path):
     assert ("BOS", "2022-01-01", None) in k1
     assert ("CHI", "2021-01-01", "2022-01-01") in k1
     assert ("NY", "2020-01-01", "2021-01-01") in k1
+
+
+def test_streaming_incremental_agg_matches_batch(spark, tmp_path):
+    # the streamed materialized view converges to exactly the batch
+    # groupBy over everything ingested, including weighted retractions
+    from pyspark.sql import functions as F
+
+    from yardstick_spark.streaming import (
+        load_agg_state, save_agg_state, start_incremental_agg,
+    )
+
+    seed = spark.createDataFrame(
+        [("a", 10.0, 2)], "g STRING, v DOUBLE, cnt LONG")
+    path = str(tmp_path / "aggstate")
+    save_agg_state(seed, path)
+
+    inc = str(tmp_path / "inc")
+    b1 = spark.createDataFrame(
+        [("a", 1.0, 1), ("b", 5.0, 1), ("b", 7.0, 1)],
+        "g STRING, v DOUBLE, w INT")
+    b2 = spark.createDataFrame(
+        [("b", 5.0, -1), ("c", 9.0, 1)],  # retract one b row, new c
+        "g STRING, v DOUBLE, w INT")
+    b1.coalesce(1).write.parquet(f"{inc}/f1")
+    schema = spark.read.parquet(f"{inc}/f1").schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(f"{inc}/f*"))
+    b2.coalesce(1).write.parquet(f"{inc}/f2")
+    q = start_incremental_agg(
+        stream, spark, path, ["g"], ["v"], weight_col="w",
+        checkpointLocation=str(tmp_path / "ckpt_agg"))
+    q.processAllAvailable()
+    q.stop()
+    got = {r.g: (r.v, r.cnt)
+           for r in load_agg_state(spark, path).collect()}
+    # batch twin: seed + all rows weighted
+    allrows = b1.unionAll(b2)
+    want_delta = (allrows.groupBy("g")
+                  .agg(F.sum(F.col("v") * F.col("w")).alias("v"),
+                       F.sum("w").alias("cnt")))
+    want = {r.g: (r.v, r.cnt) for r in want_delta.collect()}
+    want["a"] = (want["a"][0] + 10.0, want["a"][1] + 2)
+    assert got == want
+    assert got["b"] == (7.0, 1)   # the retraction landed
+    assert got["c"] == (9.0, 1)

@@ -218,3 +218,52 @@ def load_scd2_dim(spark, dim_path: str):
         f"{dim_path}/batch=*")
     latest = df.agg(F.max("batch")).collect()[0][0]
     return df.filter(F.col("batch") == latest).drop("batch")
+
+
+def start_incremental_agg(facts, spark, state_path: str,
+                          keys: list[str], sum_cols: list[str],
+                          count_col: str = "cnt",
+                          weight_col: str | None = None,
+                          **stream_opts):
+    """Streaming materialized view: each micro-batch of raw fact rows
+    refreshes a stored aggregate via the tested batch operator
+    (`operators.incremental.incremental_agg_merge`) — the batch is
+    partially aggregated and coalesce-added into the state, so
+    per-batch cost is O(batch + group cardinality) regardless of how
+    much history the view summarizes.  No Spark state store is used:
+    the aggregate IS the state, written to `{state_path}/batch=<id>`
+    snapshots (same versioned layout and Delta/Iceberg production
+    note as `start_scd2_ingest`; readers take the newest via
+    `load_agg_state`).  With `weight_col`, a CDC feed of ±1-weighted
+    rows maintains the view under deletes too.  Returns the started
+    StreamingQuery."""
+    from ..operators.incremental import incremental_agg_merge
+
+    def _process(batch_df, batch_id: int) -> None:
+        state = load_agg_state(spark, state_path)
+        merged = incremental_agg_merge(
+            state, batch_df, keys, sum_cols,
+            count_col=count_col, weight_col=weight_col)
+        merged.write.mode("overwrite").parquet(
+            f"{state_path}/batch={batch_id}")
+
+    return (facts.writeStream.foreachBatch(_process)
+            .options(**stream_opts).start())
+
+
+def save_agg_state(agg, state_path: str, batch_id: int = -1) -> None:
+    """Seed the aggregate state in the layout `start_incremental_agg`
+    maintains — write the initial (possibly empty) aggregate before
+    starting the stream."""
+    agg.write.mode("overwrite").parquet(f"{state_path}/batch={batch_id}")
+
+
+def load_agg_state(spark, state_path: str):
+    """Newest aggregate snapshot under `state_path` (see
+    `start_incremental_agg`)."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.option("basePath", state_path).parquet(
+        f"{state_path}/batch=*")
+    latest = df.agg(F.max("batch")).collect()[0][0]
+    return df.filter(F.col("batch") == latest).drop("batch")
