@@ -817,3 +817,15 @@ def test_table_diff_classifies_and_filters_unchanged(spark):
              for r in table_diff(old, new, ["k"],
                                  compare_cols=["s"]).collect()}
     assert got_s == {3: "U", 4: "D", 5: "I"}
+
+
+def test_check_expectations_empty_input_vacuous_pass(spark):
+    from yardstick_spark.operators import (
+        check_expectations, in_range, not_null, unique)
+
+    df = spark.createDataFrame([], "k INT, v DOUBLE")
+    out = check_expectations(df, [
+        not_null("k"), in_range("v", 0, 1), unique(["k"]),
+    ]).collect()
+    assert all(r.failed == 0 and r.ok for r in out)
+    assert all(r.total == 0 for r in out)

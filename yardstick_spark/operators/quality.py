@@ -92,9 +92,11 @@ def check_expectations(df: DataFrame, rules: list[dict],
     if row_rules:
         aggs = [F.count(F.lit(1)).alias("_total")]
         for i, r in enumerate(row_rules):
-            aggs.append(F.sum(
+            # coalesce: SUM over an empty table is NULL, but an empty
+            # batch vacuously passes (failed = 0)
+            aggs.append(F.coalesce(F.sum(
                 F.when(F.expr(r["expr"]), F.lit(0)).otherwise(F.lit(1))
-            ).alias(f"_f{i}"))
+            ), F.lit(0)).alias(f"_f{i}"))
         one = df.agg(*aggs)
         # 1-row wide aggregate -> k rule rows via stack (no extra scan)
         stack_args = ", ".join(
@@ -109,7 +111,8 @@ def check_expectations(df: DataFrame, rules: list[dict],
                 F.count(F.lit(1)).alias("_n"))
             pieces.append(grouped.agg(
                 F.lit(prefix + r["name"]).alias("rule"),
-                F.sum("_n").cast("bigint").alias("total"),
+                F.coalesce(F.sum("_n"), F.lit(0))
+                .cast("bigint").alias("total"),
                 F.coalesce(
                     F.sum(F.when(F.col("_n") > 1, F.col("_n"))),
                     F.lit(0)).cast("bigint").alias("failed")))
@@ -131,6 +134,7 @@ def check_expectations(df: DataFrame, rules: list[dict],
         out = out.unionByName(p)
     return out.select(
         "rule", "total", "failed",
-        F.round(F.lit(1.0) - F.col("failed") / F.col("total"), 6)
-        .alias("pass_fraction"),
+        F.round(F.lit(1.0) - F.try_divide(F.col("failed"),
+                                          F.col("total")), 6)
+        .alias("pass_fraction"),  # NULL (not an error) on empty input
         (F.col("failed") == 0).alias("ok"))
