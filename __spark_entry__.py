@@ -1193,6 +1193,15 @@ def _q_ops_table_diff(spark, sf_dir):
         "c_custkey", "change")
 
 
+def _q_text_dup_spans(spark, sf_dir):
+    # exact duplicated-substring spans (Lee et al. 2022 style): one
+    # token-scale gram count is the distributed suffix-array stand-in
+    from yardstick_spark.llm import duplicated_spans
+
+    return duplicated_spans(_docs(spark, sf_dir), n=8).orderBy(
+        "doc_id", "start_word")
+
+
 def _q_pipeline_embeddings(spark, sf_dir):
     # embedding-side curation composed end to end: norm-window filter
     # -> SemDeDup keep-one -> int8 quantization on the survivors
@@ -1592,6 +1601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_heavy_hitters": _q_text_heavy_hitters,
         "ops_incremental_agg": _q_ops_incremental_agg,
         "ops_table_diff": _q_ops_table_diff,
+        "text_dup_spans": _q_text_dup_spans,
     }
     out: dict[str, Callable] = {
         "sim_knn_lsh": _q_knn_lsh,
@@ -1662,7 +1672,7 @@ _R5_NEW: list[str] = [
     "sim_knn_quantized", "events_paths", "text_vocab_coverage",
     "text_ngrams", "ops_cdc_compact", "ops_scd2", "ops_scd2_lookup",
     "pipeline_embeddings", "ops_expectations", "text_heavy_hitters",
-    "ops_incremental_agg", "ops_table_diff",
+    "ops_incremental_agg", "ops_table_diff", "text_dup_spans",
 ]
 
 _R5_STALE_R2 = [
@@ -3187,6 +3197,34 @@ def oracle_sql() -> dict[str, str]:
             ON o.c_custkey = n.c_custkey)
         WHERE change IS NOT NULL
         ORDER BY c_custkey, change"""
+    o["text_dup_spans"] = f"""
+        WITH norm AS (SELECT doc_id, {_NORM_DOC} AS t FROM documents),
+        w AS (SELECT doc_id,
+                     list_filter(string_split(t, ' '), x -> x <> '')
+                     AS words FROM norm),
+        g AS (SELECT doc_id, len(words) AS nw,
+                [CAST(CONCAT('0x', SUBSTRING(md5(
+                     array_to_string(words[i:i+7], ' ')), 1, 15))
+                 AS BIGINT)
+                 for i in range(1, greatest(1, len(words) - 7) + 1)]
+                AS gh FROM w),
+        p AS (SELECT doc_id, nw, u.pos AS pos, u.gh AS gh
+              FROM (SELECT doc_id, nw,
+                      unnest([{{'pos': i, 'gh': gh[i]}}
+                              for i in range(1, len(gh) + 1)]) AS u
+                    FROM g)),
+        d AS (SELECT gh FROM p GROUP BY gh HAVING COUNT(*) >= 2),
+        h AS (SELECT * FROM p WHERE gh IN (SELECT gh FROM d)),
+        i AS (SELECT doc_id, nw, pos,
+                     pos - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                              ORDER BY pos) AS isl
+              FROM h),
+        s AS (SELECT doc_id, MIN(pos) AS start_word,
+                     LEAST(MAX(pos) + 7, MAX(nw)) AS end_word
+              FROM i GROUP BY doc_id, isl)
+        SELECT doc_id, start_word, end_word,
+               end_word - start_word + 1 AS span_words
+        FROM s ORDER BY doc_id, start_word"""
     o["text_heavy_hitters"] = f"""
         WITH norm AS (SELECT {_NORM_DOC} AS t FROM documents),
         w AS (SELECT unnest(list_filter(string_split(t, ' '),

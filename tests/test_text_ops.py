@@ -617,3 +617,33 @@ def test_sample_weighted_es_properties(spark):
     assert all(i >= 200 for i in winners)
     # global top-k runs as a per-partition partial (no full sort)
     assert "TakeOrderedAndProject" in explain_str(got)
+
+
+def test_duplicated_spans_recovers_planted_passage(spark):
+    from yardstick_spark.llm import duplicated_spans
+
+    shared = " ".join(f"s{i}" for i in range(12))  # 12-word passage
+    docs = spark.createDataFrame(
+        [(1, f"a1 a2 a3 {shared} a4 a5 a6"),
+         (2, f"b1 b2 b3 b4 b5 {shared} b6"),
+         (3, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10")],   # no duplication
+        "doc_id INT, text STRING")
+    got = {(r.doc_id): (r.start_word, r.end_word, r.span_words)
+           for r in duplicated_spans(docs, n=8).collect()}
+    # doc 1: passage at words 4..15; doc 2: words 6..17 — exactly the
+    # planted run, nothing from the unique flanks
+    assert got == {1: (4, 15, 12), 2: (6, 17, 12)}
+    # whole-document duplicates: the span is the full document, end
+    # clamped to the word count
+    dup = spark.createDataFrame(
+        [(1, "x1 x2 x3 x4 x5 x6 x7 x8 x9"),
+         (2, "x1 x2 x3 x4 x5 x6 x7 x8 x9")], "doc_id INT, text STRING")
+    got2 = {(r.doc_id): (r.start_word, r.end_word)
+            for r in duplicated_spans(dup, n=8).collect()}
+    assert got2 == {1: (1, 9), 2: (1, 9)}
+    # self-repetition inside ONE document counts toward multiplicity
+    selfrep = spark.createDataFrame(
+        [(1, f"{shared} q1 q2 q3 {shared}")], "doc_id INT, text STRING")
+    spans = duplicated_spans(selfrep, n=8).collect()
+    assert {(r.start_word, r.end_word) for r in spans} == \
+        {(1, 12), (16, 27)}

@@ -84,6 +84,7 @@ from .text import (  # noqa: F401
     decontaminate,
     decontaminate_bloom,
     doc_fingerprint,
+    duplicated_spans,
     fingerprint_overlap_pairs,
     gopher_filter,
     language_id,

@@ -1010,3 +1010,64 @@ def ngram_counts(docs: DataFrame, n: int = 2, top_k: int = 50,
     )
     w = Window.orderBy(F.col("tf").desc(), F.col("ngram"))
     return counts.withColumn("rank", F.row_number().over(w))
+
+
+def duplicated_spans(docs: DataFrame, n: int = 8, min_count: int = 2,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicated-substring spans — the word-level analogue of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better"), whose suffix-array pass removes any substring
+    repeated verbatim in the corpus.  A span is a MAXIMAL run of
+    word positions whose every word n-gram occurs >= `min_count`
+    times corpus-wide (multiplicity counts repeats inside one
+    document too).  This gram-consecutive criterion is the standard
+    distributed relaxation of the suffix-array definition: every
+    repeated substring of >= n words is fully covered by such a span,
+    while a span's individual grams may repeat at different sites.
+
+    Returns (doc_id, start_word, end_word, span_words), 1-based
+    inclusive word positions.
+
+    Scale shape: gram hashing is scan-only array SQL (one md5 per
+    token, staged behind the `_cache` barrier like `doc_fingerprint`
+    — HOF lambdas get no CSE); the corpus-wide gram count is ONE
+    token-scale map-side-combined aggregation on uniform md5 keys —
+    the distributed stand-in for the suffix array, and the only big
+    shuffle; positions then semi-join the (small, duplicated-only)
+    gram set, and island-merging is a per-document window over just
+    the duplicated positions.  Unlike `fingerprint_overlap_pairs`
+    nothing self-joins, so no degenerate-print cap is needed."""
+    from .dedup import _cache, _spread
+
+    words = "filter(split(__ys_norm, ' '), t -> t <> '')"
+    hashed = _cache(
+        _spread(docs.select(F.col(id_col), F.col(text_col).alias("__t")))
+        .select(F.col(id_col),
+                F.expr(_NORM.format(c="__t")).alias("__ys_norm"))
+        .select(
+            F.col(id_col),
+            F.expr(f"size({words})").alias("__ys_nw"),
+            F.expr(
+                f"transform(transform(sequence(1, greatest(1, "
+                f"size({words}) - {n - 1})), "
+                f"i -> concat_ws(' ', slice({words}, i, {n}))), g -> "
+                f"CAST(conv(substring(md5(g), 1, 15), 16, 10) AS BIGINT))"
+            ).alias("__ys_gh"),
+        )
+    )
+    pos = hashed.select(
+        F.col(id_col), F.col("__ys_nw"),
+        F.posexplode("__ys_gh").alias("pos0", "gh"))
+    dup = (pos.groupBy("gh").agg(F.count(F.lit(1)).alias("c"))
+           .filter(F.col("c") >= min_count).select("gh"))
+    hits = pos.join(dup, "gh", "leftsemi")
+    w = Window.partitionBy(id_col).orderBy("pos0")
+    isl = hits.withColumn("isl", F.col("pos0") - F.row_number().over(w))
+    return (isl.groupBy(id_col, "isl")
+            .agg((F.min("pos0") + 1).alias("start_word"),
+                 F.least(F.max("pos0") + n, F.max("__ys_nw"))
+                 .alias("end_word"))
+            .select(F.col(id_col), "start_word", "end_word",
+                    (F.col("end_word") - F.col("start_word") + 1)
+                    .alias("span_words")))
