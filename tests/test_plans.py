@@ -347,3 +347,35 @@ def test_scd2_lookup_is_equi_join(spark):
     plan = explain_str(scd2_lookup(facts, dim, ["k"], "ts"))
     assert "NestedLoop" not in plan, plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_dup_spans_gram_count_is_mapside_and_semi_join(spark):
+    # the token-scale gram count must map-side combine (partial_count
+    # before the exchange) and the position filter must be a semi join
+    # against the duplicated-only gram set — never a full join that
+    # fans positions out per occurrence
+    from yardstick_spark.llm import duplicated_spans
+    from yardstick_spark.plans import explain_str
+
+    docs = spark.createDataFrame(
+        [(i, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10") for i in range(20)],
+        "doc_id INT, text STRING")
+    plan = explain_str(duplicated_spans(docs, n=8), mode="simple")
+    assert "partial_count" in plan or "partial_count" in \
+        explain_str(duplicated_spans(docs, n=8), mode="formatted")
+    assert "LeftSemi" in plan, plan
+    assert "NestedLoop" not in plan, plan
+
+
+def test_heavy_hitters_recount_is_broadcast_semi(spark):
+    # pass 2 must recount behind a broadcast semi join of the (tiny)
+    # certified candidate set — the corpus never shuffles by term
+    from yardstick_spark.operators import heavy_hitters
+    from yardstick_spark.plans import explain_str
+
+    df = spark.range(0, 5000, 1, 4).selectExpr(
+        "concat('t', cast(cast(5000 / (id + 1) as int) as string)) "
+        "AS term")
+    plan = explain_str(heavy_hitters(df, "term", k=5, capacity=64),
+                       mode="simple")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
