@@ -399,3 +399,65 @@ def test_streaming_incremental_agg_matches_batch(spark, tmp_path):
     assert got == want
     assert got["b"] == (7.0, 1)   # the retraction landed
     assert got["c"] == (9.0, 1)
+
+
+def test_streaming_heavy_hitters_bounds_and_exactness(spark, tmp_path):
+    # skewed stream: every term's true count must lie in
+    # [wlow, wlow + err]; with capacity >= distinct terms the summary
+    # is exact (err 0) and equals the batch groupBy
+    from pyspark.sql import functions as F
+
+    from yardstick_spark.streaming import (
+        load_heavy_hitters, start_heavy_hitters_stream,
+    )
+
+    inc = str(tmp_path / "terms")
+    b1 = spark.range(0, 3000, 1, 4).selectExpr(
+        "concat('t', cast(cast(3000 / (id + 1) as int) as string)) "
+        "AS term")
+    b2 = spark.range(0, 2000, 1, 4).selectExpr(
+        "concat('t', cast(cast(2000 / (id + 1) as int) as string)) "
+        "AS term")
+    b1.write.parquet(f"{inc}/f1")
+    schema = spark.read.parquet(f"{inc}/f1").schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(f"{inc}/f*"))
+    b2.write.parquet(f"{inc}/f2")
+
+    path = str(tmp_path / "hh")
+    q = start_heavy_hitters_stream(
+        stream, spark, path, capacity=64,
+        checkpointLocation=str(tmp_path / "ckpt_hh"))
+    q.processAllAvailable()
+    q.stop()
+    top = load_heavy_hitters(spark, path, k=10).collect()
+    err = {r.err for r in top}
+    assert len(err) == 1
+    err = err.pop()
+    true = {r.term: r.n for r in
+            b1.unionAll(b2).groupBy("term")
+            .agg(F.count(F.lit(1)).alias("n")).collect()}
+    for r in top:
+        assert r.wlow <= true[r.term] <= r.wlow + err
+    # the heaviest terms are unmissable: anything with count > err
+    # must be in the summary
+    raw = load_heavy_hitters(spark, path, k=None).collect()
+    present = {r.term for r in raw if r.term is not None}
+    for t, n in true.items():
+        if n > err:
+            assert t in present, (t, n, err)
+
+    # exact regime: capacity above distinct-term count -> err 0 and
+    # counts equal the batch groupBy
+    path2 = str(tmp_path / "hh_exact")
+    stream2 = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", 1).parquet(f"{inc}/f*"))
+    q2 = start_heavy_hitters_stream(
+        stream2, spark, path2, capacity=5000,
+        checkpointLocation=str(tmp_path / "ckpt_hh2"))
+    q2.processAllAvailable()
+    q2.stop()
+    got = {r.term: (r.wlow, r.err)
+           for r in load_heavy_hitters(spark, path2, k=5).collect()}
+    for t, (w, e) in got.items():
+        assert e == 0 and w == true[t]

@@ -36,6 +36,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def mg_merge_prune(acc, vc, m: int):
+    """MERGE then PRUNE of two Misra-Gries summaries (Agarwal et al.):
+    counter-wise add, then subtract the (m+1)-th largest counter from
+    everything and drop non-positive entries.  Returns (summary,
+    subtracted) — `subtracted` is the increment to the summary's
+    cumulative error bound.  Both inputs are pandas term->count
+    Series; exact inputs (value_counts) are summaries with zero error.
+    """
+    if not vc.empty:
+        acc = vc if acc.empty else acc.add(vc, fill_value=0)
+    if len(acc) <= m:
+        return acc, 0
+    acc = acc.sort_values(ascending=False)
+    sub = int(acc.iloc[m])
+    acc = (acc.iloc[:m] - sub).astype("int64")
+    return acc[acc > 0], sub
+
+
 def heavy_hitters(df: DataFrame, col: str, k: int = 10,
                   capacity: int | None = None) -> DataFrame:
     """Exact top-``k`` most frequent values of ``df[col]`` (NULLs
@@ -52,15 +70,8 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 10,
         err = 0
         for pdf in batches:
             vc = pdf["term"].dropna().value_counts()
-            if vc.empty:
-                continue
-            acc = vc if acc.empty else acc.add(vc, fill_value=0)
-            if len(acc) > m:
-                acc = acc.sort_values(ascending=False)
-                sub = int(acc.iloc[m])          # (m+1)-th largest
-                acc = (acc.iloc[:m] - sub).astype("int64")
-                acc = acc[acc > 0]
-                err += sub
+            acc, sub = mg_merge_prune(acc, vc, m)
+            err += sub
         out = pd.DataFrame({"term": acc.index.astype(str),
                             "wlow": acc.values.astype("int64"),
                             "err": 0})

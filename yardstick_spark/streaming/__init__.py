@@ -4,11 +4,13 @@ reference has no streaming surface, SURVEY.md §2.7)."""
 from .ingest import (  # noqa: F401
     dedup_ingest_stream,
     load_agg_state,
+    load_heavy_hitters,
     load_scd2_dim,
     save_agg_state,
     save_scd2_dim,
     semantic_ingest_stream,
     start_dedup_ingest,
+    start_heavy_hitters_stream,
     start_incremental_agg,
     start_scd2_ingest,
 )

@@ -267,3 +267,89 @@ def load_agg_state(spark, state_path: str):
         f"{state_path}/batch=*")
     latest = df.agg(F.max("batch")).collect()[0][0]
     return df.filter(F.col("batch") == latest).drop("batch")
+
+
+def start_heavy_hitters_stream(terms, spark, state_path: str,
+                               term_col: str = "term",
+                               capacity: int = 1024, **stream_opts):
+    """Streaming heavy hitters ("trending terms"): the state is ONE
+    bounded Misra-Gries summary of `capacity` counters — mergeable by
+    construction (Agarwal et al.), so each micro-batch runs the same
+    per-partition Arrow sketch as batch `operators.heavy`, and the
+    partition summaries + the stored summary MERGE+PRUNE on the
+    driver over at most capacity x (partitions + 1) rows.  Counts are
+    lower bounds with one cumulative error scalar: any term with true
+    frequency > error is guaranteed present (the MG guarantee), which
+    is the honest streaming contract — exact recounting would need
+    the full history a stream no longer has.  Snapshots land in
+    `{state_path}/batch=<id>`; read with `load_heavy_hitters`.
+    """
+    import pandas as pd
+
+    from ..operators.heavy import mg_merge_prune
+
+    def _process(batch_df, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        m = capacity
+
+        def sketch(batches):
+            acc = pd.Series(dtype="int64")
+            err = 0
+            for pdf in batches:
+                vc = pdf["term"].dropna().value_counts()
+                acc, sub = mg_merge_prune(acc, vc, m)
+                err += sub
+            out = pd.DataFrame({"term": acc.index.astype(str),
+                                "wlow": acc.values.astype("int64"),
+                                "err": 0})
+            yield pd.concat([out, pd.DataFrame(
+                {"term": [None], "wlow": [0], "err": [err]})])
+
+        sk = (batch_df.select(F.col(term_col).cast("string")
+                              .alias("term"))
+              .mapInPandas(sketch, "term STRING, wlow BIGINT, err BIGINT")
+              .toPandas())
+        try:
+            prev = load_heavy_hitters(spark, state_path, k=None).toPandas()
+        except Exception:  # noqa: BLE001 — no snapshot yet
+            prev = pd.DataFrame({"term": [], "wlow": [], "err": []})
+        err = int(sk["err"].sum()) + \
+            (int(prev["err"].iloc[0]) if len(prev) else 0)
+        acc = pd.Series(dtype="int64")
+        for frame in (prev, sk):
+            rows = frame[frame["term"].notna()]
+            if len(rows):
+                vc = pd.Series(rows["wlow"].values.astype("int64"),
+                               index=rows["term"])
+                vc = vc.groupby(level=0).sum()
+                acc, sub = mg_merge_prune(acc, vc, m)
+                err += sub
+        out = pd.DataFrame({"term": list(acc.index.astype(str)) + [None],
+                            "wlow": list(acc.values.astype("int64")) + [0],
+                            "err": [err] * (len(acc) + 1)})
+        (spark.createDataFrame(out, "term STRING, wlow BIGINT, err BIGINT")
+         .coalesce(1).write.mode("overwrite")
+         .parquet(f"{state_path}/batch={batch_id}"))
+
+    return (terms.writeStream.foreachBatch(_process)
+            .options(**stream_opts).start())
+
+
+def load_heavy_hitters(spark, state_path: str, k: int | None = 10):
+    """Newest heavy-hitter summary under `state_path`: (term, wlow,
+    err) rows ordered by lower bound, top-k if `k` is given.  `err`
+    is the summary-wide bound: true_count(term) is in
+    [wlow, wlow + err], and any term with true count > err is present.
+    Passing k=None returns the whole summary INCLUDING the term-NULL
+    error row (the raw state, used by the stream itself)."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.option("basePath", state_path).parquet(
+        f"{state_path}/batch=*")
+    latest = df.agg(F.max("batch")).collect()[0][0]
+    cur = df.filter(F.col("batch") == latest).drop("batch")
+    if k is None:
+        return cur
+    return (cur.filter(F.col("term").isNotNull())
+            .orderBy(F.desc("wlow"), "term").limit(k))
