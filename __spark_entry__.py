@@ -1202,6 +1202,14 @@ def _q_text_dup_spans(spark, sf_dir):
         "doc_id", "start_word")
 
 
+def _q_text_char_entropy(spark, sf_dir):
+    # char-entropy quality signal (portable twin of the zlib-ratio
+    # filter): scan-only sorted-run-length fold, no explode/UDF
+    from yardstick_spark.llm import char_entropy
+
+    return char_entropy(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 def _q_pipeline_embeddings(spark, sf_dir):
     # embedding-side curation composed end to end: norm-window filter
     # -> SemDeDup keep-one -> int8 quantization on the survivors
@@ -1602,6 +1610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ops_incremental_agg": _q_ops_incremental_agg,
         "ops_table_diff": _q_ops_table_diff,
         "text_dup_spans": _q_text_dup_spans,
+        "text_char_entropy": _q_text_char_entropy,
     }
     out: dict[str, Callable] = {
         "sim_knn_lsh": _q_knn_lsh,
@@ -1673,6 +1682,7 @@ _R5_NEW: list[str] = [
     "text_ngrams", "ops_cdc_compact", "ops_scd2", "ops_scd2_lookup",
     "pipeline_embeddings", "ops_expectations", "text_heavy_hitters",
     "ops_incremental_agg", "ops_table_diff", "text_dup_spans",
+    "text_char_entropy",
 ]
 
 _R5_STALE_R2 = [
@@ -3197,6 +3207,20 @@ def oracle_sql() -> dict[str, str]:
             ON o.c_custkey = n.c_custkey)
         WHERE change IS NOT NULL
         ORDER BY c_custkey, change"""
+    o["text_char_entropy"] = f"""
+        WITH norm AS (SELECT doc_id, {_NORM_DOC} AS t FROM documents),
+        nz AS (SELECT doc_id, t FROM norm WHERE t <> ''),
+        ch AS (SELECT doc_id, unnest(string_split(t, '')) AS c FROM nz),
+        cnt AS (SELECT doc_id, c, COUNT(*) AS n FROM ch GROUP BY 1, 2),
+        tot AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS nn,
+                       COUNT(*) AS k FROM cnt GROUP BY 1)
+        SELECT cnt.doc_id,
+               CAST(MAX(tot.nn) AS INT) AS n_chars_norm,
+               CAST(MAX(tot.k) AS INT) AS n_distinct,
+               ROUND(-SUM((n * 1.0 / nn) * log2(n * 1.0 / nn)), 6)
+                 AS char_entropy
+        FROM cnt JOIN tot USING (doc_id)
+        GROUP BY cnt.doc_id ORDER BY cnt.doc_id"""
     o["text_dup_spans"] = f"""
         WITH norm AS (SELECT doc_id, {_NORM_DOC} AS t FROM documents),
         w AS (SELECT doc_id,

@@ -647,3 +647,17 @@ def test_duplicated_spans_recovers_planted_passage(spark):
     spans = duplicated_spans(selfrep, n=8).collect()
     assert {(r.start_word, r.end_word) for r in spans} == \
         {(1, 12), (16, 27)}
+
+
+def test_char_entropy_known_values(spark):
+    from yardstick_spark.llm import char_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd"), (4, "   "), (5, "")],
+        "doc_id INT, text STRING")
+    got = {r.doc_id: (r.n_chars_norm, r.n_distinct, r.char_entropy)
+           for r in char_entropy(docs).collect()}
+    assert got[1] == (4, 1, 0.0)          # constant string: 0 bits
+    assert got[2] == (4, 2, 1.0)          # two equiprobable: 1 bit
+    assert got[3] == (4, 4, 2.0)          # four equiprobable: 2 bits
+    assert 4 not in got and 5 not in got  # whitespace/empty dropped

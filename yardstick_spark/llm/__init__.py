@@ -79,6 +79,7 @@ from .pipeline import (  # noqa: F401
     prepare_embedding_corpus,
 )
 from .text import (  # noqa: F401
+    char_entropy,
     chunk_documents,
     corpus_report,
     decontaminate,

@@ -1071,3 +1071,43 @@ def duplicated_spans(docs: DataFrame, n: int = 8, min_count: int = 2,
             .select(F.col(id_col), "start_word", "end_word",
                     (F.col("end_word") - F.col("start_word") + 1)
                     .alias("span_words")))
+
+
+def char_entropy(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Character-level Shannon entropy per document — the portable
+    twin of the zlib-compression-ratio quality filter in Dolma /
+    FineWeb-style pipelines: boilerplate, keyboard-mash and
+    single-character spam score far from natural text's ~4 bits/char.
+    Whitespace-only/empty documents are dropped (no distribution to
+    measure), mirroring the oracle's unnest semantics.
+
+    Scan-only array SQL, the `repetition_stats` sorted-run-length
+    trick: sort the chars, find run boundaries, fold -p*log2(p) over
+    the run lengths — O(n log n) per document inside codegen, no
+    explode, no shuffle, no Python."""
+    norm = _NORM.format(c=text_col)
+    chars = "split(__ys_t, '')"
+    ends = (f"filter(sequence(1, size({chars})), i -> "
+            f"i = size({chars}) OR element_at(array_sort({chars}), i) <> "
+            f"element_at(array_sort({chars}), i + 1))")
+    return (
+        docs.select(F.col(id_col), F.expr(norm).alias("__ys_t"))
+        .filter("__ys_t <> ''")
+        .select(
+            F.col(id_col),
+            F.expr(f"size({chars})").alias("n_chars_norm"),
+            F.expr(f"{ends}").alias("__ys_ends"),
+        )
+        .select(
+            F.col(id_col), "n_chars_norm",
+            F.expr("size(__ys_ends)").alias("n_distinct"),
+            F.round(F.expr(
+                "-aggregate(zip_with(__ys_ends, "
+                "concat(array(0), slice(__ys_ends, 1, "
+                "size(__ys_ends) - 1)), (e, p) -> e - p), CAST(0 AS "
+                "DOUBLE), (acc, L) -> acc + (CAST(L AS DOUBLE) / "
+                "n_chars_norm) * log2(CAST(L AS DOUBLE) / "
+                "n_chars_norm))"), 6).alias("char_entropy"),
+        )
+    )
