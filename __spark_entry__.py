@@ -1210,6 +1210,27 @@ def _q_text_char_entropy(spark, sf_dir):
     return char_entropy(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+def _q_ops_gap_fill(spark, sf_dir):
+    # TimescaleDB-style gapfill+locf: complete daily series per
+    # event_type, zero-filled counts, carried-forward level
+    from pyspark.sql import functions as F
+
+    from yardstick_spark.operators import gap_fill_daily
+
+    _ys(spark, sf_dir)
+    daily = (spark.table("events")
+             .selectExpr("event_type", "CAST(ts AS DATE) AS day",
+                         "value")
+             .groupBy("event_type", "day")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.round(F.sum("value"), 2).alias("day_value")))
+    out = gap_fill_daily(daily, ["event_type"], "day",
+                         zero_cols=["n"], locf_cols=["day_value"])
+    return out.select(
+        "event_type", F.col("day").cast("string").alias("day"),
+        "n", "day_value", "is_filled").orderBy("event_type", "day")
+
+
 def _q_pipeline_embeddings(spark, sf_dir):
     # embedding-side curation composed end to end: norm-window filter
     # -> SemDeDup keep-one -> int8 quantization on the survivors
@@ -1611,6 +1632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ops_table_diff": _q_ops_table_diff,
         "text_dup_spans": _q_text_dup_spans,
         "text_char_entropy": _q_text_char_entropy,
+        "ops_gap_fill": _q_ops_gap_fill,
     }
     out: dict[str, Callable] = {
         "sim_knn_lsh": _q_knn_lsh,
@@ -1682,7 +1704,7 @@ _R5_NEW: list[str] = [
     "text_ngrams", "ops_cdc_compact", "ops_scd2", "ops_scd2_lookup",
     "pipeline_embeddings", "ops_expectations", "text_heavy_hitters",
     "ops_incremental_agg", "ops_table_diff", "text_dup_spans",
-    "text_char_entropy",
+    "text_char_entropy", "ops_gap_fill",
 ]
 
 _R5_STALE_R2 = [
@@ -3207,6 +3229,28 @@ def oracle_sql() -> dict[str, str]:
             ON o.c_custkey = n.c_custkey)
         WHERE change IS NOT NULL
         ORDER BY c_custkey, change"""
+    o["ops_gap_fill"] = """
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS d,
+                 COUNT(*) AS n, ROUND(SUM(value), 2) AS day_value
+          FROM events GROUP BY 1, 2),
+        span AS (SELECT event_type, MIN(d) AS d0, MAX(d) AS d1
+                 FROM daily GROUP BY 1),
+        spine AS (SELECT event_type,
+                    CAST(unnest(generate_series(d0, d1,
+                                INTERVAL 1 DAY)) AS DATE) AS d
+                  FROM span),
+        j AS (SELECT s.event_type, s.d, daily.n, daily.day_value,
+                     daily.n IS NULL AS is_filled
+              FROM spine s LEFT JOIN daily
+                ON daily.event_type = s.event_type AND daily.d = s.d)
+        SELECT event_type, CAST(d AS VARCHAR) AS day,
+               COALESCE(n, 0) AS n,
+               LAST_VALUE(day_value IGNORE NULLS) OVER (
+                 PARTITION BY event_type ORDER BY d
+                 ROWS UNBOUNDED PRECEDING) AS day_value,
+               is_filled
+        FROM j ORDER BY event_type, day"""
     o["text_char_entropy"] = f"""
         WITH norm AS (SELECT doc_id, {_NORM_DOC} AS t FROM documents),
         nz AS (SELECT doc_id, t FROM norm WHERE t <> ''),

@@ -829,3 +829,25 @@ def test_check_expectations_empty_input_vacuous_pass(spark):
     ]).collect()
     assert all(r.failed == 0 and r.ok for r in out)
     assert all(r.total == 0 for r in out)
+
+
+def test_gap_fill_daily_zero_and_locf(spark):
+    import datetime as dt
+
+    from yardstick_spark.operators import gap_fill_daily
+
+    daily = spark.createDataFrame(
+        [("a", dt.date(2024, 1, 1), 2, 10.0),
+         ("a", dt.date(2024, 1, 4), 1, 40.0),   # 2 missing days
+         ("b", dt.date(2024, 1, 2), 5, 7.5)],   # single-day key
+        "k STRING, day DATE, n LONG, level DOUBLE")
+    out = gap_fill_daily(daily, ["k"], "day",
+                         zero_cols=["n"], locf_cols=["level"])
+    rows = {(r.k, str(r.day)): (r.n, r.level, r.is_filled)
+            for r in out.collect()}
+    assert len(rows) == 5  # a: 4 days, b: 1 day
+    assert rows[("a", "2024-01-01")] == (2, 10.0, False)
+    assert rows[("a", "2024-01-02")] == (0, 10.0, True)   # locf holds
+    assert rows[("a", "2024-01-03")] == (0, 10.0, True)
+    assert rows[("a", "2024-01-04")] == (1, 40.0, False)
+    assert rows[("b", "2024-01-02")] == (5, 7.5, False)

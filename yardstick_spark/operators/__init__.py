@@ -35,4 +35,5 @@ from .rollup_hier import (  # noqa: F401
     rollup_hierarchy,
 )
 from .skew import salted_join  # noqa: F401
+from .timeseries import gap_fill_daily  # noqa: F401
 from .topk import top_k_per_group  # noqa: F401
