@@ -1231,6 +1231,16 @@ def _q_ops_gap_fill(spark, sf_dir):
         "n", "day_value", "is_filled").orderBy("event_type", "day")
 
 
+def _q_text_stratified(spark, sf_dir):
+    # exact-count stratified sample per (source, lang) stratum,
+    # md5-deterministic; map-side WindowGroupLimit shuffle shape
+    from yardstick_spark.llm import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf_dir).select("doc_id", "source", "lang"),
+        ["source", "lang"], 5).orderBy("source", "lang", "doc_id")
+
+
 def _q_pipeline_embeddings(spark, sf_dir):
     # embedding-side curation composed end to end: norm-window filter
     # -> SemDeDup keep-one -> int8 quantization on the survivors
@@ -1633,6 +1643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_dup_spans": _q_text_dup_spans,
         "text_char_entropy": _q_text_char_entropy,
         "ops_gap_fill": _q_ops_gap_fill,
+        "text_stratified": _q_text_stratified,
     }
     out: dict[str, Callable] = {
         "sim_knn_lsh": _q_knn_lsh,
@@ -1704,7 +1715,7 @@ _R5_NEW: list[str] = [
     "text_ngrams", "ops_cdc_compact", "ops_scd2", "ops_scd2_lookup",
     "pipeline_embeddings", "ops_expectations", "text_heavy_hitters",
     "ops_incremental_agg", "ops_table_diff", "text_dup_spans",
-    "text_char_entropy", "ops_gap_fill",
+    "text_char_entropy", "ops_gap_fill", "text_stratified",
 ]
 
 _R5_STALE_R2 = [
@@ -3229,6 +3240,15 @@ def oracle_sql() -> dict[str, str]:
             ON o.c_custkey = n.c_custkey)
         WHERE change IS NOT NULL
         ORDER BY c_custkey, change"""
+    o["text_stratified"] = """
+        SELECT doc_id, source, lang FROM (
+          SELECT doc_id, source, lang,
+                 ROW_NUMBER() OVER (PARTITION BY source, lang
+                   ORDER BY CAST(CONCAT('0x', SUBSTRING(md5(
+                     CONCAT('42:', CAST(doc_id AS VARCHAR))), 1, 15))
+                     AS BIGINT), doc_id) AS rk
+          FROM documents)
+        WHERE rk <= 5 ORDER BY source, lang, doc_id"""
     o["ops_gap_fill"] = """
         WITH daily AS (
           SELECT event_type, CAST(ts AS DATE) AS d,

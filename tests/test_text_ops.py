@@ -661,3 +661,32 @@ def test_char_entropy_known_values(spark):
     assert got[2] == (4, 2, 1.0)          # two equiprobable: 1 bit
     assert got[3] == (4, 4, 2.0)          # four equiprobable: 2 bits
     assert 4 not in got and 5 not in got  # whitespace/empty dropped
+
+
+def test_stratified_sample_exact_counts_and_determinism(spark):
+    from yardstick_spark.llm import stratified_sample
+
+    docs = spark.createDataFrame(
+        [(i, "big" if i < 90 else "small") for i in range(100)],
+        "doc_id INT, source STRING")
+    from pyspark.sql import functions as F
+
+    out = stratified_sample(docs, ["source"], 7)
+    counts = {r.source: r.n for r in
+              out.groupBy("source").agg(F.count("*").alias("n"))
+              .collect()}
+    assert counts == {"big": 7, "small": 7}  # skew-immune equal take
+    # deterministic across partition layouts
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(r.doc_id for r in
+               stratified_sample(docs.repartition(13), ["source"], 7)
+               .collect())
+    assert a == b
+    # stratum smaller than n: take everything, no padding
+    tiny = stratified_sample(docs.filter("doc_id >= 95"),
+                             ["source"], 7)
+    assert tiny.count() == 5
+    # map-side partial top-k (WindowGroupLimit) in the plan
+    plan = stratified_sample(docs, ["source"], 7) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan

@@ -98,6 +98,7 @@ from .text import (  # noqa: F401
     sample_weighted,
     source_quota,
     split_corpus,
+    stratified_sample,
     temperature_mixture_weights,
     tfidf_terms,
     token_stats,

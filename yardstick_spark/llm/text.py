@@ -1111,3 +1111,26 @@ def char_entropy(docs: DataFrame, text_col: str = "text",
                 "n_chars_norm))"), 6).alias("char_entropy"),
         )
     )
+
+
+def stratified_sample(docs: DataFrame, strata_cols: list[str],
+                      n_per_stratum: int, id_col: str = "doc_id",
+                      seed: int = 42) -> DataFrame:
+    """Deterministic stratified sampling: EXACTLY ``n_per_stratum``
+    rows per stratum (fewer when the stratum is smaller), chosen by a
+    portable md5-uniform order on the id — reproducible across runs,
+    engines, and partition layouts, unlike `sampleBy` (fractions, RNG,
+    partition-dependent).  The eval-set construction primitive: equal
+    representation per source/language regardless of corpus skew.
+
+    Scale shape: one rank window per stratum that compiles to a
+    map-side partial WindowGroupLimit (each task forwards at most n
+    rows per stratum it sees), so the shuffle carries
+    O(strata x n x tasks) rows, never the corpus."""
+    u = (f"CAST(conv(substring(md5(concat('{seed}:', "
+         f"CAST({id_col} AS STRING))), 1, 15), 16, 10) AS BIGINT)")
+    w = (Window.partitionBy(*strata_cols)
+         .orderBy(F.expr(u), F.col(id_col)))
+    return (docs.withColumn("__ys_rk", F.row_number().over(w))
+            .filter(F.col("__ys_rk") <= n_per_stratum)
+            .drop("__ys_rk"))
