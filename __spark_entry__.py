@@ -1241,6 +1241,27 @@ def _q_text_stratified(spark, sf_dir):
         ["source", "lang"], 5).orderBy("source", "lang", "doc_id")
 
 
+def _q_asof_forward(spark, sf_dir):
+    # forward as-of: each purchase attaches the NEXT click at-or-after
+    # it (pandas merge_asof direction='forward'); same union+window
+    # shape, first(ignorenulls) over a following frame
+    from pyspark.sql import functions as F
+
+    from yardstick_spark.operators import asof_join
+    from yardstick_spark.sources import read_table
+
+    ev = read_table(spark, f"{sf_dir}/events.parquet")
+    purchases = ev.filter("event_type = 'purchase'")
+    clicks = ev.filter("event_type = 'click'").select(
+        "user_id", "ts", F.col("value").alias("click_value"))
+    return asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        direction="forward",
+    ).select("event_id",
+             F.round("click_value_asof", 2).alias("next_click_value")
+             ).orderBy("event_id")
+
+
 def _q_pipeline_embeddings(spark, sf_dir):
     # embedding-side curation composed end to end: norm-window filter
     # -> SemDeDup keep-one -> int8 quantization on the survivors
@@ -1644,6 +1665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_char_entropy": _q_text_char_entropy,
         "ops_gap_fill": _q_ops_gap_fill,
         "text_stratified": _q_text_stratified,
+        "ops_asof_forward": _q_asof_forward,
     }
     out: dict[str, Callable] = {
         "sim_knn_lsh": _q_knn_lsh,
@@ -1716,6 +1738,7 @@ _R5_NEW: list[str] = [
     "pipeline_embeddings", "ops_expectations", "text_heavy_hitters",
     "ops_incremental_agg", "ops_table_diff", "text_dup_spans",
     "text_char_entropy", "ops_gap_fill", "text_stratified",
+    "ops_asof_forward",
 ]
 
 _R5_STALE_R2 = [
@@ -1957,6 +1980,12 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
           ON p.user_id = c.user_id AND p.ts >= c.ts"""
+    o["ops_asof_forward"] = """
+        SELECT p.event_id, ROUND(c.value, 2) AS next_click_value
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts <= c.ts
+        ORDER BY p.event_id"""
     o["ops_topk_per_group"] = """
         SELECT event_type, event_id, value FROM (
           SELECT event_type, event_id, value,

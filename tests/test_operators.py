@@ -851,3 +851,36 @@ def test_gap_fill_daily_zero_and_locf(spark):
     assert rows[("a", "2024-01-03")] == (0, 10.0, True)
     assert rows[("a", "2024-01-04")] == (1, 40.0, False)
     assert rows[("b", "2024-01-02")] == (5, 7.5, False)
+
+
+def test_asof_join_directions_and_tolerance(spark):
+    import datetime as dt
+
+    from yardstick_spark.operators import asof_join
+
+    T = dt.datetime
+    left = spark.createDataFrame(
+        [(1, "u", T(2024, 1, 1, 12, 0)),
+         (2, "u", T(2024, 1, 1, 12, 30)),
+         (3, "v", T(2024, 1, 1, 9, 0))],  # v: no backward quote
+        "id INT, k STRING, ts TIMESTAMP")
+    right = spark.createDataFrame(
+        [("u", T(2024, 1, 1, 11, 59), 10.0),
+         ("u", T(2024, 1, 1, 12, 30), 20.0),   # exact tie with id 2
+         ("u", T(2024, 1, 1, 12, 40), 30.0),
+         ("v", T(2024, 1, 1, 10, 0), 99.0)],
+        "k STRING, ts TIMESTAMP, px DOUBLE")
+
+    def run(**kw):
+        return {r.id: r.px_asof
+                for r in asof_join(left, right, on="k", **kw).collect()}
+
+    assert run() == {1: 10.0, 2: 20.0, 3: None}  # backward, tie hits
+    assert run(direction="forward") == {1: 20.0, 2: 20.0, 3: 99.0}
+    # nearest: id1 backward 1min vs forward 30min -> backward;
+    # id3 only forward exists
+    assert run(direction="nearest") == {1: 10.0, 2: 20.0, 3: 99.0}
+    # tolerance voids far matches: id1's quote is 1min old (keeps),
+    # id3's nearest is 60min away (voided)
+    got = run(direction="nearest", tolerance="INTERVAL 5 MINUTES")
+    assert got == {1: 10.0, 2: 20.0, 3: None}
