@@ -449,6 +449,27 @@ _MEASURE_QUERIES: dict[str, str] = {
         "ROWS UNBOUNDED PRECEDING) / 100.0 AS DOUBLE) AS running_total "
         "FROM orders WHERE o_custkey < 100"
     ),
+    # cumulative distinct users per event_type (Spark has no
+    # COUNT(DISTINCT) OVER: SUM of first-occurrence counts instead —
+    # the standard rewrite, one extra keyed aggregate, no state blowup)
+    "ops_window_distinct": (
+        "WITH firsts AS ( "
+        "  SELECT event_type, user_id, MIN(CAST(ts AS DATE)) AS fd "
+        "  FROM events GROUP BY event_type, user_id), "
+        "newu AS (SELECT event_type, fd AS day, COUNT(*) AS new_users "
+        "         FROM firsts GROUP BY event_type, fd), "
+        "daily AS (SELECT event_type, CAST(ts AS DATE) AS day, "
+        "                 COUNT(DISTINCT user_id) AS daily_users "
+        "          FROM events GROUP BY event_type, CAST(ts AS DATE)) "
+        "SELECT d.event_type, CAST(d.day AS STRING) AS day, "
+        "       d.daily_users, "
+        "       CAST(SUM(COALESCE(n.new_users, 0)) OVER ( "
+        "         PARTITION BY d.event_type ORDER BY d.day "
+        "         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users "
+        "FROM daily d LEFT JOIN newu n "
+        "  ON n.event_type = d.event_type AND n.day = d.day "
+        "ORDER BY d.event_type, day"
+    ),
     # ordered-set aggregates (PERCENTILE_CONT normalization path)
     "ops_percentiles": (
         "SELECT l_returnflag, "
@@ -1738,7 +1759,7 @@ _R5_NEW: list[str] = [
     "pipeline_embeddings", "ops_expectations", "text_heavy_hitters",
     "ops_incremental_agg", "ops_table_diff", "text_dup_spans",
     "text_char_entropy", "ops_gap_fill", "text_stratified",
-    "ops_asof_forward",
+    "ops_asof_forward", "ops_window_distinct",
 ]
 
 _R5_STALE_R2 = [
@@ -2142,6 +2163,23 @@ def oracle_sql() -> dict[str, str]:
                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                ROWS UNBOUNDED PRECEDING) / 100.0 AS DOUBLE) AS running_total
         FROM orders WHERE o_custkey < 100"""
+    o["ops_window_distinct"] = """
+        WITH firsts AS (
+          SELECT event_type, user_id, MIN(CAST(ts AS DATE)) AS fd
+          FROM events GROUP BY event_type, user_id),
+        newu AS (SELECT event_type, fd AS day, COUNT(*) AS new_users
+                 FROM firsts GROUP BY event_type, fd),
+        daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                         COUNT(DISTINCT user_id) AS daily_users
+                  FROM events GROUP BY event_type, CAST(ts AS DATE))
+        SELECT d.event_type, CAST(d.day AS VARCHAR) AS day,
+               d.daily_users,
+               CAST(SUM(COALESCE(n.new_users, 0)) OVER (
+                 PARTITION BY d.event_type ORDER BY d.day
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+        FROM daily d LEFT JOIN newu n
+          ON n.event_type = d.event_type AND n.day = d.day
+        ORDER BY d.event_type, day"""
     o["ops_percentiles"] = """
         SELECT l_returnflag,
                ROUND(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY l_quantity),

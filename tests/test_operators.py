@@ -884,3 +884,27 @@ def test_asof_join_directions_and_tolerance(spark):
     # id3's nearest is 60min away (voided)
     got = run(direction="nearest", tolerance="INTERVAL 5 MINUTES")
     assert got == {1: 10.0, 2: 20.0, 3: None}
+
+
+def test_window_distinct_invariants(spark):
+    # the first-occurrence-sum rewrite of COUNT(DISTINCT) OVER: cum is
+    # non-decreasing and its final value is the true distinct count
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry", "/root/repo/__spark_entry__.py")
+    e = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(e)
+    rows = e.queries()["ops_window_distinct"](
+        spark, "/root/testdata/sf0.001").collect()
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    truth = {r.event_type: r.n for r in
+             ev.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("n")).collect()}
+    last = {}
+    for r in rows:  # already ordered by (event_type, day)
+        prev = last.get(r.event_type, 0)
+        assert r.cum_users >= prev
+        assert r.cum_users >= r.daily_users or prev > 0
+        last[r.event_type] = r.cum_users
+    assert last == truth
