@@ -425,3 +425,71 @@ def test_p7_pack_sequences_matches_python_reference(spark, counts, max_tokens):
             want.append((i, seq, lo - start, hi - lo))
         pos = end
     assert got == sorted(want)
+
+
+# P10: the Misra-Gries summary bound holds for ANY input stream and
+# ANY capacity: every term's true count lies in [wlow, wlow + err],
+# and every term with true count > err is present in the summary
+@given(stream=st.lists(
+    st.lists(st.sampled_from("abcdefgh"), min_size=0, max_size=40),
+    min_size=1, max_size=6),
+    m=st.integers(min_value=1, max_value=8))
+@settings(deadline=None, max_examples=60)
+def test_p10_mg_merge_prune_bound(stream, m):
+    import collections
+
+    import pandas as pd
+
+    from yardstick_spark.operators.heavy import mg_merge_prune
+
+    acc = pd.Series(dtype="int64")
+    err = 0
+    true = collections.Counter()
+    for batch in stream:
+        true.update(batch)
+        vc = pd.Series(batch, dtype="object").value_counts()
+        acc, sub = mg_merge_prune(acc, vc, m)
+        err += sub
+    summary = dict(acc)
+    for t, n in true.items():
+        w = int(summary.get(t, 0))
+        assert w <= n <= w + err, (t, w, n, err)
+        if n > err:
+            assert t in summary
+    assert len(summary) <= m
+
+
+# P11: incremental merge over ANY partition of the input equals the
+# one-shot aggregate (associativity of the maintained state)
+@given(rows=st.lists(
+    st.tuples(st.sampled_from(["a", "b", "c"]),
+              st.integers(min_value=-20, max_value=20)),
+    min_size=1, max_size=30),
+    cut=st.integers(min_value=0, max_value=30))
+@settings(deadline=None, max_examples=12,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_p11_incremental_merge_equals_recompute(spark, rows, cut):
+    from pyspark.sql import functions as F
+
+    from yardstick_spark.operators import incremental_agg_merge
+
+    cut = min(cut, len(rows))
+    schema = "k STRING, v LONG"
+    full = spark.createDataFrame(rows, schema)
+    want = {r.k: (r.v, r.cnt) for r in
+            full.groupBy("k").agg(F.sum("v").alias("v"),
+                                  F.count(F.lit(1)).alias("cnt"))
+            .collect()}
+    if cut == 0:
+        base = spark.createDataFrame([], "k STRING, v LONG, cnt LONG")
+    else:
+        base = (spark.createDataFrame(rows[:cut], schema)
+                .groupBy("k").agg(F.sum("v").alias("v"),
+                                  F.count(F.lit(1)).alias("cnt")))
+    if cut == len(rows):
+        merged = base
+    else:
+        merged = incremental_agg_merge(
+            base, spark.createDataFrame(rows[cut:], schema), ["k"], ["v"])
+    got = {r.k: (r.v, r.cnt) for r in merged.collect()}
+    assert got == want
