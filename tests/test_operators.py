@@ -908,3 +908,12 @@ def test_window_distinct_invariants(spark):
         assert r.cum_users >= r.daily_users or prev > 0
         last[r.event_type] = r.cum_users
     assert last == truth
+
+
+def test_check_expectations_quoted_rule_name(spark):
+    from yardstick_spark.operators import check_expectations, satisfies
+
+    df = spark.createDataFrame([(1,)], "k INT")
+    out = check_expectations(df, [satisfies("o'brien", "k > 0")])
+    r = out.collect()[0]
+    assert r.rule == "satisfies(o'brien)" and r.ok

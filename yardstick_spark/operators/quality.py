@@ -99,8 +99,11 @@ def check_expectations(df: DataFrame, rules: list[dict],
             ), F.lit(0)).alias(f"_f{i}"))
         one = df.agg(*aggs)
         # 1-row wide aggregate -> k rule rows via stack (no extra scan)
+        # rule names land inside SQL string literals: escape quotes so
+        # a satisfies("o'brien", ...) rule can't break the projection
         stack_args = ", ".join(
-            f"'{prefix}{r['name']}', _f{i}" for i, r in enumerate(row_rules))
+            "'" + (prefix + r["name"]).replace("'", "''") + f"', _f{i}"
+            for i, r in enumerate(row_rules))
         pieces.append(one.selectExpr(
             f"stack({len(row_rules)}, {stack_args}) AS (rule, failed)",
             "_total AS total").select("rule", "total", "failed"))
