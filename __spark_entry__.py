@@ -775,6 +775,26 @@ def _q_knn_lsh(spark, sf_dir):
     return lsh_bucketed_knn(emb, emb.filter("vec_id < 5"), k=10)
 
 
+def _q_knn_lsh_persisted(spark, sf_dir):
+    # probe a PERSISTED bucket-partitioned LSH index: bit-identical to
+    # sim_knn_lsh (same sidecar planes) but the corpus scan is
+    # partition-pruned to the probed buckets — the build-once/
+    # probe-many production path
+    import hashlib
+    import tempfile
+    from pathlib import Path
+
+    from yardstick_spark.llm import knn_lsh_from_index, save_lsh_index
+
+    _ys(spark, sf_dir)
+    emb = spark.table("embeddings")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = str(Path(tempfile.gettempdir()) / f"ys_lsh_idx_{tag}")
+    save_lsh_index(emb, path, n_planes=8)
+    return knn_lsh_from_index(spark, path, emb.filter("vec_id < 5"),
+                              k=10)
+
+
 def _q_knn_lsh_multiprobe(spark, sf_dir):
     # multi-probe: each query also searches the buckets reached by
     # flipping its 2 least-confident sign bits; the oracle re-derives
@@ -1687,6 +1707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ops_gap_fill": _q_ops_gap_fill,
         "text_stratified": _q_text_stratified,
         "ops_asof_forward": _q_asof_forward,
+        "sim_knn_lsh_persisted": _q_knn_lsh_persisted,
     }
     out: dict[str, Callable] = {
         "sim_knn_lsh": _q_knn_lsh,
@@ -1759,7 +1780,7 @@ _R5_NEW: list[str] = [
     "pipeline_embeddings", "ops_expectations", "text_heavy_hitters",
     "ops_incremental_agg", "ops_table_diff", "text_dup_spans",
     "text_char_entropy", "ops_gap_fill", "text_stratified",
-    "ops_asof_forward", "ops_window_distinct",
+    "ops_asof_forward", "ops_window_distinct", "sim_knn_lsh_persisted",
 ]
 
 _R5_STALE_R2 = [
@@ -2318,6 +2339,7 @@ def oracle_sql() -> dict[str, str]:
           SELECT *, CAST(row_number() OVER (PARTITION BY query_id
                      ORDER BY sim DESC, neighbor_id) AS INT) AS rank
           FROM scored) WHERE rank <= 10"""
+    o["sim_knn_lsh_persisted"] = o["sim_knn_lsh"]
 
     dot_list = "[" + ", ".join(
         f"list_sum(list_transform(list_zip(e, CAST([{', '.join(_w(p, i) for i in range(dim))}] AS DOUBLE[])), x -> x[1] * x[2]))"

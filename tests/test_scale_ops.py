@@ -732,3 +732,30 @@ def test_profile_numeric_approx_rank_error(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ObjectHashAggregate") <= 2 \
         or plan.count("HashAggregate") <= 2, plan
+
+
+def test_lsh_index_probe_equals_on_the_fly(spark, tmp_path):
+    # the persisted index returns bit-identical neighbors to
+    # lsh_bucketed_knn, and the probe scan is partition-pruned to the
+    # probed buckets
+    from yardstick_spark.llm import (
+        knn_lsh_from_index, lsh_bucketed_knn, save_lsh_index,
+    )
+    from yardstick_spark.sources import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter("vec_id < 5")
+    path = str(tmp_path / "lshidx")
+    save_lsh_index(emb, path, n_planes=8)
+    for probes in (1, 3):
+        got = sorted(map(tuple, knn_lsh_from_index(
+            spark, path, queries, k=10, n_probes=probes).collect()))
+        want = sorted(map(tuple, lsh_bucketed_knn(
+            emb, queries, k=10, n_probes=probes).collect()))
+        assert got == want and len(got) > 0
+    # partition pruning: the scan plan carries a bucket filter
+    plan = knn_lsh_from_index(spark, path, queries, k=10) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan, plan[:2000]
+    pf = plan.split("PartitionFilters", 1)[1][:200]
+    assert "bucket" in pf, pf

@@ -568,3 +568,88 @@ def lsh_bucketed_knn(corpus: DataFrame, queries: DataFrame, k: int = 10,
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def save_lsh_index(corpus: DataFrame, path: str, id_col: str = "vec_id",
+                   vec_col: str = "embedding", n_planes: int = 8,
+                   seed: int = 42) -> None:
+    """Persist the LSH-bucketed corpus as a probe-ready index: one
+    parquet dataset PARTITIONED BY bucket holding (neighbor_id, vector,
+    precomputed norm) — built once, probed many times, the production
+    shape where the corpus is hashed by a nightly job and queries
+    arrive all day.  Partitioning by bucket turns every probe into a
+    partition-PRUNED scan: a query touching p buckets reads p/2^n_planes
+    of the files and none of the rest.  Hyperplane parameters ride in a
+    `_lsh_meta.json` sidecar so a probe can never silently hash with
+    different planes than the index was built with."""
+    import json
+    from pathlib import Path
+
+    dots = _plane_dots_udf(n_planes, seed)
+    nrm = "sqrt(aggregate({v}, 0D, (s, v) -> s + v * v))"
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.expr(_as_double(vec_col)).alias("cv"),
+        dots(F.col(vec_col)).alias("__ds"),
+    ).select(
+        "neighbor_id", "cv",
+        F.expr(nrm.format(v="cv")).alias("cn"),
+        F.expr(_dots_to_bucket("__ds", n_planes)).alias("bucket"),
+    )
+    c.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    Path(path, "_lsh_meta.json").write_text(
+        json.dumps({"n_planes": n_planes, "seed": seed}))
+
+
+def knn_lsh_from_index(spark, path: str, queries: DataFrame,
+                       k: int = 10, id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       n_probes: int = 1) -> DataFrame:
+    """kNN probe against a `save_lsh_index` dataset — bit-identical
+    results to `lsh_bucketed_knn` over the original corpus (same
+    md5-parity planes from the sidecar, same fold order, same
+    tie-break), without re-hashing or even re-reading the unprobed
+    corpus: the probed bucket ids (≤ queries × n_probes, collected —
+    bounded by the query batch, which broadcasts anyway) become a
+    partition-pruning filter on the index scan."""
+    import json
+    from pathlib import Path
+
+    meta = json.loads(Path(path, "_lsh_meta.json").read_text())
+    n_planes, seed = meta["n_planes"], meta["seed"]
+    dots = _plane_dots_udf(n_planes, seed)
+    nrm = "sqrt(aggregate({v}, 0D, (s, v) -> s + v * v))"
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.expr(_as_double(vec_col)).alias("qv"),
+            dots(F.col(vec_col)).alias("__ds"),
+        )
+        .select(
+            "query_id", "qv",
+            F.expr(nrm.format(v="qv")).alias("qn"),
+            F.explode(F.expr(
+                lsh_probe_buckets_expr("__ds", n_planes, n_probes)
+            )).alias("bucket"),
+        )
+    )
+    probed = [r.bucket for r in q.select("bucket").distinct().collect()]
+    idx = (spark.read.option("basePath", path).parquet(path)
+           .filter(F.col("bucket").isin(probed)))
+    dot = ("aggregate(zip_with(qv, cv, (x, y) -> x * y), 0D, "
+           "(s, v) -> s + v)")
+    scored = (
+        idx.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id",
+            F.round(F.expr(f"({dot} / (qn * cn))"), 4).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
