@@ -1303,6 +1303,16 @@ def _q_asof_forward(spark, sf_dir):
              ).orderBy("event_id")
 
 
+def _q_ops_skew_report(spark, sf_dir):
+    # pre-join skew diagnosis: hottest user_ids with exact counts,
+    # shares, and the salt factor that flattens each to average load
+    from yardstick_spark.operators import skew_report
+
+    _ys(spark, sf_dir)
+    return skew_report(spark.table("events"), "user_id", k=10,
+                       n_partitions=32)
+
+
 def _q_pipeline_embeddings(spark, sf_dir):
     # embedding-side curation composed end to end: norm-window filter
     # -> SemDeDup keep-one -> int8 quantization on the survivors
@@ -1708,6 +1718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stratified": _q_text_stratified,
         "ops_asof_forward": _q_asof_forward,
         "sim_knn_lsh_persisted": _q_knn_lsh_persisted,
+        "ops_skew_report": _q_ops_skew_report,
     }
     out: dict[str, Callable] = {
         "sim_knn_lsh": _q_knn_lsh,
@@ -1781,6 +1792,7 @@ _R5_NEW: list[str] = [
     "ops_incremental_agg", "ops_table_diff", "text_dup_spans",
     "text_char_entropy", "ops_gap_fill", "text_stratified",
     "ops_asof_forward", "ops_window_distinct", "sim_knn_lsh_persisted",
+    "ops_skew_report",
 ]
 
 _R5_STALE_R2 = [
@@ -2184,6 +2196,16 @@ def oracle_sql() -> dict[str, str]:
                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                ROWS UNBOUNDED PRECEDING) / 100.0 AS DOUBLE) AS running_total
         FROM orders WHERE o_custkey < 100"""
+    o["ops_skew_report"] = """
+        WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key,
+                          COUNT(*) AS n
+                   FROM events WHERE user_id IS NOT NULL
+                   GROUP BY 1),
+        t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+        SELECT key, n, ROUND(n * 1.0 / total, 6) AS share,
+               GREATEST(1, CAST(CEIL(n * 32.0 / total) AS INT))
+                 AS suggested_salt
+        FROM c, t ORDER BY n DESC, key LIMIT 10"""
     o["ops_window_distinct"] = """
         WITH firsts AS (
           SELECT event_type, user_id, MIN(CAST(ts AS DATE)) AS fd

@@ -759,3 +759,20 @@ def test_lsh_index_probe_equals_on_the_fly(spark, tmp_path):
     assert "PartitionFilters" in plan, plan[:2000]
     pf = plan.split("PartitionFilters", 1)[1][:200]
     assert "bucket" in pf, pf
+
+
+def test_skew_report_values_and_null_handling(spark):
+    from yardstick_spark.operators import skew_report
+
+    df = spark.createDataFrame(
+        [("hot", 1)] * 60 + [("warm", 1)] * 30 + [("c1", 1)] * 5
+        + [("c2", 1)] * 5 + [(None, 1)] * 10,
+        "k STRING, v INT")
+    rep = {r.key: (r.n, r.share, r.suggested_salt)
+           for r in skew_report(df, "k", k=3, n_partitions=10,
+                                capacity=64).collect()}
+    # NULL keys excluded from both the ranking and the denominator
+    assert None not in rep and rep["hot"] == (60, 0.6, 6)
+    assert rep["warm"] == (30, 0.3, 3)
+    # a uniform key needs no salt
+    assert rep["c1"][2] == 1

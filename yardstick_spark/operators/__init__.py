@@ -34,6 +34,6 @@ from .rollup_hier import (  # noqa: F401
     rollup_events,
     rollup_hierarchy,
 )
-from .skew import salted_join  # noqa: F401
+from .skew import salted_join, skew_report  # noqa: F401
 from .timeseries import gap_fill_daily  # noqa: F401
 from .topk import top_k_per_group  # noqa: F401

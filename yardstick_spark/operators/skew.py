@@ -40,3 +40,41 @@ def salted_join(skewed: DataFrame, small: DataFrame, on: str | list[str],
     )
     out = skew_salted.join(small_rep, [*keys, "__salt"], how)
     return out.drop("__salt")
+
+
+def skew_report(df: DataFrame, key_cols: list[str] | str, k: int = 10,
+                n_partitions: int = 32,
+                capacity: int | None = None) -> DataFrame:
+    """Data-driven input to `salted_join`: the k hottest join keys,
+    each with its exact count, share of all rows, and the salt factor
+    that flattens it to the average partition load
+    (ceil(count * n_partitions / total) - 1 means no salting needed).
+
+    Built on `heavy_hitters`, so finding the hot keys shuffles only
+    O(partitions * capacity) sketch rows, never the key space; the
+    exact recount and the row total are one extra scan each — the
+    diagnostic is two scans however wide the key domain is.  Run this
+    BEFORE a big join: a top share near 1/n_partitions means salting
+    buys nothing; a 0.3 share on one key is the shuffle straggler.
+    """
+    from .heavy import heavy_hitters
+
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    # unit-separator join avoids ('ab','c') colliding with ('a','bc');
+    # an all-NULL key stays NULL (heavy_hitters drops it) and the
+    # share denominator counts only keyed rows, matching that
+    all_null = F.lit(True)
+    for c in keys:
+        all_null = all_null & F.col(c).isNull()
+    sep = chr(31)
+    keyed = df.select(F.when(all_null, F.lit(None)).otherwise(
+        F.concat_ws(sep, *[F.col(c).cast("string") for c in keys])
+    ).alias("__key"))
+    total = keyed.filter(F.col("__key").isNotNull()).count()
+    hot = heavy_hitters(keyed, "__key", k=k, capacity=capacity)
+    return hot.select(
+        F.col("term").alias("key"), F.col("n"),
+        F.round(F.col("n") / F.lit(total), 6).alias("share"),
+        F.greatest(F.lit(1), F.ceil(
+            F.col("n") * n_partitions / F.lit(total)).cast("int")
+        ).alias("suggested_salt"))
