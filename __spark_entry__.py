@@ -1313,6 +1313,13 @@ def _q_ops_skew_report(spark, sf_dir):
                        n_partitions=32)
 
 
+def _q_text_bigram_logprob(spark, sf_dir):
+    # interpolated bigram-LM perplexity filter (KenLM-ladder step 2)
+    from yardstick_spark.llm import bigram_logprob
+
+    return bigram_logprob(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 def _q_pipeline_embeddings(spark, sf_dir):
     # embedding-side curation composed end to end: norm-window filter
     # -> SemDeDup keep-one -> int8 quantization on the survivors
@@ -1719,6 +1726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ops_asof_forward": _q_asof_forward,
         "sim_knn_lsh_persisted": _q_knn_lsh_persisted,
         "ops_skew_report": _q_ops_skew_report,
+        "text_bigram_logprob": _q_text_bigram_logprob,
     }
     out: dict[str, Callable] = {
         "sim_knn_lsh": _q_knn_lsh,
@@ -1792,7 +1800,7 @@ _R5_NEW: list[str] = [
     "ops_incremental_agg", "ops_table_diff", "text_dup_spans",
     "text_char_entropy", "ops_gap_fill", "text_stratified",
     "ops_asof_forward", "ops_window_distinct", "sim_knn_lsh_persisted",
-    "ops_skew_report",
+    "ops_skew_report", "text_bigram_logprob",
 ]
 
 _R5_STALE_R2 = [
@@ -2586,6 +2594,29 @@ def oracle_sql() -> dict[str, str]:
                  / SUM(tf), 6) AS nll
         FROM tf JOIN cf USING (term) CROSS JOIN tot
         GROUP BY tf.id"""
+    o["text_bigram_logprob"] = f"""
+        WITH wl AS (SELECT doc_id AS id,
+                list_filter(string_split({_NORM_DOC}, ' '),
+                            t -> t <> '') AS words FROM documents),
+        b AS (SELECT id, u.v AS v, u.w AS w
+              FROM (SELECT id,
+                      unnest([{{'v': words[i-1], 'w': words[i]}}
+                              for i in range(2, len(words) + 1)]) AS u
+                    FROM wl WHERE len(words) >= 2)),
+        tf2 AS (SELECT id, v, w, COUNT(*) AS tf FROM b GROUP BY 1,2,3),
+        bcf AS (SELECT v, w, SUM(tf) AS bcf FROM tf2 GROUP BY 1, 2),
+        uni AS (SELECT unnest(words) AS term FROM wl),
+        cf AS (SELECT term, COUNT(*) AS cf FROM uni GROUP BY 1),
+        tot AS (SELECT CAST(SUM(cf) AS BIGINT) AS total FROM cf)
+        SELECT tf2.id AS doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+               ROUND(SUM(tf * -LN(0.7 * bcf / CAST(cv.cf AS DOUBLE)
+                   + 0.3 * cw.cf / CAST(total AS DOUBLE)))
+                 / SUM(tf), 6) AS nll2
+        FROM tf2 JOIN bcf USING (v, w)
+        JOIN cf cv ON cv.term = tf2.v
+        JOIN cf cw ON cw.term = tf2.w
+        CROSS JOIN tot
+        GROUP BY tf2.id ORDER BY doc_id"""
     o["sim_knn_bruteforce"] = """
         WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         q AS (SELECT * FROM v WHERE vec_id < 5),

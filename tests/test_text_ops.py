@@ -690,3 +690,19 @@ def test_stratified_sample_exact_counts_and_determinism(spark):
     plan = stratified_sample(docs, ["source"], 7) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_bigram_logprob_penalizes_word_salad(spark):
+    from yardstick_spark.llm import bigram_logprob
+
+    natural = "the cat sat on the mat the cat sat on the mat"
+    salad = "mat the on cat sat the mat on sat cat the the"  # same bag
+    docs = spark.createDataFrame(
+        [(1, natural), (2, salad), (3, "solo")],
+        "doc_id INT, text STRING")
+    got = {r.doc_id: (r.n_bigrams, r.nll2)
+           for r in bigram_logprob(docs).collect()}
+    assert 3 not in got                      # no bigram positions
+    assert got[1][0] == got[2][0] == 11
+    # identical unigram bag, broken transitions -> strictly worse LM fit
+    assert got[2][1] > got[1][1]

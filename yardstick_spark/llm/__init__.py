@@ -81,6 +81,7 @@ from .pipeline import (  # noqa: F401
     prepare_embedding_corpus,
 )
 from .text import (  # noqa: F401
+    bigram_logprob,
     char_entropy,
     chunk_documents,
     corpus_report,

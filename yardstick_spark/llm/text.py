@@ -1134,3 +1134,58 @@ def stratified_sample(docs: DataFrame, strata_cols: list[str],
     return (docs.withColumn("__ys_rk", F.row_number().over(w))
             .filter(F.col("__ys_rk") <= n_per_stratum)
             .drop("__ys_rk"))
+
+
+def bigram_logprob(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   lam: float = 0.7) -> DataFrame:
+    """Per-document mean negative log-likelihood under an interpolated
+    corpus bigram model — one step up the KenLM-perplexity-filter
+    ladder from `unigram_logprob`: word-salad text with plausible
+    unigrams but impossible transitions now scores high.  Returns
+    (id_col, n_bigrams, nll2) with
+    nll2 = mean over positions of -ln(lam*P(w|v) + (1-lam)*P(w)),
+    P(w|v) = C(v,w)/C(v) and P(w) = C(w)/total (single-word documents
+    have no bigram positions and are dropped, as in the oracle).
+
+    Same linear shuffle topology as `unigram_logprob` with one more
+    uniform-key aggregate: per-doc bigram tf, corpus bigram counts,
+    and two broadcast-friendly unigram joins — no windows, no driver
+    state, token-scale everywhere."""
+    norm = _NORM.format(c=text_col)
+    words = f"filter(split({norm}, ' '), t -> t <> '')"
+    big = (f"transform(sequence(2, size({words})), i -> "
+           f"struct(element_at({words}, i - 1) AS v, "
+           f"element_at({words}, i) AS w))")
+    tf2 = (
+        docs.select(F.col(id_col).alias("id"),
+                    F.explode(F.expr(
+                        f"IF(size({words}) >= 2, {big}, array())"))
+                    .alias("b"))
+        .select("id", F.col("b.v").alias("v"), F.col("b.w").alias("w"))
+        .groupBy("id", "v", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    bcf = tf2.groupBy("v", "w").agg(F.sum("tf").alias("bcf"))
+    uni = (
+        docs.select(F.explode(F.expr(words)).alias("term"))
+        .groupBy("term").agg(F.count(F.lit(1)).alias("cf"))
+    )
+    total = uni.select(F.sum("cf").alias("total"))
+    return (
+        tf2.join(bcf, ["v", "w"])
+        .join(uni.select(F.col("term").alias("v"),
+                         F.col("cf").alias("cf_v")), "v")
+        .join(uni.select(F.col("term").alias("w"),
+                         F.col("cf").alias("cf_w")), "w")
+        .join(F.broadcast(total))
+        .groupBy("id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_bigrams"),
+            F.expr(
+                f"round(SUM(tf * -ln({lam} * bcf / CAST(cf_v AS DOUBLE)"
+                f" + {1 - lam} * cf_w / CAST(total AS DOUBLE))) "
+                f"/ SUM(tf), 6)").alias("nll2"),
+        )
+        .select(F.col("id").alias(id_col), "n_bigrams", "nll2")
+    )
