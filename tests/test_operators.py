@@ -917,3 +917,25 @@ def test_check_expectations_quoted_rule_name(spark):
     out = check_expectations(df, [satisfies("o'brien", "k > 0")])
     r = out.collect()[0]
     assert r.rule == "satisfies(o'brien)" and r.ok
+
+
+def test_incremental_and_diff_null_keys_merge(spark):
+    from yardstick_spark.operators import (
+        incremental_agg_merge, table_diff)
+
+    agg = spark.createDataFrame(
+        [(None, 10.0, 2), ("a", 1.0, 1)], "k STRING, v DOUBLE, cnt LONG")
+    delta = spark.createDataFrame(
+        [(None, 5.0), ("a", 2.0)], "k STRING, v DOUBLE")
+    got = {r.k: (r.v, r.cnt) for r in
+           incremental_agg_merge(agg, delta, ["k"], ["v"]).collect()}
+    # NULL group key MERGES (GROUP BY semantics), not duplicated
+    assert got == {None: (15.0, 3), "a": (3.0, 2)}
+
+    old = spark.createDataFrame([(None, "x"), (1, "y")],
+                                "k INT, s STRING")
+    new = spark.createDataFrame([(None, "z"), (1, "y")],
+                                "k INT, s STRING")
+    diff = {(r.k, r.change)
+            for r in table_diff(old, new, ["k"]).collect()}
+    assert diff == {(None, "U")}  # one update, not an insert+delete

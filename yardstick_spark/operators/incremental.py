@@ -50,7 +50,14 @@ def incremental_agg_merge(agg: DataFrame, delta: DataFrame,
         d = delta.groupBy(*keys).agg(
             *[F.sum(F.col(c) * w).alias(c) for c in sum_cols],
             F.sum(w).alias(count_col))
-    j = agg.alias("a").join(d.alias("d"), keys, "full_outer")
+    # null-safe key equality: a NULL group key is a real group (SQL
+    # GROUP BY treats NULLs as equal) — a plain equi-join would never
+    # match it and emit two NULL-key rows instead of merging them
+    cond = None
+    for k in keys:
+        c = F.col(f"a.{k}").eqNullSafe(F.col(f"d.{k}"))
+        cond = c if cond is None else cond & c
+    j = agg.alias("a").join(d.alias("d"), cond, "full_outer")
     merged = j.select(
         *[F.coalesce(F.col(f"a.{k}"), F.col(f"d.{k}")).alias(k)
           for k in keys],
@@ -79,7 +86,11 @@ def table_diff(old: DataFrame, new: DataFrame, keys: list[str],
                    F.lit(True).alias("_in_old")).alias("o")
     n = new.select(*keys, *compare_cols,
                    F.lit(True).alias("_in_new")).alias("n")
-    j = o.join(n, keys, "full_outer")
+    cond = None
+    for k in keys:  # null-safe: a NULL key matches itself, not I+D
+        c = F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}"))
+        cond = c if cond is None else cond & c
+    j = o.join(n, cond, "full_outer")
     changed = F.lit(False)
     for c in compare_cols:
         changed = changed | ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
