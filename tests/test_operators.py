@@ -939,3 +939,22 @@ def test_incremental_and_diff_null_keys_merge(spark):
     diff = {(r.k, r.change)
             for r in table_diff(old, new, ["k"]).collect()}
     assert diff == {(None, "U")}  # one update, not an insert+delete
+
+
+def test_gap_fill_null_key_series(spark):
+    import datetime as dt
+
+    from yardstick_spark.operators import gap_fill_daily
+
+    daily = spark.createDataFrame(
+        [(None, dt.date(2024, 1, 1), 4, 1.0),
+         (None, dt.date(2024, 1, 3), 2, 3.0)],
+        "k STRING, day DATE, n LONG, level DOUBLE")
+    rows = {str(r.day): (r.n, r.level, r.is_filled)
+            for r in gap_fill_daily(daily, ["k"], "day",
+                                    zero_cols=["n"],
+                                    locf_cols=["level"]).collect()}
+    # the NULL-keyed series is ONE series: actuals rejoin, one gap day
+    assert rows == {"2024-01-01": (4, 1.0, False),
+                    "2024-01-02": (0, 1.0, True),
+                    "2024-01-03": (2, 3.0, False)}

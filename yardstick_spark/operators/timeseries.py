@@ -38,9 +38,18 @@ def gap_fill_daily(df: DataFrame, key_cols: list[str], day_col: str,
                      F.explode(F.expr(
                          "sequence(__d0, __d1, interval 1 day)"))
                      .alias(day_col)))
-    actual = df.select(*key_cols, day_col, *zero_cols, *locf_cols,
+    actual = df.select(*[F.col(k).alias(f"__a_{k}") for k in key_cols],
+                       F.col(day_col).alias("__a_day"),
+                       *zero_cols, *locf_cols,
                        F.lit(False).alias("is_filled"))
-    joined = spine.join(actual, [*key_cols, day_col], "left")
+    # null-safe key equality: a NULL-keyed series is one series (its
+    # spine comes from the same NULL group), so its actual rows must
+    # rejoin rather than every day looking like a gap
+    cond = F.col(day_col) == F.col("__a_day")
+    for k in key_cols:
+        cond = cond & F.col(k).eqNullSafe(F.col(f"__a_{k}"))
+    joined = (spine.join(actual, cond, "left")
+              .drop("__a_day", *[f"__a_{k}" for k in key_cols]))
     w = (Window.partitionBy(*key_cols).orderBy(day_col)
          .rowsBetween(Window.unboundedPreceding, 0))
     out = joined.select(
