@@ -310,9 +310,13 @@ def start_heavy_hitters_stream(terms, spark, state_path: str,
                               .alias("term"))
               .mapInPandas(sketch, "term STRING, wlow BIGINT, err BIGINT")
               .toPandas())
+        from pyspark.errors import AnalysisException
+
         try:
             prev = load_heavy_hitters(spark, state_path, k=None).toPandas()
-        except Exception:  # noqa: BLE001 — no snapshot yet
+        except AnalysisException:  # no snapshot yet (PATH_NOT_FOUND);
+            # anything else (transient IO, schema corruption) must
+            # surface — swallowing it would silently reset the summary
             prev = pd.DataFrame({"term": [], "wlow": [], "err": []})
         err = int(sk["err"].sum()) + \
             (int(prev["err"].iloc[0]) if len(prev) else 0)
