@@ -1152,23 +1152,31 @@ def bigram_logprob(docs: DataFrame, text_col: str = "text",
     uniform-key aggregate: per-doc bigram tf, corpus bigram counts,
     and two broadcast-friendly unigram joins — no windows, no driver
     state, token-scale everywhere."""
-    norm = _NORM.format(c=text_col)
-    words = f"filter(split({norm}, ' '), t -> t <> '')"
-    big = (f"transform(sequence(2, size({words})), i -> "
-           f"struct(element_at({words}, i - 1) AS v, "
-           f"element_at({words}, i) AS w))")
+    from .dedup import _cache, _spread
+
+    # stage the words array behind a cache barrier (the
+    # `doc_fingerprint` rule): interpreted HOF lambdas get no CSE, so
+    # referencing the split(...) expression inside element_at would
+    # re-split the document once PER BIGRAM POSITION — O(n^2) per doc
+    wl = _cache(
+        _spread(docs.select(F.col(id_col).alias("id"),
+                            F.col(text_col).alias("__t")))
+        .select("id", F.expr(
+            f"filter(split({_NORM.format(c='__t')}, ' '), t -> t <> '')"
+        ).alias("__ws")))
+    big = ("transform(sequence(2, size(__ws)), i -> "
+           "struct(element_at(__ws, i - 1) AS v, "
+           "element_at(__ws, i) AS w))")
     tf2 = (
-        docs.select(F.col(id_col).alias("id"),
-                    F.explode(F.expr(
-                        f"IF(size({words}) >= 2, {big}, array())"))
-                    .alias("b"))
+        wl.select("id", F.explode(F.expr(
+            f"IF(size(__ws) >= 2, {big}, array())")).alias("b"))
         .select("id", F.col("b.v").alias("v"), F.col("b.w").alias("w"))
         .groupBy("id", "v", "w")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     bcf = tf2.groupBy("v", "w").agg(F.sum("tf").alias("bcf"))
     uni = (
-        docs.select(F.explode(F.expr(words)).alias("term"))
+        wl.select(F.explode("__ws").alias("term"))
         .groupBy("term").agg(F.count(F.lit(1)).alias("cf"))
     )
     total = uni.select(F.sum("cf").alias("total"))

@@ -71,7 +71,16 @@ def skew_report(df: DataFrame, key_cols: list[str] | str, k: int = 10,
         F.concat_ws(sep, *[F.col(c).cast("string") for c in keys])
     ).alias("__key"))
     total = keyed.filter(F.col("__key").isNotNull()).count()
-    hot = heavy_hitters(keyed, "__key", k=k, capacity=capacity)
+    try:
+        hot = heavy_hitters(keyed, "__key", k=k, capacity=capacity)
+    except ValueError:
+        # near-uniform key domain: the sketch cannot certify a top-k
+        # (which itself says "no skew worth salting") — fall back to
+        # the exact groupBy; same answer, one key shuffle
+        hot = (keyed.filter(F.col("__key").isNotNull())
+               .groupBy("__key").agg(F.count(F.lit(1)).alias("n"))
+               .orderBy(F.desc("n"), "__key").limit(k)
+               .select(F.col("__key").alias("term"), "n"))
     return hot.select(
         F.col("term").alias("key"), F.col("n"),
         F.round(F.col("n") / F.lit(total), 6).alias("share"),
