@@ -596,7 +596,11 @@ def save_lsh_index(corpus: DataFrame, path: str, id_col: str = "vec_id",
         F.expr(nrm.format(v="cv")).alias("cn"),
         F.expr(_dots_to_bucket("__ds", n_planes)).alias("bucket"),
     )
-    c.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    # co-locate each bucket before the partitioned write: one file per
+    # bucket instead of (tasks x buckets) shards — the small-file
+    # problem is the classic partitioned-index killer at scale
+    (c.repartition(F.col("bucket"))
+     .write.mode("overwrite").partitionBy("bucket").parquet(path))
     Path(path, "_lsh_meta.json").write_text(
         json.dumps({"n_planes": n_planes, "seed": seed}))
 
