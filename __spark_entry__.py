@@ -1673,6 +1673,108 @@ def _q_events_tumbling(spark, sf_dir):
     )
 
 
+def _q_graph_pagerank(spark, sf_dir):
+    # steady-state visit probability of each event state under the
+    # empirical transition matrix — weighted PageRank over the
+    # event-transition graph (operators/graph.py: per-superstep
+    # materialized join loop, GraphX/Pregel shape).  Oracle: the same
+    # power iteration unrolled as plain CTEs (pagerank_sql).
+    from pyspark.sql import functions as F
+
+    from yardstick_spark.operators import event_transitions, pagerank
+
+    _ys(spark, sf_dir)
+    edges = event_transitions(spark.table("events")).select(
+        F.col("from_type").alias("src"),
+        F.col("to_type").alias("dst"),
+        F.col("n").cast("double").alias("w"),
+    )
+    return pagerank(edges, iterations=8).select(
+        "node", F.round("rank", 6).alias("rank")
+    )
+
+
+def _q_ops_zorder(spark, sf_dir):
+    # Z-order (Morton) layout summary: interleave two independent keys
+    # into one 24-bit code, split its range into 16 fixed buckets (top
+    # 4 bits — pure projection, NO global sort/window), and show the
+    # per-bucket span of BOTH dims — the property that makes parquet
+    # min/max pruning fire for filters on either key after
+    # write_zordered.  Bit math is engine-portable; the oracle uses
+    # zorder_key_sql_duckdb for the identical code.
+    from pyspark.sql import functions as F
+
+    from yardstick_spark.operators import zorder_key_sql
+
+    _ys(spark, sf_dir)
+    dims = [("x", 0, 4095), ("y", 0, 4095)]
+    z = spark.table("orders").selectExpr(
+        "o_orderkey",
+        "CAST(o_custkey % 4096 AS BIGINT) AS x",
+        "CAST(pmod(o_orderkey * 2654435761, 4096) AS BIGINT) AS y",
+    ).selectExpr("x", "y", f"{zorder_key_sql(dims, 12)} AS zkey")
+    return (
+        z.groupBy(F.expr("shiftright(zkey, 20)").alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+        )
+    )
+
+
+def _q_dedup_fuzzy(spark, sf_dir):
+    # blocked edit-distance entity resolution on part names: token+
+    # length-bucket blocking keys bound the candidate join (never
+    # all-pairs), JVM levenshtein verifies (llm/fuzzy.py)
+    from yardstick_spark.llm import fuzzy_dedup_pairs
+
+    _ys(spark, sf_dir)
+    return fuzzy_dedup_pairs(
+        spark.table("part"), "p_partkey", "p_name", max_edit=1
+    )
+
+
+def _q_events_pivot(spark, sf_dir):
+    # DataFrame-API pivot with an EXPLICIT value list (no hidden
+    # distinct-discovery scan; single exchange — plan-asserted in
+    # tests/test_graph_layout.py).  Complements the SQL PIVOT entry
+    # ops_pivot.
+    from pyspark.sql import functions as F
+
+    from yardstick_spark.operators import pivot_table
+
+    _ys(spark, sf_dir)
+    ev = spark.table("events").withColumn(
+        "day", F.expr("CAST(to_date(ts) AS STRING)")
+    )
+    return pivot_table(
+        ev,
+        ["day"],
+        "event_type",
+        ["click", "error", "purchase", "signup", "view"],
+        F.round(F.sum("value"), 2),
+    )
+
+
+def _q_mm_phash(spark, sf_dir):
+    # perceptual-hash image near-dup over textured synthetic PPMs:
+    # docs with equal content id (doc_id % 40) are the same image up
+    # to a uniform brightness shift — pHash (DCT, DC dropped) pairs
+    # them at hamming 0 while any byte-level hash cannot; distinct
+    # contents sit >= 17 bits apart on this fixture.  The oracle is
+    # therefore ANALYTIC (all intra-content pairs) — it verifies the
+    # whole encode->decode->DCT->threshold->band-join pipeline without
+    # needing a SQL DCT (same strategy as mm_stats).
+    from yardstick_spark.llm import phash_pairs, synth_textured_media
+
+    return phash_pairs(
+        synth_textured_media(_docs(spark, sf_dir)), max_hamming=2
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order matters: the driver's correctness gate checks entries in
     # order and may truncate at 50.  Round-4 ordering: the new r4 operators
@@ -1698,6 +1800,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_stats": _q_emb_stats,
         "events_retention": _q_events_retention,
         "tpch_q12": _measure_runner(_MEASURE_QUERIES["tpch_q12"]),
+        # round-5 wave-3 additions (ordered first via _R5_NEW)
+        "graph_pagerank": _q_graph_pagerank,
+        "ops_zorder": _q_ops_zorder,
+        "dedup_fuzzy": _q_dedup_fuzzy,
+        "events_pivot": _q_events_pivot,
+        "mm_phash": _q_mm_phash,
         # round-5 additions (ordered first via _R5_NEW)
         "dedup_semantic": _q_dedup_semantic,
         "text_mixture_weights": _q_text_mixture_weights,
@@ -1794,6 +1902,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # green in CORRECTNESS_r04 fall to the back — every inventory entry
 # then has a green driver row within the last two rounds.
 _R5_NEW: list[str] = [
+    # wave-3 (newest — must land inside the 50-entry driver window)
+    "graph_pagerank", "ops_zorder", "dedup_fuzzy", "events_pivot",
+    "mm_phash",
     "dedup_semantic", "text_mixture_weights", "text_unigram_logprob",
     "events_transitions", "events_anomaly", "text_sample_weighted",
     "ops_profile", "ops_histogram", "emb_hard_negatives",
@@ -3566,4 +3677,77 @@ def oracle_sql() -> dict[str, str]:
         WHERE list_sum(list_transform(list_zip(sn.sig, sc.sig),
               x -> CASE WHEN x[1] = x[2] THEN 1 ELSE 0 END))
               / len(sn.sig) >= 0.5"""
+    # -- wave-3 oracles ----------------------------------------------------
+    # PageRank: same power iteration unrolled as plain CTEs (the
+    # generator lives next to the operator so the arithmetic can never
+    # drift from the Spark side)
+    from yardstick_spark.operators import pagerank_sql, zorder_key_sql_duckdb
+
+    _PR_EDGES = """
+        SELECT from_type AS src, to_type AS dst,
+               CAST(COUNT(*) AS DOUBLE) AS w
+        FROM (SELECT event_type AS from_type,
+                     LEAD(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                       AS to_type
+              FROM events) t
+        WHERE to_type IS NOT NULL GROUP BY 1, 2"""
+    o["graph_pagerank"] = (
+        "SELECT node, ROUND(rank, 6) AS rank FROM ("
+        + pagerank_sql(_PR_EDGES, iterations=8)
+        + ") q"
+    )
+    _ZDIMS = [("x", 0, 4095), ("y", 0, 4095)]
+    o["ops_zorder"] = f"""
+        WITH d AS (SELECT CAST(o_custkey % 4096 AS BIGINT) AS x,
+                          CAST((o_orderkey * 2654435761) % 4096 AS BIGINT)
+                            AS y
+                   FROM orders),
+        z AS (SELECT x, y, {zorder_key_sql_duckdb(_ZDIMS, 12)} AS zkey
+              FROM d)
+        SELECT zkey >> 20 AS bucket, COUNT(*) AS n,
+               MIN(x) AS min_x, MAX(x) AS max_x,
+               MIN(y) AS min_y, MAX(y) AS max_y
+        FROM z GROUP BY 1"""
+    # blocked levenshtein ER: identical blocking (token + length//4
+    # bucket), length pre-filter, and edit threshold
+    o["dedup_fuzzy"] = r"""
+        WITH k AS (SELECT DISTINCT id, s,
+                          tok || '#' || CAST(length(s) // 4 AS VARCHAR)
+                            AS block
+                   FROM (SELECT p_partkey AS id, lower(trim(p_name)) AS s,
+                                unnest(string_split_regex(
+                                  lower(trim(p_name)), '\s+')) AS tok
+                         FROM part) t
+                   WHERE tok <> ''),
+        ok AS (SELECT block FROM k GROUP BY block
+               HAVING COUNT(*) <= 10000)
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+               levenshtein(a.s, b.s) AS edit
+        FROM k a JOIN ok USING (block) JOIN k b USING (block)
+        WHERE a.id < b.id
+          AND abs(length(a.s) - length(b.s)) <= 1
+          AND levenshtein(a.s, b.s) = 1"""
+    o["events_pivot"] = """
+        SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+               ROUND(SUM(CASE WHEN event_type = 'click' THEN value END), 2)
+                 AS click,
+               ROUND(SUM(CASE WHEN event_type = 'error' THEN value END), 2)
+                 AS error,
+               ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value END), 2)
+                 AS purchase,
+               ROUND(SUM(CASE WHEN event_type = 'signup' THEN value END), 2)
+                 AS signup,
+               ROUND(SUM(CASE WHEN event_type = 'view' THEN value END), 2)
+                 AS view
+        FROM events GROUP BY 1"""
+    # mm_phash: analytic oracle — synth_textured_media is built so
+    # equal content id (doc_id % 40) <=> identical pHash (brightness
+    # shifts land entirely in the dropped DC term) and distinct
+    # contents are >= 17 bits apart, so the exact pair set is
+    # intra-content pairs at hamming 0 (see _q_mm_phash)
+    o["mm_phash"] = """
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, 0 AS hamming
+        FROM documents a JOIN documents b
+          ON a.doc_id % 40 = b.doc_id % 40 AND a.doc_id < b.doc_id"""
     return o

@@ -1,0 +1,354 @@
+"""Tests for the wave-3 operators: PageRank, Z-order layout,
+pivot/unpivot reshape, blocked fuzzy dedup, and perceptual hashing."""
+
+from __future__ import annotations
+
+import glob
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# PageRank
+# ---------------------------------------------------------------------------
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, "src string, dst string, w double")
+
+
+def test_pagerank_star_center_dominates(spark):
+    from yardstick_spark.operators import pagerank
+
+    # star: a,b,c all point at hub
+    e = _edges(spark, [("a", "hub", 1.0), ("b", "hub", 1.0),
+                       ("c", "hub", 1.0)])
+    r = {row.node: row.rank for row in pagerank(e, iterations=20).collect()}
+    assert r["hub"] > r["a"] == pytest.approx(r["b"])
+    assert sum(r.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_matches_power_iteration(spark):
+    """Cross-check the distributed join loop against a straight numpy
+    power iteration on the dense transition matrix."""
+    import numpy as np
+
+    from yardstick_spark.operators import pagerank
+
+    rows = [("a", "b", 2.0), ("a", "c", 1.0), ("b", "c", 1.0),
+            ("c", "a", 1.0), ("d", "a", 3.0)]  # d has in-degree 0
+    e = _edges(spark, rows)
+    got = {r.node: r.rank for r in pagerank(e, iterations=15).collect()}
+
+    nodes = sorted({x for r in rows for x in (r[0], r[1])})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    P = np.zeros((n, n))
+    for s, d, w in rows:
+        P[idx[s], idx[d]] += w
+    outw = P.sum(axis=1)
+    dangling = outw == 0
+    P[~dangling] /= outw[~dangling, None]
+    r = np.full(n, 1.0 / n)
+    damp = 0.85
+    for _ in range(15):
+        dmass = r[dangling].sum()
+        r = (1 - damp) / n + damp * (P.T @ r + dmass / n)
+    for nm in nodes:
+        assert got[nm] == pytest.approx(r[idx[nm]], abs=1e-12)
+
+
+def test_pagerank_sql_twin_matches(spark):
+    """The unrolled-CTE oracle generator reproduces the Spark result
+    on DuckDB bit-for-bit at 6 decimals."""
+    import duckdb
+
+    from yardstick_spark.operators import pagerank, pagerank_sql
+
+    rows = [("a", "b", 1.0), ("b", "c", 2.0), ("c", "a", 1.0),
+            ("a", "c", 1.0)]
+    e = _edges(spark, rows)
+    got = sorted(
+        (r.node, round(r.rank, 6))
+        for r in pagerank(e, iterations=8).collect()
+    )
+    vals = ", ".join(f"('{s}', '{d}', {w})" for s, d, w in rows)
+    sql = pagerank_sql(
+        f"SELECT * FROM (VALUES {vals}) AS t(src, dst, w)", iterations=8
+    )
+    want = sorted(
+        (n, round(v, 6))
+        for n, v in duckdb.sql(sql).fetchall()
+    )
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout
+# ---------------------------------------------------------------------------
+
+
+def test_zorder_key_interleaves_bits(spark):
+    from yardstick_spark.operators import zorder_key
+
+    # 2 bits per dim, dims already in [0, 3]: morton(x=3, y=0) = 0b0101
+    df = spark.createDataFrame(
+        [(3, 0), (0, 3), (3, 3), (0, 0)], "x int, y int"
+    )
+    out = {
+        (r.x, r.y): r.zkey
+        for r in zorder_key(df, [("x", 0, 3), ("y", 0, 3)], bits=2).collect()
+    }
+    assert out[(0, 0)] == 0
+    assert out[(3, 0)] == 0b0101
+    assert out[(0, 3)] == 0b1010
+    assert out[(3, 3)] == 0b1111
+
+
+def test_zorder_duckdb_twin_matches(spark):
+    import duckdb
+
+    from yardstick_spark.operators import zorder_key_sql, zorder_key_sql_duckdb
+
+    dims = [("x", 0, 999), ("y", 17, 450)]
+    rows = [(i * 37 % 1000, 17 + i * 13 % 434) for i in range(200)]
+    df = spark.createDataFrame(rows, "x int, y int")
+    got = [
+        r.z for r in df.selectExpr(
+            f"{zorder_key_sql(dims, bits=12)} AS z").collect()
+    ]
+    con = duckdb.connect()
+    con.sql("CREATE TABLE t (x INT, y INT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = [r[0] for r in con.sql(
+        f"SELECT {zorder_key_sql_duckdb(dims, bits=12)} FROM t").fetchall()]
+    assert got == want
+
+
+def test_write_zordered_bounds_both_dims(spark):
+    """Each output file's span in EVERY interleaved dimension is a
+    fraction of the global span — the property that makes min/max
+    pruning fire for filters on either key."""
+    from yardstick_spark.operators import write_zordered
+
+    n = 4096
+    df = spark.range(n).selectExpr(
+        "CAST(id % 64 AS INT) AS x",
+        "CAST(pmod(id * 2654435761, 64) AS INT) AS y",
+    )
+    with tempfile.TemporaryDirectory(prefix="ys_zord_") as d:
+        path = f"{d}/t"
+        write_zordered(
+            df, path, [("x", 0, 63), ("y", 0, 63)], bits=6, num_files=16
+        )
+        files = sorted(glob.glob(f"{path}/part-*.parquet"))
+        assert len(files) >= 8
+        import pyarrow.parquet as pq
+
+        worst = 0
+        for f in files:
+            t = pq.read_table(f)
+            for c in ("x", "y"):
+                vals = t.column(c).to_pylist()
+                worst = max(worst, max(vals) - min(vals))
+        # random layout would give ~63 span per file in each dim;
+        # z-order with 16 files must do far better on both
+        assert worst <= 40, worst
+
+
+# ---------------------------------------------------------------------------
+# Reshape
+# ---------------------------------------------------------------------------
+
+
+def test_pivot_and_unpivot_roundtrip(spark):
+    from yardstick_spark.operators import pivot_table, unpivot
+
+    df = spark.createDataFrame(
+        [("d1", "click", 2.0), ("d1", "view", 3.0), ("d2", "click", 5.0)],
+        "day string, et string, v double",
+    )
+    wide = pivot_table(df, ["day"], "et", ["click", "view"], F.sum("v"))
+    rows = {r.day: (r.click, r.view) for r in wide.collect()}
+    assert rows == {"d1": (2.0, 3.0), "d2": (5.0, None)}
+
+    tall = unpivot(wide, ["day"], ["click", "view"], "et", "v")
+    back = {(r.day, r.et): r.v for r in tall.collect()}
+    assert back[("d1", "click")] == 2.0
+    assert back[("d2", "view")] is None
+
+
+def test_pivot_explicit_values_bounded_shuffles(spark):
+    """With the value list given, the pivot plan is Spark's standard
+    double aggregation — at most two exchanges, and critically NO
+    extra distinct-discovery scan of the pivot column (which is what
+    omitting the value list costs)."""
+    from yardstick_spark.operators import pivot_table
+
+    df = spark.createDataFrame(
+        [("d1", "a", 1.0)], "day string, et string, v double")
+    plan = pivot_table(
+        df, ["day"], "et", ["a", "b"], F.sum("v")
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 2
+    # one scan only: the plan reads the source exactly once
+    assert plan.count("Scan ExistingRDD") == 1
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy dedup
+# ---------------------------------------------------------------------------
+
+
+def test_fuzzy_dedup_finds_typos_not_strangers(spark):
+    from yardstick_spark.llm import fuzzy_dedup_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "acme widget"),
+            (2, "acme widgit"),   # 1 edit from 1
+            (3, "acme wadget"),   # 1 edit from 1, 2 from 2
+            (4, "zenith gadget"),  # shares no token with acme rows
+            (5, "acme widget"),   # exact dup of 1 — excluded (edit 0)
+        ],
+        "id long, name string",
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.edit
+        for r in fuzzy_dedup_pairs(df, "id", "name", max_edit=2).collect()
+    }
+    assert pairs[(1, 2)] == 1
+    assert pairs[(1, 3)] == 1
+    assert pairs[(2, 3)] == 2
+    assert not any(4 in p for p in pairs)
+    assert (1, 5) not in pairs  # exact duplicates are exact_dedup's job
+
+
+def test_fuzzy_dedup_block_cap_drops_megablock(spark):
+    from yardstick_spark.llm import fuzzy_dedup_pairs
+
+    rows = [(i, f"common tail{i % 7}") for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, name string")
+    # cap below the 'common' block size: only same-tail pairs survive
+    # via their tailN token blocks
+    pairs = fuzzy_dedup_pairs(
+        df, "id", "name", max_edit=2, max_block=20
+    ).collect()
+    assert all(
+        (p.id_a % 7) == (p.id_b % 7) or p.edit <= 2 for p in pairs
+    )
+
+
+def test_fuzzy_no_cartesian_in_plan(spark):
+    from yardstick_spark.llm import fuzzy_dedup_pairs
+
+    df = spark.createDataFrame(
+        [(1, "aa bb"), (2, "aa bc")], "id long, name string")
+    plan = fuzzy_dedup_pairs(df, "id", "name")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hash
+# ---------------------------------------------------------------------------
+
+
+def _img_df(spark, imgs):
+    """imgs: list of (media_id, width, height, bytes-like pixel fn)."""
+    from yardstick_spark.llm import write_ppm
+
+    rows = [
+        (mid, bytearray(write_ppm(w, h, bytes(px))))
+        for mid, w, h, px in imgs
+    ]
+    return spark.createDataFrame(rows, "media_id long, payload binary")
+
+
+def _textured(w, h, c, base=0, tweak=None):
+    """Quadratic texture (the synth_textured_media pattern): wraps
+    often enough that DCT coefficients are far from zero — linear
+    gradients would be tie-dominated and unstable for pHash."""
+    px = [
+        (x * x * (c + 3) + y * y * (2 * c + 5) + x * y * (c + 1)) % 199
+        + base
+        for y in range(h) for x in range(w) for _ in range(3)
+    ]
+    if tweak:
+        for i, v in tweak.items():
+            px[i] = v
+    return px
+
+
+def test_phash_invariant_to_brightness_and_noise(spark):
+    from yardstick_spark.llm import phash64
+
+    w, h = 12, 9
+    noisy = _textured(w, h, 5)
+    for i in range(3):  # one pixel +25 on all channels
+        noisy[(3 * w + 4) * 3 + i] += 25
+    imgs = [
+        (1, w, h, _textured(w, h, 5)),
+        (2, w, h, _textured(w, h, 5, base=40)),  # brightness shift
+        (3, w, h, noisy),                        # one perturbed pixel
+        (4, w, h, _textured(w, h, 23)),          # different content
+    ]
+    hashes = {
+        r.media_id: r.phash
+        for r in phash64(_img_df(spark, imgs)).collect()
+    }
+    assert hashes[1] == hashes[2]  # DC absorbs brightness
+    assert bin(hashes[1] ^ hashes[3]).count("1") <= 4
+    assert bin(hashes[1] ^ hashes[4]).count("1") > 10
+
+
+def test_phash_pairs_banded_exact(spark):
+    from yardstick_spark.llm import phash_pairs
+
+    w, h = 12, 9
+    imgs = [
+        (1, w, h, _textured(w, h, 5)),
+        (2, w, h, _textured(w, h, 5, base=35)),
+        (3, w, h, _textured(w, h, 23)),
+    ]
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in phash_pairs(_img_df(spark, imgs)).collect()
+    }
+    assert pairs == {(1, 2): 0}
+
+
+def test_phash_synth_textured_groups_by_content(spark):
+    """End-to-end over the JVM-side synthesizer: equal content id <=>
+    equal pHash; distinct contents far apart (the property the
+    mm_phash analytic oracle relies on)."""
+    from yardstick_spark.llm import phash64, synth_textured_media
+
+    docs = spark.range(120).withColumnRenamed("id", "doc_id")
+    hashes = {
+        r.media_id: r.phash
+        for r in phash64(synth_textured_media(docs)).collect()
+    }
+    by_content: dict[int, set] = {}
+    for mid, hv in hashes.items():
+        by_content.setdefault(mid % 40, set()).add(hv)
+    assert all(len(s) == 1 for s in by_content.values())
+    reps = {c: next(iter(s)) for c, s in by_content.items()}
+    vals = list(reps.values())
+    assert len(set(vals)) == len(vals)  # no cross-content collision
+    worst = min(
+        bin(a ^ b).count("1")
+        for i, a in enumerate(vals) for b in vals[i + 1:]
+    )
+    assert worst > 2  # max_hamming=2 in the entry is collision-free
+
+
+def test_phash_null_for_non_image(spark):
+    from yardstick_spark.llm import phash64
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"not a ppm"))], "media_id long, payload binary")
+    assert phash64(df).collect()[0].phash is None

@@ -32,6 +32,7 @@ from .dedup import (  # noqa: F401
     simhash64,
     simhash_pairs,
 )
+from .fuzzy import blocking_keys, fuzzy_dedup_pairs  # noqa: F401
 from .multimodal import (  # noqa: F401
     attach_media_column,
     decode_media,
@@ -39,8 +40,11 @@ from .multimodal import (  # noqa: F401
     media_stats,
     parse_ppm,
     parse_wav,
+    phash64,
+    phash_pairs,
     resize_media,
     synth_gradient_media,
+    synth_textured_media,
     synth_media,
     write_ppm,
     write_wav,

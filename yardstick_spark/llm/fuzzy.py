@@ -1,0 +1,119 @@
+"""Fuzzy (approximate-string) entity resolution — blocked edit-distance
+matching.
+
+MinHash/SimHash (dedup.py) target near-identical DOCUMENTS; entity
+resolution targets short STRINGS (names, titles, addresses) where the
+right metric is edit distance.  The classic scale shape is
+block-and-verify:
+
+  1. BLOCK: derive one or more cheap blocking keys per record (here:
+     a token of the string + a length bucket).  Records sharing no
+     block key are never compared — this is what kills the O(n²)
+     all-pairs comparison at 100 TB.
+  2. VERIFY: self-join within each block, pre-filter on the length
+     difference (|len(a)-len(b)| > k ⇒ levenshtein > k, so the
+     expensive call never runs), then exact `levenshtein` — a JVM
+     built-in, whole-stage codegen, no Python.
+
+Scale properties:
+  * Candidate pairs = Σ_block |block|² — bounded by the blocking-key
+    cardinality, not n².  A degenerate block (the empty-token key, a
+    hyper-common surname) is capped like dedup.py's LSH buckets:
+    blocks above `max_block` are dropped and reported, never joined.
+  * The join key is the blocking key — uniform short strings, a plain
+    hash shuffle; AQE splits whatever skew remains under the cap.
+  * Multi-key blocking (k keys per record) multiplies recall at the
+    cost of k× candidate duplication; duplicates are removed by the
+    id-ordered pair canonicalization + distinct, same as banded LSH.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def blocking_keys(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    len_bucket: int = 4,
+) -> DataFrame:
+    """(id, block) rows: one block key per token of the normalized
+    string — `token#lenbucket` — so records sharing ANY word land in a
+    common block.  Length-bucketing splits giant token blocks by
+    string size, which both shrinks blocks and preserves recall for
+    small edit distances (an edit changes length by ≤1)."""
+    norm = F.lower(F.trim(F.col(text_col)))
+    toks = F.split(norm, r"\s+")
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            norm.alias("s"),
+            F.explode(toks).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+        .select(
+            "id",
+            "s",
+            F.concat_ws(
+                "#", "tok", (F.length("s") / len_bucket).cast("int").cast("string")
+            ).alias("block"),
+        )
+        .distinct()
+    )
+
+
+def fuzzy_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_edit: int = 2,
+    len_bucket: int = 4,
+    max_block: int = 10_000,
+) -> DataFrame:
+    """Pairs (id_a, id_b, edit) with levenshtein ≤ `max_edit`, found
+    via token blocking — never an all-pairs join.
+
+    Recall contract: a pair is found iff the two normalized strings
+    share at least one whole token AND fall in the same or equal
+    length bucket.  For name/title dedup with small `max_edit` this is
+    the standard trade; callers needing guaranteed recall at distance
+    k can add q-gram blocking keys on top (same join shape).
+
+    NOTE the length bucket is part of the block key, so two strings
+    whose lengths straddle a bucket boundary are only compared if some
+    shared token puts them in the same bucket — with `len_bucket >
+    max_edit` the straddle loss is at most pairs differing by a
+    boundary crossing; the oracle replicates the exact same keying, so
+    the contract is bit-testable.
+    """
+    keyed = blocking_keys(df, id_col, text_col, len_bucket)
+    # degenerate-block cap: count per block, drop oversized (report via
+    # .where so the plan stays lazy — same policy as dedup.py buckets)
+    sizes = keyed.groupBy("block").agg(F.count("*").alias("bn"))
+    keyed = keyed.join(
+        sizes.where(F.col("bn") <= max_block).select("block"), "block"
+    )
+    a = keyed.select(
+        F.col("block"), F.col("id").alias("id_a"), F.col("s").alias("s_a")
+    )
+    b = keyed.select(
+        F.col("block"), F.col("id").alias("id_b"), F.col("s").alias("s_b")
+    )
+    return (
+        a.join(b, "block")
+        .where(F.col("id_a") < F.col("id_b"))
+        # length pre-filter: free triangle-inequality bound on edit
+        # distance — skips the DP for most candidates
+        .where(
+            F.abs(F.length("s_a") - F.length("s_b")) <= max_edit
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("s_a", "s_b").alias("edit"),
+        )
+        .where(F.col("edit") <= max_edit)
+        .where(F.col("edit") > 0)
+        .distinct()
+    )

@@ -271,6 +271,48 @@ def synth_gradient_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def synth_textured_media(docs: DataFrame, id_col: str = "doc_id",
+                         n_contents: int = 40) -> DataFrame:
+    """PPM payloads with QUADRATIC texture — the perceptual-hash
+    fixture.  Linear gradients (`synth_gradient_media`) are degenerate
+    for pHash: their AC DCT coefficients are ~0 so the median
+    threshold rides float ties.  Here v(x, y) = (x²(c+3) + y²(2c+5)
+    + xy(c+1)) mod 199 + b, which wraps often enough to be genuinely
+    textured.
+
+    Structure by construction: content id c = id % n_contents drives
+    the pattern AND the shape (w = c%9+6, h = c%5+5); brightness
+    b = (id % 7) * 7 is a uniform shift that never overflows a byte
+    (198 + 42 < 255).  Two payloads with the same c are therefore the
+    same image up to brightness — identical pHash (DC absorbs shifts)
+    — while distinct contents measure ≥ 17 bits apart on this fixture,
+    so `phash_pairs` output is ANALYTIC (all intra-content pairs,
+    hamming 0) and SQL-oracle-able without a SQL DCT.
+
+    Payloads are assembled JVM-side (hex string + one to_binary), same
+    as the other synth generators — no Python worker."""
+    i = f"CAST({id_col} AS BIGINT)"
+    c = f"({i} % {n_contents})"
+    b = f"({i} % 7) * 7"
+    w, h = f"({c} % 9 + 6)", f"({c} % 5 + 5)"
+    v = (f"pmod(pmod(p, {w}) * pmod(p, {w}) * ({c} + 3) "
+         f"+ (p div {w}) * (p div {w}) * (2 * {c} + 5) "
+         f"+ pmod(p, {w}) * (p div {w}) * ({c} + 1), 199) + {b}")
+    body_hex = (
+        f"concat_ws('', transform(sequence(0, {w} * {h} - 1), "
+        f"p -> repeat(lpad(hex({v}), 2, '0'), 3)))"
+    )
+    ppm_hex = (
+        f"concat(hex(concat('P6\\n', {w}, ' ', {h}, '\\n255\\n')), "
+        f"{body_hex})"
+    )
+    return _spread_by_bytes(docs.select(id_col)).select(
+        F.expr(i).alias("media_id"),
+        F.lit("image").alias("media_type"),
+        F.expr(f"to_binary({ppm_hex}, 'hex')").alias("payload"),
+    )
+
+
 def resize_media(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
     """Nearest-neighbor resize of PPM image payloads to (out_w, out_h):
     source row/col for output pixel (x2, y2) is (floor(y2*h/out_h),
@@ -491,3 +533,134 @@ def media_stats(media: DataFrame) -> DataFrame:
             ).astype({"n_samples": "Int64"})
 
     return _spread_by_bytes(media).mapInPandas(stats, schema=STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hashing — near-duplicate IMAGES (brightness shifts, small
+# noise) that byte-level hashing can never catch
+# ---------------------------------------------------------------------------
+
+PHASH_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("phash", LongType()),
+])
+
+
+def phash64(media: DataFrame, hash_size: int = 8) -> DataFrame:
+    """64-bit DCT perceptual hash per PPM image payload.
+
+    Classic pHash recipe: grayscale → nearest-neighbor resize to
+    (hash_size x hash_size) → 2-D DCT-II → drop the DC coefficient →
+    each remaining coefficient contributes one bit (1 iff above the
+    median of the non-DC block).  Invariant to uniform brightness
+    shifts (DC carries them) and robust to a few changed pixels, which
+    is exactly what near-dup image curation needs; a recompressed or
+    re-exposed copy of an image keeps its hash while a cryptographic
+    content hash changes completely.
+
+    Same Arrow mapInPandas shape as every decoder here: streaming
+    record batches, one numpy pass per payload, no shuffle; the DCT is
+    two (8 x N) matmuls — microseconds per image.  Non-PPM payloads
+    hash to NULL (filtered by callers).
+    """
+    hs = int(hash_size)
+    if hs * hs > 64 + 1:
+        raise ValueError("hash_size^2 must fit 64 bits plus DC")
+
+    def ph(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        # orthonormal DCT-II basis matrix — built once per task
+        def dct_mat(n):
+            m = np.cos(np.pi * (2 * np.arange(n)[None, :] + 1)
+                       * np.arange(n)[:, None] / (2 * n))
+            m[0] *= 1 / np.sqrt(2)
+            return m * np.sqrt(2 / n)
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload or b"")
+                hval = None
+                try:
+                    if b[:2] == b"P6":
+                        w, h, arr = parse_ppm(b)
+                        px = arr.astype(np.float64).reshape(h, w, 3).mean(axis=2)
+                        # nearest-neighbor resample to hs x hs (same
+                        # index map as resize_media)
+                        ys = (np.arange(hs) * h) // hs
+                        xs = (np.arange(hs) * w) // hs
+                        small = px[np.ix_(ys, xs)]
+                        d = dct_mat(hs)
+                        coef = d @ small @ d.T
+                        # quantize before thresholding: images with
+                        # analytically-zero AC coefficients (flat or
+                        # linear-gradient content) would otherwise get
+                        # float-noise signs, breaking the brightness-
+                        # shift invariance the hash exists to provide
+                        flat = np.round(coef.ravel()[1:], 6)  # drop DC
+                        med = np.median(flat)
+                        bits = flat > med
+                        hval = 0
+                        for i, bit in enumerate(bits):
+                            if bit:
+                                hval |= 1 << i
+                        # top bit spare keeps the value positive int64
+                        hval = int(hval)
+                except ValueError:
+                    hval = None
+                rows.append((int(mid), hval))
+            yield pd.DataFrame(rows, columns=["media_id", "phash"]).astype(
+                {"phash": "Int64"})
+
+    return _spread_by_bytes(media).mapInPandas(ph, schema=PHASH_SCHEMA)
+
+
+def phash_pairs(media: DataFrame, max_hamming: int = 3,
+                hash_size: int = 8) -> DataFrame:
+    """Near-duplicate image pairs (id_a, id_b, hamming) by pHash —
+    banded pigeonhole candidates, EXACT for max_hamming <= 3 (4 bands
+    of 16 bits over the 63 used bits; two hashes within distance 3
+    must agree on a whole band), then bit_count(xor) verify.  The
+    candidate join ships only (id, band, bval) rows — hashes never
+    ride the candidate shuffle — the identical scale shape as
+    `dedup.simhash_pairs` (see its docstring for the band-math
+    argument).
+    """
+    if max_hamming > 3:
+        raise ValueError("banded candidates are exact only for "
+                         "max_hamming <= 3 (4 bands, pigeonhole)")
+    from .dedup import _cache
+
+    sigs = _cache(
+        phash64(media, hash_size).where(F.col("phash").isNotNull())
+    )
+    banded = sigs.select(
+        F.col("media_id").alias("id"),
+        F.explode(F.expr(
+            "transform(sequence(0, 3), b -> "
+            "struct(b AS band, shiftright(phash, b * 16) & 65535 AS bval))"
+        )).alias("bb"),
+    ).select("id", "bb.band", "bb.bval")
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    return (
+        cand.join(sigs.select(F.col("media_id").alias("id_a"),
+                              F.col("phash").alias("ph_a")), "id_a")
+        .join(sigs.select(F.col("media_id").alias("id_b"),
+                          F.col("phash").alias("ph_b")), "id_b")
+        .withColumn("hamming",
+                    F.expr("bit_count(ph_a ^ ph_b)").cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

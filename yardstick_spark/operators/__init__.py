@@ -2,6 +2,7 @@
 DataFrame primitives (SURVEY.md §7 phase 4 — beyond reference parity)."""
 
 from .asof import asof_join  # noqa: F401
+from .graph import pagerank, pagerank_sql  # noqa: F401
 from .funnel import (  # noqa: F401
     daily_anomalies,
     event_paths,
@@ -27,7 +28,15 @@ from .quality import (  # noqa: F401
     satisfies,
     unique,
 )
+from .layout import (  # noqa: F401
+    write_zordered,
+    zorder_bounds,
+    zorder_key,
+    zorder_key_sql,
+    zorder_key_sql_duckdb,
+)
 from .range_join import range_join  # noqa: F401
+from .reshape import pivot_table, unpivot  # noqa: F401
 from .scd import cdc_compact, scd2_lookup, scd2_merge  # noqa: F401
 from .rollup_hier import (  # noqa: F401
     rollup_coarser,

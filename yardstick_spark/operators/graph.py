@@ -1,0 +1,169 @@
+"""Graph operators — weighted PageRank as a loop of relational joins.
+
+Complements the pointer-jumping connected components in
+`llm/cluster.py`: components answer "which docs are the same?";
+PageRank answers "which node is central?" (e.g. pick the canonical
+document inside a near-dup cluster, rank event states by steady-state
+visit probability).
+
+Spark-first design — each iteration is exactly two shuffles:
+  1. ranks ⋈ edges on `src` (reuses the edge partitioning: edges are
+     hash-partitioned by src once, cached, and every iteration's join
+     shuffles only the small rank table into that layout),
+  2. groupBy `dst` to sum contributions (map-side combined).
+Dangling-node mass (nodes with no out-edges) is a 1-row broadcast
+aggregate — never a driver-side `.collect()` inside the loop.
+
+Each iteration ends in an EAGER `localCheckpoint` — deliberately.
+Every round references the previous rank table twice (contributions
+and dangling mass), so a fully lazy loop doubles the plan tree per
+iteration and Catalyst analysis itself OOMs around 8 rounds
+(measured).  Per-superstep materialization is exactly what
+GraphX/Pregel does; the checkpointed state is one row per node.
+Superseded checkpoint RDDs are dropped by Spark's ContextCleaner once
+the Python reference goes (weak-ref based), so state does not
+accumulate across iterations.
+
+Iteration count is fixed (power iteration with damping converges
+geometrically at rate `damping`; 10 iterations ≈ 2-digit precision at
+d=0.85), which makes the result deterministic and oracle-able as
+unrolled plain CTEs (`pagerank_sql` below) — no recursive-aggregate
+SQL needed.
+
+Scale: per iteration, one shuffle join of ranks into the cached
+src-partitioned edges + one map-side-combined groupBy(dst) — the same
+asymptotics as GraphX's Pregel PageRank, expressed in pure DataFrame
+ops so Catalyst/AQE handle skew (a celebrity node with 10^9 in-edges
+is just a skewed groupBy key, which AQE splits).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+) -> DataFrame:
+    """Weighted PageRank over `edges` → (node, rank) with
+    sum(rank) = 1.  Nodes are the distinct union of endpoints.
+
+    `weight=None` auto-detects: a column literally named "w" is used
+    as the edge weight if present, else every edge weighs 1 (pass
+    `weight="unit"`-style explicit names to override either way).
+    Parallel edges are legal (weights add).  Nodes without out-edges
+    contribute their mass uniformly to all nodes (standard dangling
+    handling), so rank stays a probability distribution.
+    """
+    from ..llm.dedup import _cache  # shared cache registry —
+    # released by llm.clear_dedup_caches() like every other barrier
+
+    if weight is None and "w" in edges.columns:
+        weight = "w"
+    w = F.col(weight).cast("double") if weight else F.lit(1.0)
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w")
+    )
+    # collapse parallel edges; hash-partition by src once and cache —
+    # every iteration's join reuses this layout
+    e = e.groupBy("src", "dst").agg(F.sum("w").alias("w"))
+    outw = e.groupBy("src").agg(F.sum("w").alias("outw"))
+    e = e.join(outw, "src").withColumn("p", F.col("w") / F.col("outw"))
+    e = _cache(e.select("src", "dst", "p").repartition("src"))
+
+    nodes = _cache(
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n_df = F.broadcast(nodes.agg(F.count("*").alias("n_nodes")))
+
+    ranks = nodes.crossJoin(n_df).select(
+        "node", (F.lit(1.0) / F.col("n_nodes")).alias("rank")
+    )
+    srcs = e.select("src").distinct()
+    # joins below are NAME-based (`on="col"`), never `df1.c == df2.c`:
+    # ranks/nodes/e all share lineage, so attribute-id equality
+    # conditions would silently degenerate (classic self-join trap)
+    for _ in range(iterations):
+        contrib = (
+            ranks.withColumnRenamed("node", "src")
+            .join(e, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("p")).alias("contrib"))
+            .withColumnRenamed("dst", "node")
+        )
+        # dangling mass: rank sitting on nodes with no out-edges
+        dangling = F.broadcast(
+            ranks.withColumnRenamed("node", "src")
+            .join(srcs, "src", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(n_df)
+            .crossJoin(dangling)
+            .select(
+                "node",
+                (
+                    (1.0 - damping) / F.col("n_nodes")
+                    + damping
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.col("dmass") / F.col("n_nodes")
+                    )
+                ).alias("rank"),
+            )
+        )
+        # eager per-superstep materialization — see module docstring
+        ranks = ranks.localCheckpoint(eager=True)
+    return ranks
+
+
+def pagerank_sql(
+    edges_sql: str,
+    iterations: int = 10,
+    damping: float = 0.85,
+) -> str:
+    """ANSI-SQL twin of `pagerank` as UNROLLED chained CTEs (power
+    iteration needs no recursion when the round count is fixed), used
+    as the DuckDB oracle.  `edges_sql` must yield (src, dst, w)."""
+    d = damping
+    sql = [
+        f"WITH e0 AS ({edges_sql}),",
+        " e1 AS (SELECT src, dst, SUM(w) AS w FROM e0 GROUP BY src, dst),",
+        " ow AS (SELECT src, SUM(w) AS outw FROM e1 GROUP BY src),",
+        " e AS (SELECT e1.src, e1.dst, e1.w / ow.outw AS p"
+        "   FROM e1 JOIN ow ON e1.src = ow.src),",
+        " nodes AS (SELECT src AS node FROM e1"
+        "   UNION SELECT dst FROM e1),",
+        " nn AS (SELECT COUNT(*) AS n_nodes FROM nodes),",
+        " r0 AS (SELECT node, 1.0 / n_nodes AS rank FROM nodes, nn),",
+    ]
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        cur = f"r{i}"
+        sql.append(
+            f" c{i} AS (SELECT e.dst, SUM({prev}.rank * e.p) AS contrib"
+            f"   FROM {prev} JOIN e ON {prev}.node = e.src GROUP BY e.dst),"
+        )
+        sql.append(
+            f" d{i} AS (SELECT COALESCE(SUM(rank), 0) AS dmass FROM {prev}"
+            f"   WHERE node NOT IN (SELECT src FROM e)),"
+        )
+        sql.append(
+            f" {cur} AS (SELECT nodes.node,"
+            f"   (1 - {d}) / nn.n_nodes + {d} * (COALESCE(c{i}.contrib, 0)"
+            f"     + d{i}.dmass / nn.n_nodes) AS rank"
+            f"   FROM nodes LEFT JOIN c{i} ON nodes.node = c{i}.dst,"
+            f"   nn, d{i}),"
+        )
+        prev = cur
+    sql[-1] = sql[-1].rstrip(",")
+    sql.append(f" SELECT node, rank FROM {prev}")
+    return "\n".join(sql)
