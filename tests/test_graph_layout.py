@@ -352,3 +352,66 @@ def test_phash_null_for_non_image(spark):
     df = spark.createDataFrame(
         [(1, bytearray(b"not a ppm"))], "media_id long, payload binary")
     assert phash64(df).collect()[0].phash is None
+
+
+# ---------------------------------------------------------------------------
+# Benford profile
+# ---------------------------------------------------------------------------
+
+
+def test_benford_profile_on_exponential_data(spark):
+    """2^k amounts follow Benford closely; assert shape + invariants:
+    shares sum to 1, benford column matches log10(1+1/d)."""
+    import math
+
+    from yardstick_spark.operators import benford_profile
+
+    df = spark.range(400).selectExpr("pow(2.0, id % 40 + 1) AS amt")
+    rows = benford_profile(df, "amt").collect()
+    assert {r.digit for r in rows} <= set(range(1, 10))
+    assert sum(r.share for r in rows) == pytest.approx(1.0, abs=1e-5)
+    for r in rows:
+        assert r.benford == pytest.approx(
+            math.log10(1 + 1 / r.digit), abs=1e-6)
+        assert r.delta == pytest.approx(r.share - r.benford, abs=2e-6)
+
+
+def test_benford_excludes_nonpositive(spark):
+    from yardstick_spark.operators import benford_profile
+
+    df = spark.createDataFrame(
+        [(0.0,), (-5.0,), (123.0,)], "amt double")
+    rows = benford_profile(df, "amt").collect()
+    assert len(rows) == 1 and rows[0].digit == 1 and rows[0].n == 1
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy clusters (composition)
+# ---------------------------------------------------------------------------
+
+
+def test_fuzzy_clusters_canonical_verdict(spark):
+    from yardstick_spark.llm import dedup_assign, fuzzy_dedup_pairs
+
+    df = spark.createDataFrame(
+        [
+            (10, "acme widget"),
+            (11, "acme widgit"),
+            (12, "acme widget"),   # exact dup of 10: no direct edge
+                                   # (edit 0) but transitively joined
+                                   # through 11 (edit 1 both ways)
+            (20, "zen gadget"),
+            (21, "zen gadget x"),  # 2 edits away — outside max_edit=1
+        ],
+        "p_partkey long, name string",
+    )
+    pairs = fuzzy_dedup_pairs(df, "p_partkey", "name", max_edit=1)
+    verdict = {
+        r.p_partkey: (r.cluster_id, r.keep)
+        for r in dedup_assign(df, pairs, id_col="p_partkey").collect()
+    }
+    assert verdict[10] == (10, True)
+    assert verdict[11] == (10, False)
+    assert verdict[12] == (10, False)  # via the 11<->12 edit-1 edge
+    assert verdict[20] == (20, True)
+    assert verdict[21] == (21, True)

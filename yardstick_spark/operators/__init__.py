@@ -11,6 +11,7 @@ from .funnel import (  # noqa: F401
     retention_cohorts,
 )
 from .profile import (  # noqa: F401
+    benford_profile,
     numeric_histogram,
     profile_numeric_approx,
     profile_table,

@@ -129,35 +129,46 @@ def pagerank_sql(
     edges_sql: str,
     iterations: int = 10,
     damping: float = 0.85,
+    materialized: bool = False,
 ) -> str:
     """ANSI-SQL twin of `pagerank` as UNROLLED chained CTEs (power
     iteration needs no recursion when the round count is fixed), used
-    as the DuckDB oracle.  `edges_sql` must yield (src, dst, w)."""
+    as the DuckDB oracle.  `edges_sql` must yield (src, dst, w).
+
+    `materialized=True` emits DuckDB's `AS MATERIALIZED` on every CTE.
+    Required when `edges_sql` is itself expensive: each iteration
+    references the edge table several times, and an optimizer that
+    inlines CTEs would otherwise re-execute the edge derivation tens
+    of times (measured: a minhash-pair edge list went from >100 s to
+    sub-second with materialization)."""
     d = damping
+    m = "MATERIALIZED " if materialized else ""
     sql = [
-        f"WITH e0 AS ({edges_sql}),",
-        " e1 AS (SELECT src, dst, SUM(w) AS w FROM e0 GROUP BY src, dst),",
-        " ow AS (SELECT src, SUM(w) AS outw FROM e1 GROUP BY src),",
-        " e AS (SELECT e1.src, e1.dst, e1.w / ow.outw AS p"
+        f"WITH e0 AS {m}({edges_sql}),",
+        f" e1 AS {m}(SELECT src, dst, SUM(w) AS w FROM e0"
+        "   GROUP BY src, dst),",
+        f" ow AS {m}(SELECT src, SUM(w) AS outw FROM e1 GROUP BY src),",
+        f" e AS {m}(SELECT e1.src, e1.dst, e1.w / ow.outw AS p"
         "   FROM e1 JOIN ow ON e1.src = ow.src),",
-        " nodes AS (SELECT src AS node FROM e1"
+        f" nodes AS {m}(SELECT src AS node FROM e1"
         "   UNION SELECT dst FROM e1),",
-        " nn AS (SELECT COUNT(*) AS n_nodes FROM nodes),",
-        " r0 AS (SELECT node, 1.0 / n_nodes AS rank FROM nodes, nn),",
+        f" nn AS {m}(SELECT COUNT(*) AS n_nodes FROM nodes),",
+        f" r0 AS {m}(SELECT node, 1.0 / n_nodes AS rank FROM nodes, nn),",
     ]
     prev = "r0"
     for i in range(1, iterations + 1):
         cur = f"r{i}"
         sql.append(
-            f" c{i} AS (SELECT e.dst, SUM({prev}.rank * e.p) AS contrib"
+            f" c{i} AS {m}(SELECT e.dst, SUM({prev}.rank * e.p) AS contrib"
             f"   FROM {prev} JOIN e ON {prev}.node = e.src GROUP BY e.dst),"
         )
         sql.append(
-            f" d{i} AS (SELECT COALESCE(SUM(rank), 0) AS dmass FROM {prev}"
+            f" d{i} AS {m}(SELECT COALESCE(SUM(rank), 0) AS dmass"
+            f"   FROM {prev}"
             f"   WHERE node NOT IN (SELECT src FROM e)),"
         )
         sql.append(
-            f" {cur} AS (SELECT nodes.node,"
+            f" {cur} AS {m}(SELECT nodes.node,"
             f"   (1 - {d}) / nn.n_nodes + {d} * (COALESCE(c{i}.contrib, 0)"
             f"     + d{i}.dmass / nn.n_nodes) AS rank"
             f"   FROM nodes LEFT JOIN c{i} ON nodes.node = c{i}.dst,"

@@ -154,3 +154,46 @@ def profile_numeric_approx(df: DataFrame, columns: list[str],
              + ", ".join(pieces)
              + ") AS (column_name, quantile, value)")
     return base.select(F.expr(stack))
+
+
+def benford_profile(df: DataFrame, col: str) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law — the
+    classic fraud/quality screen for naturally-occurring amounts
+    (Benford 1938; Nigrini's audit methodology).  A column whose digit
+    shares diverge hard from log10(1 + 1/d) was likely generated,
+    capped, or tampered with.
+
+    Returns one row per leading digit 1-9: (digit, n, share,
+    benford, delta) — share is the observed fraction, benford the
+    law's expectation, delta = share - benford (rounded, engine-
+    portable).
+
+    Scale shape: one map-side-combined groupBy over 9 keys; the share
+    normalization is a window over the 9-row aggregate.  Only positive
+    values participate (Benford is undefined at zero; negatives are
+    sign-stripped by convention — here they are excluded so the
+    contract is explicit).  `floor(log10(x))` is exact for powers of
+    ten in both the JVM (Math.log10 guarantee) and libm, so the digit
+    extraction is engine-portable.
+    """
+    from pyspark.sql import Window
+
+    digit = (
+        f"CAST(floor({col} / pow(10, floor(log10({col})))) AS INT)"
+    )
+    base = (
+        df.where(F.col(col) > 0)
+        .groupBy(F.expr(digit).alias("digit"))
+        .agg(F.count("*").alias("n"))
+    )
+    total = Window.partitionBy()
+    return base.select(
+        "digit",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(total), 6).alias("share"),
+        F.round(F.log10(1 + 1 / F.col("digit")), 6).alias("benford"),
+        F.round(
+            F.col("n") / F.sum("n").over(total)
+            - F.log10(1 + 1 / F.col("digit")), 6
+        ).alias("delta"),
+    )
