@@ -1775,6 +1775,16 @@ def _q_mm_phash(spark, sf_dir):
     )
 
 
+def _q_mm_audio_fp(spark, sf_dir):
+    # volume-invariant audio fingerprinting over square-wave WAVs:
+    # ZCR/period features are analytic functions of the content id
+    # (llm/multimodal.py synth_square_wav), so the oracle verifies the
+    # real RIFF-parse + numpy sign-change pipeline without SQL DSP
+    from yardstick_spark.llm import audio_fingerprint, synth_square_wav
+
+    return audio_fingerprint(synth_square_wav(_docs(spark, sf_dir)))
+
+
 def _q_dedup_fuzzy_clusters(spark, sf_dir):
     # fuzzy pairs -> connected components -> per-record canonical
     # verdict: the same pointer-jumping CC machinery as dedup_clusters
@@ -1854,6 +1864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_fuzzy_clusters": _q_dedup_fuzzy_clusters,
         "graph_doc_rank": _q_graph_doc_rank,
         "ops_benford": _q_ops_benford,
+        "mm_audio_fp": _q_mm_audio_fp,
         # round-5 additions (ordered first via _R5_NEW)
         "dedup_semantic": _q_dedup_semantic,
         "text_mixture_weights": _q_text_mixture_weights,
@@ -1953,6 +1964,7 @@ _R5_NEW: list[str] = [
     # wave-3 (newest — must land inside the 50-entry driver window)
     "graph_pagerank", "ops_zorder", "dedup_fuzzy", "events_pivot",
     "mm_phash", "dedup_fuzzy_clusters", "graph_doc_rank", "ops_benford",
+    "mm_audio_fp",
     "dedup_semantic", "text_mixture_weights", "text_unigram_logprob",
     "events_transitions", "events_anomaly", "text_sample_weighted",
     "ops_profile", "ops_histogram", "emb_hard_negatives",
@@ -3841,6 +3853,20 @@ def oracle_sql() -> dict[str, str]:
         + pagerank_sql(_DOC_EDGES, iterations=6, materialized=True)
         + ") q"
     )
+    # square-wave audio features are analytic: n = 20*hp samples in 20
+    # alternating blocks -> 19 sign transitions; period = 2*hp;
+    # amp = a/32768 (see synth_square_wav)
+    o["mm_audio_fp"] = """
+        WITH g AS (SELECT doc_id, (doc_id % 30) % 10 + 2 AS hp,
+                          (doc_id % 5 + 1) * 3000 AS a
+                   FROM documents)
+        SELECT doc_id AS media_id,
+               CAST(20 * hp AS BIGINT) AS n_samples,
+               CAST(19 AS INT) AS n_transitions,
+               ROUND(19.0 / (20 * hp - 1), 6) AS zcr,
+               CAST(2 * hp AS INT) AS est_period,
+               ROUND(a / 32768.0, 6) AS amp
+        FROM g"""
     o["ops_benford"] = """
         WITH b AS (SELECT CAST(floor(o_totalprice
                      / pow(10, floor(log10(o_totalprice)))) AS INT)

@@ -415,3 +415,56 @@ def test_fuzzy_clusters_canonical_verdict(spark):
     assert verdict[12] == (10, False)  # via the 11<->12 edit-1 edge
     assert verdict[20] == (20, True)
     assert verdict[21] == (21, True)
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprint
+# ---------------------------------------------------------------------------
+
+
+def test_audio_fingerprint_volume_invariant(spark):
+    """Same waveform at different volumes fingerprints identically
+    (ZCR/period); a different period is told apart; bytes differ in
+    both cases."""
+    from yardstick_spark.llm import audio_fingerprint, write_wav
+
+    def square(hp, amp, blocks=20):
+        out = []
+        for b in range(blocks):
+            out += [amp if b % 2 == 0 else -amp] * hp
+        return out
+
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(write_wav(square(5, 3000)))),
+            (2, bytearray(write_wav(square(5, 12000)))),   # louder copy
+            (3, bytearray(write_wav(square(8, 3000)))),    # other pitch
+            (4, bytearray(b"not audio")),
+        ],
+        "media_id long, payload binary",
+    )
+    rows = {r.media_id: r for r in audio_fingerprint(df).collect()}
+    assert (rows[1].zcr, rows[1].est_period) == (rows[2].zcr,
+                                                 rows[2].est_period)
+    assert rows[1].amp != rows[2].amp
+    assert rows[1].est_period == 10 and rows[3].est_period == 16
+    assert rows[4].n_samples is None
+
+
+def test_synth_square_wav_roundtrip(spark):
+    """JVM-synthesized square WAVs decode to the analytic features the
+    mm_audio_fp oracle assumes."""
+    from yardstick_spark.llm import audio_fingerprint, synth_square_wav
+
+    docs = spark.range(60).withColumnRenamed("id", "doc_id")
+    rows = {
+        r.media_id: r
+        for r in audio_fingerprint(synth_square_wav(docs)).collect()
+    }
+    for i in range(60):
+        hp = (i % 30) % 10 + 2
+        r = rows[i]
+        assert r.n_samples == 20 * hp
+        assert r.n_transitions == 19
+        assert r.est_period == 2 * hp
+        assert r.amp == pytest.approx((i % 5 + 1) * 3000 / 32768, abs=1e-6)

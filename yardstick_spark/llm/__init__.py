@@ -40,10 +40,12 @@ from .multimodal import (  # noqa: F401
     media_stats,
     parse_ppm,
     parse_wav,
+    audio_fingerprint,
     phash64,
     phash_pairs,
     resize_media,
     synth_gradient_media,
+    synth_square_wav,
     synth_textured_media,
     synth_media,
     write_ppm,

@@ -664,3 +664,99 @@ def phash_pairs(media: DataFrame, max_hamming: int = 3,
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprinting — volume-invariant features for AUDIO near-dup
+# ---------------------------------------------------------------------------
+
+AUDIO_FP_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("n_samples", LongType()),
+    StructField("n_transitions", IntegerType()),
+    StructField("zcr", DoubleType()),
+    StructField("est_period", IntegerType()),
+    StructField("amp", DoubleType()),
+])
+
+
+def synth_square_wav(docs: DataFrame, id_col: str = "doc_id",
+                     n_contents: int = 30) -> DataFrame:
+    """Square-wave WAV payloads — the audio-fingerprint fixture.
+
+    Content id c = id % n_contents sets the half-period hp = c%10+2
+    (so the wave's fundamental is content-determined); amplitude
+    a = (id%5+1)*3000 varies WITHIN a content group — a volume change
+    the fingerprint must ignore.  20 blocks of hp samples alternate
+    +a/-a, so every decoded feature is analytic: n = 20·hp,
+    transitions = 19, est_period = 2·hp, amp = a/32768.
+
+    Like the other generators the payload is assembled JVM-side: the
+    RIFF/fmt header comes from `synth_media`'s constant-chunk recipe
+    and the data chunk is repeat(hp·(+a) ++ hp·(−a)) — one to_binary,
+    no Python worker."""
+    i = f"CAST({id_col} AS BIGINT)"
+    c = f"({i} % {n_contents})"
+    hp = f"({c} % 10 + 2)"
+    a = f"(({i} % 5 + 1) * 3000)"
+    n = f"(20 * {hp})"
+    fmt_hex = ("concat(hex('fmt '), '10000000', '0100', '0100', "
+               "'803E0000', '007D0000', '0200', '1000')")
+    block_hex = (
+        f"repeat(concat(repeat({_le_hex(f'pmod({a}, 65536)', 2)}, "
+        f"CAST({hp} AS INT)), repeat({_le_hex(f'pmod(-{a}, 65536)', 2)}, "
+        f"CAST({hp} AS INT))), 10)"
+    )
+    wav_hex = (
+        f"concat(hex('RIFF'), {_le_hex(f'36 + 2 * {n}', 4)}, hex('WAVE'), "
+        f"{fmt_hex}, hex('data'), {_le_hex(f'2 * {n}', 4)}, {block_hex})"
+    )
+    return _spread_by_bytes(docs.select(id_col)).select(
+        F.expr(i).alias("media_id"),
+        F.lit("audio").alias("media_type"),
+        F.expr(f"to_binary({wav_hex}, 'hex')").alias("payload"),
+    )
+
+
+def audio_fingerprint(media: DataFrame) -> DataFrame:
+    """Volume-invariant audio features per WAV payload: zero-crossing
+    count/rate and the period estimate 2n/(transitions+1) — the
+    cheapest robust pitch-class fingerprint (a re-encoded or
+    re-normalized copy of a recording keeps its ZCR profile while its
+    bytes and RMS change).  `amp` (peak magnitude, normalized) is
+    included as the NON-invariant control feature.
+
+    Arrow-batched mapInPandas, one numpy pass per payload, no shuffle
+    — identical scale shape to `media_stats`.  Non-WAV payloads yield
+    NULL features."""
+
+    def fp(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload or b"")
+                n = trans = zcr = est = amp = None
+                try:
+                    if b[:4] == b"RIFF":
+                        v = parse_wav(b).astype(np.float64)
+                        n = int(v.size)
+                        if n > 1:
+                            trans = int(np.sum(v[1:] * v[:-1] < 0))
+                            zcr = round(trans / (n - 1), 6)
+                            est = (round(2 * n / (trans + 1))
+                                   if trans else None)
+                        amp = round(float(np.abs(v).max()) / 32768.0, 6)
+                except (ValueError, struct_error):
+                    n = None
+                rows.append((int(mid), n, trans, zcr, est, amp))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "n_samples", "n_transitions",
+                         "zcr", "est_period", "amp"],
+            ).astype({"n_samples": "Int64", "n_transitions": "Int32",
+                      "est_period": "Int32"})
+
+    return _spread_by_bytes(media).mapInPandas(fp, schema=AUDIO_FP_SCHEMA)
