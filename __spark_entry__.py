@@ -1785,6 +1785,50 @@ def _q_mm_audio_fp(spark, sf_dir):
     return audio_fingerprint(synth_square_wav(_docs(spark, sf_dir)))
 
 
+def _q_emb_covariance(spark, sf_dir):
+    # distributed one-pass covariance (per-partition numpy Gram
+    # partials, d^2-bounded merge) vs DuckDB COVAR_POP per (i, j)
+    from yardstick_spark.llm import covariance_matrix
+
+    _ys(spark, sf_dir)
+    return covariance_matrix(spark.table("embeddings"))
+
+
+def _q_emb_jl_project(spark, sf_dir):
+    # Johnson-Lindenstrauss +-1 projection; the sign matrix is md5
+    # parity (same derivation as the LSH planes), so the oracle
+    # rebuilds it exactly in SQL
+    from yardstick_spark.llm import jl_project
+
+    _ys(spark, sf_dir)
+    return jl_project(spark.table("embeddings"), out_dim=8, seed=42)
+
+
+def _q_graph_triangles(spark, sf_dir):
+    # degree-ordered triangle counting over the word co-occurrence
+    # (bigram) graph; the oracle verifies the orientation-independent
+    # triangle SET with a naive a<b<c triple join
+    from pyspark.sql import functions as F
+
+    from yardstick_spark.operators import triangle_counts
+
+    docs = _docs(spark, sf_dir)
+    norm = "regexp_replace(lower(trim(text)), '\\\\s+', ' ')"
+    words = f"filter(split({norm}, ' '), t -> t <> '')"
+    pairs = (
+        "transform(sequence(1, size(__w) - 1), "
+        "i -> struct(element_at(__w, i) AS a, element_at(__w, i + 1) AS b))"
+    )
+    edges = (
+        docs.select(F.expr(words).alias("__w"))
+        .filter("size(__w) >= 2")
+        .select(F.explode(F.expr(pairs)).alias("p"))
+        .filter("p.a <> p.b")
+        .select(F.col("p.a").alias("src"), F.col("p.b").alias("dst"))
+    )
+    return triangle_counts(edges)
+
+
 def _q_dedup_fuzzy_clusters(spark, sf_dir):
     # fuzzy pairs -> connected components -> per-record canonical
     # verdict: the same pointer-jumping CC machinery as dedup_clusters
@@ -1865,6 +1909,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_doc_rank": _q_graph_doc_rank,
         "ops_benford": _q_ops_benford,
         "mm_audio_fp": _q_mm_audio_fp,
+        "emb_covariance": _q_emb_covariance,
+        "emb_jl_project": _q_emb_jl_project,
+        "graph_triangles": _q_graph_triangles,
         # round-5 additions (ordered first via _R5_NEW)
         "dedup_semantic": _q_dedup_semantic,
         "text_mixture_weights": _q_text_mixture_weights,
@@ -1964,7 +2011,7 @@ _R5_NEW: list[str] = [
     # wave-3 (newest — must land inside the 50-entry driver window)
     "graph_pagerank", "ops_zorder", "dedup_fuzzy", "events_pivot",
     "mm_phash", "dedup_fuzzy_clusters", "graph_doc_rank", "ops_benford",
-    "mm_audio_fp",
+    "mm_audio_fp", "emb_covariance", "emb_jl_project", "graph_triangles",
     "dedup_semantic", "text_mixture_weights", "text_unigram_logprob",
     "events_transitions", "events_anomaly", "text_sample_weighted",
     "ops_profile", "ops_histogram", "emb_hard_negatives",
@@ -3867,6 +3914,58 @@ def oracle_sql() -> dict[str, str]:
                CAST(2 * hp AS INT) AS est_period,
                ROUND(a / 32768.0, 6) AS amp
         FROM g"""
+    # one-pass distributed covariance vs DuckDB's native COVAR_POP
+    o["emb_covariance"] = """
+        WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS e
+                   FROM embeddings
+                   WHERE embedding IS NOT NULL AND len(embedding) > 0),
+        p AS (SELECT CAST(unnest(range(0, 64)) AS INT) AS pos)
+        SELECT p1.pos AS i, p2.pos AS j,
+               ROUND(COVAR_POP(e[p1.pos + 1], e[p2.pos + 1]), 6) AS cov
+        FROM v CROSS JOIN p p1 CROSS JOIN p p2
+        WHERE p1.pos <= p2.pos
+        GROUP BY p1.pos, p2.pos"""
+    # JL signs are md5 parity — f"42:{plane}:{dim}", low bit of the
+    # 15-hex-digit prefix — identical to similarity._md5_signs
+    o["emb_jl_project"] = """
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                   FROM embeddings),
+        p AS (SELECT CAST(unnest(range(0, 8)) AS INT) AS pos),
+        d AS (SELECT CAST(unnest(range(0, 64)) AS INT) AS di),
+        s AS (SELECT pos, di,
+                CASE WHEN CAST(CONCAT('0x', SUBSTRING(md5(
+                         '42:' || CAST(pos AS VARCHAR) || ':'
+                         || CAST(di AS VARCHAR)), 1, 15)) AS BIGINT)
+                     % 2 = 1
+                     THEN 1.0 ELSE -1.0 END AS sgn
+              FROM p CROSS JOIN d)
+        SELECT vec_id AS id, pos,
+               ROUND(SUM(e[di + 1] * sgn) / sqrt(8), 6) AS val
+        FROM v CROSS JOIN s
+        GROUP BY vec_id, pos"""
+    # triangle set is orientation-independent: naive a<b<c triple join
+    # over the bigram co-occurrence edges
+    o["graph_triangles"] = f"""
+        WITH norm AS (SELECT {_NORM_DOC} AS t FROM documents),
+        w AS (SELECT list_filter(string_split(t, ' '), x -> x <> '')
+                AS words FROM norm),
+        g AS (SELECT unnest([[words[i], words[i+1]]
+                             for i in range(1, len(words))]) AS pr
+              FROM w WHERE len(words) >= 2),
+        e AS (SELECT DISTINCT least(pr[1], pr[2]) AS a,
+                     greatest(pr[1], pr[2]) AS b
+              FROM g WHERE pr[1] <> pr[2]),
+        t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              FROM e e1
+              JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+              JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+        m AS (SELECT x AS node FROM t UNION ALL SELECT y FROM t
+              UNION ALL SELECT z FROM t),
+        c AS (SELECT node, COUNT(*) AS n_triangles FROM m GROUP BY node),
+        nodes AS (SELECT a AS node FROM e UNION SELECT b FROM e)
+        SELECT nodes.node,
+               CAST(COALESCE(c.n_triangles, 0) AS BIGINT) AS n_triangles
+        FROM nodes LEFT JOIN c USING (node)"""
     o["ops_benford"] = """
         WITH b AS (SELECT CAST(floor(o_totalprice
                      / pow(10, floor(log10(o_totalprice)))) AS INT)

@@ -468,3 +468,31 @@ def test_synth_square_wav_roundtrip(spark):
         assert r.n_transitions == 19
         assert r.est_period == 2 * hp
         assert r.amp == pytest.approx((i % 5 + 1) * 3000 / 32768, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting
+# ---------------------------------------------------------------------------
+
+
+def test_triangle_counts_k4_plus_pendant(spark):
+    """K4 (every node in C(3,2)=3 triangles) plus a pendant node (0);
+    duplicate and reversed edges collapse; self-loops ignored."""
+    from yardstick_spark.operators import triangle_counts
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = k4 + [(b, a) for a, b in k4]          # reversed dups
+    edges += [(3, 4), (2, 2), (0, 1)]             # pendant, loop, dup
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3, 4: 0}
+
+
+def test_triangle_counts_star_has_none(spark):
+    from yardstick_spark.operators import triangle_counts
+
+    df = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "src long, dst long")
+    got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == 6

@@ -1,0 +1,125 @@
+"""Distributed covariance / PCA / JL projection (llm/pca.py) vs numpy.
+
+The covariance path is the one-pass partition-Gram treeAggregate shape;
+these tests pin it to numpy's definition exactly (population cov), pin
+PCA to numpy.linalg.eigh on the same matrix, and pin the JL projection
+to an explicit sign-matrix matmul plus its distance-preservation
+property in expectation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+
+def _vec_df(spark, X, id_start=0):
+    rows = [(id_start + i, [float(x) for x in r]) for i, r in enumerate(X)]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>")
+
+
+@pytest.fixture(scope="module")
+def cloud():
+    rng = np.random.RandomState(7)
+    # anisotropic cloud: known dominant directions
+    base = rng.randn(200, 6)
+    scale = np.array([5.0, 3.0, 1.0, 0.5, 0.2, 0.1])
+    return (base * scale).astype(np.float32)
+
+
+def test_covariance_matches_numpy(spark, cloud):
+    from yardstick_spark.llm import covariance_matrix
+
+    df = _vec_df(spark, cloud).repartition(7)  # cross-partition merge
+    got = {(r.i, r.j): r.cov
+           for r in covariance_matrix(df, round_to=None).collect()}
+    C = np.cov(cloud.astype(np.float64).T, bias=True)
+    d = cloud.shape[1]
+    assert len(got) == d * (d + 1) // 2
+    for i in range(d):
+        for j in range(i, d):
+            assert got[(i, j)] == pytest.approx(C[i, j], abs=1e-9)
+
+
+def test_covariance_skips_null_and_ragged(spark, cloud):
+    from yardstick_spark.llm import covariance_matrix
+
+    df = _vec_df(spark, cloud)
+    extra = spark.createDataFrame(
+        [(9000, None), (9001, [1.0])],
+        "vec_id long, embedding array<float>")
+    got = {(r.i, r.j): r.cov
+           for r in covariance_matrix(df.unionByName(extra),
+                                      round_to=None).collect()}
+    C = np.cov(cloud.astype(np.float64).T, bias=True)
+    # 6-dim majority wins; the 1-dim + NULL rows don't poison the stats
+    assert got[(0, 0)] == pytest.approx(C[0, 0], abs=1e-9)
+    assert max(j for (_, j) in got) == cloud.shape[1] - 1
+
+
+def test_pca_components_match_numpy_eigh(spark, cloud):
+    from yardstick_spark.llm import pca_components
+
+    comps, evals = pca_components(_vec_df(spark, cloud), k=3)
+    C = np.cov(cloud.astype(np.float64).T, bias=True)
+    ev, evec = np.linalg.eigh(C)
+    order = np.argsort(ev)[::-1][:3]
+    assert evals == pytest.approx(ev[order], rel=1e-6)
+    for row, col in zip(comps, order):
+        ref = evec[:, col]
+        if ref[np.argmax(np.abs(ref))] < 0:
+            ref = -ref
+        assert row == pytest.approx(ref, abs=1e-6)
+    # dominant axis is the scale=5 coordinate
+    assert np.argmax(np.abs(comps[0])) == 0
+
+
+def test_pca_project_scores(spark, cloud):
+    from yardstick_spark.llm import pca_components, pca_project
+
+    df = _vec_df(spark, cloud)
+    comps, evals = pca_components(df, k=2)
+    got = {(r.id, r.pos): r.val
+           for r in pca_project(df, comps, round_to=None).collect()}
+    want = cloud.astype(np.float64) @ comps.T
+    for i in range(cloud.shape[0]):
+        for p in range(2):
+            assert got[(i, p)] == pytest.approx(want[i, p], abs=1e-9)
+    # variance of centered scores along component p equals eigenvalue p
+    scores = (cloud.astype(np.float64)
+              - cloud.astype(np.float64).mean(axis=0)) @ comps.T
+    assert scores.var(axis=0) == pytest.approx(evals, rel=1e-6)
+
+
+def test_jl_project_matches_sign_matrix(spark, cloud):
+    from yardstick_spark.llm import jl_project
+    from yardstick_spark.llm.similarity import _md5_signs
+
+    k, seed = 4, 123
+    df = _vec_df(spark, cloud)
+    got = {(r.id, r.pos): r.val
+           for r in jl_project(df, out_dim=k, seed=seed,
+                               round_to=None).collect()}
+    S = _md5_signs(cloud.shape[1], k, (seed,))
+    want = (cloud.astype(np.float64) @ S) / np.sqrt(k)
+    for i in range(cloud.shape[0]):
+        for p in range(k):
+            assert got[(i, p)] == pytest.approx(want[i, p], abs=1e-9)
+
+
+def test_jl_preserves_norms_in_expectation(spark):
+    from yardstick_spark.llm import jl_project
+
+    rng = np.random.RandomState(11)
+    X = rng.randn(50, 64).astype(np.float32)
+    df = _vec_df(spark, X)
+    rows = jl_project(df, out_dim=32, seed=5, round_to=None).collect()
+    proj = np.zeros((50, 32))
+    for r in rows:
+        proj[r.id, r.pos] = r.val
+    orig = (X.astype(np.float64) ** 2).sum(axis=1)
+    kept = (proj ** 2).sum(axis=1)
+    # E[||Px||^2] = ||x||^2; at k=32 the mean ratio concentrates
+    ratio = (kept / orig).mean()
+    assert 0.8 < ratio < 1.2

@@ -73,6 +73,12 @@ from .mining import (  # noqa: F401
     label_medoids,
     label_prototypes,
 )
+from .pca import (  # noqa: F401
+    covariance_matrix,
+    jl_project,
+    pca_components,
+    pca_project,
+)
 from .quantize import (  # noqa: F401
     dequantize_expr,
     quantization_params,

@@ -94,6 +94,16 @@ def fuzzy_dedup_pairs(
     keyed = keyed.join(
         sizes.where(F.col("bn") <= max_block).select("block"), "block"
     )
+    # EXPLICIT numbered repartition of the probe side: the keyed table
+    # is tiny relative to the candidate expansion (avg block size x),
+    # so AQE's size-based coalescing would otherwise shrink it to ONE
+    # partition and the whole verify — |block|^2 candidates, the only
+    # expensive part — would run single-threaded (measured: 35 s in 1
+    # task vs ~2 s across 64 at sf0.1).  A user-numbered repartition is
+    # exempt from AQE coalescing, and hashing on id spreads every block
+    # across all tasks, which also neutralizes block-size skew.
+    n_verify = 2 * df.sparkSession.sparkContext.defaultParallelism
+    keyed = keyed.repartition(n_verify, "id")
     a = keyed.select(
         F.col("block"), F.col("id").alias("id_a"), F.col("s").alias("s_a")
     )
@@ -108,12 +118,20 @@ def fuzzy_dedup_pairs(
         .where(
             F.abs(F.length("s_a") - F.length("s_b")) <= max_edit
         )
+        # THRESHOLD form: banded O(len * max_edit) DP that returns -1
+        # as soon as the distance provably exceeds max_edit — vs the
+        # full O(len^2) table of the 2-arg form.  This matters 3x over:
+        # Catalyst pushes the filters below into the join condition, so
+        # the expression is evaluated up to three times per candidate
+        # (two predicates + the projection); banding turns ~3 full DPs
+        # per candidate into ~3 cheap bands (measured 40 s -> ~3 s on
+        # 34M candidates at sf0.1).  `edit > 0` alone is the complete
+        # predicate: -1 (over threshold) and 0 (identical) both drop.
         .select(
             "id_a",
             "id_b",
-            F.levenshtein("s_a", "s_b").alias("edit"),
+            F.expr(f"levenshtein(s_a, s_b, {int(max_edit)})").alias("edit"),
         )
-        .where(F.col("edit") <= max_edit)
         .where(F.col("edit") > 0)
         .distinct()
     )

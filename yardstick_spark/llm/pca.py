@@ -1,0 +1,241 @@
+"""Distributed linear algebra over an embedding column: second-moment
+(Gram) / covariance matrices, PCA, and Johnson-Lindenstrauss random
+projection.
+
+These are the dimensionality tools a 100 TB embedding pipeline needs
+before anything quadratic touches the vectors: PCA whitening/compaction
+for index build (faiss OPQ-style pre-rotation), JL projection for cheap
+distance-preserving sketches, and the covariance matrix itself for
+drift monitoring and hygiene checks.
+
+100 TB design:
+- `covariance_matrix` is the textbook one-pass treeAggregate expressed
+  in DataFrame terms: every partition folds its rows into a single
+  d x d partial Gram + d-vector sum + count with numpy (no per-row
+  Python), emits exactly d*(d+1)/2 + 1 rows, and the groupBy that
+  merges partials moves #partitions * O(d^2) rows — independent of the
+  corpus row count.  The driver never sees vectors, only the d x d
+  result.
+- `pca_components` eigendecomposes the (tiny) covariance result on the
+  driver — gated at d <= 512 like every other driver-side step in the
+  package (cluster.py <= 1M edges, dedup.py <= 200k vocab); above the
+  gate you want a randomized/iterative method, not a dense eigh.
+- `pca_project` / `jl_project` are scan-only: the k x d projection
+  rides a broadcast (PCA) or is re-derived per worker from md5 parity
+  (JL — the SAME sign derivation as `similarity._md5_signs`, so a SQL
+  oracle reproduces the matrix bit-for-bit) and each vector maps to k
+  numbers in one Arrow batch pass.  No shuffle at any corpus size.
+
+JL background: Johnson & Lindenstrauss (1984); the +-1 "database-
+friendly" variant is Achlioptas (JCSS 2003) — E[<Px,Py>] = <x,y> and
+distances are preserved within (1 +- eps) for k = O(log n / eps^2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (DoubleType, IntegerType, LongType,
+                               StructField, StructType)
+
+from .similarity import _as_double, _length_groups, _md5_signs
+
+# driver-side eigh gate: d=512 -> 131k covariance cells, a 2 MB
+# collect and a <1 s LAPACK call; past that, dense driver eigh is the
+# wrong tool (use a sketched/randomized solver) so we refuse loudly
+_MAX_EIGH_DIM = 512
+
+_COV_PARTIAL_SCHEMA = StructType([
+    StructField("d", IntegerType()),
+    StructField("i", IntegerType()),
+    StructField("j", IntegerType()),
+    StructField("sxy", DoubleType()),
+    StructField("sx", DoubleType()),
+    StructField("sy", DoubleType()),
+    StructField("n", LongType()),
+])
+
+
+def covariance_matrix(vecs: DataFrame, vec_col: str = "embedding",
+                      round_to: int | None = 6) -> DataFrame:
+    """Population covariance of the embedding coordinates:
+    (i, j, cov) for the upper triangle i <= j — identical to
+    ``COVAR_POP(e[i+1], e[j+1])`` per pair.
+
+    One corpus scan: each partition's rows fold into one d x d numpy
+    Gram partial (X^T X), a coordinate-sum vector, and a count PER
+    OBSERVED DIMENSION; partials are emitted as d*(d+1)/2 upper-
+    triangle rows keyed by d, so mixed-dimension corpora can never
+    merge partials across dims (a 1-dim stray would otherwise corrupt
+    cell (0,0)).  The merge groupBy sees #partitions * O(d^2) rows;
+    after it, only the dominant dimension (largest row count) is kept.
+    cov = Sxy/n - (Sx/n)(Sy/n) is assembled after the merge.  NULL /
+    empty vectors are skipped (same policy as `_length_groups`)."""
+
+    def partial(batches):
+        import numpy as np
+        import pandas as pd
+
+        acc = {}  # dim -> [gram, sums, cnt]
+        for pdf in batches:
+            arr = pdf.iloc[:, 0].to_numpy()
+            for dim, sel in _length_groups(arr):
+                A = np.vstack(arr[sel]).astype(np.float64)
+                g = A.T @ A
+                s = A.sum(axis=0)
+                slot = acc.get(dim)
+                if slot is None:
+                    acc[dim] = [g, s, A.shape[0]]
+                else:
+                    slot[0] += g
+                    slot[1] += s
+                    slot[2] += A.shape[0]
+        for d, (gram, sums, cnt) in acc.items():
+            iu, ju = np.triu_indices(d)
+            yield pd.DataFrame({
+                "d": np.full(iu.size, d, dtype="int32"),
+                "i": iu.astype("int32"), "j": ju.astype("int32"),
+                "sxy": gram[iu, ju],
+                "sx": sums[iu], "sy": sums[ju],
+                "n": np.full(iu.size, cnt, dtype="int64"),
+            })
+
+    parts = (
+        vecs.select(F.expr(_as_double(vec_col)).alias("v"))
+        .filter(F.col("v").isNotNull() & (F.size("v") > 0))
+        .mapInPandas(partial, schema=_COV_PARTIAL_SCHEMA)
+    )
+    merged = parts.groupBy("d", "i", "j").agg(
+        F.sum("sxy").alias("sxy"), F.sum("sx").alias("sx"),
+        F.sum("sy").alias("sy"), F.sum("n").alias("n"),
+    )
+    # dominant dimension: the d with the most contributing rows (ties
+    # break to the larger d) — one 1-row broadcast, never a collect
+    best = F.broadcast(
+        merged.filter((F.col("i") == 0) & (F.col("j") == 0))
+        .orderBy(F.col("n").desc(), F.col("d").desc())
+        .limit(1)
+        .select("d")
+    )
+    merged = merged.join(best, "d")
+    cov = (F.col("sxy") / F.col("n")
+           - (F.col("sx") / F.col("n")) * (F.col("sy") / F.col("n")))
+    if round_to is not None:
+        cov = F.round(cov, round_to)
+    return merged.select("i", "j", cov.alias("cov"))
+
+
+def pca_components(vecs: DataFrame, k: int = 8,
+                   vec_col: str = "embedding") -> "object":
+    """Top-k principal axes of the embedding cloud as a numpy (k, d)
+    array (rows = components, descending eigenvalue), plus the
+    eigenvalue vector: ``(components, explained_variance)``.
+
+    The distributed part is `covariance_matrix`; the driver only eighs
+    the d x d result (gated at d <= 512).  Component signs are
+    canonicalized (largest-|coordinate| entry positive) so the output
+    is deterministic across LAPACK builds."""
+    import numpy as np
+
+    rows = covariance_matrix(vecs, vec_col=vec_col, round_to=None).collect()
+    if not rows:
+        raise ValueError("pca_components: no valid vectors")
+    d = max(r["j"] for r in rows) + 1
+    if d > _MAX_EIGH_DIM:
+        raise ValueError(
+            f"pca_components: dim {d} > {_MAX_EIGH_DIM} driver-eigh gate; "
+            "use a randomized solver for very wide embeddings")
+    C = np.zeros((d, d))
+    for r in rows:
+        C[r["i"], r["j"]] = C[r["j"], r["i"]] = r["cov"]
+    evals, evecs = np.linalg.eigh(C)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T  # (k, d)
+    for c in comps:  # sign canonicalization
+        if c[np.argmax(np.abs(c))] < 0:
+            c *= -1.0
+    return comps, evals[order]
+
+
+def pca_project(vecs: DataFrame, components: "object",
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                round_to: int | None = 6) -> DataFrame:
+    """Project each vector onto the given (k, d) component rows:
+    (id, pos, val) with pos = component index.  The projection matrix
+    rides the Arrow-UDF closure to every worker (k*d floats — same
+    broadcast shape as the LSH planes); one numpy matmul per batch,
+    scan-only, no shuffle."""
+    import numpy as np
+
+    P = np.asarray(components, dtype=np.float64)
+    k = P.shape[0]
+    return _project(vecs, P.T, 1.0, k, id_col, vec_col, round_to)
+
+
+def jl_project(vecs: DataFrame, out_dim: int = 8, seed: int = 42,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               round_to: int | None = 6) -> DataFrame:
+    """Johnson-Lindenstrauss +-1 random projection to `out_dim`
+    coordinates: (id, pos, val) with val = <x, s_pos> / sqrt(out_dim).
+
+    The sign matrix is `similarity._md5_signs(dim, out_dim, (seed,))`
+    — parity of md5(f"{seed}:{pos}:{dim_index}") — re-derived (and
+    cached) on each worker, so the DuckDB oracle can rebuild the exact
+    same matrix from the same md5 calls and match values to the
+    rounding level.  Scan-only, one matmul per Arrow batch."""
+
+    def signs(dim):
+        return _md5_signs(dim, out_dim, (seed,))
+
+    import math
+    return _project(vecs, signs, 1.0 / math.sqrt(out_dim),
+                    out_dim, id_col, vec_col, round_to)
+
+
+_PROJ_SCHEMA = StructType([
+    StructField("id", LongType()),
+    StructField("pos", IntegerType()),
+    StructField("val", DoubleType()),
+])
+
+
+def _project(vecs: DataFrame, mat, scale: float, k: int,
+             id_col: str, vec_col: str,
+             round_to: int | None) -> DataFrame:
+    """Shared Arrow projection kernel: `mat` is a (d, k) array or a
+    dim -> (d, k) callable (JL derives the matrix from the observed
+    dim).  Emits k rows per valid vector; NULL/ragged vectors emit
+    nothing (consistent with `_length_groups` policy)."""
+
+    def proj(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            arr = pdf["v"].to_numpy()
+            out_id, out_pos, out_val = [], [], []
+            for dim, sel in _length_groups(arr):
+                M = mat(dim) if callable(mat) else mat
+                if M.shape[0] != dim:
+                    continue  # projection fixed for another dim
+                A = np.vstack(arr[sel]).astype(np.float64)
+                V = (A @ M) * scale  # (n, k)
+                n = sel.size
+                out_id.append(np.repeat(ids[sel], k))
+                out_pos.append(np.tile(np.arange(k, dtype="int32"), n))
+                out_val.append(V.reshape(-1))
+            if out_id:
+                vals = np.concatenate(out_val)
+                if round_to is not None:
+                    vals = np.round(vals, round_to)
+                yield pd.DataFrame({
+                    "id": np.concatenate(out_id).astype("int64"),
+                    "pos": np.concatenate(out_pos),
+                    "val": vals,
+                })
+
+    return (
+        vecs.select(F.col(id_col).cast("long").alias("id"),
+                    F.expr(_as_double(vec_col)).alias("v"))
+        .mapInPandas(proj, schema=_PROJ_SCHEMA)
+    )

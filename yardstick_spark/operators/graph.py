@@ -178,3 +178,83 @@ def pagerank_sql(
     sql[-1] = sql[-1].rstrip(",")
     sql.append(f" SELECT node, rank FROM {prev}")
     return "\n".join(sql)
+
+
+def triangle_counts(edges: DataFrame, src: str = "src",
+                    dst: str = "dst") -> DataFrame:
+    """Per-node triangle participation counts over the UNDIRECTED
+    simple graph induced by `edges` (self-loops and duplicate /
+    reversed edges collapse): (node, n_triangles).  Triangle density
+    separates tight near-dup cliques from chains of borderline pairs
+    — the standard "is this cluster real?" diagnostic on a similarity
+    graph — and global count/3 is the classic clustering-coefficient
+    numerator.
+
+    Algorithm is degree-ordered compact-forward (Schank & Wagner 2005,
+    the MapReduce formulation is Suri & Vassilvitskii WWW'11): orient
+    each edge from the (degree, node)-smaller endpoint to the larger,
+    so every triangle has exactly ONE vertex with two out-edges.  The
+    wedge join then fans out deg_out^2 per node where deg_out is
+    bounded by O(sqrt(m)) on the heavy nodes — total wedge volume
+    O(m^1.5) instead of the O(sum deg^2) a naive shared-neighbor join
+    produces (a celebrity node with 10^6 neighbors would otherwise
+    emit 10^12 wedges).  Three shuffles total: degree groupBy, wedge
+    self-join, closing semi-join; all on uniform id keys.
+
+    The triangle SET is orientation-independent, so the SQL oracle can
+    verify with the naive a<b<c triple join — same triangles, no
+    degree logic."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    # orient by (deg, node): u -> v iff (deg_u, u) < (deg_v, v)
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("dega"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("degb"))
+    oriented = (
+        e.join(da, "a").join(db, "b")
+        .select(
+            F.when(
+                (F.col("dega") < F.col("degb"))
+                | ((F.col("dega") == F.col("degb"))
+                   & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+            ).otherwise(
+                F.struct(F.col("b").alias("u"), F.col("a").alias("v"))
+            ).alias("uv")
+        )
+        .select("uv.u", "uv.v")
+    )
+    w1 = oriented.select(F.col("u"), F.col("v").alias("x"))
+    w2 = oriented.select(F.col("u"), F.col("v").alias("y"))
+    # wedges at the lowest-ranked vertex; x<y dedups the unordered pair
+    wedges = w1.join(w2, "u").filter(F.col("x") < F.col("y"))
+    closing = e.select(
+        F.least("a", "b").alias("x"), F.greatest("a", "b").alias("y")
+    )
+    tri = wedges.join(closing, ["x", "y"])  # (u, x, y) triangles
+    per_node = (
+        tri.select(F.col("u").alias("node"))
+        .unionByName(tri.select(F.col("x").alias("node")))
+        .unionByName(tri.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    # nodes in no triangle still appear, with 0
+    return (
+        deg.join(per_node, "node", "left")
+        .select(
+            "node",
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+        )
+    )
