@@ -1804,6 +1804,33 @@ def _q_emb_jl_project(spark, sf_dir):
     return jl_project(spark.table("embeddings"), out_dim=8, seed=42)
 
 
+def _q_emb_pq(spark, sf_dir):
+    # product-quantization codes under the SEEDED md5 codebook (m=8
+    # subspaces x 16 codes): scan-only literal argmin encode; the
+    # oracle re-derives codebook and codes from the same md5 calls
+    from pyspark.sql import functions as F
+
+    from yardstick_spark.llm import pq_codebook, pq_encode
+
+    _ys(spark, sf_dir)
+    emb = spark.table("embeddings")
+    cb = pq_codebook(emb, m=8, ks=16)
+    return pq_encode(emb, cb).select(
+        "vec_id", F.posexplode("codes").alias("sub", "code"))
+
+
+def _q_sim_knn_pq(spark, sf_dir):
+    # asymmetric-distance (ADC) top-k over the 64x-compressed codes —
+    # corpus side carries codes only, never vectors
+    from yardstick_spark.llm import pq_codebook, pq_encode, pq_knn
+
+    _ys(spark, sf_dir)
+    emb = spark.table("embeddings")
+    cb = pq_codebook(emb, m=8, ks=16)
+    codes = pq_encode(emb, cb)
+    return pq_knn(codes, cb, emb.filter("vec_id < 5"), k=10)
+
+
 def _q_graph_triangles(spark, sf_dir):
     # degree-ordered triangle counting over the word co-occurrence
     # (bigram) graph; the oracle verifies the orientation-independent
@@ -1912,6 +1939,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_covariance": _q_emb_covariance,
         "emb_jl_project": _q_emb_jl_project,
         "graph_triangles": _q_graph_triangles,
+        "emb_pq": _q_emb_pq,
+        "sim_knn_pq": _q_sim_knn_pq,
         # round-5 additions (ordered first via _R5_NEW)
         "dedup_semantic": _q_dedup_semantic,
         "text_mixture_weights": _q_text_mixture_weights,
@@ -2012,6 +2041,7 @@ _R5_NEW: list[str] = [
     "graph_pagerank", "ops_zorder", "dedup_fuzzy", "events_pivot",
     "mm_phash", "dedup_fuzzy_clusters", "graph_doc_rank", "ops_benford",
     "mm_audio_fp", "emb_covariance", "emb_jl_project", "graph_triangles",
+    "emb_pq", "sim_knn_pq",
     "dedup_semantic", "text_mixture_weights", "text_unigram_logprob",
     "events_transitions", "events_anomaly", "text_sample_weighted",
     "ops_profile", "ops_histogram", "emb_hard_negatives",
@@ -3943,6 +3973,53 @@ def oracle_sql() -> dict[str, str]:
                ROUND(SUM(e[di + 1] * sgn) / sqrt(8), 6) AS val
         FROM v CROSS JOIN s
         GROUP BY vec_id, pos"""
+    # PQ: codebook cells are md5 buckets of f"{sub}:{id}" (min-id donor
+    # vector's subspace slice), distances rounded to 6 dp before the
+    # argmin on BOTH engines, ties to the lower code
+    _PQ_CB = """
+        v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS arr
+              FROM embeddings
+              WHERE embedding IS NOT NULL AND len(embedding) > 0),
+        subs AS (SELECT CAST(unnest(range(0, 8)) AS INT) AS sub),
+        cells AS (SELECT sub,
+                  CAST(CONCAT('0x', SUBSTRING(md5(CAST(sub AS VARCHAR)
+                       || ':' || CAST(id AS VARCHAR)), 1, 15)) AS BIGINT)
+                  % 16 AS code,
+                  MIN(id) AS id
+                  FROM v CROSS JOIN subs GROUP BY sub, 2),
+        cb AS (SELECT sub, code,
+                      arr[sub * 8 + 1 : sub * 8 + 8] AS centroid
+               FROM cells JOIN v USING (id)),
+        enc AS (SELECT v.id, cb.sub, cb.code,
+                ROUND(list_sum(list_transform(
+                    list_zip(v.arr[cb.sub * 8 + 1 : cb.sub * 8 + 8],
+                             cb.centroid),
+                    t -> (t[1] - t[2]) * (t[1] - t[2]))), 6) AS dist
+                FROM v CROSS JOIN cb),
+        best AS (SELECT id, sub, code FROM (
+                 SELECT *, row_number() OVER (PARTITION BY id, sub
+                          ORDER BY dist, code) AS rn FROM enc)
+                 WHERE rn = 1)"""
+    o["emb_pq"] = f"""
+        WITH {_PQ_CB}
+        SELECT id AS vec_id, sub, CAST(code AS INT) AS code FROM best"""
+    o["sim_knn_pq"] = f"""
+        WITH {_PQ_CB},
+        lut AS (SELECT q.id AS query_id, cb.sub, cb.code,
+                ROUND(list_sum(list_transform(
+                    list_zip(q.arr[cb.sub * 8 + 1 : cb.sub * 8 + 8],
+                             cb.centroid),
+                    t -> (t[1] - t[2]) * (t[1] - t[2]))), 6) AS pdist
+                FROM v q CROSS JOIN cb WHERE q.id < 5),
+        ad AS (SELECT lut.query_id, b.id AS neighbor_id,
+                      ROUND(SUM(pdist), 6) AS adist
+               FROM best b
+               JOIN lut ON b.sub = lut.sub AND b.code = lut.code
+               GROUP BY 1, 2)
+        SELECT query_id, neighbor_id, adist, rank FROM (
+          SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY adist, neighbor_id) AS INT) AS rank
+          FROM ad) WHERE rank <= 10"""
     # triangle set is orientation-independent: naive a<b<c triple join
     # over the bigram co-occurrence edges
     o["graph_triangles"] = f"""

@@ -73,6 +73,11 @@ from .mining import (  # noqa: F401
     label_medoids,
     label_prototypes,
 )
+from .pq import (  # noqa: F401
+    pq_codebook,
+    pq_encode,
+    pq_knn,
+)
 from .pca import (  # noqa: F401
     covariance_matrix,
     jl_project,
