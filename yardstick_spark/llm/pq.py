@@ -49,12 +49,14 @@ from .similarity import _as_double
 _MAX_LITERAL_CODES = 64
 
 
-def _hash_cell(sub: int, id_col: str, ks: int) -> str:
+def _hash_cell(sub_col: str, id_col: str, ks: int) -> str:
     """Portable md5 bucket of f"{sub}:{id}" — same derivation family as
-    ivf.seed_centroids, so DuckDB reproduces it verbatim."""
+    ivf.seed_centroids, so DuckDB reproduces it verbatim.  `sub_col`
+    is a COLUMN reference (the subspace explode below), not a literal,
+    so all m subspaces hash in one scan."""
     return (
-        f"pmod(CAST(conv(substring(md5(concat('{sub}', ':', "
-        f"CAST({id_col} AS STRING))), 1, 15), 16, 10) AS BIGINT), {ks})"
+        f"pmod(CAST(conv(substring(md5(concat(CAST({sub_col} AS STRING), "
+        f"':', CAST({id_col} AS STRING))), 1, 15), 16, 10) AS BIGINT), {ks})"
     )
 
 
@@ -69,25 +71,32 @@ def pq_codebook(corpus: DataFrame, m: int = 8, ks: int = 16,
     argmins over the codes that exist."""
     clean = corpus.filter(
         F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)
+        # vectors whose length m doesn't divide can't donate slices;
+        # _codebook_rows re-validates consistency at collect time
+        & (F.size(vec_col) % m == 0)
     ).select(F.col(id_col).alias("id"),
              F.expr(_as_double(vec_col)).alias("arr"))
-    dim_row = clean.select(F.size("arr").alias("d")).limit(1).collect()
-    if not dim_row:
-        raise ValueError("pq_codebook: empty corpus")
-    d = dim_row[0]["d"]
-    if d % m != 0:
-        raise ValueError(f"pq_codebook: dim {d} not divisible by m={m}")
-    sub_dim = d // m
-    subs = None
-    for s in range(m):
-        cell = (
-            clean.select("id", F.expr(_hash_cell(s, "id", ks)).alias("code"))
-            .groupBy("code").agg(F.min("id").alias("id"))
-            .withColumn("sub", F.lit(s))
-        )
-        subs = cell if subs is None else subs.unionByName(cell)
-    return (
-        subs.join(clean, "id")
+    # ONE explode + ONE map-side-combined groupBy for all m subspaces
+    # (not m separate jobs), and the slice width comes from size(arr)
+    # — no driver round-trip before the shuffle
+    cells = (
+        clean.select(
+            "id", F.explode(F.expr(f"sequence(0, {m - 1})")).alias("sub"))
+        .select("sub", F.expr(_hash_cell("sub", "id", ks)).alias("code"),
+                "id")
+        .groupBy("sub", "code")
+        .agg(F.min("id").alias("id"))
+    )
+    sub_dim = f"CAST(size(arr) / {m} AS INT)"
+    # the m*ks cell table BROADCASTS against one corpus scan for the
+    # donor fetch, and the (tiny) result is cached: encode and every
+    # ADC search collect it, and without the barrier each collect
+    # would re-run the scan + groupBy (registered in dedup._CACHED so
+    # clear_dedup_caches() releases it like every other barrier)
+    from .dedup import _cache
+
+    return _cache(
+        clean.join(F.broadcast(cells), "id")
         .select(
             "sub", "code",
             F.expr(f"slice(arr, sub * {sub_dim} + 1, {sub_dim})")
@@ -106,49 +115,125 @@ def _codebook_rows(codebook: DataFrame) -> tuple[int, int, dict]:
     book = {(r["sub"], r["code"]): [float(x) for x in r["centroid"]]
             for r in rows}
     m = max(s for s, _ in book) + 1
-    sub_dim = len(next(iter(book.values())))
-    return m, sub_dim, book
+    dims = {len(v) for v in book.values()}
+    if len(dims) != 1:
+        raise ValueError(f"inconsistent centroid widths {dims} — mixed-"
+                         "dimension corpus fed to pq_codebook")
+    return m, dims.pop(), book
 
 
 def pq_encode(corpus: DataFrame, codebook: DataFrame,
-              id_col: str = "vec_id",
-              vec_col: str = "embedding") -> DataFrame:
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              method: str = "arrow") -> DataFrame:
     """(id_col, codes array<int> length m): per subspace, the code of
     the nearest centroid by squared L2 on the subspace slice, distance
-    rounded to 6 dp, ties to the lower code (array_position returns
-    the FIRST minimum).  Scan-only: the codebook is inlined as SQL
-    literals (gated), so encoding is pure codegen — no join, no
-    shuffle, no Python."""
+    rounded to 6 dp BEFORE the argmin, ties to the lower code — the
+    rounding grid is what makes the Arrow, literal-SQL, and DuckDB
+    paths agree on every code despite different summation orders.
+
+    method='arrow' (default): the m*ks*(d/m)-float book rides the UDF
+    closure; one numpy pass per batch.  Scan-only, no shuffle, and —
+    unlike the literal path — no giant expression for the driver to
+    analyze and Janino to compile (measured: the 1k-literal argmin
+    tree costs ~1 s of driver time per query at ANY data size, which
+    dominates small-batch encodes and is pure waste at large ones).
+
+    method='literal': the book is inlined as SQL literals into a pure
+    codegen argmin (gated at 64 codes) — zero Python on the hot path,
+    for pipelines that must stay JVM-only."""
+    if method == "arrow":
+        return _pq_encode_arrow(corpus, codebook, id_col, vec_col)
+    if method != "literal":
+        raise ValueError(f"pq_encode: unknown method {method!r}")
     m, sub_dim, book = _codebook_rows(codebook)
     n_codes = max(c for _, c in book) + 1
     if n_codes > _MAX_LITERAL_CODES:
         raise ValueError(
             f"pq_encode: ks={n_codes} > {_MAX_LITERAL_CODES} literal gate "
-            "(re-create ivf.py's Arrow path if you need wider books)")
+            "(use method='arrow' for wider books)")
     v = _as_double(vec_col)
     sub_exprs = []
     for s in range(m):
-        cents = []
+        # one literal array of (dist-struct producing) centroid rows;
+        # the struct array_min orders by (d, c) — ties to lower code —
+        # and references the literal matrix exactly once
+        cells = []
         for c in range(n_codes):
             cent = book.get((s, c))
             if cent is None:
                 continue  # empty cell: unreachable code
             arr = "array(" + ", ".join(repr(x) + "D" for x in cent) + ")"
-            cents.append((c, arr))
-        codes_arr = "array(" + ", ".join(str(c) for c, _ in cents) + ")"
-        cent_mat = "array(" + ", ".join(a for _, a in cents) + ")"
+            cells.append(f"named_struct('c', {c}, 'v', {arr})")
+        cb_s = "array(" + ", ".join(cells) + ")"
         sq = (
             f"aggregate(zip_with(slice({v}, {s * sub_dim} + 1, {sub_dim}), "
-            "cc, (x, y) -> (x - y) * (x - y)), 0D, (acc, t) -> acc + t)"
+            "e.v, (x, y) -> (x - y) * (x - y)), 0D, (acc, t) -> acc + t)"
         )
-        dists = f"transform({cent_mat}, cc -> round({sq}, 6))"
         sub_exprs.append(
-            f"element_at({codes_arr}, CAST(array_position({dists}, "
-            f"array_min({dists})) AS INT))"
+            f"array_min(transform({cb_s}, "
+            f"e -> named_struct('d', round({sq}, 6), 'c', e.c))).c"
         )
     codes = "array(" + ", ".join(sub_exprs) + ")"
     return corpus.select(
         F.col(id_col), F.expr(codes).alias("codes"))
+
+
+_ENC_SCHEMA = "id long, codes array<int>"
+
+
+def _pq_encode_arrow(corpus: DataFrame, codebook: DataFrame,
+                     id_col: str, vec_col: str) -> DataFrame:
+    from pyspark.sql.types import (ArrayType, IntegerType, LongType,
+                                   StructField, StructType)
+
+    m, sub_dim, book = _codebook_rows(codebook)
+    # per subspace: (codes present, centroid matrix) in ascending code
+    # order, so numpy argmin's first-minimum IS ties-to-lower-code
+    per_sub = []
+    for s in range(m):
+        cs = sorted(c for ss, c in book if ss == s)
+        import numpy as np
+        per_sub.append((np.array(cs, dtype="int32"),
+                        np.array([book[(s, c)] for c in cs])))
+
+    def enc(batches):
+        import numpy as np
+        import pandas as pd
+
+        from .similarity import _length_groups
+
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            arr = pdf["v"].to_numpy()
+            out_ids, out_codes = [], []
+            for dim, sel in _length_groups(arr):
+                if dim != m * sub_dim:
+                    continue  # wrong-dimension strays can't encode
+                A = np.vstack(arr[sel]).astype(np.float64)
+                codes = np.empty((sel.size, m), dtype="int32")
+                for s, (cs, C) in enumerate(per_sub):
+                    S = A[:, s * sub_dim:(s + 1) * sub_dim]
+                    d = np.round(
+                        ((S[:, None, :] - C[None, :, :]) ** 2).sum(-1), 6)
+                    codes[:, s] = cs[np.argmin(d, axis=1)]
+                out_ids.append(ids[sel])
+                out_codes.extend(codes.tolist())
+            if out_ids:
+                yield pd.DataFrame({
+                    "id": np.concatenate(out_ids).astype("int64"),
+                    "codes": out_codes,
+                })
+
+    schema = StructType([
+        StructField("id", LongType()),
+        StructField("codes", ArrayType(IntegerType())),
+    ])
+    return (
+        corpus.select(F.col(id_col).cast("long").alias("id"),
+                      F.expr(_as_double(vec_col)).alias("v"))
+        .mapInPandas(enc, schema=schema)
+        .withColumnRenamed("id", id_col)
+    )
 
 
 def pq_knn(codes: DataFrame, codebook: DataFrame, queries: DataFrame,
