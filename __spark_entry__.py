@@ -1831,6 +1831,29 @@ def _q_sim_knn_pq(spark, sf_dir):
     return pq_knn(codes, cb, emb.filter("vec_id < 5"), k=10)
 
 
+def _q_emb_outliers(spark, sf_dir):
+    # per-label distance-to-prototype z-scores — the cheap mislabel
+    # screen; broadcast centroid table, scan-side fold, label windows
+    from yardstick_spark.llm import embedding_outliers
+
+    _ys(spark, sf_dir)
+    return embedding_outliers(spark.table("embeddings"))
+
+
+def _q_graph_communities(spark, sf_dir):
+    # label-propagation communities over the minhash near-dup graph;
+    # deterministic (ties to min label) so the oracle unrolls the
+    # SAME rounds as plain CTEs over the bit-exact pair SQL
+    from yardstick_spark.llm import minhash_lsh_pairs
+    from yardstick_spark.operators import label_propagation
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(
+        docs, k=5, num_hashes=32, bands=8, threshold=0.5
+    ).selectExpr("id_a AS src", "id_b AS dst")
+    return label_propagation(pairs, iterations=4)
+
+
 def _q_graph_triangles(spark, sf_dir):
     # degree-ordered triangle counting over the word co-occurrence
     # (bigram) graph; the oracle verifies the orientation-independent
@@ -1941,6 +1964,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangles": _q_graph_triangles,
         "emb_pq": _q_emb_pq,
         "sim_knn_pq": _q_sim_knn_pq,
+        "emb_outliers": _q_emb_outliers,
+        "graph_communities": _q_graph_communities,
         # round-5 additions (ordered first via _R5_NEW)
         "dedup_semantic": _q_dedup_semantic,
         "text_mixture_weights": _q_text_mixture_weights,
@@ -2041,7 +2066,7 @@ _R5_NEW: list[str] = [
     "graph_pagerank", "ops_zorder", "dedup_fuzzy", "events_pivot",
     "mm_phash", "dedup_fuzzy_clusters", "graph_doc_rank", "ops_benford",
     "mm_audio_fp", "emb_covariance", "emb_jl_project", "graph_triangles",
-    "emb_pq", "sim_knn_pq",
+    "emb_pq", "sim_knn_pq", "emb_outliers", "graph_communities",
     "dedup_semantic", "text_mixture_weights", "text_unigram_logprob",
     "events_transitions", "events_anomaly", "text_sample_weighted",
     "ops_profile", "ops_histogram", "emb_hard_negatives",
@@ -3818,7 +3843,8 @@ def oracle_sql() -> dict[str, str]:
     # PageRank: same power iteration unrolled as plain CTEs (the
     # generator lives next to the operator so the arithmetic can never
     # drift from the Spark side)
-    from yardstick_spark.operators import pagerank_sql, zorder_key_sql_duckdb
+    from yardstick_spark.operators import (lpa_sql, pagerank_sql,
+                                           zorder_key_sql_duckdb)
 
     _PR_EDGES = """
         SELECT from_type AS src, to_type AS dst,
@@ -3930,6 +3956,12 @@ def oracle_sql() -> dict[str, str]:
         + pagerank_sql(_DOC_EDGES, iterations=6, materialized=True)
         + ") q"
     )
+    # LPA communities over the same bit-exact near-dup pair SQL;
+    # lpa_sql symmetrizes internally, so feed the raw directed pairs
+    o["graph_communities"] = lpa_sql(
+        f"WITH p AS ({mh_pairs}) SELECT id_a AS src, id_b AS dst FROM p",
+        iterations=4, materialized=True,
+    )
     # square-wave audio features are analytic: n = 20*hp samples in 20
     # alternating blocks -> 19 sign transitions; period = 2*hp;
     # amp = a/32768 (see synth_square_wav)
@@ -3944,6 +3976,27 @@ def oracle_sql() -> dict[str, str]:
                CAST(2 * hp AS INT) AS est_period,
                ROUND(a / 32768.0, 6) AS amp
         FROM g"""
+    # distance-to-own-prototype z-scores; prototype CTE identical to
+    # the emb_medoids oracle (ROUND(AVG, 6) matches label_prototypes)
+    o["emb_outliers"] = """
+        WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+                   FROM embeddings),
+        p AS (SELECT CAST(unnest(range(0, 64)) AS INT) AS pos),
+        cent AS (SELECT label, pos, ROUND(AVG(e[pos + 1]), 6) AS c
+                 FROM v CROSS JOIN p GROUP BY label, pos),
+        cl AS (SELECT label, list(c ORDER BY pos) AS ce
+               FROM cent GROUP BY label),
+        sc AS (SELECT v.vec_id AS id, v.label,
+               ROUND(sqrt(list_sum(list_transform(list_zip(v.e, cl.ce),
+                   t -> (t[1] - t[2]) * (t[1] - t[2])))), 6) AS dist
+               FROM v JOIN cl USING (label))
+        SELECT id, label, dist,
+               ROUND(CASE WHEN STDDEV_POP(dist)
+                              OVER (PARTITION BY label) = 0 THEN 0
+                     ELSE (dist - AVG(dist) OVER (PARTITION BY label))
+                          / STDDEV_POP(dist) OVER (PARTITION BY label)
+                     END, 4) AS z
+        FROM sc"""
     # one-pass distributed covariance vs DuckDB's native COVAR_POP
     o["emb_covariance"] = """
         WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS e

@@ -496,3 +496,68 @@ def test_triangle_counts_star_has_none(spark):
     got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
     assert set(got.values()) == {0}
     assert len(got) == 6
+
+
+# ---------------------------------------------------------------------------
+# Label propagation
+# ---------------------------------------------------------------------------
+
+
+def test_lpa_two_cliques_with_bridge(spark):
+    """Two 4-cliques joined by one bridge edge settle on their own
+    min-id labels; the bridge does not merge them."""
+    from yardstick_spark.operators import label_propagation
+
+    c1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    c2 = [(a + 10, b + 10) for a, b in c1]
+    df = spark.createDataFrame(c1 + c2 + [(3, 10)], "src long, dst long")
+    got = {r.node: r.community
+           for r in label_propagation(df, iterations=4).collect()}
+    assert {got[n] for n in range(4)} == {0}
+    assert {got[n] for n in range(10, 14)} == {10}
+
+
+def test_lpa_matches_duckdb_unrolled(spark):
+    """Spark rounds == lpa_sql rounds on a random-ish graph (the same
+    determinism contract the oracle relies on)."""
+    import duckdb
+
+    from yardstick_spark.operators import label_propagation, lpa_sql
+
+    edges = [(i, (i * 7 + 3) % 23) for i in range(23)] + [(1, 17), (4, 9)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.community
+           for r in label_propagation(df, iterations=3).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ge (src BIGINT, dst BIGINT)")
+    con.executemany("INSERT INTO ge VALUES (?, ?)", edges)
+    want = dict(con.sql(
+        lpa_sql("SELECT src, dst FROM ge", iterations=3)).fetchall())
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Embedding outliers
+# ---------------------------------------------------------------------------
+
+
+def test_embedding_outliers_flags_planted(spark):
+    """A vector planted far from its label's cluster gets the label's
+    max z; tight same-label members sit below it."""
+    import numpy as np
+
+    from yardstick_spark.llm import embedding_outliers
+
+    rng = np.random.RandomState(5)
+    rows = []
+    for i in range(30):
+        v = rng.randn(8) * 0.05 + (1.0 if i % 2 else -1.0)
+        rows.append((i, [float(x) for x in v], i % 2))
+    rows.append((99, [float(x) for x in rng.randn(8) * 0.05 + 5.0], 0))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    got = {r.id: r for r in embedding_outliers(df).collect()}
+    assert len(got) == 31
+    zmax = max(r.z for r in got.values() if r.label == 0)
+    assert got[99].z == zmax and got[99].z > 2.0

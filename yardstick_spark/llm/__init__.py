@@ -69,6 +69,7 @@ from .similarity import (  # noqa: F401
     semantic_dedup_verdicts,
 )
 from .mining import (  # noqa: F401
+    embedding_outliers,
     hard_negatives,
     label_medoids,
     label_prototypes,

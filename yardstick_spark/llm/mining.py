@@ -149,3 +149,46 @@ def label_medoids(vecs: DataFrame, id_col: str = "vec_id",
         .filter(F.col("rank") == 1)
         .select("label", "medoid_id", "sim")
     )
+
+
+def embedding_outliers(vecs: DataFrame, id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       label_col: str = "label",
+                       round_to: int = 4) -> DataFrame:
+    """Per-vector mislabel/contamination signal: euclidean distance to
+    the OWN-label prototype plus its within-label z-score —
+    (id, label, dist, z).  High z inside a label = probable labeling
+    error or contaminated embedding; the standard cheap screen before
+    contrastive training.
+
+    One corpus scan after `label_prototypes` (whose shuffle is bounded
+    by labels x dim): the labels-row centroid table broadcasts, the
+    distance fold is scan-side, and the z-score windows partition by
+    label — the same key the prototype aggregation already used.
+    Distances are ROUND()ed (6 dp) before the moment windows and z is
+    rounded to `round_to`, so results are reproducible across
+    partitionings; a zero-variance label (all members equidistant)
+    z-scores to 0 rather than NULL/NaN."""
+    from pyspark.sql import Window
+
+    protos = label_prototypes(vecs, id_col=id_col, vec_col=vec_col,
+                              label_col=label_col)
+    dist = F.round(
+        F.expr(
+            "sqrt(aggregate(zip_with(v, centroid, "
+            "(x, y) -> (x - y) * (x - y)), 0D, (acc, t) -> acc + t))"),
+        6,
+    )
+    scored = (
+        vecs.select(F.col(id_col).alias("id"),
+                    F.col(label_col).alias("label"),
+                    F.expr(_as_double(vec_col)).alias("v"))
+        .join(F.broadcast(protos), "label")
+        .select("id", "label", dist.alias("dist"))
+    )
+    w = Window.partitionBy("label")
+    sd = F.stddev_pop("dist").over(w)
+    z = F.when(sd == 0, F.lit(0.0)).otherwise(
+        (F.col("dist") - F.avg("dist").over(w)) / sd)
+    return scored.select(
+        "id", "label", "dist", F.round(z, round_to).alias("z"))

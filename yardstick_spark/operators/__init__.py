@@ -2,7 +2,13 @@
 DataFrame primitives (SURVEY.md §7 phase 4 — beyond reference parity)."""
 
 from .asof import asof_join  # noqa: F401
-from .graph import pagerank, pagerank_sql, triangle_counts  # noqa: F401
+from .graph import (  # noqa: F401
+    label_propagation,
+    lpa_sql,
+    pagerank,
+    pagerank_sql,
+    triangle_counts,
+)
 from .funnel import (  # noqa: F401
     daily_anomalies,
     event_paths,

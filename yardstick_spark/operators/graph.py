@@ -180,6 +180,83 @@ def pagerank_sql(
     return "\n".join(sql)
 
 
+def label_propagation(edges: DataFrame, iterations: int = 4,
+                      src: str = "src", dst: str = "dst") -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007) over the undirected graph of `edges`: (node,
+    community).  Each round, every node adopts the most frequent label
+    among its neighbors, ties to the SMALLEST label — fully
+    deterministic, so a fixed round count unrolls into plain SQL CTEs
+    (`lpa_sql`) exactly like `pagerank_sql`.
+
+    Synchronous LPA can oscillate on bipartite-ish structures; with a
+    fixed round count the output is still a deterministic labeling,
+    and on similarity graphs (near-dup pairs) a handful of rounds
+    labels each dense cluster by its minimum reachable id.  Per round:
+    one join of the label table into the cached src-partitioned edge
+    list + one (dst, label) groupBy + a per-dst argmax window whose
+    input was map-side combined — the same two-shuffle superstep cost
+    as `pagerank`, with the same eager per-round localCheckpoint (see
+    module docstring)."""
+    from ..llm.dedup import _cache
+
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    e = _cache(
+        e.unionByName(e.selectExpr("dst AS src", "src AS dst"))
+        .distinct()
+        .repartition("src")
+    )
+    labels = e.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("dst").orderBy(
+        F.col("cnt").desc(), F.col("label").asc())
+    for _ in range(iterations):
+        labels = (
+            labels.withColumnRenamed("node", "src")
+            .join(e, "src")
+            .groupBy("dst", "label")
+            .agg(F.count("*").alias("cnt"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            # symmetrized edges: every node is some edge's dst, so the
+            # new label table covers every node — no outer join needed
+            .select(F.col("dst").alias("node"), "label")
+        )
+        labels = labels.localCheckpoint(eager=True)
+    return labels.withColumnRenamed("label", "community")
+
+
+def lpa_sql(edges_sql: str, iterations: int = 4,
+            materialized: bool = False) -> str:
+    """ANSI-SQL twin of `label_propagation` as unrolled CTEs — the
+    DuckDB oracle.  `edges_sql` must yield (src, dst); weights are
+    ignored (LPA is count-based)."""
+    m = "MATERIALIZED " if materialized else ""
+    sql = [
+        f"WITH e0 AS {m}({edges_sql}),",
+        f" e AS {m}(SELECT DISTINCT src, dst FROM (SELECT src, dst"
+        "   FROM e0 UNION ALL SELECT dst, src FROM e0)),",
+        f" l0 AS {m}(SELECT DISTINCT src AS node, src AS label FROM e),",
+    ]
+    prev = "l0"
+    for i in range(1, iterations + 1):
+        sql.append(
+            f" f{i} AS {m}(SELECT e.dst, {prev}.label, COUNT(*) AS cnt"
+            f"   FROM {prev} JOIN e ON {prev}.node = e.src"
+            f"   GROUP BY e.dst, {prev}.label),"
+        )
+        sql.append(
+            f" l{i} AS {m}(SELECT dst AS node, label FROM ("
+            f"   SELECT *, row_number() OVER (PARTITION BY dst"
+            f"     ORDER BY cnt DESC, label) AS rn FROM f{i}) WHERE rn = 1),"
+        )
+        prev = f"l{i}"
+    sql[-1] = sql[-1].rstrip(",")
+    sql.append(f" SELECT node, label AS community FROM {prev}")
+    return "\n".join(sql)
+
+
 def triangle_counts(edges: DataFrame, src: str = "src",
                     dst: str = "dst") -> DataFrame:
     """Per-node triangle participation counts over the UNDIRECTED
