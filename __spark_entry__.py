@@ -1840,6 +1840,17 @@ def _q_emb_outliers(spark, sf_dir):
     return embedding_outliers(spark.table("embeddings"))
 
 
+def _q_sim_mmr(spark, sf_dir):
+    # MMR diversified re-ranking: greedy fixed-round relevance-minus-
+    # redundancy over a bounded candidate pool; oracle unrolls the
+    # same rounds as CTEs (llm/mining.mmr_sql)
+    from yardstick_spark.llm import mmr_rerank
+
+    _ys(spark, sf_dir)
+    emb = spark.table("embeddings")
+    return mmr_rerank(emb, emb.filter("vec_id < 3"), k=5, pool=20)
+
+
 def _q_graph_communities(spark, sf_dir):
     # label-propagation communities over the minhash near-dup graph;
     # deterministic (ties to min label) so the oracle unrolls the
@@ -1966,6 +1977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_knn_pq": _q_sim_knn_pq,
         "emb_outliers": _q_emb_outliers,
         "graph_communities": _q_graph_communities,
+        "sim_mmr": _q_sim_mmr,
         # round-5 additions (ordered first via _R5_NEW)
         "dedup_semantic": _q_dedup_semantic,
         "text_mixture_weights": _q_text_mixture_weights,
@@ -2067,6 +2079,7 @@ _R5_NEW: list[str] = [
     "mm_phash", "dedup_fuzzy_clusters", "graph_doc_rank", "ops_benford",
     "mm_audio_fp", "emb_covariance", "emb_jl_project", "graph_triangles",
     "emb_pq", "sim_knn_pq", "emb_outliers", "graph_communities",
+    "sim_mmr",
     "dedup_semantic", "text_mixture_weights", "text_unigram_logprob",
     "events_transitions", "events_anomaly", "text_sample_weighted",
     "ops_profile", "ops_histogram", "emb_hard_negatives",
@@ -3976,6 +3989,10 @@ def oracle_sql() -> dict[str, str]:
                CAST(2 * hp AS INT) AS est_period,
                ROUND(a / 32768.0, 6) AS amp
         FROM g"""
+    # MMR rounds unrolled as CTEs; sims round to 4 dp on both engines
+    # and the score literals are the same two doubles
+    from yardstick_spark.llm import mmr_sql
+    o["sim_mmr"] = mmr_sql("embeddings", "id < 3", k=5, pool=20, lam=0.7)
     # distance-to-own-prototype z-scores; prototype CTE identical to
     # the emb_medoids oracle (ROUND(AVG, 6) matches label_prototypes)
     o["emb_outliers"] = """

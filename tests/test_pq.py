@@ -140,3 +140,60 @@ def test_pq_encode_literal_equals_arrow(spark, corpus):
     l = {r.vec_id: list(r.codes)
          for r in pq_encode(df, cb, method="literal").collect()}
     assert a == l
+
+
+# ---------------------------------------------------------------------------
+# MMR re-ranking
+# ---------------------------------------------------------------------------
+
+
+def test_mmr_prefers_diversity(spark):
+    """Three near-clones of the query plus one distinct-but-relevant
+    vector: pure top-3 is all clones; MMR at lam=0.5 swaps the
+    redundant third clone for the distinct direction."""
+    from yardstick_spark.llm import brute_force_knn, mmr_rerank
+
+    # clones: sim(q, clone) = 0.95 but mutual sim ~ 1, so after the
+    # first pick the others score ~ 0.5*(0.95 - 1) < 0; the distinct
+    # vector scores 0.5*(0.7 - 0.665) > 0 and must displace them
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),            # query
+        (1, [0.95, 0.0, 0.312, 0.0]),          # clones (same direction)
+        (2, [0.95, 0.0, 0.312, 0.001]),
+        (3, [0.95, 0.001, 0.312, 0.0]),
+        (4, [0.7, 0.714, 0.0, 0.0]),           # distinct direction
+        (5, [-1.0, 0.0, 0.0, 0.0]),            # irrelevant
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter("vec_id = 0")
+    topk = {r.neighbor_id
+            for r in brute_force_knn(df, q, k=3, round_to=4).collect()}
+    assert topk == {1, 2, 3}
+    mmr = {r.neighbor_id
+           for r in mmr_rerank(df, q, k=3, pool=5, lam=0.5).collect()}
+    assert 4 in mmr
+
+
+def test_mmr_matches_duckdb_unrolled(spark):
+    """Spark greedy rounds == mmr_sql rounds on random vectors (the
+    determinism contract the oracle relies on)."""
+    import duckdb
+
+    import numpy as np
+
+    from yardstick_spark.llm import mmr_rerank, mmr_sql
+
+    rng = np.random.RandomState(9)
+    X = rng.randn(40, 6).astype(np.float32)
+    df = _vecs(spark, X)
+    got = {(r.query_id, r.mmr_rank): r.neighbor_id
+           for r in mmr_rerank(df, df.filter("vec_id < 4"),
+                               k=4, pool=10, lam=0.6).collect()}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE emb (vec_id BIGINT, embedding DOUBLE[])")
+    con.executemany("INSERT INTO emb VALUES (?, ?)",
+                    [(i, [float(x) for x in r]) for i, r in enumerate(X)])
+    want = {(r[0], r[3]): r[1] for r in con.sql(
+        mmr_sql("emb", "id < 4", k=4, pool=10, lam=0.6)).fetchall()}
+    assert got == want

@@ -73,6 +73,8 @@ from .mining import (  # noqa: F401
     hard_negatives,
     label_medoids,
     label_prototypes,
+    mmr_rerank,
+    mmr_sql,
 )
 from .pq import (  # noqa: F401
     pq_codebook,

@@ -192,3 +192,155 @@ def embedding_outliers(vecs: DataFrame, id_col: str = "vec_id",
         (F.col("dist") - F.avg("dist").over(w)) / sd)
     return scored.select(
         "id", "label", "dist", F.round(z, round_to).alias("z"))
+
+
+def mmr_rerank(corpus: DataFrame, queries: DataFrame, k: int = 5,
+               pool: int = 20, lam: float = 0.7,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998): greedily pick k of the `pool` nearest candidates,
+    each round maximizing  lam*sim(query, c) - (1-lam)*max_{s in
+    selected} sim(c, s)  — relevance minus redundancy, the standard
+    diversification step between retrieval and context assembly.
+    Returns (query_id, neighbor_id, sim, mmr_rank).
+
+    Scale shape: the candidate pool (queries x pool rows) and its
+    pairwise similarity table (queries x pool^2) are bounded by the
+    re-rank width, never the corpus — the corpus is touched exactly
+    twice (the kNN pool scan and one candidate-vector fetch).  The k
+    greedy rounds are joins over those bounded tables with an eager
+    per-round checkpoint (pagerank's superstep pattern; a lazy loop
+    doubles the plan per round).  Determinism: sims round to 4 dp,
+    score arithmetic uses the same two double literals on both
+    engines, ties break to the lower id — `mmr_sql` unrolls the
+    identical rounds for the DuckDB oracle."""
+    from .dedup import _cache
+    from .similarity import brute_force_knn
+
+    onemlam = 1.0 - lam
+    cand = _cache(
+        brute_force_knn(corpus, queries, k=pool, id_col=id_col,
+                        vec_col=vec_col, round_to=4)
+        .select("query_id", "neighbor_id", "sim"))
+    nrm = "sqrt(aggregate(v, 0D, (s, x) -> s + x * x))"
+    vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.expr(_as_double(vec_col)).alias("v"),
+    ).withColumn("nn", F.expr(nrm))
+    cv = cand.select("query_id", "neighbor_id").join(vecs, "neighbor_id")
+    a = cv.selectExpr("query_id", "neighbor_id AS a", "v AS va",
+                      "nn AS na")
+    b = cv.selectExpr("query_id", "neighbor_id AS b", "v AS vb",
+                      "nn AS nb")
+    dot = ("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, "
+           "(s, t) -> s + t)")
+    pair = _cache(
+        a.join(b, "query_id")
+        .where(F.col("a") != F.col("b"))
+        .select("query_id", "a", "b",
+                F.round(F.expr(f"{dot} / nullif(na * nb, 0D)"), 4)
+                .alias("ps")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id"))
+    selected = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("query_id", "neighbor_id", "sim",
+                F.lit(1).alias("mmr_rank"))
+    ).localCheckpoint(eager=True)
+    ws = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id"))
+    for r in range(2, k + 1):
+        pen = (
+            pair.join(
+                selected.select("query_id",
+                                F.col("neighbor_id").alias("b")),
+                ["query_id", "b"])
+            .groupBy("query_id", F.col("a").alias("neighbor_id"))
+            .agg(F.max("ps").alias("pen"))
+        )
+        pick = (
+            cand.join(selected.select("query_id", "neighbor_id"),
+                      ["query_id", "neighbor_id"], "left_anti")
+            .join(pen, ["query_id", "neighbor_id"], "left")
+            .select(
+                "query_id", "neighbor_id", "sim",
+                (F.lit(lam) * F.col("sim")
+                 - F.lit(onemlam)
+                 * F.coalesce("pen", F.lit(0.0))).alias("score"))
+            .withColumn("rn", F.row_number().over(ws))
+            .filter("rn = 1")
+            .select("query_id", "neighbor_id", "sim",
+                    F.lit(r).alias("mmr_rank"))
+        )
+        selected = selected.unionByName(pick).localCheckpoint(eager=True)
+    return selected
+
+
+def mmr_sql(vec_table: str, query_pred: str, k: int = 5,
+            pool: int = 20, lam: float = 0.7,
+            id_col: str = "vec_id",
+            vec_col: str = "embedding") -> str:
+    """ANSI-SQL twin of `mmr_rerank` as unrolled CTEs (greedy rounds
+    are fixed-count, like pagerank_sql/lpa_sql) — the DuckDB oracle.
+    `query_pred` filters the vector table down to the query rows."""
+    onemlam = repr(1.0 - lam)
+    lam_s = repr(lam)
+    cos = ("ROUND(list_sum(list_transform(list_zip({a}, {b}), "
+           "t -> t[1] * t[2])) / nullif({na} * {nb}, 0), 4)")
+    sql = [
+        f"WITH v AS (SELECT {id_col} AS id,",
+        f"  CAST({vec_col} AS DOUBLE[]) AS e,",
+        f"  sqrt(list_sum(list_transform(CAST({vec_col} AS DOUBLE[]),",
+        f"    x -> x * x))) AS nn FROM {vec_table}),",
+        f" q AS (SELECT id AS query_id, e AS qe, nn AS qn FROM v",
+        f"   WHERE {query_pred}),",
+        " cand AS (SELECT query_id, id, sim FROM (",
+        "   SELECT q.query_id, v.id, "
+        + cos.format(a="q.qe", b="v.e", na="q.qn", nb="v.nn")
+        + " AS sim,",
+        "     row_number() OVER (PARTITION BY q.query_id ORDER BY "
+        + cos.format(a="q.qe", b="v.e", na="q.qn", nb="v.nn")
+        + f" DESC, v.id) AS rn",
+        "   FROM q CROSS JOIN v WHERE v.id <> q.query_id)"
+        f" WHERE rn <= {pool}),",
+        " pair AS (SELECT ca.query_id, ca.id AS a, cb.id AS b, "
+        + cos.format(a="va.e", b="vb.e", na="va.nn", nb="vb.nn")
+        + " AS ps",
+        "   FROM cand ca JOIN cand cb ON ca.query_id = cb.query_id"
+        "     AND ca.id <> cb.id",
+        "   JOIN v va ON va.id = ca.id JOIN v vb ON vb.id = cb.id),",
+        " sel1 AS (SELECT query_id, id, sim, 1 AS mmr_rank FROM (",
+        "   SELECT *, row_number() OVER (PARTITION BY query_id"
+        "     ORDER BY sim DESC, id) AS rn FROM cand) WHERE rn = 1),",
+    ]
+    prev = "sel1"
+    for r in range(2, k + 1):
+        sql.append(
+            f" pen{r} AS (SELECT p.query_id, p.a AS id, MAX(p.ps) AS pen"
+            f"   FROM pair p JOIN {prev} s ON p.query_id = s.query_id"
+            f"     AND p.b = s.id GROUP BY p.query_id, p.a),"
+        )
+        sql.append(
+            f" pick{r} AS (SELECT query_id, id, sim, {r} AS mmr_rank FROM ("
+            f"   SELECT c.query_id, c.id, c.sim,"
+            f"     {lam_s} * c.sim - {onemlam} * COALESCE(pen, 0) AS score,"
+            f"     row_number() OVER (PARTITION BY c.query_id ORDER BY"
+            f"       {lam_s} * c.sim - {onemlam} * COALESCE(pen, 0) DESC,"
+            f"       c.id) AS rn"
+            f"   FROM cand c LEFT JOIN pen{r} USING (query_id, id)"
+            f"   WHERE NOT EXISTS (SELECT 1 FROM {prev} s"
+            f"     WHERE s.query_id = c.query_id AND s.id = c.id))"
+            f"   WHERE rn = 1),"
+        )
+        sql.append(
+            f" sel{r} AS (SELECT * FROM {prev} UNION ALL"
+            f"   SELECT * FROM pick{r}),"
+        )
+        prev = f"sel{r}"
+    sql[-1] = sql[-1].rstrip(",")
+    sql.append(
+        f" SELECT query_id, id AS neighbor_id, sim,"
+        f" CAST(mmr_rank AS INT) AS mmr_rank FROM {prev}")
+    return "\n".join(sql)
