@@ -1840,6 +1840,15 @@ def _q_emb_outliers(spark, sf_dir):
     return embedding_outliers(spark.table("embeddings"))
 
 
+def _q_text_zipf(spark, sf_dir):
+    # Zipf power-law fit (ln tf ~ ln rank over the top-50 terms) —
+    # the one-number corpus health check; REGR_* keeps both engines
+    # on the same closed-form OLS
+    from yardstick_spark.llm import zipf_fit
+
+    return zipf_fit(_docs(spark, sf_dir), top_n=50)
+
+
 def _q_sim_mmr(spark, sf_dir):
     # MMR diversified re-ranking: greedy fixed-round relevance-minus-
     # redundancy over a bounded candidate pool; oracle unrolls the
@@ -1978,6 +1987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_outliers": _q_emb_outliers,
         "graph_communities": _q_graph_communities,
         "sim_mmr": _q_sim_mmr,
+        "text_zipf": _q_text_zipf,
         # round-5 additions (ordered first via _R5_NEW)
         "dedup_semantic": _q_dedup_semantic,
         "text_mixture_weights": _q_text_mixture_weights,
@@ -2079,7 +2089,7 @@ _R5_NEW: list[str] = [
     "mm_phash", "dedup_fuzzy_clusters", "graph_doc_rank", "ops_benford",
     "mm_audio_fp", "emb_covariance", "emb_jl_project", "graph_triangles",
     "emb_pq", "sim_knn_pq", "emb_outliers", "graph_communities",
-    "sim_mmr",
+    "sim_mmr", "text_zipf",
     "dedup_semantic", "text_mixture_weights", "text_unigram_logprob",
     "events_transitions", "events_anomaly", "text_sample_weighted",
     "ops_profile", "ops_histogram", "emb_hard_negatives",
@@ -3989,6 +3999,21 @@ def oracle_sql() -> dict[str, str]:
                CAST(2 * hp AS INT) AS est_period,
                ROUND(a / 32768.0, 6) AS amp
         FROM g"""
+    # Zipf fit: same closed-form OLS (REGR_*) over the identically-
+    # ranked top-50 term counts
+    o["text_zipf"] = f"""
+        WITH norm AS (SELECT {_NORM_DOC} AS t FROM documents),
+        w AS (SELECT unnest(list_filter(string_split(t, ' '),
+                 x -> x <> '')) AS term FROM norm),
+        c AS (SELECT term, COUNT(*) AS tf FROM w GROUP BY term),
+        top AS (SELECT term, tf FROM c ORDER BY tf DESC, term LIMIT 50),
+        r AS (SELECT tf, row_number() OVER (ORDER BY tf DESC, term)
+                 AS rank FROM top)
+        SELECT COUNT(*) AS n_terms,
+               ROUND(REGR_SLOPE(ln(tf), ln(rank)), 6) AS slope,
+               ROUND(REGR_INTERCEPT(ln(tf), ln(rank)), 6) AS intercept,
+               ROUND(REGR_R2(ln(tf), ln(rank)), 6) AS r2
+        FROM r"""
     # MMR rounds unrolled as CTEs; sims round to 4 dp on both engines
     # and the score literals are the same two doubles
     from yardstick_spark.llm import mmr_sql

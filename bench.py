@@ -147,7 +147,13 @@ def main() -> None:
         "dedup_minhash_lsh": 3,    # ngram series is also the noisiest
         "dedup_clusters": 3,       # (2.8-7.6 s rep spread from GC +
         "dedup_embedding": 2,      # interpreted-HOF pressure), so it
-    }                              # gets 7 min-samples, not 5
+        # round-5 wave-3/4 heavies: blocked-levenshtein verify and the
+        # checkpointed graph supersteps also want the fresh-JVM slot
+        "dedup_fuzzy": 2,          # gets 7 min-samples, not 5
+        "dedup_fuzzy_clusters": 2,
+        "graph_doc_rank": 2,
+        "graph_communities": 2,
+    }
     # The warm reps are TIMED too (free samples): min over warms+timed
     # reps.  A 100-query run drifts — heap fragmentation and worker
     # churn can inflate a query 2-4× depending on its position in the

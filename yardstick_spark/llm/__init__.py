@@ -128,4 +128,5 @@ from .text import (  # noqa: F401
     top_terms,
     unigram_logprob,
     vocab_coverage,
+    zipf_fit,
 )

@@ -1197,3 +1197,36 @@ def bigram_logprob(docs: DataFrame, text_col: str = "text",
         )
         .select(F.col("id").alias(id_col), "n_bigrams", "nll2")
     )
+
+
+def zipf_fit(docs: DataFrame, top_n: int = 50,
+             text_col: str = "text") -> DataFrame:
+    """Zipf power-law fit over the top-`top_n` terms: one row
+    (n_terms, slope, intercept, r2) from the OLS regression of
+    ln(tf) on ln(rank).  Natural corpora sit near slope -1; a slope
+    far from -1 (or a poor r2) flags template/boilerplate floods,
+    deduplication failures, or synthetic spam — a standard one-number
+    corpus health check next to `vocab_coverage`.
+
+    Scale shape: identical to vocab_coverage's — one map-combined term
+    count is the only corpus-sized shuffle; the rank window and the
+    regression aggregate run over `top_n` rows.  Built-in REGR_*
+    aggregates keep the fit in codegen and make the oracle the same
+    three function calls in DuckDB."""
+    norm = _NORM.format(c=text_col)
+    words = f"filter(split({norm}, ' '), t -> t <> '')"
+    tf = (
+        docs.select(F.explode(F.expr(words)).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("tf"))
+    )
+    top = tf.orderBy(F.col("tf").desc(), F.col("term")).limit(top_n)
+    w = Window.orderBy(F.col("tf").desc(), F.col("term"))
+    ranked = top.withColumn("rank", F.row_number().over(w))
+    return ranked.agg(
+        F.count("*").alias("n_terms"),
+        F.round(F.expr("regr_slope(ln(tf), ln(rank))"), 6).alias("slope"),
+        F.round(F.expr("regr_intercept(ln(tf), ln(rank))"), 6)
+        .alias("intercept"),
+        F.round(F.expr("regr_r2(ln(tf), ln(rank))"), 6).alias("r2"),
+    )
