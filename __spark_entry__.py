@@ -1840,6 +1840,15 @@ def _q_emb_outliers(spark, sf_dir):
     return embedding_outliers(spark.table("embeddings"))
 
 
+def _q_mm_scene_cuts(spark, sf_dir):
+    # shot-boundary detection over raw-frame synthetic videos: the
+    # planted cut makes every frame diff analytic in the id, so the
+    # oracle verifies the real header-parse + numpy frame-diff path
+    from yardstick_spark.llm import scene_cuts, synth_video
+
+    return scene_cuts(synth_video(_docs(spark, sf_dir)))
+
+
 def _q_text_zipf(spark, sf_dir):
     # Zipf power-law fit (ln tf ~ ln rank over the top-50 terms) —
     # the one-number corpus health check; REGR_* keeps both engines
@@ -1988,6 +1997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_communities": _q_graph_communities,
         "sim_mmr": _q_sim_mmr,
         "text_zipf": _q_text_zipf,
+        "mm_scene_cuts": _q_mm_scene_cuts,
         # round-5 additions (ordered first via _R5_NEW)
         "dedup_semantic": _q_dedup_semantic,
         "text_mixture_weights": _q_text_mixture_weights,
@@ -2089,7 +2099,7 @@ _R5_NEW: list[str] = [
     "mm_phash", "dedup_fuzzy_clusters", "graph_doc_rank", "ops_benford",
     "mm_audio_fp", "emb_covariance", "emb_jl_project", "graph_triangles",
     "emb_pq", "sim_knn_pq", "emb_outliers", "graph_communities",
-    "sim_mmr", "text_zipf",
+    "sim_mmr", "text_zipf", "mm_scene_cuts",
     "dedup_semantic", "text_mixture_weights", "text_unigram_logprob",
     "events_transitions", "events_anomaly", "text_sample_weighted",
     "ops_profile", "ops_histogram", "emb_hard_negatives",
@@ -3999,6 +4009,26 @@ def oracle_sql() -> dict[str, str]:
                CAST(2 * hp AS INT) AS est_period,
                ROUND(a / 32768.0, 6) AS amp
         FROM g"""
+    # scene cuts are analytic: w=id%5+2, h=id%3+2, n=id%6+4 frames,
+    # cut after frame c=id%(n-1)+1, colors v1=id%251 / v2=(7id+13)%251
+    # -> diff=|v2-v1|/255 at frame c, 0 elsewhere (synth_video)
+    o["mm_scene_cuts"] = """
+        WITH g AS (SELECT doc_id,
+                          doc_id % 6 + 4 AS n,
+                          doc_id % (doc_id % 6 + 3) + 1 AS c,
+                          doc_id % 251 AS v1,
+                          (doc_id * 7 + 13) % 251 AS v2
+                   FROM documents),
+        f AS (SELECT doc_id, CAST(unnest(range(1, n)) AS INT)
+                     AS frame_idx, c, v1, v2 FROM g)
+        SELECT doc_id AS media_id, frame_idx,
+               CASE WHEN frame_idx = c
+                    THEN ROUND(abs(v2 - v1) / 255.0, 6)
+                    ELSE 0.0 END AS diff,
+               CASE WHEN frame_idx = c
+                    THEN ROUND(abs(v2 - v1) / 255.0, 6) > 0.1
+                    ELSE FALSE END AS is_cut
+        FROM f"""
     # Zipf fit: same closed-form OLS (REGR_*) over the identically-
     # ranked top-50 term counts
     o["text_zipf"] = f"""

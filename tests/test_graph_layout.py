@@ -561,3 +561,53 @@ def test_embedding_outliers_flags_planted(spark):
     assert len(got) == 31
     zmax = max(r.z for r in got.values() if r.label == 0)
     assert got[99].z == zmax and got[99].z > 2.0
+
+
+# ---------------------------------------------------------------------------
+# Scene cuts
+# ---------------------------------------------------------------------------
+
+
+def test_scene_cuts_planted_and_garbage(spark):
+    """Planted cut found at the right frame with the right magnitude;
+    non-YSV1 payloads yield no rows."""
+    from yardstick_spark.llm import scene_cuts
+
+    def vid(w, h, frames):
+        head = f"YSV1{w} {h} {len(frames)}\n".encode()
+        body = b"".join(bytes([v] * (w * h * 3)) for v in frames)
+        return bytearray(head + body)
+
+    df = spark.createDataFrame(
+        [
+            (1, "video", vid(2, 2, [10, 10, 110, 110])),   # cut at idx 2
+            (2, "video", vid(3, 2, [50, 50, 50])),          # no cut
+            (3, "video", bytearray(b"not video")),
+        ],
+        "media_id long, media_type string, payload binary",
+    )
+    rows = {(r.media_id, r.frame_idx): r for r in scene_cuts(df).collect()}
+    assert set(rows) == {(1, 1), (1, 2), (1, 3), (2, 1), (2, 2)}
+    assert rows[(1, 2)].diff == pytest.approx(100 / 255, abs=1e-6)
+    assert rows[(1, 2)].is_cut
+    assert rows[(1, 1)].diff == 0.0 and not rows[(1, 1)].is_cut
+    assert not rows[(2, 1)].is_cut
+
+
+def test_synth_video_roundtrip(spark):
+    """JVM-synthesized videos decode to the analytic cut the
+    mm_scene_cuts oracle assumes."""
+    from yardstick_spark.llm import scene_cuts, synth_video
+
+    docs = spark.range(40).withColumnRenamed("id", "doc_id")
+    rows = {}
+    for r in scene_cuts(synth_video(docs)).collect():
+        rows.setdefault(r.media_id, {})[r.frame_idx] = r.diff
+    for i in range(40):
+        n = i % 6 + 4
+        c = i % (n - 1) + 1
+        v1, v2 = i % 251, (i * 7 + 13) % 251
+        assert set(rows[i]) == set(range(1, n))
+        for idx, d in rows[i].items():
+            want = round(abs(v2 - v1) / 255, 6) if idx == c else 0.0
+            assert d == pytest.approx(want, abs=1e-6), (i, idx)

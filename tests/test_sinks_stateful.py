@@ -461,3 +461,48 @@ def test_streaming_heavy_hitters_bounds_and_exactness(spark, tmp_path):
            for r in load_heavy_hitters(spark, path2, k=5).collect()}
     for t, (w, e) in got.items():
         assert e == 0 and w == true[t]
+
+
+def test_covariance_stream_equals_batch(spark, tmp_path):
+    # streamed moment maintenance must reconstruct exactly the batch
+    # covariance of the union of all micro-batches
+    import numpy as np
+
+    from yardstick_spark.llm import covariance_matrix
+    from yardstick_spark.streaming import (
+        covariance_from_moments, start_covariance_stream,
+    )
+
+    rng = np.random.RandomState(13)
+    X = rng.randn(90, 5).astype(np.float32)
+    parts = [X[:30], X[30:55], X[55:]]
+
+    inc = str(tmp_path / "vecs")
+    frames = []
+    for bi, chunk in enumerate(parts):
+        df = spark.createDataFrame(
+            [(bi * 1000 + i, [float(x) for x in r])
+             for i, r in enumerate(chunk)],
+            "vec_id long, embedding array<float>")
+        frames.append(df)
+        df.coalesce(1).write.parquet(f"{inc}/f{bi}")
+    schema = spark.read.parquet(f"{inc}/f0").schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(f"{inc}/f*"))
+    state = str(tmp_path / "moments")
+    q = start_covariance_stream(
+        stream, spark, state,
+        checkpointLocation=str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+
+    got = {(r.i, r.j): r.cov for r in covariance_from_moments(
+        spark.read.parquet(state), round_to=None).collect()}
+    union = frames[0]
+    for f in frames[1:]:
+        union = union.unionByName(f)
+    want = {(r.i, r.j): r.cov
+            for r in covariance_matrix(union, round_to=None).collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-9)

@@ -44,6 +44,8 @@ from .multimodal import (  # noqa: F401
     phash64,
     phash_pairs,
     resize_media,
+    scene_cuts,
+    synth_video,
     synth_gradient_media,
     synth_square_wav,
     synth_textured_media,

@@ -760,3 +760,84 @@ def audio_fingerprint(media: DataFrame) -> DataFrame:
                       "est_period": "Int32"})
 
     return _spread_by_bytes(media).mapInPandas(fp, schema=AUDIO_FP_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Video scene-cut detection — frame-difference over raw frame stacks
+# ---------------------------------------------------------------------------
+
+SCENE_SCHEMA = ("media_id BIGINT, frame_idx INT, diff DOUBLE, "
+                "is_cut BOOLEAN")
+
+
+def synth_video(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Raw-frame video payloads with one planted scene change — the
+    scene-cut fixture.  Container: 'YSV1' + '<w> <h> <n>\\n' header,
+    then n frames of w*h*3 constant-color bytes.  From the id:
+    w = id%5+2, h = id%3+2, n = id%6+4 frames, the cut lands AFTER
+    frame c = id%(n-1)+1 — colors v1 = id%251 before, v2 =
+    (id*7+13)%251 at/after — so every frame diff is analytic:
+    |v2-v1|/255 at index c, 0.0 elsewhere.
+
+    Like the other generators the payload is assembled JVM-side (hex
+    concat + repeat + one to_binary) — no Python worker."""
+    i = f"CAST({id_col} AS BIGINT)"
+    w, h = f"({i} % 5 + 2)", f"({i} % 3 + 2)"
+    n = f"({i} % 6 + 4)"
+    c = f"({i} % ({n} - 1) + 1)"
+    v1, v2 = f"({i} % 251)", f"(({i} * 7 + 13) % 251)"
+    fb = f"CAST({w} * {h} * 3 AS INT)"  # bytes per frame
+    vid_hex = (
+        f"concat(hex(concat('YSV1', {w}, ' ', {h}, ' ', {n}, '\\n')), "
+        f"repeat(lpad(hex({v1}), 2, '0'), {fb} * CAST({c} AS INT)), "
+        f"repeat(lpad(hex({v2}), 2, '0'), "
+        f"{fb} * CAST({n} - {c} AS INT)))"
+    )
+    return _spread_by_bytes(docs.select(id_col)).select(
+        F.expr(i).alias("media_id"),
+        F.lit("video").alias("media_type"),
+        F.expr(f"to_binary({vid_hex}, 'hex')").alias("payload"),
+    )
+
+
+def scene_cuts(media: DataFrame, threshold: float = 0.1) -> DataFrame:
+    """Scene-change detection: per adjacent-frame pair, the normalized
+    mean absolute pixel difference and whether it crosses `threshold`
+    — (media_id, frame_idx, diff, is_cut), one row per frame 1..n-1
+    (frame_idx is the LATER frame).  The shot-boundary primitive of
+    every video curation pipeline (sample one keyframe per shot
+    instead of fixed-rate frames).
+
+    Arrow mapInPandas: parse the YSV1 header, one numpy reshape +
+    vectorized |f[i] - f[i-1]| mean per payload — no shuffle, byte-
+    budget partitioning via `_spread_by_bytes`, identical scale shape
+    to `media_stats`.  Non-YSV1 payloads yield no rows."""
+
+    def cuts(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload or b"")
+                if b[:4] != b"YSV1":
+                    continue
+                try:
+                    nl = b.index(b"\n", 4)
+                    w, h, n = (int(x) for x in b[4:nl].split())
+                    fb = w * h * 3
+                    frames = np.frombuffer(
+                        b, dtype=np.uint8, count=n * fb, offset=nl + 1
+                    ).astype(np.float64).reshape(n, fb)
+                except (ValueError, IndexError):
+                    continue
+                d = np.abs(np.diff(frames, axis=0)).mean(axis=1) / 255.0
+                for idx, dv in enumerate(d, start=1):
+                    dv = round(float(dv), 6)
+                    out.append((int(mid), idx, dv, dv > threshold))
+            yield pd.DataFrame(
+                out, columns=["media_id", "frame_idx", "diff", "is_cut"]
+            ).astype({"frame_idx": "int32"})
+
+    return _spread_by_bytes(media).mapInPandas(cuts, schema=SCENE_SCHEMA)

@@ -55,21 +55,12 @@ _COV_PARTIAL_SCHEMA = StructType([
 ])
 
 
-def covariance_matrix(vecs: DataFrame, vec_col: str = "embedding",
-                      round_to: int | None = 6) -> DataFrame:
-    """Population covariance of the embedding coordinates:
-    (i, j, cov) for the upper triangle i <= j — identical to
-    ``COVAR_POP(e[i+1], e[j+1])`` per pair.
-
-    One corpus scan: each partition's rows fold into one d x d numpy
-    Gram partial (X^T X), a coordinate-sum vector, and a count PER
-    OBSERVED DIMENSION; partials are emitted as d*(d+1)/2 upper-
-    triangle rows keyed by d, so mixed-dimension corpora can never
-    merge partials across dims (a 1-dim stray would otherwise corrupt
-    cell (0,0)).  The merge groupBy sees #partitions * O(d^2) rows;
-    after it, only the dominant dimension (largest row count) is kept.
-    cov = Sxy/n - (Sx/n)(Sy/n) is assembled after the merge.  NULL /
-    empty vectors are skipped (same policy as `_length_groups`)."""
+def _cov_partial_fn():
+    """The partition-Gram mapInPandas kernel shared by
+    `covariance_matrix` and `streaming.stats` (so the streamed and
+    batch sufficient statistics are bit-identical by construction):
+    folds a partition's rows into one d x d numpy Gram + sum vector +
+    count PER OBSERVED DIMENSION and emits upper-triangle rows."""
 
     def partial(batches):
         import numpy as np
@@ -99,10 +90,29 @@ def covariance_matrix(vecs: DataFrame, vec_col: str = "embedding",
                 "n": np.full(iu.size, cnt, dtype="int64"),
             })
 
+    return partial
+
+
+def covariance_matrix(vecs: DataFrame, vec_col: str = "embedding",
+                      round_to: int | None = 6) -> DataFrame:
+    """Population covariance of the embedding coordinates:
+    (i, j, cov) for the upper triangle i <= j — identical to
+    ``COVAR_POP(e[i+1], e[j+1])`` per pair.
+
+    One corpus scan: each partition's rows fold into one d x d numpy
+    Gram partial (X^T X), a coordinate-sum vector, and a count PER
+    OBSERVED DIMENSION; partials are emitted as d*(d+1)/2 upper-
+    triangle rows keyed by d, so mixed-dimension corpora can never
+    merge partials across dims (a 1-dim stray would otherwise corrupt
+    cell (0,0)).  The merge groupBy sees #partitions * O(d^2) rows;
+    after it, only the dominant dimension (largest row count) is kept.
+    cov = Sxy/n - (Sx/n)(Sy/n) is assembled after the merge.  NULL /
+    empty vectors are skipped (same policy as `_length_groups`)."""
+
     parts = (
         vecs.select(F.expr(_as_double(vec_col)).alias("v"))
         .filter(F.col("v").isNotNull() & (F.size("v") > 0))
-        .mapInPandas(partial, schema=_COV_PARTIAL_SCHEMA)
+        .mapInPandas(_cov_partial_fn(), schema=_COV_PARTIAL_SCHEMA)
     )
     merged = parts.groupBy("d", "i", "j").agg(
         F.sum("sxy").alias("sxy"), F.sum("sx").alias("sx"),

@@ -1,6 +1,11 @@
 """Structured Streaming operators (beyond reference parity — the
 reference has no streaming surface, SURVEY.md §2.7)."""
 
+from .stats import (  # noqa: F401
+    covariance_from_moments,
+    merge_moment_tables,
+    start_covariance_stream,
+)
 from .ingest import (  # noqa: F401
     dedup_ingest_stream,
     load_agg_state,
