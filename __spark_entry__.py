@@ -1840,6 +1840,16 @@ def _q_emb_outliers(spark, sf_dir):
     return embedding_outliers(spark.table("embeddings"))
 
 
+def _q_dedup_containment(spark, sf_dir):
+    # near-superset pairs (|A∩B|/min >= 0.8): the quote-and-extend /
+    # template-wrap duplication Jaccard misses; exact set-containment
+    # prefix join (llm/dedup.ngram_containment_pairs)
+    from yardstick_spark.llm import ngram_containment_pairs
+
+    return ngram_containment_pairs(
+        _docs(spark, sf_dir), k=5, threshold=0.8)
+
+
 def _q_mm_scene_cuts(spark, sf_dir):
     # shot-boundary detection over raw-frame synthetic videos: the
     # planted cut makes every frame diff analytic in the id, so the
@@ -1998,6 +2008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_mmr": _q_sim_mmr,
         "text_zipf": _q_text_zipf,
         "mm_scene_cuts": _q_mm_scene_cuts,
+        "dedup_containment": _q_dedup_containment,
         # round-5 additions (ordered first via _R5_NEW)
         "dedup_semantic": _q_dedup_semantic,
         "text_mixture_weights": _q_text_mixture_weights,
@@ -2099,7 +2110,7 @@ _R5_NEW: list[str] = [
     "mm_phash", "dedup_fuzzy_clusters", "graph_doc_rank", "ops_benford",
     "mm_audio_fp", "emb_covariance", "emb_jl_project", "graph_triangles",
     "emb_pq", "sim_knn_pq", "emb_outliers", "graph_communities",
-    "sim_mmr", "text_zipf", "mm_scene_cuts",
+    "sim_mmr", "text_zipf", "mm_scene_cuts", "dedup_containment",
     "dedup_semantic", "text_mixture_weights", "text_unigram_logprob",
     "events_transitions", "events_anomaly", "text_sample_weighted",
     "ops_profile", "ops_histogram", "emb_hard_negatives",
@@ -4009,6 +4020,23 @@ def oracle_sql() -> dict[str, str]:
                CAST(2 * hp AS INT) AS est_period,
                ROUND(a / 32768.0, 6) AS amp
         FROM g"""
+    # containment: same shingle CTE as the jaccard oracle, but
+    # common / min(|A|, |B|) — the near-superset signal
+    o["dedup_containment"] = f"""
+        WITH norm AS (SELECT doc_id AS id, {_NORM_DOC} AS t FROM documents),
+        sh AS (SELECT id, UNNEST(list_distinct([substring(t, i, 5)
+                   for i in range(1, greatest(1, length(t) - 4) + 1)])) AS sh
+               FROM norm),
+        sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+        pairs AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS common
+                  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+                  GROUP BY 1, 2)
+        SELECT id_a, id_b,
+               ROUND(common / least(sa.n_sh, sb.n_sh), 6) AS containment
+        FROM pairs
+        JOIN sizes sa ON sa.id = id_a
+        JOIN sizes sb ON sb.id = id_b
+        WHERE common / least(sa.n_sh, sb.n_sh) >= 0.8"""
     # scene cuts are analytic: w=id%5+2, h=id%3+2, n=id%6+4 frames,
     # cut after frame c=id%(n-1)+1, colors v1=id%251 / v2=(7id+13)%251
     # -> diff=|v2-v1|/255 at frame c, 0 elsewhere (synth_video)

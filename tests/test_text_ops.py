@@ -706,3 +706,65 @@ def test_bigram_logprob_penalizes_word_salad(spark):
     assert got[1][0] == got[2][0] == 11
     # identical unigram bag, broken transitions -> strictly worse LM fit
     assert got[2][1] > got[1][1]
+
+
+def test_containment_catches_supersets_jaccard_misses(spark):
+    """B = A + a long boilerplate tail: containment ~ 1.0 while
+    Jaccard is diluted below its threshold — the operator's reason to
+    exist.  Unrelated docs stay unpaired."""
+    from yardstick_spark.llm import (clear_dedup_caches,
+                                     ngram_containment_pairs,
+                                     ngram_jaccard_pairs)
+
+    a = "the quick brown fox jumps over the lazy dog again and again"
+    boiler = (" this content is provided as is without warranty of any"
+              " kind either express or implied including fitness for a"
+              " particular purpose and noninfringement of third party"
+              " rights in any jurisdiction worldwide forever")
+    docs = spark.createDataFrame(
+        [(1, a), (2, a + boiler * 2), (3, "completely different words"
+          " about seafaring navigation and celestial charts")],
+        "doc_id long, text string")
+    cont = {(r.id_a, r.id_b): r.containment
+            for r in ngram_containment_pairs(
+                docs, k=5, threshold=0.9).collect()}
+    clear_dedup_caches()
+    jacc = {(r.id_a, r.id_b): r.jaccard
+            for r in ngram_jaccard_pairs(
+                docs, k=5, threshold=0.5).collect()}
+    clear_dedup_caches()
+    assert (1, 2) in cont and cont[(1, 2)] >= 0.9
+    assert (1, 2) not in jacc          # diluted: |A|/|B| << 0.5
+    assert all(3 not in p for p in cont)
+
+
+def test_containment_exact_vs_bruteforce(spark):
+    """Prefix-filtered result == brute-force all-pairs containment on
+    a random-ish corpus (the exactness contract)."""
+    from yardstick_spark.llm import clear_dedup_caches, \
+        ngram_containment_pairs
+
+    import itertools
+    words = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+             "golf", "hotel", "india", "juliet"]
+    docs = []
+    for i in range(25):
+        picks = [words[(i * 3 + j * 7) % 10] for j in range(4 + i % 5)]
+        docs.append((i, " ".join(picks)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r.id_a, r.id_b): r.containment
+           for r in ngram_containment_pairs(
+               df, k=5, threshold=0.7).collect()}
+    clear_dedup_caches()
+
+    def shingles(t):
+        t = " ".join(t.lower().strip().split())
+        return {t[i:i + 5] for i in range(max(1, len(t) - 4))}
+
+    want = {}
+    for (i, ta), (j, tb) in itertools.combinations(docs, 2):
+        sa, sb = shingles(ta), shingles(tb)
+        c = len(sa & sb) / min(len(sa), len(sb))
+        if c >= 0.7:
+            want[(i, j)] = round(c, 6)
+    assert got == want

@@ -28,6 +28,7 @@ from .dedup import (  # noqa: F401
     save_dedup_signatures,
     minhash_signatures,
     minhash_lsh_pairs,
+    ngram_containment_pairs,
     ngram_jaccard_pairs,
     simhash64,
     simhash_pairs,

@@ -202,6 +202,59 @@ def _hint_sets(df: DataFrame, force: bool | None) -> DataFrame:
     return F.broadcast(df) if force else df
 
 
+def _rarity_sid_table(sh: DataFrame) -> tuple[DataFrame, int]:
+    """Dense global rarity ranking of distinct shingles: returns
+    ((sh, sid) mapping, universe size) with sid ordered by (df asc,
+    value asc) — the consistent total order every prefix-filter join
+    here relies on.  Shared by the Jaccard and containment joins.
+
+    Never a single-partition global window: a ≤200k universe ranks on
+    the driver (one collect, mapping is broadcast anyway — 3 fewer
+    jobs); above that, range-partition by (df, sh) so partitions hold
+    disjoint ordered slices, rank within each, and add per-partition
+    offsets (one row per partition, a driver-side prefix sum)."""
+    from pyspark.sql import Window
+
+    npart = sh.sparkSession.sparkContext.defaultParallelism
+    # cache BEFORE repartitionByRange: its range-bounds sampling job
+    # re-evaluates the child, which would re-run the explode+groupBy
+    freq0 = _cache(sh.groupBy("sh").agg(F.count("*").alias("df")))
+    universe = freq0.count()
+    if universe <= 200_000:
+        order = sorted((r["df"], r["sh"]) for r in freq0.collect())
+        mapping = [(sh_, i + 1) for i, (_, sh_) in enumerate(order)]
+        freq = sh.sparkSession.createDataFrame(
+            mapping, "sh string, sid bigint"
+        )
+        return freq, universe
+    ranked = _cache(
+        freq0.repartitionByRange(npart, "df", "sh")
+        .withColumn("pid", F.spark_partition_id())
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("pid").orderBy("df", "sh")),
+        )
+    )
+    sizes = {row["pid"]: row["cnt"] for row in
+             ranked.groupBy("pid").agg(F.count("*").alias("cnt"))
+             .collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    # offsets as a literal lookup (one entry per partition) — no join
+    off_expr = F.element_at(
+        F.create_map(*[F.lit(x) for pid, off in offsets.items()
+                       for x in (pid, off)]),
+        F.col("pid"),
+    ) if offsets else F.lit(0)
+    freq = ranked.withColumn(
+        "sid", (F.col("r") + off_expr).cast("long")
+    ).select("sh", "sid")
+    return freq, universe
+
+
 def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 5,
                         threshold: float = 0.8,
@@ -225,65 +278,13 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     self-join on rare keys, one broadcast-able join back to the per-doc
     sets for verification.
     """
-    from pyspark.sql import Window
-
     # shingle each doc ONCE; map shingles to dense int ids ordered by
     # global rarity (df asc, value asc) so (a) the prefix-filter total
     # order is consistent and (b) verification intersects int arrays,
     # not strings
     sets0 = _shingled(docs, text_col, id_col, k)
     sh = sets0.select("id", F.explode("shs").alias("sh"))
-    # global rarity rank WITHOUT a single-partition window (a global
-    # Window.orderBy funnels every distinct shingle through one task):
-    # range-partition by (df, sh) so partitions hold disjoint ordered
-    # slices, rank within each, then add per-partition offsets — the
-    # offset table is one row per partition, a driver-side prefix sum
-    npart = sh.sparkSession.sparkContext.defaultParallelism
-    # cache BEFORE repartitionByRange: its range-bounds sampling job
-    # re-evaluates the child, which would re-run the explode+groupBy
-    freq0 = _cache(sh.groupBy("sh").agg(F.count("*").alias("df")))
-    universe = freq0.count()
-    if universe <= 200_000:
-        # small distinct-shingle table (reference vocab, hot-vocab
-        # corpora): rank on the driver — one collect of (sh, df)
-        # replaces the range-repartition + per-partition window +
-        # partition-size collect (3 fewer jobs); the mapping is a few
-        # MB and broadcast anyway
-        order = sorted((r["df"], r["sh"]) for r in freq0.collect())
-        mapping = [(sh_, i + 1) for i, (_, sh_) in enumerate(order)]
-        freq = sh.sparkSession.createDataFrame(
-            mapping, "sh string, sid bigint"
-        )
-    else:
-        # global rarity rank at scale, no single-partition window:
-        # range-partition by (df, sh) so partitions hold disjoint
-        # ordered slices, rank within each, add per-partition offsets
-        # (one row per partition, driver prefix sum)
-        ranked = _cache(
-            freq0.repartitionByRange(npart, "df", "sh")
-            .withColumn("pid", F.spark_partition_id())
-            .withColumn(
-                "r",
-                F.row_number().over(
-                    Window.partitionBy("pid").orderBy("df", "sh")),
-            )
-        )
-        sizes = {row["pid"]: row["cnt"] for row in
-                 ranked.groupBy("pid").agg(F.count("*").alias("cnt"))
-                 .collect()}
-        offsets, acc = {}, 0
-        for pid in sorted(sizes):
-            offsets[pid] = acc
-            acc += sizes[pid]
-        # offsets as a literal lookup (one entry per partition) — no join
-        off_expr = F.element_at(
-            F.create_map(*[F.lit(x) for pid, off in offsets.items()
-                           for x in (pid, off)]),
-            F.col("pid"),
-        ) if offsets else F.lit(0)
-        freq = ranked.withColumn(
-            "sid", (F.col("r") + off_expr).cast("long")
-        ).select("sh", "sid")
+    freq, universe = _rarity_sid_table(sh)
     isets = _cache(
         sh.join(F.broadcast(freq.select("sh", "sid")), "sh")
         .groupBy("id")
@@ -406,6 +407,108 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
         # orientation above is by set size, not id)
         .select(F.least("id_a", "id_b").alias("id_a"),
                 F.greatest("id_a", "id_b").alias("id_b"), "jaccard")
+    )
+
+
+def ngram_containment_pairs(docs: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id", k: int = 5,
+                            threshold: float = 0.9,
+                            broadcast_sets: bool | None = None,
+                            max_broadcast_pairs: int | None = None
+                            ) -> DataFrame:
+    """Near-SUPERSET pairs by k-shingle containment
+    |A ∩ B| / min(|A|, |B|) >= threshold — EXACT result.
+
+    Jaccard misses the "doc B is doc A plus a boilerplate header"
+    case: J = |A|/|B| can be arbitrarily low while A is entirely
+    inside B.  Containment is the dedup signal for quote-and-extend,
+    template wrapping, and chunk-of-a-longer-doc duplication — the
+    standard complement to `ngram_jaccard_pairs` in a curation stack.
+
+    Set-containment prefix bound (same family as ppjoin): for the
+    size-ordered pair with A smaller, overlap >= ceil(t·|A|), so A's
+    prefix of |A| - ceil(t·|A|) + 1 RAREST shingles must hit B's full
+    set — candidates come from (small-doc rare prefix) x (full sets),
+    with the position filter overlap <= matched + min(remaining
+    suffixes) pruning collision-only pairs before verification.  No
+    length filter exists for containment (any size ratio is legal),
+    which is exactly why the prefix side must be the smaller doc.
+    Verification is one array_intersect per surviving candidate
+    against the cached int-sid sets.  All joins are on rare sid keys;
+    the full-set side's fan-out per sid is that shingle's df, which
+    the rarity order keeps minimal."""
+    sets0 = _shingled(docs, text_col, id_col, k)
+    sh = sets0.select("id", F.explode("shs").alias("sh"))
+    freq, _ = _rarity_sid_table(sh)
+    isets = _cache(
+        sh.join(F.broadcast(freq.select("sh", "sid")), "sh")
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list("sid")).alias("sids"))
+        .withColumn("n_sh", F.size("sids"))
+    )
+    plen = (
+        F.col("n_sh")
+        - F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-9)) + 1
+    ).cast("int")
+    prefix = isets.select(
+        "id", "n_sh",
+        F.posexplode(F.slice("sids", F.lit(1), plen)).alias("pos", "sid"),
+    )
+    full = isets.select(
+        "id", "n_sh",
+        F.posexplode("sids").alias("pos", "sid"),
+    )
+    need = F.ceil(F.lit(threshold) * F.col("n_a") - F.lit(1e-9))
+    cand = (
+        prefix.alias("a")
+        .join(
+            full.alias("b"),
+            (F.col("a.sid") == F.col("b.sid"))
+            # orientation: the prefix side is the SMALLER of the pair
+            & ((F.col("a.n_sh") < F.col("b.n_sh"))
+               | ((F.col("a.n_sh") == F.col("b.n_sh"))
+                  & (F.col("a.id") < F.col("b.id")))),
+        )
+        .groupBy(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"), F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(
+            F.count("*").alias("c"),
+            F.max("a.pos").alias("pmax_a"),
+            F.max("b.pos").alias("pmax_b"),
+        )
+        .filter(
+            F.col("c")
+            + F.least(F.col("n_a") - F.col("pmax_a") - 1,
+                      F.col("n_b") - F.col("pmax_b") - 1)
+            >= need
+        )
+        .select("id_a", "id_b")
+    )
+    cand = _pairs_hint(cand, max_broadcast_pairs)
+    vsets = isets.select("id", "n_sh", F.col("sids").alias("vs"))
+    return (
+        cand.join(_hint_sets(vsets.select(F.col("id").alias("id_a"),
+                                          F.col("vs").alias("vs_a"),
+                                          F.col("n_sh").alias("n_a")),
+                             broadcast_sets),
+                  "id_a")
+        .join(_hint_sets(vsets.select(F.col("id").alias("id_b"),
+                                      F.col("vs").alias("vs_b"),
+                                      F.col("n_sh").alias("n_b")),
+                         broadcast_sets),
+              "id_b")
+        .withColumn("common", F.size(F.array_intersect("vs_a", "vs_b")))
+        .withColumn(
+            "containment",
+            F.round(F.col("common") / F.least("n_a", "n_b"), 6),
+        )
+        .filter(F.col("common") / F.least("n_a", "n_b") >= threshold)
+        # numeric id_a < id_b output contract (candidate orientation is
+        # by set size, not id)
+        .select(F.least("id_a", "id_b").alias("id_a"),
+                F.greatest("id_a", "id_b").alias("id_b"), "containment")
     )
 
 
