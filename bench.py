@@ -151,6 +151,7 @@ def main() -> None:
         # checkpointed graph supersteps also want the fresh-JVM slot
         "dedup_fuzzy": 2,          # gets 7 min-samples, not 5
         "dedup_fuzzy_clusters": 2,
+        "dedup_containment": 2,
         "graph_doc_rank": 2,
         "graph_communities": 2,
     }

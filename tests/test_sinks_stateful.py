@@ -506,3 +506,45 @@ def test_covariance_stream_equals_batch(spark, tmp_path):
     assert set(got) == set(want)
     for k in want:
         assert got[k] == pytest.approx(want[k], abs=1e-9)
+
+
+def test_compact_files_reduces_count_keeps_rows(spark, tmp_path):
+    from yardstick_spark.sources import compact_files
+
+    path = str(tmp_path / "frag")
+    df = spark.range(10_000).selectExpr("id", "id % 97 AS k")
+    df.repartition(40).write.parquet(path)  # fragmented: 40 files
+    before = sorted((r.id, r.k) for r in spark.read.parquet(path).collect())
+    stats = compact_files(spark, path, target_file_mb=512)
+    assert stats["files_before"] >= 40
+    assert stats["files_out"] == 1
+    after = sorted((r.id, r.k) for r in spark.read.parquet(path).collect())
+    assert before == after
+    import glob
+    assert len(glob.glob(f"{path}/*.parquet")) == 1
+    assert not glob.glob(str(tmp_path / "frag__compact_*"))
+
+
+def test_compact_files_with_sort_restores_clustering(spark, tmp_path):
+    from yardstick_spark.sources import compact_files
+
+    path = str(tmp_path / "frag2")
+    spark.range(20_000).selectExpr(
+        "pmod(id * 2654435761, 20000) AS ts", "id AS v"
+    ).repartition(30).write.parquet(path)
+    stats = compact_files(spark, path, sort_cols=["ts"], target_files=4)
+    # with sort the output files cover DISJOINT ts ranges (the
+    # pruning property)
+    import glob
+
+    import pyarrow.parquet as pq
+    files = sorted(glob.glob(f"{path}/*.parquet"))
+    assert len(files) >= 2 or stats["files_out"] == 1
+    spans = []
+    for f in files:
+        vals = pq.read_table(f, columns=["ts"]).column("ts").to_pylist()
+        if vals:
+            spans.append((min(vals), max(vals)))
+    spans.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2  # disjoint ranges

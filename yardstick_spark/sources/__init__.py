@@ -20,6 +20,7 @@ from .write import (  # noqa: F401
     read_bucketed,
     write_bucketed,
     write_partitioned,
+    compact_files,
     write_sorted,
     write_zordered,
     zorder_key_expr,

