@@ -1840,6 +1840,24 @@ def _q_emb_outliers(spark, sf_dir):
     return embedding_outliers(spark.table("embeddings"))
 
 
+def _q_text_lang_confusion(spark, sf_dir):
+    # declared-vs-detected language confusion matrix — the metadata
+    # QA step that catches mislabeled-language sources before mixture
+    # weighting trusts the `lang` column
+    from pyspark.sql import functions as F
+
+    from yardstick_spark.llm import language_id
+
+    docs = _docs(spark, sf_dir)
+    pred = language_id(docs).select("doc_id", "pred_lang")
+    return (
+        docs.select("doc_id", F.col("lang").alias("declared"))
+        .join(pred, "doc_id")
+        .groupBy("declared", "pred_lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def _q_dedup_containment(spark, sf_dir):
     # near-superset pairs (|A∩B|/min >= 0.8): the quote-and-extend /
     # template-wrap duplication Jaccard misses; exact set-containment
@@ -2009,6 +2027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_zipf": _q_text_zipf,
         "mm_scene_cuts": _q_mm_scene_cuts,
         "dedup_containment": _q_dedup_containment,
+        "text_lang_confusion": _q_text_lang_confusion,
         # round-5 additions (ordered first via _R5_NEW)
         "dedup_semantic": _q_dedup_semantic,
         "text_mixture_weights": _q_text_mixture_weights,
@@ -2111,6 +2130,7 @@ _R5_NEW: list[str] = [
     "mm_audio_fp", "emb_covariance", "emb_jl_project", "graph_triangles",
     "emb_pq", "sim_knn_pq", "emb_outliers", "graph_communities",
     "sim_mmr", "text_zipf", "mm_scene_cuts", "dedup_containment",
+    "text_lang_confusion",
     "dedup_semantic", "text_mixture_weights", "text_unigram_logprob",
     "events_transitions", "events_anomaly", "text_sample_weighted",
     "ops_profile", "ops_histogram", "emb_hard_negatives",
@@ -2619,6 +2639,14 @@ def oracle_sql() -> dict[str, str]:
         WITH norm AS (SELECT doc_id, {_NORM_DOC} AS t FROM documents),
         h AS (SELECT doc_id, {hit_exprs} FROM norm)
         SELECT doc_id, {pred} AS pred_lang, {best} AS marker_hits FROM h"""
+    # confusion matrix: declared metadata lang x the SAME detector
+    o["text_lang_confusion"] = f"""
+        WITH norm AS (SELECT doc_id, lang, {_NORM_DOC} AS t
+                      FROM documents),
+        h AS (SELECT doc_id, lang, {hit_exprs} FROM norm),
+        p AS (SELECT doc_id, lang AS declared, {pred} AS pred_lang FROM h)
+        SELECT declared, pred_lang, COUNT(*) AS n
+        FROM p GROUP BY declared, pred_lang"""
 
     # LSH kNN: the hyperplane weights are deterministic (md5 parity) and
     # embedded as literals on both engines, so the bucketing is identical
