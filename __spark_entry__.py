@@ -1840,6 +1840,16 @@ def _q_emb_outliers(spark, sf_dir):
     return embedding_outliers(spark.table("embeddings"))
 
 
+def _q_dedup_minhash_eval(spark, sf_dir):
+    # estimator-quality report: signature estimate vs EXACT shingle
+    # Jaccard on the surviving LSH pairs — the num_hashes/bands tuning
+    # loop, run on a sample before a full-corpus dedup pass
+    from yardstick_spark.llm import minhash_estimate_eval
+
+    return minhash_estimate_eval(
+        _docs(spark, sf_dir), k=5, num_hashes=32, bands=8, threshold=0.5)
+
+
 def _q_text_lang_confusion(spark, sf_dir):
     # declared-vs-detected language confusion matrix — the metadata
     # QA step that catches mislabeled-language sources before mixture
@@ -2028,6 +2038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_scene_cuts": _q_mm_scene_cuts,
         "dedup_containment": _q_dedup_containment,
         "text_lang_confusion": _q_text_lang_confusion,
+        "dedup_minhash_eval": _q_dedup_minhash_eval,
         # round-5 additions (ordered first via _R5_NEW)
         "dedup_semantic": _q_dedup_semantic,
         "text_mixture_weights": _q_text_mixture_weights,
@@ -2130,7 +2141,7 @@ _R5_NEW: list[str] = [
     "mm_audio_fp", "emb_covariance", "emb_jl_project", "graph_triangles",
     "emb_pq", "sim_knn_pq", "emb_outliers", "graph_communities",
     "sim_mmr", "text_zipf", "mm_scene_cuts", "dedup_containment",
-    "text_lang_confusion",
+    "text_lang_confusion", "dedup_minhash_eval",
     "dedup_semantic", "text_mixture_weights", "text_unigram_logprob",
     "events_transitions", "events_anomaly", "text_sample_weighted",
     "ops_profile", "ops_histogram", "emb_hard_negatives",
@@ -2824,6 +2835,25 @@ def oracle_sql() -> dict[str, str]:
               x -> CASE WHEN x[1] = x[2] THEN 1 ELSE 0 END))
               / len(sa.sig) >= 0.5"""
     o["dedup_minhash_lsh"] = mh_pairs
+    # estimator eval: the SAME estimate SQL joined to exact shingle
+    # Jaccard per surviving pair, then one aggregate row
+    o["dedup_minhash_eval"] = f"""
+        WITH p AS ({mh_pairs}),
+        sets AS (SELECT doc_id AS id, list_distinct([substring(t, i, 5)
+                 for i in range(1, greatest(1, length(t) - 4) + 1)]) AS shs
+                 FROM (SELECT doc_id, {_NORM_DOC} AS t FROM documents)),
+        j AS (SELECT p.est_jaccard,
+              ROUND(len(list_intersect(sa.shs, sb.shs)) * 1.0
+                / (len(sa.shs) + len(sb.shs)
+                   - len(list_intersect(sa.shs, sb.shs))), 6) AS exact
+              FROM p JOIN sets sa ON sa.id = p.id_a
+                     JOIN sets sb ON sb.id = p.id_b)
+        SELECT COUNT(*) AS n_pairs,
+               ROUND(AVG(ABS(est_jaccard - exact)), 6) AS mae,
+               ROUND(AVG(est_jaccard - exact), 6) AS bias,
+               ROUND(AVG(est_jaccard), 6) AS mean_est,
+               ROUND(AVG(exact), 6) AS mean_exact
+        FROM j"""
     # transitive closure of the pair graph (small scale: recursive CTE);
     # cluster_id = component-min doc id, keep = canonical copy
     o["dedup_clusters"] = f"""

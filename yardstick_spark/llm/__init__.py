@@ -27,6 +27,7 @@ from .dedup import (  # noqa: F401
     load_dedup_signatures,
     save_dedup_signatures,
     minhash_signatures,
+    minhash_estimate_eval,
     minhash_lsh_pairs,
     ngram_containment_pairs,
     ngram_jaccard_pairs,

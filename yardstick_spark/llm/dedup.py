@@ -860,3 +860,53 @@ def incremental_pairs_against_store(new_docs: DataFrame, spark, path: str,
     )
     return _probe_and_verify(new_sigs, corp_sigs, corp_buckets,
                              num_hashes, bands, threshold, broadcast_new)
+
+
+def minhash_estimate_eval(docs: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", k: int = 5,
+                          num_hashes: int = 32, bands: int = 8,
+                          threshold: float = 0.5) -> DataFrame:
+    """Estimator-quality report for the MinHash pipeline: one row
+    (n_pairs, mae, bias, mean_est, mean_exact) comparing the signature
+    estimate against EXACT shingle Jaccard on the LSH candidate pairs
+    that pass `threshold`.
+
+    This is the tuning loop for num_hashes/bands: MAE ~ 1/sqrt(num_
+    hashes) on the surviving band (Broder 1997), and a bias far from 0
+    flags band-collision survivorship (pairs kept because one band
+    matched by luck).  Run it on a sample before committing a 100 TB
+    dedup pass to a signature budget.
+
+    Scale shape: the expensive parts are the already-bounded LSH
+    candidate generation and ONE exact set intersection per surviving
+    pair (pairs ≪ corpus by construction); the final aggregate is a
+    1-row map-side reduce.  Per-pair terms round to 6 dp so the DuckDB
+    oracle (same estimate SQL + list_intersect exact) agrees."""
+    pairs = minhash_lsh_pairs(
+        docs, text_col=text_col, id_col=id_col, k=k,
+        num_hashes=num_hashes, bands=bands, threshold=threshold)
+    sets = _shingled(docs, text_col, id_col, k).select(
+        "id", F.col("shs").alias("s"))
+    j = (
+        pairs
+        .join(sets.select(F.col("id").alias("id_a"),
+                          F.col("s").alias("s_a")), "id_a")
+        .join(sets.select(F.col("id").alias("id_b"),
+                          F.col("s").alias("s_b")), "id_b")
+        .withColumn("common", F.size(F.array_intersect("s_a", "s_b")))
+        .withColumn(
+            "exact",
+            F.round(
+                F.col("common")
+                / (F.size("s_a") + F.size("s_b") - F.col("common")), 6))
+        .select("est_jaccard", "exact")
+    )
+    return j.agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.avg(F.abs(F.col("est_jaccard") - F.col("exact"))), 6)
+        .alias("mae"),
+        F.round(F.avg(F.col("est_jaccard") - F.col("exact")), 6)
+        .alias("bias"),
+        F.round(F.avg("est_jaccard"), 6).alias("mean_est"),
+        F.round(F.avg("exact"), 6).alias("mean_exact"),
+    )
