@@ -470,7 +470,7 @@ def test_covariance_stream_equals_batch(spark, tmp_path):
 
     from yardstick_spark.llm import covariance_matrix
     from yardstick_spark.streaming import (
-        covariance_from_moments, start_covariance_stream,
+        covariance_from_moments, latest_moments, start_covariance_stream,
     )
 
     rng = np.random.RandomState(13)
@@ -497,7 +497,7 @@ def test_covariance_stream_equals_batch(spark, tmp_path):
     q.stop()
 
     got = {(r.i, r.j): r.cov for r in covariance_from_moments(
-        spark.read.parquet(state), round_to=None).collect()}
+        latest_moments(spark, state), round_to=None).collect()}
     union = frames[0]
     for f in frames[1:]:
         union = union.unionByName(f)
@@ -506,6 +506,20 @@ def test_covariance_stream_equals_batch(spark, tmp_path):
     assert set(got) == set(want)
     for k in want:
         assert got[k] == pytest.approx(want[k], abs=1e-9)
+
+    # replay idempotence: foreachBatch is at-least-once — re-running
+    # the LAST micro-batch must leave the state unchanged (each batch
+    # recomputes its own version from the predecessor)
+    from yardstick_spark.streaming.stats import (_batch_moments,
+                                                 merge_moment_tables)
+    last = spark.read.parquet(f"{inc}/f2")
+    prev = latest_moments(spark, state, below=2)
+    replay = merge_moment_tables(prev, _batch_moments(last, "embedding"))
+    replay.write.mode("overwrite").parquet(f"{state}/v=2")
+    again = {(r.i, r.j): r.cov for r in covariance_from_moments(
+        latest_moments(spark, state), round_to=None).collect()}
+    for k in want:
+        assert again[k] == pytest.approx(want[k], abs=1e-9)
 
 
 def test_compact_files_reduces_count_keeps_rows(spark, tmp_path):

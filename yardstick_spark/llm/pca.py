@@ -71,6 +71,16 @@ def _cov_partial_fn():
             arr = pdf.iloc[:, 0].to_numpy()
             for dim, sel in _length_groups(arr):
                 A = np.vstack(arr[sel]).astype(np.float64)
+                # a single NULL/NaN ELEMENT inside one vector would
+                # otherwise poison the whole partition Gram (NaN
+                # spreads through the matmul and the merge sum) —
+                # drop non-finite rows, mirroring the whole-vector
+                # NULL filter upstream
+                ok = np.isfinite(A).all(axis=1)
+                if not ok.all():
+                    A = A[ok]
+                    if A.shape[0] == 0:
+                        continue
                 g = A.T @ A
                 s = A.sum(axis=0)
                 slot = acc.get(dim)
@@ -114,19 +124,39 @@ def covariance_matrix(vecs: DataFrame, vec_col: str = "embedding",
         .filter(F.col("v").isNotNull() & (F.size("v") > 0))
         .mapInPandas(_cov_partial_fn(), schema=_COV_PARTIAL_SCHEMA)
     )
-    merged = parts.groupBy("d", "i", "j").agg(
+    return covariance_from_moments(merge_moment_tables(parts),
+                                   round_to=round_to)
+
+
+def merge_moment_tables(*tables: DataFrame) -> DataFrame:
+    """Sum covariance sufficient-statistic tables
+    (d, i, j, sxy, sx, sy, n) — moments are exactly mergeable, which
+    is what makes both the partition partials here and the streaming
+    maintenance in `streaming.stats` correct.  One table just
+    re-aggregates (the partial-merge step)."""
+    out = tables[0]
+    for t in tables[1:]:
+        out = out.unionByName(t)
+    return out.groupBy("d", "i", "j").agg(
         F.sum("sxy").alias("sxy"), F.sum("sx").alias("sx"),
         F.sum("sy").alias("sy"), F.sum("n").alias("n"),
     )
-    # dominant dimension: the d with the most contributing rows (ties
-    # break to the larger d) — one 1-row broadcast, never a collect
+
+
+def covariance_from_moments(moments: DataFrame,
+                            round_to: int | None = 6) -> DataFrame:
+    """(i, j, cov) assembled from a (merged) moment table:
+    cov = Sxy/n - (Sx/n)(Sy/n), keeping only the dominant dimension
+    (largest row count, ties to the larger d) via a 1-row broadcast —
+    never a collect.  The single shared assembly for the batch
+    operator and the streaming state reader."""
     best = F.broadcast(
-        merged.filter((F.col("i") == 0) & (F.col("j") == 0))
+        moments.filter((F.col("i") == 0) & (F.col("j") == 0))
         .orderBy(F.col("n").desc(), F.col("d").desc())
         .limit(1)
         .select("d")
     )
-    merged = merged.join(best, "d")
+    merged = moments.join(best, "d")
     cov = (F.col("sxy") / F.col("n")
            - (F.col("sx") / F.col("n")) * (F.col("sy") / F.col("n")))
     if round_to is not None:
@@ -229,6 +259,13 @@ def _project(vecs: DataFrame, mat, scale: float, k: int,
                 if M.shape[0] != dim:
                     continue  # projection fixed for another dim
                 A = np.vstack(arr[sel]).astype(np.float64)
+                # rows with a NULL/NaN element project to NaN — drop
+                # them like the whole-vector NULL policy upstream
+                ok = np.isfinite(A).all(axis=1)
+                if not ok.all():
+                    sel, A = sel[ok], A[ok]
+                    if sel.size == 0:
+                        continue
                 V = (A @ M) * scale  # (n, k)
                 n = sel.size
                 out_id.append(np.repeat(ids[sel], k))
@@ -247,5 +284,8 @@ def _project(vecs: DataFrame, mat, scale: float, k: int,
     return (
         vecs.select(F.col(id_col).cast("long").alias("id"),
                     F.expr(_as_double(vec_col)).alias("v"))
+        # a NULL (or un-castable) id would round-trip through pandas
+        # as NaN and astype to INT64_MIN — refuse it at the plan level
+        .filter(F.col("id").isNotNull())
         .mapInPandas(proj, schema=_PROJ_SCHEMA)
     )

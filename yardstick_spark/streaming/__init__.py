@@ -3,6 +3,7 @@ reference has no streaming surface, SURVEY.md §2.7)."""
 
 from .stats import (  # noqa: F401
     covariance_from_moments,
+    latest_moments,
     merge_moment_tables,
     start_covariance_stream,
 )
