@@ -4155,17 +4155,32 @@ def oracle_sql() -> dict[str, str]:
                           / STDDEV_POP(dist) OVER (PARTITION BY label)
                      END, 4) AS z
         FROM sc"""
-    # one-pass distributed covariance vs DuckDB's native COVAR_POP
+    # one-pass distributed covariance.  Both engines quantize each
+    # coordinate to floor(x*1e6) and sum EXACT integers (Spark:
+    # int64 Gram chunks folded into DECIMAL(38,0); DuckDB: HUGEINT),
+    # then assemble cov with the token-identical double expression —
+    # so the comparison is bit-exact under ANY partition split (the
+    # round-5 red row was float-sum order sensitivity at the 6-dp
+    # rounding boundary)
     o["emb_covariance"] = """
-        WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS e
+        WITH v AS (SELECT list_transform(CAST(embedding AS DOUBLE[]),
+                       x -> CAST(floor(x * 1000000) AS HUGEINT)) AS q
                    FROM embeddings
                    WHERE embedding IS NOT NULL AND len(embedding) > 0),
-        p AS (SELECT CAST(unnest(range(0, 64)) AS INT) AS pos)
-        SELECT p1.pos AS i, p2.pos AS j,
-               ROUND(COVAR_POP(e[p1.pos + 1], e[p2.pos + 1]), 6) AS cov
-        FROM v CROSS JOIN p p1 CROSS JOIN p p2
-        WHERE p1.pos <= p2.pos
-        GROUP BY p1.pos, p2.pos"""
+        p AS (SELECT CAST(unnest(range(0, 64)) AS INT) AS pos),
+        s AS (SELECT p1.pos AS i, p2.pos AS j,
+                     SUM(q[p1.pos + 1] * q[p2.pos + 1]) AS sxy,
+                     SUM(q[p1.pos + 1]) AS sx,
+                     SUM(q[p2.pos + 1]) AS sy,
+                     COUNT(*) AS n
+              FROM v CROSS JOIN p p1 CROSS JOIN p p2
+              WHERE p1.pos <= p2.pos
+              GROUP BY p1.pos, p2.pos)
+        SELECT i, j,
+               ROUND(CAST(sxy * n - sx * sy AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1e12),
+                     6) AS cov
+        FROM s"""
     # JL signs are md5 parity — f"42:{plane}:{dim}", low bit of the
     # 15-hex-digit prefix — identical to similarity._md5_signs
     o["emb_jl_project"] = """

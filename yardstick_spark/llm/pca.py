@@ -15,7 +15,13 @@ drift monitoring and hygiene checks.
   Python), emits exactly d*(d+1)/2 + 1 rows, and the groupBy that
   merges partials moves #partitions * O(d^2) rows — independent of the
   corpus row count.  The driver never sees vectors, only the d x d
-  result.
+  result.  The sufficient statistics are EXACT INTEGERS over inputs
+  quantized to a 1e-6 grid (see `_QUANT_SCALE`): float summation is
+  non-associative, so the result would otherwise depend on the
+  partition split — on a 1000-executor cluster that means a different
+  answer every run.  Integer/decimal sums are associative; the output
+  is bit-identical under any partitioning (property-tested under
+  randomized repartition in tests/test_pca.py).
 - `pca_components` eigendecomposes the (tiny) covariance result on the
   driver — gated at d <= 512 like every other driver-side step in the
   package (cluster.py <= 1M edges, dedup.py <= 200k vocab); above the
@@ -34,8 +40,8 @@ distances are preserved within (1 +- eps) for k = O(log n / eps^2).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.types import (DoubleType, IntegerType, LongType,
-                               StructField, StructType)
+from pyspark.sql.types import (DecimalType, DoubleType, IntegerType,
+                               LongType, StructField, StructType)
 
 from .similarity import _as_double, _length_groups, _md5_signs
 
@@ -44,13 +50,27 @@ from .similarity import _as_double, _length_groups, _md5_signs
 # wrong tool (use a sketched/randomized solver) so we refuse loudly
 _MAX_EIGH_DIM = 512
 
+# Element quantization grid for the covariance sufficient statistics:
+# every coordinate is snapped to floor(x * 1e6) BEFORE accumulation,
+# and all sums are exact integer arithmetic from there on.  This is
+# what makes the operator PARTITION-STABLE: float summation is
+# non-associative, so a different partition split used to land cells
+# on the other side of the 6-dp output rounding vs the oracle (the
+# round-5 driver red row).  Integer sums are associative — any
+# partitioning, any merge order, bit-identical output.  floor (not
+# round) because IEEE floor is exact and has no half-way rule to
+# disagree on between numpy and a SQL engine.  The price is a ~1e-6
+# per-element quantization, i.e. ~1e-5 absolute on covariance cells —
+# documented in `covariance_matrix`.
+_QUANT_SCALE = 10 ** 6
+
 _COV_PARTIAL_SCHEMA = StructType([
     StructField("d", IntegerType()),
     StructField("i", IntegerType()),
     StructField("j", IntegerType()),
-    StructField("sxy", DoubleType()),
-    StructField("sx", DoubleType()),
-    StructField("sy", DoubleType()),
+    StructField("sxy", DecimalType(38, 0)),
+    StructField("sx", DecimalType(38, 0)),
+    StructField("sy", DecimalType(38, 0)),
     StructField("n", LongType()),
 ])
 
@@ -59,14 +79,25 @@ def _cov_partial_fn():
     """The partition-Gram mapInPandas kernel shared by
     `covariance_matrix` and `streaming.stats` (so the streamed and
     batch sufficient statistics are bit-identical by construction):
-    folds a partition's rows into one d x d numpy Gram + sum vector +
-    count PER OBSERVED DIMENSION and emits upper-triangle rows."""
+    folds a partition's rows into one d x d Gram + sum vector + count
+    PER OBSERVED DIMENSION and emits upper-triangle rows.
+
+    EXACT INTEGER accumulation: coordinates are quantized to the
+    `_QUANT_SCALE` grid (floor), the per-Arrow-batch Gram is an int64
+    matmul (|q| <= ~2e9 is enforced so a 10k-row batch cannot
+    overflow), and batches fold into arbitrary-precision Python-int
+    accumulators (numpy object arrays) so a partition of ANY size is
+    exact.  Emitted as DECIMAL(38,0) — the downstream merge is an
+    exact decimal sum, so the whole statistic is independent of
+    partitioning and merge order."""
 
     def partial(batches):
+        from decimal import Decimal
+
         import numpy as np
         import pandas as pd
 
-        acc = {}  # dim -> [gram, sums, cnt]
+        acc = {}  # dim -> [gram(object), sums(object), cnt]
         for pdf in batches:
             arr = pdf.iloc[:, 0].to_numpy()
             for dim, sel in _length_groups(arr):
@@ -81,22 +112,37 @@ def _cov_partial_fn():
                     A = A[ok]
                     if A.shape[0] == 0:
                         continue
-                g = A.T @ A
-                s = A.sum(axis=0)
-                slot = acc.get(dim)
-                if slot is None:
-                    acc[dim] = [g, s, A.shape[0]]
-                else:
-                    slot[0] += g
-                    slot[1] += s
-                    slot[2] += A.shape[0]
+                Q = np.floor(A * _QUANT_SCALE)
+                # exactness proof for the int64 chunk matmul below:
+                # 1024 rows * q^2 <= 9.2e18 (int64 max) requires
+                # |q| <= 3e6*... precisely sqrt(9.2e18/1024) = 9.5e7,
+                # i.e. |x| <= ~94 at the 1e6 grid.  Gate at 3e7
+                # (|x| <= 30) for a 10x margin; real embedding
+                # coordinates are O(1)
+                if np.abs(Q).max(initial=0.0) > 3e7:
+                    raise ValueError(
+                        "covariance kernel: |coordinate| > 30 exceeds "
+                        "the exact-int64 chunk accumulation bound")
+                Qi = Q.astype(np.int64)
+                for lo in range(0, Qi.shape[0], 1024):
+                    C = Qi[lo:lo + 1024]
+                    g = (C.T @ C).astype(object)
+                    s = C.sum(axis=0, dtype=np.int64).astype(object)
+                    slot = acc.get(dim)
+                    if slot is None:
+                        acc[dim] = [g, s, C.shape[0]]
+                    else:
+                        slot[0] += g
+                        slot[1] += s
+                        slot[2] += C.shape[0]
         for d, (gram, sums, cnt) in acc.items():
             iu, ju = np.triu_indices(d)
             yield pd.DataFrame({
                 "d": np.full(iu.size, d, dtype="int32"),
                 "i": iu.astype("int32"), "j": ju.astype("int32"),
-                "sxy": gram[iu, ju],
-                "sx": sums[iu], "sy": sums[ju],
+                "sxy": [Decimal(int(v)) for v in gram[iu, ju]],
+                "sx": [Decimal(int(v)) for v in sums[iu]],
+                "sy": [Decimal(int(v)) for v in sums[ju]],
                 "n": np.full(iu.size, cnt, dtype="int64"),
             })
 
@@ -106,17 +152,21 @@ def _cov_partial_fn():
 def covariance_matrix(vecs: DataFrame, vec_col: str = "embedding",
                       round_to: int | None = 6) -> DataFrame:
     """Population covariance of the embedding coordinates:
-    (i, j, cov) for the upper triangle i <= j — identical to
-    ``COVAR_POP(e[i+1], e[j+1])`` per pair.
+    (i, j, cov) for the upper triangle i <= j — COVAR_POP over the
+    coordinates snapped to the 1e-6 `_QUANT_SCALE` grid (floor), which
+    differs from the unquantized covariance by at most ~2*max|x|*1e-6
+    per cell but is EXACT and therefore bit-identical under any
+    partitioning (the determinism contract; see `_QUANT_SCALE`).
 
-    One corpus scan: each partition's rows fold into one d x d numpy
-    Gram partial (X^T X), a coordinate-sum vector, and a count PER
+    One corpus scan: each partition's rows fold into one d x d integer
+    Gram partial (Q^T Q), a coordinate-sum vector, and a count PER
     OBSERVED DIMENSION; partials are emitted as d*(d+1)/2 upper-
     triangle rows keyed by d, so mixed-dimension corpora can never
     merge partials across dims (a 1-dim stray would otherwise corrupt
     cell (0,0)).  The merge groupBy sees #partitions * O(d^2) rows;
     after it, only the dominant dimension (largest row count) is kept.
-    cov = Sxy/n - (Sx/n)(Sy/n) is assembled after the merge.  NULL /
+    cov = (Sxy*n - Sx*Sy) / (n^2 * scale^2) is assembled after the
+    merge in one exact decimal numerator + one double divide.  NULL /
     empty vectors are skipped (same policy as `_length_groups`)."""
 
     parts = (
@@ -133,13 +183,20 @@ def merge_moment_tables(*tables: DataFrame) -> DataFrame:
     (d, i, j, sxy, sx, sy, n) — moments are exactly mergeable, which
     is what makes both the partition partials here and the streaming
     maintenance in `streaming.stats` correct.  One table just
-    re-aggregates (the partial-merge step)."""
+    re-aggregates (the partial-merge step).  Sums are DECIMAL(38,0):
+    exact and order-independent, so the merged statistic never depends
+    on the shuffle's reduce order (Spark raises on decimal overflow
+    rather than wrapping — at 1e38 that is ~1e20 rows of unit-norm
+    vectors, far past any corpus)."""
+    dec = DecimalType(38, 0)
     out = tables[0]
     for t in tables[1:]:
         out = out.unionByName(t)
     return out.groupBy("d", "i", "j").agg(
-        F.sum("sxy").alias("sxy"), F.sum("sx").alias("sx"),
-        F.sum("sy").alias("sy"), F.sum("n").alias("n"),
+        F.sum(F.col("sxy").cast(dec)).cast(dec).alias("sxy"),
+        F.sum(F.col("sx").cast(dec)).cast(dec).alias("sx"),
+        F.sum(F.col("sy").cast(dec)).cast(dec).alias("sy"),
+        F.sum("n").alias("n"),
     )
 
 
@@ -157,8 +214,17 @@ def covariance_from_moments(moments: DataFrame,
         .select("d")
     )
     merged = moments.join(best, "d")
-    cov = (F.col("sxy") / F.col("n")
-           - (F.col("sx") / F.col("n")) * (F.col("sy") / F.col("n")))
+    # numerator Sxy*n - Sx*Sy is EXACT decimal arithmetic; the single
+    # double divide mirrors the oracle expression token-for-token
+    # (CAST(numer AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+    # * 1e12)) so both engines perform the identical IEEE operations
+    # on identical inputs — bit-equal output, any partitioning
+    dec = DecimalType(38, 0)
+    numer = (F.col("sxy").cast(dec) * F.col("n").cast(dec)
+             - F.col("sx").cast(dec) * F.col("sy").cast(dec)).cast(dec)
+    n_d = F.col("n").cast("double")
+    cov = numer.cast("double") / (
+        n_d * n_d * F.lit(float(_QUANT_SCALE) * _QUANT_SCALE))
     if round_to is not None:
         cov = F.round(cov, round_to)
     return merged.select("i", "j", cov.alias("cov"))
