@@ -563,6 +563,36 @@ def test_embedding_outliers_flags_planted(spark):
     assert got[99].z == zmax and got[99].z > 2.0
 
 
+def test_outliers_and_prototypes_partition_stable(spark):
+    """Rounded outputs must not depend on the partition split (same
+    determinism contract the covariance kernel carries exactly; here
+    the float-sum jitter (~1e-12) sits 6+ orders below the 1e-4/1e-6
+    output rounding, so rounded outputs are split-invariant — this
+    test is the tripwire if an aggregate shape ever amplifies the
+    error, as covariance's Sxy*n - Sx*Sy cancellation did)."""
+    import numpy as np
+
+    from yardstick_spark.llm import embedding_outliers, label_prototypes
+
+    rng = np.random.RandomState(17)
+    rows = [(i, [float(x) for x in rng.randn(16)], i % 5)
+            for i in range(300)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    ref_out = ref_proto = None
+    for n in (1, 7, 32):
+        d = df.repartition(n)
+        out = sorted((r.id, r.label, r.dist, r.z)
+                     for r in embedding_outliers(d).collect())
+        proto = sorted((r.label, r.n_vecs, tuple(r.centroid))
+                       for r in label_prototypes(d).collect())
+        if ref_out is None:
+            ref_out, ref_proto = out, proto
+        else:
+            assert out == ref_out
+            assert proto == ref_proto
+
+
 # ---------------------------------------------------------------------------
 # Scene cuts
 # ---------------------------------------------------------------------------
