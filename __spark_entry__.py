@@ -3992,7 +3992,7 @@ def oracle_sql() -> dict[str, str]:
         FROM k a JOIN ok USING (block) JOIN k b USING (block)
         WHERE a.id < b.id
           AND abs(length(a.s) - length(b.s)) <= 1
-          AND levenshtein(a.s, b.s) = 1"""
+          AND levenshtein(a.s, b.s) <= 1"""
     o["events_pivot"] = """
         SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
                ROUND(SUM(CASE WHEN event_type = 'click' THEN value END), 2)
@@ -4032,7 +4032,7 @@ def oracle_sql() -> dict[str, str]:
                    FROM k a JOIN ok USING (block) JOIN k b USING (block)
                    WHERE a.id < b.id
                      AND abs(length(a.s) - length(b.s)) <= 1
-                     AND levenshtein(a.s, b.s) = 1),
+                     AND levenshtein(a.s, b.s) <= 1),
         edges AS (SELECT id_a AS src, id_b AS dst FROM fpairs
                   UNION SELECT id_b, id_a FROM fpairs),
         walk(src, dst) AS (

@@ -211,7 +211,7 @@ def test_fuzzy_dedup_finds_typos_not_strangers(spark):
             (2, "acme widgit"),   # 1 edit from 1
             (3, "acme wadget"),   # 1 edit from 1, 2 from 2
             (4, "zenith gadget"),  # shares no token with acme rows
-            (5, "acme widget"),   # exact dup of 1 — excluded (edit 0)
+            (5, "acme widget"),   # exact dup of 1 — edit 0, included
         ],
         "id long, name string",
     )
@@ -223,7 +223,7 @@ def test_fuzzy_dedup_finds_typos_not_strangers(spark):
     assert pairs[(1, 3)] == 1
     assert pairs[(2, 3)] == 2
     assert not any(4 in p for p in pairs)
-    assert (1, 5) not in pairs  # exact duplicates are exact_dedup's job
+    assert pairs[(1, 5)] == 0  # identical strings are the strongest dups
 
 
 def test_fuzzy_dedup_block_cap_drops_megablock(spark):
@@ -397,9 +397,8 @@ def test_fuzzy_clusters_canonical_verdict(spark):
         [
             (10, "acme widget"),
             (11, "acme widgit"),
-            (12, "acme widget"),   # exact dup of 10: no direct edge
-                                   # (edit 0) but transitively joined
-                                   # through 11 (edit 1 both ways)
+            (12, "acme widget"),   # exact dup of 10: direct edit-0
+                                   # edge (and transitively via 11)
             (20, "zen gadget"),
             (21, "zen gadget x"),  # 2 edits away — outside max_edit=1
         ],
@@ -412,7 +411,7 @@ def test_fuzzy_clusters_canonical_verdict(spark):
     }
     assert verdict[10] == (10, True)
     assert verdict[11] == (10, False)
-    assert verdict[12] == (10, False)  # via the 11<->12 edit-1 edge
+    assert verdict[12] == (10, False)  # direct edit-0 edge to 10
     assert verdict[20] == (20, True)
     assert verdict[21] == (21, True)
 

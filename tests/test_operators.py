@@ -647,6 +647,42 @@ def test_scd2_merge_invariants(spark):
     assert (1, "BOS") in cur2
 
 
+def test_scd2_merge_null_keys_are_real(spark):
+    """NULL key components are real matching values (the join is
+    eqNullSafe) — presence must come from literal side flags, not
+    key-isNotNull, or NULL-keyed rows silently vanish from the merge
+    (the round-5 advice finding: kept/closed/inserted all missed
+    them)."""
+    from yardstick_spark.operators import scd2_merge
+
+    dim = spark.createDataFrame(
+        [(None, "NY", "2020-01-01", None, True),
+         (2, "SF", "2020-01-01", None, True)],
+        "k INT, city STRING, valid_from STRING, valid_to STRING, "
+        "is_current BOOLEAN")
+    # NULL-key update changes the NULL-key current row; a second
+    # NULL-tracked-value update on key 2 must also survive
+    upd = spark.createDataFrame(
+        [(None, "CHI", "2021-06-01"), (2, None, "2021-06-01")],
+        "k INT, city STRING, ts STRING")
+    rows = sorted(
+        ((r.k, r.city, r.valid_from, r.valid_to, r.is_current)
+         for r in scd2_merge(dim, upd, ["k"], ["city"], "ts").collect()),
+        key=str)
+    assert rows == sorted([
+        (None, "NY", "2020-01-01", "2021-06-01", False),  # closed
+        (None, "CHI", "2021-06-01", None, True),          # new version
+        (2, "SF", "2020-01-01", "2021-06-01", False),
+        (2, None, "2021-06-01", None, True),
+    ], key=str)
+    # untouched NULL-key current row passes through when no update hits
+    out2 = scd2_merge(dim, spark.createDataFrame(
+        [(7, "DC", "2021-06-01")], "k INT, city STRING, ts STRING"),
+        ["k"], ["city"], "ts")
+    got = {(r.k, r.city) for r in out2.collect() if r.is_current}
+    assert got == {(None, "NY"), (2, "SF"), (7, "DC")}
+
+
 def test_scd2_lookup_point_in_time(spark):
     from yardstick_spark.operators import scd2_lookup
 

@@ -125,13 +125,15 @@ def fuzzy_dedup_pairs(
         # the expression is evaluated up to three times per candidate
         # (two predicates + the projection); banding turns ~3 full DPs
         # per candidate into ~3 cheap bands (measured 40 s -> ~3 s on
-        # 34M candidates at sf0.1).  `edit > 0` alone is the complete
-        # predicate: -1 (over threshold) and 0 (identical) both drop.
+        # 34M candidates at sf0.1).  `edit >= 0` keeps edit == 0 —
+        # identical normalized strings are the STRONGEST duplicates and
+        # the docstring promises levenshtein <= max_edit — and drops
+        # only the -1 over-threshold sentinel.
         .select(
             "id_a",
             "id_b",
             F.expr(f"levenshtein(s_a, s_b, {int(max_edit)})").alias("edit"),
         )
-        .where(F.col("edit") > 0)
+        .where(F.col("edit") >= 0)
         .distinct()
     )

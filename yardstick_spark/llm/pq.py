@@ -274,10 +274,23 @@ def pq_knn(codes: DataFrame, codebook: DataFrame, queries: DataFrame,
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adist").asc(), F.col("neighbor_id"))
+    # all m subspaces must hit the LUT: codes produced by a stale /
+    # different codebook would silently drop their unmatched subspaces
+    # from the inner join and understate adist (wrong rankings) —
+    # fail the job instead
+    n_sub = F.count(F.lit(1))
     return (
         exploded.join(F.broadcast(lut), ["sub", "code"])
         .groupBy("query_id", "neighbor_id")
-        .agg(F.round(F.sum("pdist"), round_to).alias("adist"))
+        .agg(F.round(F.sum("pdist"), round_to).alias("adist"),
+             n_sub.alias("__n_sub"))
+        .filter(
+            F.when(F.col("__n_sub") != m, F.expr(
+                f"raise_error('pq_knn: codes matched ' || __n_sub || "
+                f"' of {m} codebook subspaces - stale or mismatched "
+                "codebook')").cast("boolean"))
+            .otherwise(F.lit(True)))
+        .drop("__n_sub")
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )

@@ -44,6 +44,18 @@ def _norm_expr(col: str, lo: int, hi: int, bits: int, intdiv: str) -> str:
     agree."""
     span = max(hi - lo, 1)
     top = (1 << bits) - 1
+    # (col - lo) * top is evaluated in int64: a span beyond
+    # (2^63-1)/top (~1.4e14 at bits=16, e.g. an epoch-MICROS range)
+    # would overflow SILENTLY and corrupt every Morton key.  Exact
+    # integer arithmetic is the module's contract (bit-equal oracle),
+    # so refuse instead of degrading to lossy double normalization —
+    # callers with huge spans should pre-scale the column (micros ->
+    # seconds) or lower `bits`.
+    if span > (2 ** 63 - 1) // top:
+        raise ValueError(
+            f"zorder: span {span} of {col} * {top} overflows int64; "
+            "pre-scale the column (e.g. epoch micros -> seconds) or "
+            "reduce bits")
     return (
         f"least({top}, greatest(0, "
         f"((CAST({col} AS BIGINT) - {lo}) * {top}) {intdiv} {span}))"

@@ -84,13 +84,21 @@ def scd2_merge(dim: DataFrame, updates: DataFrame, key_cols: list[str],
         .drop("__u_n")
     )
     history = dim.filter(~F.col(current_col))
-    current = dim.filter(F.col(current_col))
+    # literal presence flags, NOT key-column isNotNull: the join is
+    # eqNullSafe precisely because NULL key components are real
+    # matching values, so a row whose first key component is NULL must
+    # still count as present on its side (key-isNotNull presence
+    # silently dropped such rows from every branch — data loss; same
+    # pattern as table_diff/incremental_agg_merge's _in_old/_in_new)
+    current = dim.filter(F.col(current_col)) \
+        .withColumn("__in_dim", F.lit(True))
+    upd_ren = upd_ren.withColumn("__in_upd", F.lit(True))
     cond = [current[c].eqNullSafe(upd_ren[f"__u_{c}"]) for c in key_cols]
     joined = current.join(upd_ren, cond, "full_outer")
     changed = ~F.expr(" AND ".join(
         f"({c} <=> __u_{c})" for c in tracked_cols))
-    has_dim = key_cols and current[key_cols[0]].isNotNull()
-    has_upd = F.col(f"__u_{key_cols[0]}").isNotNull()
+    has_dim = current["__in_dim"].isNotNull()
+    has_upd = F.col("__in_upd").isNotNull()
     # current rows: untouched (no update or identical), or closed
     kept = (joined.filter(has_dim & (~has_upd | ~changed))
             .select(*[current[c] for c in dim.columns]))

@@ -136,35 +136,66 @@ def compact_files(spark: SparkSession, path: str,
     Returns {"files_before", "files_in", "files_out", "bytes"} for the
     maintenance log.
 
-    Safe rewrite: the compacted output lands in a sibling temp dir
-    first, then atomically (per filesystem rename semantics) replaces
-    the original — a reader mid-swap sees old or new, never a mix of
-    half-written files.  Row-level content is asserted identical in
-    tests (modulo order when `sort_cols` is None)."""
+    Swap semantics (honest version): the compacted output lands in a
+    sibling temp dir first, then replaces the original via TWO
+    directory renames (old -> `__compact_old`, tmp -> path) on the
+    table's Hadoop FileSystem — HDFS/local renames are each atomic,
+    but the pair is not: a reader listing the path exactly between
+    them sees it briefly absent (not a mix of half-written files), and
+    a crash between them leaves the data parked at `__compact_old`.
+    Directory-swap without a transaction log cannot do better; tables
+    needing concurrent-reader isolation belong in a manifest format
+    (Delta/Iceberg).  A leftover `__compact_old` from a crashed run is
+    detected and refused with recovery instructions rather than
+    silently deleted.  Uses the Hadoop FileSystem API throughout, so
+    any supported scheme (hdfs://, file://, s3a with its rename
+    caveats) works — not just the local filesystem.  Row-level content
+    is asserted identical in tests (modulo order when `sort_cols` is
+    None)."""
     import math
-    import shutil
-    from pathlib import Path
 
-    p = Path(path)
-    files = [f for f in p.rglob("*.parquet") if f.is_file()]
-    n_before = len(files)
-    total = sum(f.stat().st_size for f in files)
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(conf)
+    parent = hpath.getParent()
+    name = hpath.getName()
+    bak = jvm.org.apache.hadoop.fs.Path(parent, name + "__compact_old")
+    tmp = jvm.org.apache.hadoop.fs.Path(parent, name + "__compact_tmp")
+    if fs.exists(bak):
+        raise RuntimeError(
+            f"compact_files: leftover {bak} from a crashed swap — "
+            f"recover by renaming it back over {path} (if the table "
+            "is missing) or deleting it (if the table is complete)")
+
+    n_before, total = 0, 0
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        st = it.next()
+        if st.getPath().getName().endswith(".parquet"):
+            n_before += 1
+            total += st.getLen()
     n_out = target_files or max(
         1, math.ceil(total / (max(1, target_file_mb) * 1024 * 1024)))
     df = spark.read.parquet(path)
-    tmp = str(p.with_name(p.name + "__compact_tmp"))
     if sort_cols:
         cols = [df[c] for c in sort_cols]
         (df.repartitionByRange(n_out, *cols)
          .sortWithinPartitions(*sort_cols)
-         .write.mode("overwrite").parquet(tmp))
+         .write.mode("overwrite").parquet(str(tmp)))
     else:
-        df.repartition(n_out).write.mode("overwrite").parquet(tmp)
-    bak = str(p.with_name(p.name + "__compact_old"))
-    shutil.move(str(p), bak)
-    shutil.move(tmp, str(p))
-    shutil.rmtree(bak)
-    n_after = len([f for f in Path(path).rglob("*.parquet")
-                   if f.is_file()])
+        df.repartition(n_out).write.mode("overwrite").parquet(str(tmp))
+    if not fs.rename(hpath, bak):
+        raise RuntimeError(f"compact_files: rename {path} -> {bak} failed")
+    if not fs.rename(tmp, hpath):
+        # put the original back before failing — no data loss window
+        fs.rename(bak, hpath)
+        raise RuntimeError(f"compact_files: rename {tmp} -> {path} failed")
+    fs.delete(bak, True)
+    n_after = 0
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(".parquet"):
+            n_after += 1
     return {"files_before": n_before, "files_in": n_before,
             "files_out": n_after, "bytes": total}
