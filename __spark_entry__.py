@@ -2120,11 +2120,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     full = dict(r4_new)
     full.update({k: v for k, v in out.items() if k not in full})
-    lead = [k for k in (*_R5_NEW, *_R5_STALE_R2, *_R5_STALE_R3)
-            if k in full]
-    seen = set(lead)
+    lead = [k for k in (*_R6_LEAD, *_R5_NEW, *_R5_STALE_R2,
+                        *_R5_STALE_R3) if k in full]
+    seen = set()
+    lead = [k for k in lead if not (k in seen or seen.add(k))]
     return {k: full[k] for k in (*lead, *(k for k in full
                                           if k not in seen))}
+
+
+# Round-6 driver-window rotation (the driver checks the FIRST 50
+# entries): (1) the 5 entries that landed after the r5 window was set
+# and so have never had a driver correctness row; (2) the 3 entries
+# whose semantics/oracles changed this round (emb_covariance's
+# exact-integer determinism fix — the one red r5 row — and the fuzzy
+# pair set now including edit==0); (3) new round-6 operators; then the
+# r4-green block whose last driver row is two rounds old fills the
+# remaining slots.  Every inventory entry additionally gets a local
+# ORACLE_SWEEP_r6 row.
+_R6_LEAD: list[str] = [
+    # never driver-oracled (landed after the r5 window was fixed)
+    "ops_asof_forward", "ops_window_distinct", "sim_knn_lsh_persisted",
+    "ops_skew_report", "text_bigram_logprob",
+    # changed this round
+    "emb_covariance", "dedup_fuzzy", "dedup_fuzzy_clusters",
+    # round-6 additions go here as they land
+    # r4-stale refresh (last green driver row dates from round 4)
+    "text_repetition", "text_source_quota", "text_tfidf",
+    "dedup_incremental", "text_split", "mm_stats", "text_pack",
+    "events_json", "pipeline_curation_full", "text_fp_overlap",
+    "text_corpus_report", "events_funnel", "emb_stats",
+    "events_retention", "tpch_q12", "m_having", "m_multifact",
+    "m_fanout_immunity", "m_nd_count_distinct", "m_nd_median",
+    "m_nd_at_all", "m_cte", "m_groupby_all", "m_topk", "m_rollup",
+    "m_window_measure", "m_row_level_listing12", "tpch_q1", "tpch_q3",
+    "tpch_q5", "tpch_q6", "tpch_q4", "tpch_q7", "tpch_q10", "tpch_q14",
+    "tpch_q18", "tpch_q19", "tpch_q8", "tpch_q13", "tpch_q15",
+    "tpch_q17", "ops_window_running", "ops_percentiles", "tpch_q22",
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+    "dedup_simhash", "dedup_simhash_pairs", "dedup_clusters",
+]
 
 
 # Round-5 driver-window rotation (the driver's correctness gate
