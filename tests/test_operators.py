@@ -567,14 +567,16 @@ def test_profile_table_single_scan_and_nulls(spark):
     rows = {(r["column_name"], r["metric"]): r["value"]
             for r in profile_table(allnull).collect()}
     assert rows[("x", "min")] == "NULL" and rows[("x", "max")] == "NULL"
-    # plan shape: one base scan (both columns) + one PRUNED scan per
-    # distinct count — never the (k+1)x expand of a fused multi-distinct
+    # plan shape: exactly TWO pruned scans regardless of column count
+    # (base metrics + the (column, value) pair expand feeding ONE
+    # two-phase distinct aggregate) — never k per-column jobs and
+    # never Spark's (k+1)x multi-distinct Expand
     li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     prof = profile_table(li, ["l_orderkey", "l_quantity"])
     scans = read_schema_columns(prof)
-    assert len(scans) == 3
+    assert len(scans) == 2
     assert sorted(map(tuple, scans)) == [
-        ("l_orderkey",), ("l_orderkey", "l_quantity"), ("l_quantity",)]
+        ("l_orderkey", "l_quantity"), ("l_orderkey", "l_quantity")]
     from yardstick_spark.plans import explain_str
 
     assert "Expand" not in explain_str(prof)
