@@ -99,31 +99,38 @@ def scd2_merge(dim: DataFrame, updates: DataFrame, key_cols: list[str],
         f"({c} <=> __u_{c})" for c in tracked_cols))
     has_dim = current["__in_dim"].isNotNull()
     has_upd = F.col("__in_upd").isNotNull()
-    # current rows: untouched (no update or identical), or closed
-    kept = (joined.filter(has_dim & (~has_upd | ~changed))
-            .select(*[current[c] for c in dim.columns]))
-    closed = (
-        joined.filter(has_dim & has_upd & changed)
-        .select(*[current[c] for c in dim.columns
-                  if c not in (valid_to, current_col)],
-                F.col("__u_ts").alias(valid_to),
-                F.lit(False).alias(current_col))
-        .select(*dim.columns)
+    # ONE pass over the join output: a union of three filtered
+    # projections would make Catalyst re-execute the join (and the
+    # update-batch window guard) three times — measured 6 exchanges
+    # at 10x scale.  Instead each joined row conditionally emits its
+    # 1-2 output rows (kept | closed+new version | insert) as an
+    # array of dim-schema structs, exploded in the same stage: one
+    # window shuffle + one join, total.
+    types = {f.name: f.dataType for f in dim.schema.fields}
+    kept_s = F.struct(*[current[c].alias(c) for c in dim.columns])
+    closed_s = F.struct(
+        *[(F.col("__u_ts").cast(types[valid_to]).alias(c)
+           if c == valid_to else
+           F.lit(False).alias(c) if c == current_col else
+           current[c].alias(c))
+          for c in dim.columns])
+    inserted_s = F.struct(
+        *[(F.col(f"__u_{c}").cast(types[c]).alias(c)
+           if c in key_cols or c in tracked_cols else
+           F.col("__u_ts").cast(types[valid_from]).alias(c)
+           if c == valid_from else
+           F.lit(None).cast(types[valid_to]).alias(c)
+           if c == valid_to else
+           F.lit(True).alias(c))
+          for c in dim.columns])
+    rows = (
+        F.when(has_dim & (~has_upd | ~changed), F.array(kept_s))
+        .when(has_dim & has_upd & changed, F.array(closed_s, inserted_s))
+        .otherwise(F.array(inserted_s))
     )
-    inserted = (
-        joined.filter(has_upd & (~has_dim | changed))
-        .select(
-            *[F.col(f"__u_{c}").alias(c) for c in key_cols],
-            *[F.col(f"__u_{c}").alias(c) for c in tracked_cols],
-            F.col("__u_ts").alias(valid_from),
-            F.lit(None).cast(dim.schema[valid_to].dataType)
-            .alias(valid_to),
-            F.lit(True).alias(current_col),
-        )
-        .select(*dim.columns)
-    )
-    return history.unionByName(kept).unionByName(closed) \
-                  .unionByName(inserted)
+    merged = (joined.select(F.explode(rows).alias("__r"))
+              .select(*[F.col(f"__r.{c}").alias(c) for c in dim.columns]))
+    return history.unionByName(merged)
 
 
 def scd2_lookup(facts: DataFrame, dim: DataFrame, key_cols: list[str],
