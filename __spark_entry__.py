@@ -357,25 +357,25 @@ _MEASURE_QUERIES: dict[str, str] = {
     ),
     # q18: large-volume orders (IN subquery with HAVING)
     "tpch_q18": (
-        # the qualifying-orders set is a JOIN against a named CTE, not
-        # an IN-subquery: Catalyst pushes an IN-predicate into BOTH
-        # sides of the orders x lineitem join, duplicating the full
-        # lineitem aggregation (two scans, two agg exchanges, two
-        # sort-merge semis — measured 5.0 s at 10x sf0.1).  The CTE
-        # computes it ONCE and the HAVING filter makes it tiny, so AQE
-        # broadcasts it to both consumers (1.7 s, identical rows).
-        # Legal because GROUP BY keys are unique — JOIN == IN here.
-        "WITH bigord AS (SELECT l_orderkey AS bokey FROM lineitem "
+        # round-5 form joined raw lineitem BACK against the
+        # qualifying-orders CTE and re-aggregated — but the CTE's
+        # per-order SUM(l_quantity) IS the output quantity (GROUP BY
+        # keys are unique per order), so the second lineitem
+        # scan+shuffle+agg was pure duplication.  One lineitem
+        # aggregate (the query's only fact exchange), HAVING shrinks
+        # it to ~dozens of rows, then orders and customer attach as
+        # joins AQE broadcasts.  10x: 1.7 s / 4 exchanges / 2 fact
+        # scans -> 0.8 s / 3 exchanges / 1 fact scan, identical rows;
+        # the exchange count is now the join graph's minimum (1 fact
+        # agg + broadcasts + top-k).
+        "WITH osum AS (SELECT l_orderkey AS bokey, "
+        "ROUND(SUM(l_quantity), 2) AS sum_qty FROM lineitem "
         "GROUP BY l_orderkey HAVING SUM(l_quantity) > 150) "
         "SELECT c.c_name AS cname, c.c_custkey AS custkey, "
         "o.o_orderkey AS okey, CAST(o.o_orderdate AS STRING) AS odate, "
-        "ROUND(o.o_totalprice, 2) AS total, "
-        "ROUND(SUM(l.l_quantity), 2) AS sum_qty "
-        "FROM orders o JOIN bigord ON o.o_orderkey = bokey "
+        "ROUND(o.o_totalprice, 2) AS total, sum_qty "
+        "FROM osum JOIN orders o ON o.o_orderkey = bokey "
         "JOIN customer c ON c.c_custkey = o.o_custkey "
-        "JOIN lineitem l ON o.o_orderkey = l.l_orderkey "
-        "GROUP BY c.c_name, c.c_custkey, o.o_orderkey, "
-        "CAST(o.o_orderdate AS STRING), ROUND(o.o_totalprice, 2) "
         "ORDER BY total DESC, okey LIMIT 100"
     ),
     # q19: OR-of-ANDs pushdown across a fact-dim join
@@ -606,29 +606,37 @@ _MEASURE_QUERIES: dict[str, str] = {
     # supplier was late (EXISTS + NOT EXISTS; lateness = shipped more
     # than 60 days after order date, testdata has no receipt/commit dates)
     "tpch_q21": (
-        # EXISTS/NOT-EXISTS collapsed into ONE per-order aggregate:
-        # Spark plans the subqueries as two extra lineitem scans + two
-        # sort-merge semi/anti joins (3 fact scans total).  Per order,
-        # n_supp >= 2 <=> EXISTS another supplier, and (given l1 late)
-        # n_late = 1 <=> NOT EXISTS another LATE supplier — so one
-        # distinct-count aggregate replaces both correlated subqueries
-        # (2 fact scans, one semi-join becomes a small broadcast join;
-        # 3.4 s -> 1.7 s at 10x sf0.1, identical rows).  The DuckDB
-        # oracle keeps the textbook EXISTS form as the spec.
-        "WITH ostat AS (SELECT l_orderkey AS okey, "
-        "COUNT(DISTINCT l_suppkey) AS n_supp, "
-        "COUNT(DISTINCT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY "
-        "THEN l_suppkey END) AS n_late "
+        # EXISTS/NOT-EXISTS collapsed into ONE per-order-supplier
+        # aggregate over ONE fact pass.  Round-5 still scanned
+        # lineitem twice (ostat + the l1 probe side) with a distinct
+        # aggregate costing a double exchange.  Key insight: the
+        # waiting supplier IS a row of the per-(order, supplier)
+        # aggregate (late = 1 on an order with n_supp >= 2, n_late =
+        # 1), so no separate l1 join is needed.  The explicit
+        # REPARTITION(l_orderkey) below the aggregate makes ONE
+        # okey-clustered shuffle serve the (okey, skey) groupBy
+        # (subset-clustering satisfies it) AND the per-okey windows —
+        # Spark's default would shuffle on (okey, skey) and again on
+        # okey for the window.  Trade documented: the repartition
+        # forgoes map-side partial-agg combining, a small factor for
+        # (order, supplier) grain (<= 7 lines) vs a whole extra fact
+        # shuffle.  10x: 2.9 s / 3 fact exchanges / 2 fact scans ->
+        # 0.8 s / 1 fact exchange / 1 fact scan, identical rows.  The
+        # DuckDB oracle keeps the textbook EXISTS form as the spec.
+        "WITH src AS (SELECT /*+ REPARTITION(l_orderkey) */ "
+        "l_orderkey, l_suppkey, "
+        "CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY "
+        "THEN 1 ELSE 0 END AS is_late "
         "FROM lineitem JOIN orders ON o_orderkey = l_orderkey "
-        "WHERE o_orderstatus = 'F' GROUP BY l_orderkey) "
+        "WHERE o_orderstatus = 'F'), "
+        "per AS (SELECT l_orderkey AS okey, l_suppkey AS skey, "
+        "MAX(is_late) AS late FROM src GROUP BY l_orderkey, l_suppkey), "
+        "stat AS (SELECT skey, late, "
+        "COUNT(*) OVER (PARTITION BY okey) AS n_supp, "
+        "SUM(late) OVER (PARTITION BY okey) AS n_late FROM per) "
         "SELECT s.s_name AS sname, COUNT(*) AS numwait "
-        "FROM supplier s "
-        "JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey "
-        "JOIN orders o ON o.o_orderkey = l1.l_orderkey "
-        "JOIN ostat ON ostat.okey = l1.l_orderkey "
-        "WHERE o.o_orderstatus = 'F' "
-        "AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY "
-        "AND ostat.n_supp >= 2 AND ostat.n_late = 1 "
+        "FROM stat JOIN supplier s ON s.s_suppkey = skey "
+        "WHERE late = 1 AND n_supp >= 2 AND n_late = 1 "
         "GROUP BY s.s_name "
         "ORDER BY numwait DESC, sname LIMIT 20"
     ),

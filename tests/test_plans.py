@@ -306,6 +306,30 @@ def test_tpch_dim_joins_broadcast(spark):
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
 
+def test_q18_q21_single_fact_exchange(spark):
+    # round-6 audit outcome (SCALING.md): both plans carry exactly ONE
+    # exchange of fact-proportional data — q18's per-order aggregate,
+    # q21's REPARTITION(l_orderkey) serving the (okey, skey) groupBy
+    # AND the per-okey windows — and exactly one lineitem scan each.
+    # A second fact scan or fact-keyed exchange is the regression the
+    # two queries shipped with until round 5.
+    import re
+
+    import __spark_entry__ as entry
+    from yardstick_spark.plans import explain_str
+
+    sf = "/root/testdata/sf0.001"
+    qs = entry.queries()
+    for name in ("tpch_q18", "tpch_q21"):
+        plan = explain_str(qs[name](spark, sf))
+        li_scans = len(re.findall(r"ReadSchema: [^\n]*\bl_orderkey\b",
+                                  plan))
+        assert li_scans == 1, f"{name}: {li_scans} lineitem scans"
+        fact_ex = len(re.findall(
+            r"Exchange hashpartitioning\((?:l_orderkey|okey)\b", plan))
+        assert fact_ex <= 1, f"{name}: {fact_ex} fact exchanges"
+
+
 def test_mining_and_quantized_plans(spark):
     # hard negatives / quantized kNN keep the kNN plan contract: the
     # anchor/query side broadcasts (corpus rows never shuffle for
