@@ -125,13 +125,19 @@ def test_knn_topk_prunes_map_side(spark):
     from yardstick_spark.llm import (
         brute_force_knn, ivf_knn_seeded, lsh_bucketed_knn,
     )
-    from yardstick_spark.plans import has_partial_topk
+    from yardstick_spark.plans import has_partial_topk, is_folded_scan
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     q = emb.filter("vec_id < 5")
     for fn in (brute_force_knn, lsh_bucketed_knn, ivf_knn_seeded):
         df = fn(emb, q, k=10)
         assert has_partial_topk(df), f"{fn.__name__}: top-k not pruned map-side"
+        # default strategy is the folded single-scan shape: ONE
+        # mapInPandas (bucket/cell assign + score + partition top-k),
+        # no candidate join anywhere in the plan
+        assert is_folded_scan(df), f"{fn.__name__}: not a folded scan"
+        dj = fn(emb, q, k=10, strategy="join")
+        assert has_partial_topk(dj), f"{fn.__name__}: join path lost top-k"
 
 
 def test_dedup_verification_join_broadcast_policy(spark):
@@ -338,7 +344,9 @@ def test_mining_and_quantized_plans(spark):
         hard_negatives, label_medoids, quantization_params,
         quantize_embeddings, quantized_knn,
     )
-    from yardstick_spark.plans import has_broadcast_join, has_partial_topk
+    from yardstick_spark.plans import (
+        has_broadcast_join, has_partial_topk, is_folded_scan,
+    )
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     hn = hard_negatives(emb, emb.filter("vec_id < 5"), k=5)
@@ -347,7 +355,9 @@ def test_mining_and_quantized_plans(spark):
     params = quantization_params(emb)
     qv = quantize_embeddings(emb, params=params)
     qk = quantized_knn(qv, qv.filter("vec_id < 5"), params, k=10)
-    assert has_broadcast_join(qk)
+    # quantized_knn rides brute_force_knn, whose default is now the
+    # folded single-scan shape (queries in the Arrow closure, no join)
+    assert is_folded_scan(qk) or has_broadcast_join(qk)
     assert has_partial_topk(qk)
     # medoids: the labels-row centroid table broadcasts; per-label
     # argmax prunes map-side

@@ -776,3 +776,58 @@ def test_skew_report_values_and_null_handling(spark):
     assert rep["warm"] == (30, 0.3, 3)
     # a uniform key needs no salt
     assert rep["c1"][2] == 1
+
+
+def test_folded_knn_matches_join_path(spark):
+    # the folded single-scan kNN (queries/centroids/signs in the Arrow
+    # closure, per-partition top-k) must be BIT-IDENTICAL to the
+    # join-based reference path for every variant — same md5-parity
+    # signs, same sequential per-dimension float fold, same tie rules
+    from yardstick_spark.llm import (
+        brute_force_knn, ivf_knn_seeded, lsh_bucketed_knn,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter("vec_id < 5")
+    cases = [
+        (brute_force_knn, {}),
+        (lsh_bucketed_knn, {}),
+        (lsh_bucketed_knn, {"n_probes": 3}),
+        (ivf_knn_seeded, {"n_lists": 8, "n_probe": 3}),
+    ]
+    for fn, kw in cases:
+        fold = sorted(map(tuple,
+                          fn(emb, q, k=10, strategy="fold", **kw).collect()))
+        join = sorted(map(tuple,
+                          fn(emb, q, k=10, strategy="join", **kw).collect()))
+        assert fold == join, f"{fn.__name__}{kw}: fold != join"
+    # partition-stability: the per-partition top-k compaction must not
+    # change the global result under any input layout
+    for n in (1, 3, 32):
+        alt = sorted(map(tuple, brute_force_knn(
+            emb.repartition(n), q, k=10).collect()))
+        ref = sorted(map(tuple, brute_force_knn(emb, q, k=10).collect()))
+        assert alt == ref, f"repartition({n}) changed brute_force_knn"
+
+
+def test_folded_knn_edge_cases(spark):
+    # empty query side -> empty result with the right schema; NULL
+    # query vectors: brute keeps them (all-NULL sims, like the SQL
+    # path), LSH/IVF drop them (their probe explode yields no rows)
+    from yardstick_spark.llm import (
+        brute_force_knn, ivf_knn_seeded, lsh_bucketed_knn,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    empty = emb.filter("vec_id < 0")
+    for fn in (brute_force_knn, lsh_bucketed_knn, ivf_knn_seeded):
+        res = fn(emb, empty, k=5)
+        assert res.count() == 0
+        assert [f.name for f in res.schema.fields] == [
+            "query_id", "neighbor_id", "sim", "rank"]
+    nullq = spark.createDataFrame(
+        [(9999, None)], "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    b = brute_force_knn(emb, nullq, k=3).collect()
+    assert len(b) == 3 and all(r.sim is None for r in b)
+    assert lsh_bucketed_knn(emb, nullq, k=3).count() == 0
+    assert ivf_knn_seeded(emb, nullq, k=3).count() == 0

@@ -89,12 +89,12 @@ def seed_centroids(corpus: DataFrame, id_col: str = "vec_id",
         F.expr(_as_vec(vec_col)).alias("arr"),
         F.expr(f"pmod({h}, {n_lists})").alias("cell"),
     )
-    # cell is a pure function of id, so joining on id alone is exact
-    seeds = (b.groupBy("cell").agg(F.min("id").alias("seed_id"))
-             .select("seed_id"))
-    return (
-        b.join(F.broadcast(seeds), b.id == seeds.seed_id)
-        .select("cell", F.col("arr").alias("centroid"))
+    # min_by fetches the min-id row's vector inside the same map-side-
+    # combined aggregation — one shuffle of n_lists rows, no join back
+    # (ids are unique, so min_by ties cannot arise and the result is
+    # identical to the former min-id + join-back formulation)
+    return b.groupBy("cell").agg(
+        F.expr("min_by(arr, id)").alias("centroid")
     )
 
 
@@ -272,9 +272,49 @@ def assign_cells(vectors: DataFrame, cent_df: DataFrame, n_lists: int,
     return vectors.withColumn("cell", F.expr(assign))
 
 
+def _ivf_key_closure(cells, mat):
+    """Worker-side nearest-centroid key for the folded IVF path — the
+    same `_sq_dists` matmul identity and first-argmin (lowest cell)
+    tie rule as `_assign_cell_udf`, so assignments are identical."""
+    mat_sq = (mat * mat).sum(axis=1)
+
+    def key(dim, C):
+        import numpy as np
+
+        if dim != mat.shape[1]:
+            # dim-mismatched rows get a cell no query probes
+            return np.full(len(C), -1, dtype=np.int64)
+        res = np.empty(len(C), dtype=np.int64)
+        for s in range(0, len(C), _CHUNK_ROWS):
+            d2 = _sq_dists(C[s:s + _CHUNK_ROWS], mat, mat_sq)
+            res[s:s + _CHUNK_ROWS] = cells[np.argmin(d2, axis=1)]
+        return res
+
+    return key
+
+
+def _ivf_probe_map(Q, cells, mat, n_probe: int):
+    """key -> query-index array: each query probes its n_probe nearest
+    cells ordered by (d2, cell) — the same lexsort rule as
+    `_probe_cells_udf`."""
+    import numpy as np
+
+    qmap: dict = {}
+    if Q is None or mat.size == 0 or Q.shape[1] != mat.shape[1]:
+        return qmap
+    mat_sq = (mat * mat).sum(axis=1)
+    d2 = _sq_dists(Q, mat, mat_sq)
+    for qi, row in enumerate(d2):
+        order = np.lexsort((cells, row))[:n_probe]
+        for c in cells[order]:
+            qmap.setdefault(int(c), []).append(qi)
+    return {c: np.array(v) for c, v in qmap.items()}
+
+
 def ivf_knn_seeded(corpus: DataFrame, queries: DataFrame, k: int = 10,
                    id_col: str = "vec_id", vec_col: str = "embedding",
-                   n_lists: int = 16, n_probe: int = 4) -> DataFrame:
+                   n_lists: int = 16, n_probe: int = 4,
+                   strategy: str = "fold") -> DataFrame:
     """Approximate top-k cosine neighbors over a deterministically
     seeded IVF index (see `seed_centroids`).
 
@@ -290,8 +330,26 @@ def ivf_knn_seeded(corpus: DataFrame, queries: DataFrame, k: int = 10,
     rank window that Spark executes with a map-side partial
     WindowGroupLimit — each scan task forwards at most k rows per
     query, so no reducer sees corpus-proportional input.
+
+    strategy="fold" (default): cell assignment, probe lookup, scoring
+    and the per-partition top-k all run inside ONE mapInPandas over
+    the corpus (`similarity._folded_knn`) with the centroid matrix and
+    query matrix in the closure — no candidate join, no separate
+    assignment stage; identical assignments (same `_sq_dists` +
+    first-argmin rule) and bit-identical sims.  strategy="join": the
+    assign + probe-join reference path.
     """
     cent_df = seed_centroids(corpus, id_col, vec_col, n_lists)
+    if strategy == "fold":
+        from .similarity import _collect_query_matrix, _folded_knn
+
+        cells, mat = _centroid_matrix(cent_df)
+        qids, Q, qn = _collect_query_matrix(
+            queries, id_col, vec_col, keep_null_vecs=False)
+        qmap = _ivf_probe_map(Q, cells, mat, n_probe) if qids else {}
+        return _folded_knn(corpus, queries, k, id_col, vec_col, 4,
+                           _ivf_key_closure(cells, mat), qmap,
+                           qids, Q, qn)
     corpus_sel = corpus.select(
         F.col(id_col).alias("id"),
         F.expr(_as_vec(vec_col)).alias("arr"),

@@ -10,6 +10,7 @@ from .inspect import (  # noqa: F401
     explain_str,
     has_broadcast_join,
     has_partial_topk,
+    is_folded_scan,
     pushed_filters,
     read_schema_columns,
     whole_stage_codegen_ids,

@@ -46,6 +46,16 @@ def whole_stage_codegen_ids(df: DataFrame) -> int:
     return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", explain_str(df))))
 
 
+def is_folded_scan(df: DataFrame) -> bool:
+    """True if the plan is the folded kNN shape: an Arrow mapInPandas
+    over the scan carries the query matrix in its closure and there is
+    NO join at all — strictly stronger than the broadcast-join
+    contract (corpus rows never shuffle for scoring, and the query
+    side never even becomes a plan node)."""
+    txt = explain_str(df)
+    return "MapInPandas" in txt and "Join" not in txt
+
+
 def has_partial_topk(df: DataFrame) -> bool:
     """True if the rank-window top-k is pruned map-side before the
     shuffle (InferWindowGroupLimit): a WindowGroupLimit in Partial mode
