@@ -733,6 +733,21 @@ def _q_dedup_minhash(spark, sf_dir):
     )
 
 
+def _q_dedup_lines(spark, sf_dir):
+    # CCNet-style line-level boilerplate removal with reassembly
+    from yardstick_spark.llm import remove_duplicate_lines
+
+    return remove_duplicate_lines(_docs(spark, sf_dir), min_docs=2)
+
+
+def _q_split_leakage(spark, sf_dir):
+    # near-dup pairs crossing train/val/test split boundaries
+    from yardstick_spark.llm import split_leakage
+
+    return split_leakage(_docs(spark, sf_dir), _SPLIT_W, k=5,
+                         threshold=0.8)
+
+
 def _q_dedup_simhash(spark, sf_dir):
     from yardstick_spark.llm import simhash64
 
@@ -945,9 +960,9 @@ def _q_text_split(spark, sf_dir):
     )
 
 
-def _split_oracle() -> str:
+def _split_case_sql(idc: str) -> str:
     # mirror split_corpus's CASE ladder with bit-identical thresholds
-    u = ("(CAST(CONCAT('0x', SUBSTRING(md5(CAST(doc_id AS VARCHAR) || ''), "
+    u = (f"(CAST(CONCAT('0x', SUBSTRING(md5(CAST({idc} AS VARCHAR) || ''), "
          "1, 15)) AS BIGINT) % 1000000) / 1000000.0")
     total = sum(_SPLIT_W.values())
     names = list(_SPLIT_W)
@@ -956,7 +971,12 @@ def _split_oracle() -> str:
         acc += _SPLIT_W[name] / total
         expr += f" WHEN {u} < {acc!r} THEN '{name}'"
     expr += f" ELSE '{names[-1]}' END"
-    return f"SELECT doc_id, source, {expr} AS split FROM documents"
+    return expr
+
+
+def _split_oracle() -> str:
+    return (f"SELECT doc_id, source, {_split_case_sql('doc_id')} AS split "
+            "FROM documents")
 
 
 def _q_emb_stats(spark, sf_dir):
@@ -2117,6 +2137,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_exact": _q_dedup_exact,
             "dedup_ngram_jaccard": _q_dedup_ngram,
             "dedup_minhash_lsh": _q_dedup_minhash,
+            "dedup_lines": _q_dedup_lines,
+            "ops_split_leakage": _q_split_leakage,
             "dedup_simhash": _q_dedup_simhash,
             "dedup_simhash_pairs": _q_dedup_simhash_pairs,
             "dedup_clusters": _q_dedup_clusters,
@@ -2152,6 +2174,7 @@ _R6_LEAD: list[str] = [
     # changed this round
     "emb_covariance", "dedup_fuzzy", "dedup_fuzzy_clusters",
     # round-6 additions go here as they land
+    "dedup_lines", "ops_split_leakage",
     # r4-stale refresh (last green driver row dates from round 4)
     "text_repetition", "text_source_quota", "text_tfidf",
     "dedup_incremental", "text_split", "mm_stats", "text_pack",
@@ -4322,4 +4345,35 @@ def oracle_sql() -> dict[str, str]:
                ROUND(log10(1 + 1 / digit), 6) AS benford,
                ROUND(n / tot - log10(1 + 1 / digit), 6) AS delta
         FROM g, t"""
+    # CCNet line dedup: frequent normalized lines dropped everywhere,
+    # documents reassembled in original line order
+    o["dedup_lines"] = """
+        WITH ex AS (SELECT doc_id,
+                      generate_subscripts(string_split("text", chr(10)), 1)
+                        AS pos,
+                      unnest(string_split("text", chr(10))) AS line
+                    FROM documents WHERE "text" IS NOT NULL),
+        keyed AS (SELECT doc_id, pos, line,
+                    regexp_replace(lower(trim(line)), '\\s+', ' ', 'g') AS k
+                  FROM ex),
+        freq AS (SELECT k FROM keyed WHERE k <> ''
+                 GROUP BY k HAVING COUNT(DISTINCT doc_id) >= 2)
+        SELECT keyed.doc_id,
+               COALESCE(string_agg(line, chr(10) ORDER BY pos)
+                        FILTER (WHERE freq.k IS NULL), '') AS clean_text,
+               COUNT(*) AS n_lines,
+               CAST(COALESCE(SUM(CASE WHEN freq.k IS NOT NULL
+                                      THEN 1 ELSE 0 END), 0) AS BIGINT)
+                 AS n_dropped
+        FROM keyed LEFT JOIN freq ON keyed.k = freq.k
+        GROUP BY keyed.doc_id"""
+    # split leakage: the exact n-gram-Jaccard pair SQL, each side
+    # assigned its split by the same md5 CASE ladder, cross-split only
+    o["ops_split_leakage"] = f"""
+        WITH p AS ({o['dedup_ngram_jaccard']})
+        SELECT id_a, id_b, jaccard,
+               {_split_case_sql('id_a')} AS split_a,
+               {_split_case_sql('id_b')} AS split_b
+        FROM p
+        WHERE {_split_case_sql('id_a')} <> {_split_case_sql('id_b')}"""
     return o

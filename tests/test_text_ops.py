@@ -768,3 +768,72 @@ def test_containment_exact_vs_bruteforce(spark):
         if c >= 0.7:
             want[(i, j)] = round(c, 6)
     assert got == want
+
+
+def test_remove_duplicate_lines(spark):
+    # CCNet-style: a line whose normalized form appears in >= min_docs
+    # distinct docs is removed from EVERY doc; order and empty lines
+    # are preserved; within-doc repeats alone don't trigger removal
+    from yardstick_spark.llm import remove_duplicate_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Subscribe now!\nreal content one\n\nmore text"),
+            (2, "subscribe   NOW!\nreal content two"),
+            (3, "solo line\nsolo line"),  # repeats only within one doc
+            (4, None),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    out = {r.doc_id: r for r in remove_duplicate_lines(docs).collect()}
+    assert 4 not in out  # NULL text contributes no row
+    # "Subscribe now!" normalizes equal across docs 1+2 -> dropped
+    assert out[1].clean_text == "real content one\n\nmore text"
+    assert (out[1].n_lines, out[1].n_dropped) == (4, 1)
+    assert out[2].clean_text == "real content two"
+    assert (out[2].n_lines, out[2].n_dropped) == (2, 1)
+    # within-doc repetition is not corpus boilerplate
+    assert out[3].clean_text == "solo line\nsolo line"
+    assert out[3].n_dropped == 0
+    # all-dropped doc reassembles to '' (not NULL)
+    both = spark.createDataFrame(
+        [(1, "same"), (2, "same")], "doc_id BIGINT, text STRING")
+    res = {r.doc_id: r.clean_text
+           for r in remove_duplicate_lines(both).collect()}
+    assert res == {1: "", 2: ""}
+
+
+def test_remove_duplicate_lines_partition_stable(spark):
+    from yardstick_spark.llm import remove_duplicate_lines
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ref = sorted(map(tuple, remove_duplicate_lines(docs).collect()))
+    for n in (1, 7):
+        alt = sorted(map(tuple, remove_duplicate_lines(
+            docs.repartition(n)).collect()))
+        assert alt == ref
+
+
+def test_split_leakage(spark):
+    # two near-identical docs that md5-land in different splits must be
+    # reported exactly once, with their split labels
+    from yardstick_spark.llm import split_corpus, split_leakage
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    leaks = split_leakage(docs, w, k=5, threshold=0.8).collect()
+    assigned = {r.doc_id: r.split
+                for r in split_corpus(docs, w).collect()}
+    for r in leaks:
+        assert r.split_a != r.split_b
+        # split labels must agree with split_corpus's assignment
+        assert assigned[r.id_a] == r.split_a
+        assert assigned[r.id_b] == r.split_b
+        assert r.jaccard >= 0.8
+    # consistency: every cross-split near-dup pair is reported
+    from yardstick_spark.llm import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(docs, k=5, threshold=0.8).collect()
+    expect = {(p.id_a, p.id_b) for p in pairs
+              if assigned[p.id_a] != assigned[p.id_b]}
+    assert {(r.id_a, r.id_b) for r in leaks} == expect

@@ -31,6 +31,7 @@ from .dedup import (  # noqa: F401
     minhash_lsh_pairs,
     ngram_containment_pairs,
     ngram_jaccard_pairs,
+    remove_duplicate_lines,
     simhash64,
     simhash_pairs,
 )
@@ -125,6 +126,7 @@ from .text import (  # noqa: F401
     sample_weighted,
     source_quota,
     split_corpus,
+    split_leakage,
     stratified_sample,
     temperature_mixture_weights,
     tfidf_terms,

@@ -96,6 +96,63 @@ def exact_dedup(docs: DataFrame, text_col: str = "text",
     )
 
 
+def remove_duplicate_lines(docs: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", min_docs: int = 2,
+                           delimiter: str = "\n") -> DataFrame:
+    """CCNet-style line-level dedup (Wenzek et al. 2020): a line whose
+    normalized form appears in >= `min_docs` DISTINCT documents is
+    boilerplate (headers, navigation, license blurbs) and is removed
+    from EVERY document; the cleaned corpus is reassembled in original
+    line order.  Returns (doc_id, clean_text, n_lines, n_dropped) —
+    one row per document with a non-NULL text.
+
+    Empty lines are never counted as duplicates (they are structure,
+    not content) and are preserved in the reassembly.  `delimiter` is
+    treated literally for both split and reassembly.
+
+    Scale shape: the line-frequency table is ONE map-side-combined
+    aggregation on normalized line keys (two-level: distinct (line,
+    doc) then count — no collect_list of occurrences, so a line
+    appearing in millions of documents costs one counter, not a
+    memory blow-up); exploded lines left-join that (small,
+    duplicates-only) table — AQE broadcasts it when it fits, so the
+    corpus-sized side's only shuffle is the per-document reassembly
+    groupBy.  Reassembly state is bounded by each document's own line
+    count."""
+    import re as _re
+
+    lines = _spread(docs.select(
+        F.col(id_col), F.col(text_col).alias("__t")
+    ).filter(F.col("__t").isNotNull())).select(
+        F.col(id_col),
+        F.posexplode(
+            F.split("__t", _re.escape(delimiter), -1)
+        ).alias("pos", "line"),
+    ).withColumn("__k", F.expr(_norm_text("line")))
+    freq = (
+        lines.filter(F.col("__k") != "")
+        .select("__k", F.col(id_col).alias("__d")).distinct()
+        .groupBy("__k").agg(F.count("*").alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__k", F.lit(True).alias("__dup"))
+    )
+    flagged = lines.join(freq, "__k", "left")
+    return flagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.when(F.col("__dup").isNull(),
+                           F.struct("pos", "line")))),
+                lambda s: s["line"],
+            ),
+            delimiter,
+        ).alias("clean_text"),
+        F.count("*").alias("n_lines"),
+        F.sum(F.when(F.col("__dup").isNotNull(), 1).otherwise(0))
+        .cast("long").alias("n_dropped"),
+    )
+
+
 def _shingles(text_col: str, k: int) -> str:
     """Character k-shingle array of the normalized text (SQL expr).
 

@@ -660,6 +660,16 @@ def split_corpus(docs: DataFrame, weights: dict[str, float],
     leakage-safe splitting of near-duplicate families, feed cluster
     ids from `dedup_assign` as `id_col` so every member of a dup
     cluster lands in the same split."""
+    return docs.withColumn(
+        "split", F.expr(_split_case_expr(id_col, weights, seed)))
+
+
+def _split_case_expr(id_col: str, weights: dict[str, float],
+                     seed: str) -> str:
+    """The split-assignment CASE ladder as a SQL string — a pure
+    function of the id, shared by `split_corpus` and `split_leakage`
+    (which evaluates it on BOTH ids of a near-dup pair without any
+    join)."""
     total = sum(weights.values())
     if not weights or total <= 0:
         raise ValueError("split_corpus: weights must sum to a positive value")
@@ -683,7 +693,36 @@ def split_corpus(docs: DataFrame, weights: dict[str, float],
         acc += weights[name] / total
         expr += f" WHEN {u} < {acc!r} THEN '{name}'"
     expr += f" ELSE '{names[-1]}' END"
-    return docs.withColumn("split", F.expr(expr))
+    return expr
+
+
+def split_leakage(docs: DataFrame, weights: dict[str, float],
+                  text_col: str = "text", id_col: str = "doc_id",
+                  k: int = 5, threshold: float = 0.8,
+                  seed: str = "") -> DataFrame:
+    """Cross-split near-duplicate leakage audit: every n-gram-Jaccard
+    near-dup pair (`dedup.ngram_jaccard_pairs`, the exact ppjoin path)
+    whose two documents land in DIFFERENT `split_corpus` splits —
+    i.e. eval rows a model will have effectively seen in training.
+    Returns (id_a, id_b, jaccard, split_a, split_b), the actionable
+    worklist (re-split by dup-cluster id, or drop the eval member).
+
+    Scale shape: the pair generator is the bounded ppjoin prefix
+    join (never all-pairs); split assignment is a pure md5 function
+    of each id, evaluated scan-side on the PAIR rows directly — no
+    join against a corpus-sized assignment table, no extra shuffle
+    beyond the pair generator's own."""
+    from .dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(docs, text_col=text_col, id_col=id_col,
+                                k=k, threshold=threshold)
+    return (
+        pairs.withColumn(
+            "split_a", F.expr(_split_case_expr("id_a", weights, seed)))
+        .withColumn(
+            "split_b", F.expr(_split_case_expr("id_b", weights, seed)))
+        .filter(F.col("split_a") != F.col("split_b"))
+    )
 
 
 def decontaminate_bloom(docs: DataFrame, benchmark: DataFrame, n: int = 8,
