@@ -748,6 +748,15 @@ def _q_split_leakage(spark, sf_dir):
                          threshold=0.8)
 
 
+def _q_leakage_safe_split(spark, sf_dir):
+    # remediation: split by dup-cluster representative, so no near-dup
+    # family straddles a split boundary
+    from yardstick_spark.llm import leakage_safe_split, minhash_lsh_pairs
+
+    docs = _docs(spark, sf_dir)
+    return leakage_safe_split(docs, _SPLIT_W, minhash_lsh_pairs(docs))
+
+
 def _q_dedup_simhash(spark, sf_dir):
     from yardstick_spark.llm import simhash64
 
@@ -2139,6 +2148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_minhash_lsh": _q_dedup_minhash,
             "dedup_lines": _q_dedup_lines,
             "ops_split_leakage": _q_split_leakage,
+            "ops_leakage_safe_split": _q_leakage_safe_split,
             "dedup_simhash": _q_dedup_simhash,
             "dedup_simhash_pairs": _q_dedup_simhash_pairs,
             "dedup_clusters": _q_dedup_clusters,
@@ -2174,7 +2184,7 @@ _R6_LEAD: list[str] = [
     # changed this round
     "emb_covariance", "dedup_fuzzy", "dedup_fuzzy_clusters",
     # round-6 additions go here as they land
-    "dedup_lines", "ops_split_leakage",
+    "dedup_lines", "ops_split_leakage", "ops_leakage_safe_split",
     # r4-stale refresh (last green driver row dates from round 4)
     "text_repetition", "text_source_quota", "text_tfidf",
     "dedup_incremental", "text_split", "mm_stats", "text_pack",
@@ -4376,4 +4386,11 @@ def oracle_sql() -> dict[str, str]:
                {_split_case_sql('id_b')} AS split_b
         FROM p
         WHERE {_split_case_sql('id_a')} <> {_split_case_sql('id_b')}"""
+    # leakage-safe remediation: the dedup_clusters verdict with the
+    # split CASE keyed on the cluster representative
+    o["ops_leakage_safe_split"] = f"""
+        WITH c AS ({o['dedup_clusters']})
+        SELECT doc_id, cluster_id, keep,
+               {_split_case_sql('cluster_id')} AS split
+        FROM c"""
     return o

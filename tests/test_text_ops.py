@@ -837,3 +837,27 @@ def test_split_leakage(spark):
     expect = {(p.id_a, p.id_b) for p in pairs
               if assigned[p.id_a] != assigned[p.id_b]}
     assert {(r.id_a, r.id_b) for r in leaks} == expect
+
+
+def test_leakage_safe_split(spark):
+    # split by cluster representative: every member of a near-dup
+    # family lands in the same split, so leakage is structurally zero
+    from yardstick_spark.llm import (
+        leakage_safe_split, minhash_lsh_pairs, split_corpus,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    pairs = minhash_lsh_pairs(docs)
+    out = leakage_safe_split(docs, w, pairs).collect()
+    split_of = {r.doc_id: r.split for r in out}
+    cluster_of = {r.doc_id: r.cluster_id for r in out}
+    assert len(out) == docs.count()
+    for p in pairs.collect():
+        assert cluster_of[p.id_a] == cluster_of[p.id_b]
+        assert split_of[p.id_a] == split_of[p.id_b]
+    # singleton docs key on their own id -> identical to split_corpus
+    plain = {r.doc_id: r.split for r in split_corpus(docs, w).collect()}
+    for r in out:
+        if r.cluster_id == r.doc_id:
+            assert r.split == plain[r.doc_id]

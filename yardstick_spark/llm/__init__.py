@@ -125,6 +125,7 @@ from .text import (  # noqa: F401
     sample_mixture,
     sample_weighted,
     source_quota,
+    leakage_safe_split,
     split_corpus,
     split_leakage,
     stratified_sample,

@@ -725,6 +725,27 @@ def split_leakage(docs: DataFrame, weights: dict[str, float],
     )
 
 
+def leakage_safe_split(docs: DataFrame, weights: dict[str, float],
+                       pairs: DataFrame, id_col: str = "doc_id",
+                       seed: str = "") -> DataFrame:
+    """The remediation for `split_leakage`: split assignment keyed by
+    each document's near-dup CLUSTER representative (component-min id
+    from `dedup_assign`; singletons key on their own id), so an entire
+    duplicate family always lands in one split and no near-dup pair
+    from `pairs` can cross a split boundary — by construction, not by
+    luck.  Returns (doc_id, cluster_id, keep, split).
+
+    Scale shape: `dedup_assign`'s component table holds only docs
+    that appear in a pair (a small fraction of the corpus — AQE
+    broadcasts it); the split label is then a pure md5 CASE of
+    cluster_id, scan-side, no further shuffle."""
+    from .cluster import dedup_assign
+
+    assign = dedup_assign(docs, pairs, id_col=id_col)
+    return assign.withColumn(
+        "split", F.expr(_split_case_expr("cluster_id", weights, seed)))
+
+
 def decontaminate_bloom(docs: DataFrame, benchmark: DataFrame, n: int = 8,
                         threshold: int = 1, text_col: str = "text",
                         id_col: str = "doc_id",
