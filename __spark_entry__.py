@@ -757,6 +757,22 @@ def _q_leakage_safe_split(spark, sf_dir):
     return leakage_safe_split(docs, _SPLIT_W, minhash_lsh_pairs(docs))
 
 
+def _q_dedup_keep_best(spark, sf_dir):
+    # quality-based canonical choice: keep the LONGEST cluster member
+    from yardstick_spark.llm import dedup_keep_best, minhash_lsh_pairs
+
+    docs = _docs(spark, sf_dir)
+    return dedup_keep_best(docs, minhash_lsh_pairs(docs),
+                           score_col="n_chars")
+
+
+def _q_token_budget(spark, sf_dir):
+    # fill a fixed token budget with the highest-quality documents
+    from yardstick_spark.llm import token_budget_select
+
+    return token_budget_select(_docs(spark, sf_dir), budget=15000)
+
+
 def _q_dedup_simhash(spark, sf_dir):
     from yardstick_spark.llm import simhash64
 
@@ -2149,6 +2165,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_lines": _q_dedup_lines,
             "ops_split_leakage": _q_split_leakage,
             "ops_leakage_safe_split": _q_leakage_safe_split,
+            "dedup_keep_best": _q_dedup_keep_best,
+            "text_token_budget": _q_token_budget,
             "dedup_simhash": _q_dedup_simhash,
             "dedup_simhash_pairs": _q_dedup_simhash_pairs,
             "dedup_clusters": _q_dedup_clusters,
@@ -2185,6 +2203,7 @@ _R6_LEAD: list[str] = [
     "emb_covariance", "dedup_fuzzy", "dedup_fuzzy_clusters",
     # round-6 additions go here as they land
     "dedup_lines", "ops_split_leakage", "ops_leakage_safe_split",
+    "dedup_keep_best", "text_token_budget",
     # r4-stale refresh (last green driver row dates from round 4)
     "text_repetition", "text_source_quota", "text_tfidf",
     "dedup_incremental", "text_split", "mm_stats", "text_pack",
@@ -4393,4 +4412,33 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, cluster_id, keep,
                {_split_case_sql('cluster_id')} AS split
         FROM c"""
+    # quality-canonical dedup: same closure, keep = highest n_chars
+    # (ties to the lower id) within each cluster
+    o["dedup_keep_best"] = f"""
+        WITH c AS ({o['dedup_clusters']})
+        SELECT c.doc_id, c.cluster_id, d.n_chars AS score,
+               ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                  ORDER BY d.n_chars DESC, c.doc_id) = 1
+                 AS keep
+        FROM c JOIN documents d USING (doc_id)"""
+    o["text_token_budget"] = f"""
+        WITH norm AS (SELECT doc_id, {_NORM_DOC} AS t FROM documents),
+        f AS (SELECT doc_id, greatest(length(t), 1) AS n, length(t) AS lt,
+                length(regexp_replace(t, '[^a-z]', '', 'g')) AS alpha,
+                length(regexp_replace(t, '[^.,;:!?]', '', 'g')) AS punct,
+                list_filter(string_split(t, ' '), x -> x <> '') AS words
+              FROM norm),
+        q AS (SELECT doc_id,
+                ROUND(least(1.0, 0.4 * least(lt / 500.0, 1.0)
+                      + 0.4 * (alpha / CAST(n AS DOUBLE))
+                      + 0.2 * least(punct / CAST(greatest(len(words), 1)
+                                                 AS DOUBLE), 1.0)), 6)
+                  AS score,
+                CAST(len(words) AS INT) AS n_tokens FROM f),
+        c AS (SELECT doc_id, score, n_tokens,
+                CAST(SUM(n_tokens) OVER (ORDER BY score DESC, doc_id)
+                     AS BIGINT) AS cum_tokens
+              FROM q WHERE n_tokens > 0)
+        SELECT doc_id, score, n_tokens, cum_tokens
+        FROM c WHERE cum_tokens <= 15000"""
     return o

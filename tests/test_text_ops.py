@@ -861,3 +861,52 @@ def test_leakage_safe_split(spark):
     for r in out:
         if r.cluster_id == r.doc_id:
             assert r.split == plain[r.doc_id]
+
+
+def test_dedup_keep_best(spark):
+    from yardstick_spark.llm import dedup_keep_best
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 99), (4, 7)],
+        "doc_id BIGINT, n_chars BIGINT")
+    # one cluster {1,2,3}; 4 is a singleton
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a BIGINT, id_b BIGINT")
+    out = {r.doc_id: r for r in
+           dedup_keep_best(docs, pairs, score_col="n_chars").collect()}
+    # highest score wins; tie (2 vs 3 at 99) goes to the lower id
+    assert [out[i].keep for i in (1, 2, 3, 4)] == [
+        False, True, False, True]
+    assert all(out[i].cluster_id == 1 for i in (1, 2, 3))
+    assert out[4].cluster_id == 4 and out[4].score == 7
+    # exactly one keeper per cluster
+    keepers = [r for r in out.values() if r.keep]
+    assert len({r.cluster_id for r in keepers}) == len(keepers) == 2
+
+
+def test_token_budget_select(spark):
+    from pyspark.sql import functions as F
+
+    from yardstick_spark.llm import token_budget_select
+
+    docs = spark.createDataFrame(
+        [(i, "w " * (10 * (i + 1))) for i in range(6)],
+        "doc_id BIGINT, text STRING")
+    # explicit scores: doc 5 best, then 4, ... greedy prefix in score
+    # order: tokens are 60,50,40,... budget 120 fits docs 5 (60) and
+    # 4 (50) = 110; doc 3 (40) would overflow -> excluded
+    scored = docs.withColumn("s", F.col("doc_id").cast("double"))
+    out = token_budget_select(scored, budget=120, score_col="s")
+    rows = {r.doc_id: r for r in out.collect()}
+    assert set(rows) == {5, 4}
+    assert rows[5].cum_tokens == 60 and rows[4].cum_tokens == 110
+    # partition stability: the two-phase cumsum must not depend on
+    # input layout
+    big = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ref = sorted(map(tuple, token_budget_select(big, 2000).collect()))
+    for n in (1, 5):
+        alt = sorted(map(tuple, token_budget_select(
+            big.repartition(n), 2000).collect()))
+        assert alt == ref
+    # budget smaller than any doc -> empty
+    assert token_budget_select(big, 0).count() == 0

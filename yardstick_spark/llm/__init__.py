@@ -18,7 +18,11 @@ stay valid after clearing; unmaterialized lazy results recompute
 test_pipeline_caches_do_not_accumulate` pins the contract.
 """
 
-from .cluster import connected_components, dedup_assign  # noqa: F401
+from .cluster import (  # noqa: F401
+    connected_components,
+    dedup_assign,
+    dedup_keep_best,
+)
 from .dedup import (  # noqa: F401
     clear_dedup_caches,
     exact_dedup,
@@ -128,6 +132,7 @@ from .text import (  # noqa: F401
     leakage_safe_split,
     split_corpus,
     split_leakage,
+    token_budget_select,
     stratified_sample,
     temperature_mixture_weights,
     tfidf_terms,

@@ -171,3 +171,39 @@ def dedup_assign(docs: DataFrame, pairs: DataFrame,
         )
         .withColumn("keep", F.col(id_col) == F.col("cluster_id"))
     )
+
+
+def dedup_keep_best(docs: DataFrame, pairs: DataFrame,
+                    score_col: str, id_col: str = "doc_id",
+                    src_col: str = "id_a",
+                    dst_col: str = "id_b") -> DataFrame:
+    """`dedup_assign` with a QUALITY-based canonical choice: within
+    each near-dup cluster, keep the member with the highest
+    `score_col` (ties to the lower id) instead of the minimum id —
+    production dedup keeps the longest / highest-quality family
+    member, not an arbitrary one.  Returns
+    (doc_id, cluster_id, score, keep).
+
+    Same scale shape as `dedup_assign` (duplicates-only component
+    table, AQE-broadcastable join) plus one cluster-keyed rank window
+    whose partitions are single dup families — Spark executes the
+    keep flag's rank as a map-side partial WindowGroupLimit-style
+    pass over tiny groups."""
+    from pyspark.sql import Window
+
+    comp = connected_components(pairs, src_col, dst_col)
+    assigned = (
+        docs.select(F.col(id_col), F.col(score_col).alias("score"))
+        .join(comp, F.col(id_col) == comp.id, "left")
+        .select(
+            id_col, "score",
+            F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("cluster_id"),
+        )
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("score").desc(), F.col(id_col)
+    )
+    return (
+        assigned.withColumn("keep", F.row_number().over(w) == 1)
+        .select(id_col, "cluster_id", "score", "keep")
+    )

@@ -40,6 +40,22 @@ def token_stats(docs: DataFrame, text_col: str = "text",
     )
 
 
+def _quality_expr(text_col: str) -> str:
+    """The composite quality score in [0,1] as a SQL string — shared by
+    `quality_score` and `token_budget_select`."""
+    norm = _NORM.format(c=text_col)
+    n = f"greatest(length({norm}), 1)"
+    alpha = f"length(regexp_replace({norm}, '[^a-z]', ''))"
+    punct = f"length(regexp_replace({norm}, '[^.,;:!?]', ''))"
+    words = f"filter(split({norm}, ' '), t -> t <> '')"
+    n_words = f"greatest(size({words}), 1)"
+    return (
+        f"round(least(1.0D, 0.4 * least(length({norm}) / 500.0, 1.0) "
+        f"+ 0.4 * ({alpha} / CAST({n} AS DOUBLE)) "
+        f"+ 0.2 * least({punct} / CAST({n_words} AS DOUBLE), 1.0)), 6)"
+    )
+
+
 def quality_score(docs: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:
     """Heuristic quality features: length, alpha ratio, punctuation
@@ -52,11 +68,7 @@ def quality_score(docs: DataFrame, text_col: str = "text",
     words = f"filter(split({norm}, ' '), t -> t <> '')"
     n_words = f"greatest(size({words}), 1)"
     mean_wl = f"(aggregate({words}, 0, (a, w) -> a + length(w)) / CAST({n_words} AS DOUBLE))"
-    score = (
-        f"round(least(1.0D, 0.4 * least(length({norm}) / 500.0, 1.0) "
-        f"+ 0.4 * ({alpha} / CAST({n} AS DOUBLE)) "
-        f"+ 0.2 * least({punct} / CAST({n_words} AS DOUBLE), 1.0)), 6)"
-    )
+    score = _quality_expr(text_col)
     return docs.select(
         F.col(id_col),
         F.expr(f"length({norm})").alias("len_norm"),
@@ -833,6 +845,68 @@ def decontaminate_bloom(docs: DataFrame, benchmark: DataFrame, n: int = 8,
         F.expr("round(n_hits / CAST(greatest(n_grams, 1) AS DOUBLE), 6)")
         .alias("hit_frac"),
         (F.col("n_hits") >= threshold).alias("contaminated"),
+    )
+
+
+def token_budget_select(docs: DataFrame, budget: int,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        score_col: str | None = None) -> DataFrame:
+    """Token-budgeted corpus selection: rank documents by quality
+    (descending, ties to the lower id) and keep the prefix whose
+    cumulative whitespace-token count fits `budget` — "fill a 1T-token
+    training budget with the best documents".  Returns the selected
+    rows as (doc_id, score, n_tokens, cum_tokens); a document is
+    selected iff the running total INCLUDING it is <= budget.
+    Zero-token documents are excluded (they contribute nothing).
+
+    `score_col` names a caller-supplied score column; None computes
+    the `quality_score` composite inline (no join).
+
+    The global running total is NOT a single-partition window: rows
+    are range-partitioned on (score DESC, id) and cumsummed per
+    partition in parallel; partition totals — one row each — come to
+    the driver for an exact prefix sum that broadcasts back (the same
+    two-phase scan as `pack_sequences`, and the same cache pin: range
+    boundaries are sampled with a plan-dependent seed, so the
+    partitioning the collect saw must be the one the final filter
+    reads)."""
+    from pyspark.sql import Window
+
+    from .dedup import _cache
+
+    norm = _NORM.format(c=text_col)
+    n_tok = f"size(filter(split({norm}, ' '), t -> t <> ''))"
+    score = (F.col(score_col) if score_col is not None
+             else F.expr(_quality_expr(text_col)))
+    base = (
+        docs.select(F.col(id_col), score.alias("score"),
+                    F.expr(n_tok).alias("n"))
+        .filter(F.col("n") > 0)
+        .repartitionByRange(F.col("score").desc(), F.col(id_col))
+        .sortWithinPartitions(F.col("score").desc(), F.col(id_col))
+        .withColumn("pid", F.spark_partition_id())
+    )
+    w = Window.partitionBy("pid").orderBy(
+        F.col("score").desc(), F.col(id_col)
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    local = _cache(base.withColumn("lcum", F.sum("n").over(w)))
+    part_totals = (
+        local.groupBy("pid").agg(F.max("lcum").alias("ptotal")).collect()
+    )
+    offsets, acc = {}, 0
+    for row in sorted(part_totals, key=lambda r: r["pid"]):
+        offsets[row["pid"]] = acc
+        acc += row["ptotal"]
+    off_df = local.sparkSession.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()],
+        "pid INT, poff BIGINT",
+    )
+    return (
+        local.join(F.broadcast(off_df), "pid")
+        .withColumn("cum_tokens", (F.col("poff") + F.col("lcum")))
+        .filter(F.col("cum_tokens") <= budget)
+        .select(F.col(id_col), "score",
+                F.col("n").alias("n_tokens"), "cum_tokens")
     )
 
 
