@@ -629,11 +629,26 @@ def tfidf_terms(docs: DataFrame, text_col: str = "text",
     count N rides a 1-row broadcast cross join, not a collect."""
     from pyspark.sql import Window
 
+    from .dedup import _cache
+
     norm = _NORM.format(c=text_col)
     words = f"filter(split({norm}, ' '), t -> t <> '')"
-    tf = (
-        docs.select(F.col(id_col).alias("id"),
-                    F.explode(F.expr(words)).alias("term"))
+    # cache barrier: tf feeds BOTH the df aggregation and the final
+    # join — without it Catalyst re-executes the explode+agg subtree
+    # per consumer (measured 6 parquet scans / 14 exchanges in the 10x
+    # plan; 2 scans / 5 exchanges with the barrier, 4.7 s -> ~1.5 s)
+    from .dedup import _spread
+
+    # _spread: a single-file corpus is one input split, which would
+    # pin the normalize/explode chain to one core (same artifact the
+    # heavy-hitters sketch measured); at scale the scan already has
+    # enough splits and this is a no-op
+    spread_words = (f"filter(split({_NORM.format(c='__t')}, ' '), "
+                    "t -> t <> '')")
+    tf = _cache(
+        _spread(docs.select(F.col(id_col).alias("id"),
+                            F.col(text_col).alias("__t")))
+        .select("id", F.explode(F.expr(spread_words)).alias("term"))
         .groupBy("id", "term")
         .agg(F.count("*").alias("tf"))
     )
