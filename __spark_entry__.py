@@ -740,6 +740,27 @@ def _q_dedup_lines(spark, sf_dir):
     return remove_duplicate_lines(_docs(spark, sf_dir), min_docs=2)
 
 
+def _q_dedup_lines_incr(spark, sf_dir):
+    # clean an ingest batch (doc_id % 5 == 0) against a PERSISTED
+    # line-frequency store built from the rest of the corpus — the
+    # production ingest shape; the corpus text is never re-read
+    import hashlib
+    import tempfile
+    from pathlib import Path
+
+    from yardstick_spark.llm import (
+        remove_duplicate_lines_incremental, save_line_frequencies,
+    )
+
+    docs = _docs(spark, sf_dir)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = str(Path(tempfile.gettempdir()) / f"ys_linefreq_{tag}")
+    if not (Path(path) / "line_freqs" / "_SUCCESS").exists():
+        save_line_frequencies(docs.filter("doc_id % 5 != 0"), path)
+    return remove_duplicate_lines_incremental(
+        docs.filter("doc_id % 5 = 0"), spark, path, min_docs=2)
+
+
 def _q_split_leakage(spark, sf_dir):
     # near-dup pairs crossing train/val/test split boundaries
     from yardstick_spark.llm import split_leakage
@@ -2167,6 +2188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ops_leakage_safe_split": _q_leakage_safe_split,
             "dedup_keep_best": _q_dedup_keep_best,
             "text_token_budget": _q_token_budget,
+            "dedup_lines_incremental": _q_dedup_lines_incr,
             "dedup_simhash": _q_dedup_simhash,
             "dedup_simhash_pairs": _q_dedup_simhash_pairs,
             "dedup_clusters": _q_dedup_clusters,
@@ -2203,7 +2225,7 @@ _R6_LEAD: list[str] = [
     "emb_covariance", "dedup_fuzzy", "dedup_fuzzy_clusters",
     # round-6 additions go here as they land
     "dedup_lines", "ops_split_leakage", "ops_leakage_safe_split",
-    "dedup_keep_best", "text_token_budget",
+    "dedup_keep_best", "text_token_budget", "dedup_lines_incremental",
     # r4-stale refresh (last green driver row dates from round 4)
     "text_repetition", "text_source_quota", "text_tfidf",
     "dedup_incremental", "text_split", "mm_stats", "text_pack",
@@ -4421,6 +4443,30 @@ def oracle_sql() -> dict[str, str]:
                                   ORDER BY d.n_chars DESC, c.doc_id) = 1
                  AS keep
         FROM c JOIN documents d USING (doc_id)"""
+    # incremental line dedup: the combined corpus+batch distinct-doc
+    # count equals the count over ALL documents (disjoint doc sets),
+    # restricted to the batch's rows
+    o["dedup_lines_incremental"] = """
+        WITH ex AS (SELECT doc_id,
+                      generate_subscripts(string_split("text", chr(10)), 1)
+                        AS pos,
+                      unnest(string_split("text", chr(10))) AS line
+                    FROM documents WHERE "text" IS NOT NULL),
+        keyed AS (SELECT doc_id, pos, line,
+                    regexp_replace(lower(trim(line)), '\\s+', ' ', 'g') AS k
+                  FROM ex),
+        freq AS (SELECT k FROM keyed WHERE k <> ''
+                 GROUP BY k HAVING COUNT(DISTINCT doc_id) >= 2)
+        SELECT keyed.doc_id,
+               COALESCE(string_agg(line, chr(10) ORDER BY pos)
+                        FILTER (WHERE freq.k IS NULL), '') AS clean_text,
+               COUNT(*) AS n_lines,
+               CAST(COALESCE(SUM(CASE WHEN freq.k IS NOT NULL
+                                      THEN 1 ELSE 0 END), 0) AS BIGINT)
+                 AS n_dropped
+        FROM keyed LEFT JOIN freq ON keyed.k = freq.k
+        WHERE keyed.doc_id % 5 = 0
+        GROUP BY keyed.doc_id"""
     o["text_token_budget"] = f"""
         WITH norm AS (SELECT doc_id, {_NORM_DOC} AS t FROM documents),
         f AS (SELECT doc_id, greatest(length(t), 1) AS n, length(t) AS lt,

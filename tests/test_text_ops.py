@@ -910,3 +910,36 @@ def test_token_budget_select(spark):
         assert alt == ref
     # budget smaller than any doc -> empty
     assert token_budget_select(big, 0).count() == 0
+
+
+def test_remove_duplicate_lines_incremental(spark, tmp_path):
+    # batch verdicts against the persisted store must equal a full
+    # recompute over corpus + batch, restricted to batch docs
+    from yardstick_spark.llm import (
+        remove_duplicate_lines, remove_duplicate_lines_incremental,
+        save_line_frequencies, update_line_frequencies,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "boiler\nalpha"), (2, "boiler\nbeta"), (3, "gamma")],
+        "doc_id BIGINT, text STRING")
+    batch = spark.createDataFrame(
+        [(10, "boiler\ndelta\nnewdup"), (11, "newdup\nepsilon")],
+        "doc_id BIGINT, text STRING")
+    store = str(tmp_path / "store")
+    save_line_frequencies(corpus, store)
+    got = sorted(map(tuple, remove_duplicate_lines_incremental(
+        batch, spark, store).collect()))
+    full = remove_duplicate_lines(corpus.unionByName(batch))
+    want = sorted(map(tuple,
+                      full.filter("doc_id >= 10").collect()))
+    # "boiler" dups via the store; "newdup" dups WITHIN the batch
+    assert got == want
+    assert dict((r[0], r[1]) for r in got) == {
+        10: "delta", 11: "epsilon"}
+    # store update is mergeable: counts over disjoint doc sets add
+    v2 = str(tmp_path / "store_v2")
+    update_line_frequencies(batch, spark, store, v2)
+    freqs = {r.line_key: r.n_docs for r in
+             spark.read.parquet(f"{v2}/line_freqs").collect()}
+    assert freqs["boiler"] == 3 and freqs["newdup"] == 2

@@ -36,6 +36,9 @@ from .dedup import (  # noqa: F401
     ngram_containment_pairs,
     ngram_jaccard_pairs,
     remove_duplicate_lines,
+    remove_duplicate_lines_incremental,
+    save_line_frequencies,
+    update_line_frequencies,
     simhash64,
     simhash_pairs,
 )

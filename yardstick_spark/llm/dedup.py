@@ -119,9 +119,23 @@ def remove_duplicate_lines(docs: DataFrame, text_col: str = "text",
     corpus-sized side's only shuffle is the per-document reassembly
     groupBy.  Reassembly state is bounded by each document's own line
     count."""
+    lines = _exploded_lines(docs, text_col, id_col, delimiter)
+    freq = (
+        _line_frequencies(lines, id_col)
+        .filter(F.col("n_docs") >= min_docs)
+        .select(F.col("line_key").alias("__k"),
+                F.lit(True).alias("__dup"))
+    )
+    return _reassemble_clean(lines, freq, id_col, delimiter)
+
+
+def _exploded_lines(docs: DataFrame, text_col: str, id_col: str,
+                    delimiter: str) -> DataFrame:
+    """(id, pos, line, __k): documents split on the literal delimiter
+    with 1 row per line, keyed by the normalized line."""
     import re as _re
 
-    lines = _spread(docs.select(
+    return _spread(docs.select(
         F.col(id_col), F.col(text_col).alias("__t")
     ).filter(F.col("__t").isNotNull())).select(
         F.col(id_col),
@@ -129,13 +143,24 @@ def remove_duplicate_lines(docs: DataFrame, text_col: str = "text",
             F.split("__t", _re.escape(delimiter), -1)
         ).alias("pos", "line"),
     ).withColumn("__k", F.expr(_norm_text("line")))
-    freq = (
+
+
+def _line_frequencies(lines: DataFrame, id_col: str) -> DataFrame:
+    """(line_key, n_docs): distinct-document count per non-empty
+    normalized line — two-level distinct-then-count, map-side
+    combined, no occurrence lists."""
+    return (
         lines.filter(F.col("__k") != "")
-        .select("__k", F.col(id_col).alias("__d")).distinct()
-        .groupBy("__k").agg(F.count("*").alias("__nd"))
-        .filter(F.col("__nd") >= min_docs)
-        .select("__k", F.lit(True).alias("__dup"))
+        .select(F.col("__k").alias("line_key"),
+                F.col(id_col).alias("__d")).distinct()
+        .groupBy("line_key").agg(F.count("*").alias("n_docs"))
     )
+
+
+def _reassemble_clean(lines: DataFrame, freq: DataFrame, id_col: str,
+                      delimiter: str) -> DataFrame:
+    """Join exploded lines against the (__k, __dup) boilerplate set
+    and reassemble (doc_id, clean_text, n_lines, n_dropped)."""
     flagged = lines.join(freq, "__k", "left")
     return flagged.groupBy(id_col).agg(
         F.array_join(
@@ -151,6 +176,65 @@ def remove_duplicate_lines(docs: DataFrame, text_col: str = "text",
         F.sum(F.when(F.col("__dup").isNotNull(), 1).otherwise(0))
         .cast("long").alias("n_dropped"),
     )
+
+
+def save_line_frequencies(docs: DataFrame, path: str,
+                          text_col: str = "text",
+                          id_col: str = "doc_id",
+                          delimiter: str = "\n") -> None:
+    """Persist the corpus line-frequency table (normalized line key →
+    distinct-doc count) — the corpus half of incremental line dedup,
+    built once per corpus version (the line-level analogue of
+    `save_dedup_signatures`).  Plain parquet: every ingest batch joins
+    the whole relation on uniform string keys, so there is no probe
+    axis to partition by."""
+    lines = _exploded_lines(docs, text_col, id_col, delimiter)
+    (_line_frequencies(lines, id_col)
+     .write.mode("overwrite").parquet(f"{path}/line_freqs"))
+
+
+def update_line_frequencies(new_docs: DataFrame, spark, path: str,
+                            out_path: str, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            delimiter: str = "\n") -> None:
+    """Fold an ingest batch into a NEW store version at `out_path`
+    (copy-on-write — Spark cannot safely overwrite an input it is
+    reading): distinct-doc counts over disjoint doc sets merge by
+    SUM."""
+    old = spark.read.parquet(f"{path}/line_freqs")
+    batch = _line_frequencies(
+        _exploded_lines(new_docs, text_col, id_col, delimiter), id_col)
+    (old.unionByName(batch)
+     .groupBy("line_key").agg(F.sum("n_docs").alias("n_docs"))
+     .write.mode("overwrite").parquet(f"{out_path}/line_freqs"))
+
+
+def remove_duplicate_lines_incremental(new_docs: DataFrame, spark,
+                                       path: str, min_docs: int = 2,
+                                       text_col: str = "text",
+                                       id_col: str = "doc_id",
+                                       delimiter: str = "\n") -> DataFrame:
+    """Clean an ingest batch against a PERSISTED corpus line-frequency
+    store: a line is boilerplate when its distinct-doc count across
+    corpus ∪ batch reaches `min_docs` (doc sets are disjoint, so the
+    counts add).  Same output schema as `remove_duplicate_lines`,
+    restricted to the batch — for batch documents the verdicts equal a
+    full recompute over corpus ∪ batch (pinned by
+    test_remove_duplicate_lines_incremental).  The corpus text is
+    never re-read: cost is O(batch) plus a scan of the frequency
+    parquet."""
+    lines = _exploded_lines(new_docs, text_col, id_col, delimiter)
+    batch_freq = _line_frequencies(lines, id_col)
+    store = spark.read.parquet(f"{path}/line_freqs")
+    combined = (
+        batch_freq.join(store.withColumnRenamed("n_docs", "__corp"),
+                        "line_key", "left")
+        .filter(F.col("n_docs") + F.coalesce(F.col("__corp"),
+                                             F.lit(0)) >= min_docs)
+        .select(F.col("line_key").alias("__k"),
+                F.lit(True).alias("__dup"))
+    )
+    return _reassemble_clean(lines, combined, id_col, delimiter)
 
 
 def _shingles(text_col: str, k: int) -> str:
