@@ -562,3 +562,36 @@ def test_compact_files_with_sort_restores_clustering(spark, tmp_path):
     spans.sort()
     for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
         assert hi1 <= lo2  # disjoint ranges
+
+
+def test_line_dedup_ingest_stream_equals_batch(spark, tmp_path):
+    # each micro-batch cleaned via foreachBatch must equal the batch
+    # operator run on the same rows against the same store
+    from yardstick_spark.llm import (
+        remove_duplicate_lines_incremental, save_line_frequencies,
+    )
+    from yardstick_spark.streaming import start_line_dedup_ingest
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    corpus = docs.filter("doc_id % 5 <> 0")
+    store = str(tmp_path / "lfstore")
+    save_line_frequencies(corpus, store)
+
+    new_dir = str(tmp_path / "incoming_lines")
+    batch_docs = docs.filter("doc_id % 5 = 0").select("doc_id", "text")
+    batch_docs.write.parquet(new_dir)
+    schema = spark.read.parquet(new_dir).schema
+    stream = spark.readStream.schema(schema).parquet(new_dir)
+
+    got = []
+    q = start_line_dedup_ingest(
+        stream, spark, store,
+        sink=lambda df, bid: got.extend(map(tuple, df.collect())),
+        checkpointLocation=str(tmp_path / "ckpt_lines"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    want = sorted(map(tuple, remove_duplicate_lines_incremental(
+        batch_docs, spark, store).collect()))
+    assert sorted(got) == want and len(want) == batch_docs.count()

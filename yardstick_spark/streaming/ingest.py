@@ -139,6 +139,32 @@ def start_dedup_ingest(new_docs: DataFrame, spark, store_path: str,
             .options(**stream_opts).start())
 
 
+def start_line_dedup_ingest(new_docs: DataFrame, spark, store_path: str,
+                            sink, min_docs: int = 2,
+                            text_col: str = "text",
+                            id_col: str = "doc_id",
+                            delimiter: str = "\n", **stream_opts):
+    """foreachBatch twin of `llm.dedup.remove_duplicate_lines_incremental`
+    for a document stream: each micro-batch is cleaned against the
+    persisted line-frequency store (corpus text never re-read; the
+    static side re-plans per batch, so a nightly
+    `update_line_frequencies` refresh is picked up live).
+    `sink(clean_df, batch_id)` receives (doc_id, clean_text, n_lines,
+    n_dropped) per batch; stream≡batch holds because each batch runs
+    the tested batch operator verbatim."""
+    from ..llm.dedup import remove_duplicate_lines_incremental
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        cleaned = remove_duplicate_lines_incremental(
+            batch_df, spark, store_path, min_docs=min_docs,
+            text_col=text_col, id_col=id_col, delimiter=delimiter,
+        )
+        sink(cleaned, batch_id)
+
+    return (new_docs.writeStream.foreachBatch(_process)
+            .options(**stream_opts).start())
+
+
 def semantic_ingest_stream(new_vecs: DataFrame, spark, index_path: str,
                            threshold: float = 0.4,
                            id_col: str = "vec_id",
