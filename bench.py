@@ -26,6 +26,8 @@ def _next_round() -> int:
     driver is about to stamp."""
     best = 0
     for p in Path(__file__).resolve().parent.glob("BENCH_r*.json"):
+        if p.stem.endswith("_full"):  # our own copies don't count
+            continue
         digits = "".join(c for c in p.stem[7:] if c.isdigit())
         if digits:
             best = max(best, int(digits))
