@@ -778,6 +778,22 @@ def _q_leakage_safe_split(spark, sf_dir):
     return leakage_safe_split(docs, _SPLIT_W, minhash_lsh_pairs(docs))
 
 
+def _q_dedup_source_matrix(spark, sf_dir):
+    # which sources copy from each other: near-dup pairs attributed to
+    # (source, source) cells
+    from yardstick_spark.llm import dedup_source_matrix, minhash_lsh_pairs
+
+    docs = _docs(spark, sf_dir)
+    return dedup_source_matrix(docs, minhash_lsh_pairs(docs))
+
+
+def _q_text_mojibake(spark, sf_dir):
+    # encoding-artifact screen (mojibake / replacement / control chars)
+    from yardstick_spark.llm import mojibake_score
+
+    return mojibake_score(_docs(spark, sf_dir))
+
+
 def _q_dedup_keep_best(spark, sf_dir):
     # quality-based canonical choice: keep the LONGEST cluster member
     from yardstick_spark.llm import dedup_keep_best, minhash_lsh_pairs
@@ -2189,6 +2205,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_keep_best": _q_dedup_keep_best,
             "text_token_budget": _q_token_budget,
             "dedup_lines_incremental": _q_dedup_lines_incr,
+            "dedup_source_matrix": _q_dedup_source_matrix,
+            "text_mojibake": _q_text_mojibake,
             "dedup_simhash": _q_dedup_simhash,
             "dedup_simhash_pairs": _q_dedup_simhash_pairs,
             "dedup_clusters": _q_dedup_clusters,
@@ -2226,6 +2244,7 @@ _R6_LEAD: list[str] = [
     # round-6 additions go here as they land
     "dedup_lines", "ops_split_leakage", "ops_leakage_safe_split",
     "dedup_keep_best", "text_token_budget", "dedup_lines_incremental",
+    "dedup_source_matrix", "text_mojibake",
     # r4-stale refresh (last green driver row dates from round 4)
     "text_repetition", "text_source_quota", "text_tfidf",
     "dedup_incremental", "text_split", "mm_stats", "text_pack",
@@ -4467,6 +4486,35 @@ def oracle_sql() -> dict[str, str]:
         FROM keyed LEFT JOIN freq ON keyed.k = freq.k
         WHERE keyed.doc_id % 5 = 0
         GROUP BY keyed.doc_id"""
+    # cross-source duplication matrix over the minhash pair set
+    o["dedup_source_matrix"] = f"""
+        WITH p AS ({mh_pairs}),
+        lk AS (SELECT doc_id, source FROM documents),
+        att AS (SELECT least(a.source, b.source) AS source_a,
+                       greatest(a.source, b.source) AS source_b
+                FROM p JOIN lk a ON a.doc_id = p.id_a
+                       JOIN lk b ON b.doc_id = p.id_b),
+        cells AS (SELECT source_a, source_b, COUNT(*) AS n_pairs
+                  FROM att GROUP BY 1, 2),
+        t AS (SELECT SUM(n_pairs) AS tot FROM cells)
+        SELECT source_a, source_b, n_pairs,
+               ROUND(n_pairs / tot, 6) AS share
+        FROM cells, t"""
+    o["text_mojibake"] = """
+        WITH c AS (SELECT doc_id, length("text") AS n_chars,
+               len(regexp_extract_all("text", 'Ã|Â|â€'))
+                 AS n_mojibake,
+               len(regexp_extract_all("text", '\\x{FFFD}'))
+                 AS n_replacement,
+               len(regexp_extract_all("text",
+                   '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]')) AS n_control
+             FROM documents),
+        k AS (SELECT *, ROUND((n_mojibake + n_replacement + n_control)
+                     * 1000.0 / greatest(n_chars, 1), 6) AS per_kchar
+              FROM c)
+        SELECT doc_id, n_chars, n_mojibake, n_replacement, n_control,
+               per_kchar, per_kchar >= 1.0 AS flagged
+        FROM k"""
     o["text_token_budget"] = f"""
         WITH norm AS (SELECT doc_id, {_NORM_DOC} AS t FROM documents),
         f AS (SELECT doc_id, greatest(length(t), 1) AS n, length(t) AS lt,

@@ -943,3 +943,38 @@ def test_remove_duplicate_lines_incremental(spark, tmp_path):
     freqs = {r.line_key: r.n_docs for r in
              spark.read.parquet(f"{v2}/line_freqs").collect()}
     assert freqs["boiler"] == 3 and freqs["newdup"] == 2
+
+
+def test_dedup_source_matrix(spark):
+    from yardstick_spark.llm import dedup_source_matrix
+
+    docs = spark.createDataFrame(
+        [(1, "web"), (2, "books"), (3, "web"), (4, "wiki")],
+        "doc_id BIGINT, source STRING")
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4)], "id_a BIGINT, id_b BIGINT")
+    out = {(r.source_a, r.source_b): (r.n_pairs, r.share)
+           for r in dedup_source_matrix(docs, pairs).collect()}
+    # cells are alphabetically ordered; shares sum to 1
+    assert out[("books", "web")] == (1, round(1 / 3, 6))
+    assert out[("web", "web")] == (1, round(1 / 3, 6))
+    assert out[("books", "wiki")] == (1, round(1 / 3, 6))
+    assert abs(sum(s for _, s in out.values()) - 1.0) < 1e-5
+
+
+def test_mojibake_score(spark):
+    from yardstick_spark.llm import mojibake_score
+
+    docs = spark.createDataFrame(
+        [(1, "clean text, nothing wrong here at all"),
+         (2, "caf\u00c3\u00a9 menu \u00e2\u20ac broken dash"),
+         (3, "bad byte \ufffd and ctrl \x01 char"),
+         (4, "")],
+        "doc_id BIGINT, text STRING")
+    out = {r.doc_id: r for r in mojibake_score(docs).collect()}
+    assert out[1].n_mojibake == 0 and not out[1].flagged
+    # doc 2: mojibake lead bytes
+    assert out[2].n_mojibake >= 2 and out[2].flagged
+    assert out[3].n_replacement == 1 and out[3].n_control == 1
+    assert out[3].flagged
+    assert out[4].per_kchar == 0.0 and not out[4].flagged

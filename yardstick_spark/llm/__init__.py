@@ -22,6 +22,7 @@ from .cluster import (  # noqa: F401
     connected_components,
     dedup_assign,
     dedup_keep_best,
+    dedup_source_matrix,
 )
 from .dedup import (  # noqa: F401
     clear_dedup_caches,
@@ -128,6 +129,7 @@ from .text import (  # noqa: F401
     pii_redact,
     quality_score,
     repetition_stats,
+    mojibake_score,
     ngram_counts,
     sample_mixture,
     sample_weighted,

@@ -173,6 +173,47 @@ def dedup_assign(docs: DataFrame, pairs: DataFrame,
     )
 
 
+def dedup_source_matrix(docs: DataFrame, pairs: DataFrame,
+                        source_col: str = "source",
+                        id_col: str = "doc_id",
+                        src_col: str = "id_a",
+                        dst_col: str = "id_b") -> DataFrame:
+    """Cross-source duplication matrix — which sources copy from each
+    other: every near-dup pair attributed to its (source, source)
+    cell, sources ordered alphabetically within the cell so the
+    matrix is symmetric-upper.  Returns
+    (source_a, source_b, n_pairs, share) with share = cell / total,
+    ordered by n_pairs desc then names.  The standard corpus-forensics
+    table for choosing which feed to de-prioritize.
+
+    Scale shape: the pair list is the (small, duplicates-only) output
+    of a bounded candidate generator; the two id→source lookups are
+    joins against a two-column projection of the corpus — AQE
+    broadcasts the PAIR side both times, so corpus rows never
+    shuffle; the matrix aggregate is |sources|² rows at most."""
+    lk = docs.select(F.col(id_col).alias("__id"),
+                     F.col(source_col).alias("__src"))
+    attributed = (
+        pairs.select(F.col(src_col).alias("__a"),
+                     F.col(dst_col).alias("__b"))
+        .join(lk.withColumnRenamed("__src", "__sa"),
+              F.col("__a") == F.col("__id")).drop("__id")
+        .join(lk.withColumnRenamed("__src", "__sb"),
+              F.col("__b") == F.col("__id")).drop("__id")
+        .select(F.least("__sa", "__sb").alias("source_a"),
+                F.greatest("__sa", "__sb").alias("source_b"))
+    )
+    cells = attributed.groupBy("source_a", "source_b").agg(
+        F.count("*").alias("n_pairs"))
+    total = cells.select(F.sum("n_pairs").alias("__tot"))
+    return (
+        cells.join(F.broadcast(total))
+        .select("source_a", "source_b", "n_pairs",
+                F.round(F.col("n_pairs") / F.col("__tot"), 6)
+                .alias("share"))
+    )
+
+
 def dedup_keep_best(docs: DataFrame, pairs: DataFrame,
                     score_col: str, id_col: str = "doc_id",
                     src_col: str = "id_a",

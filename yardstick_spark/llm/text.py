@@ -1222,6 +1222,41 @@ def duplicated_spans(docs: DataFrame, n: int = 8, min_count: int = 2,
                     .alias("span_words")))
 
 
+def mojibake_score(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   per_kchar_threshold: float = 1.0) -> DataFrame:
+    """Encoding-artifact screen — the standard web-corpus cleaning
+    signal for double-encoded UTF-8 and decode failures: counts of
+    (a) classic mojibake lead sequences ('Ã'/'Â'/'â€' — UTF-8 bytes
+    re-decoded as Latin-1), (b) the U+FFFD replacement character a
+    lossy decode inserts, (c) C0/C1 control characters that never
+    belong in text.  Returns (doc_id, n_chars, n_mojibake,
+    n_replacement, n_control, per_kchar, flagged); `flagged` marks
+    documents at or above `per_kchar_threshold` artifacts per 1000
+    chars.  Scan-only regexp counting (whole-stage codegen, RE2-safe
+    patterns) — no shuffle, no Python."""
+    t = text_col
+    moji = (f"size(regexp_extract_all({t}, "
+            "'Ã|Â|â€', 0))")
+    repl = f"size(regexp_extract_all({t}, '\\uFFFD', 0))"
+    ctrl = (f"size(regexp_extract_all({t}, "
+            "'[\\\\x00-\\\\x08\\\\x0b\\\\x0c\\\\x0e-\\\\x1f]', 0))")
+    return docs.select(
+        F.col(id_col),
+        F.length(t).alias("n_chars"),
+        F.expr(moji).alias("n_mojibake"),
+        F.expr(repl).alias("n_replacement"),
+        F.expr(ctrl).alias("n_control"),
+    ).withColumn(
+        "per_kchar",
+        F.round((F.col("n_mojibake") + F.col("n_replacement")
+                 + F.col("n_control"))
+                * 1000.0 / F.greatest(F.col("n_chars"), F.lit(1)), 6),
+    ).withColumn(
+        "flagged", F.col("per_kchar") >= per_kchar_threshold
+    )
+
+
 def char_entropy(docs: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id") -> DataFrame:
     """Character-level Shannon entropy per document — the portable
