@@ -778,6 +778,23 @@ def _q_leakage_safe_split(spark, sf_dir):
     return leakage_safe_split(docs, _SPLIT_W, minhash_lsh_pairs(docs))
 
 
+def _q_dedup_survivorship(spark, sf_dir):
+    # ER survivorship: merged metadata per near-dup family
+    from yardstick_spark.llm import dedup_survivorship, minhash_lsh_pairs
+
+    docs = _docs(spark, sf_dir)
+    return dedup_survivorship(docs, minhash_lsh_pairs(docs))
+
+
+def _q_events_dedup_window(spark, sf_dir):
+    # telemetry double-fire debounce: same user+type within 120s of
+    # the previous event
+    from yardstick_spark.operators import dedup_events_window
+
+    _ys(spark, sf_dir)
+    return dedup_events_window(spark.table("events"), tolerance_s=120)
+
+
 def _q_dedup_source_matrix(spark, sf_dir):
     # which sources copy from each other: near-dup pairs attributed to
     # (source, source) cells
@@ -2207,6 +2224,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_lines_incremental": _q_dedup_lines_incr,
             "dedup_source_matrix": _q_dedup_source_matrix,
             "text_mojibake": _q_text_mojibake,
+            "dedup_survivorship": _q_dedup_survivorship,
+            "events_dedup_window": _q_events_dedup_window,
             "dedup_simhash": _q_dedup_simhash,
             "dedup_simhash_pairs": _q_dedup_simhash_pairs,
             "dedup_clusters": _q_dedup_clusters,
@@ -2244,7 +2263,8 @@ _R6_LEAD: list[str] = [
     # round-6 additions go here as they land
     "dedup_lines", "ops_split_leakage", "ops_leakage_safe_split",
     "dedup_keep_best", "text_token_budget", "dedup_lines_incremental",
-    "dedup_source_matrix", "text_mojibake",
+    "dedup_source_matrix", "text_mojibake", "dedup_survivorship",
+    "events_dedup_window",
     # r4-stale refresh (last green driver row dates from round 4)
     "text_repetition", "text_source_quota", "text_tfidf",
     "dedup_incremental", "text_split", "mm_stats", "text_pack",
@@ -4486,6 +4506,26 @@ def oracle_sql() -> dict[str, str]:
         FROM keyed LEFT JOIN freq ON keyed.k = freq.k
         WHERE keyed.doc_id % 5 = 0
         GROUP BY keyed.doc_id"""
+    # ER survivorship over the same closure: merged per-family record
+    o["dedup_survivorship"] = f"""
+        WITH c AS ({o['dedup_clusters']})
+        SELECT c.cluster_id, MIN(c.doc_id) AS keep_id,
+               COUNT(*) AS n_members,
+               string_agg(DISTINCT d.source, ',' ORDER BY d.source)
+                 AS sources,
+               MAX(d.n_chars) AS max_size,
+               CAST(SUM(d.n_chars) AS BIGINT) AS total_size
+        FROM c JOIN documents d USING (doc_id)
+        GROUP BY c.cluster_id"""
+    o["events_dedup_window"] = """
+        WITH w AS (SELECT event_id, user_id, event_type, ts,
+                     LAG(ts) OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts, event_id) AS prev
+                   FROM events)
+        SELECT event_id, user_id, event_type, ts,
+               (prev IS NOT NULL AND ts - prev <= INTERVAL '120' SECOND)
+                 AS is_duplicate
+        FROM w"""
     # cross-source duplication matrix over the minhash pair set
     o["dedup_source_matrix"] = f"""
         WITH p AS ({mh_pairs}),

@@ -978,3 +978,37 @@ def test_mojibake_score(spark):
     assert out[3].n_replacement == 1 and out[3].n_control == 1
     assert out[3].flagged
     assert out[4].per_kchar == 0.0 and not out[4].flagged
+
+
+def test_dedup_survivorship(spark):
+    from yardstick_spark.llm import dedup_survivorship
+
+    docs = spark.createDataFrame(
+        [(1, "web", 10), (2, "books", 30), (3, "web", 20), (4, "wiki", 5)],
+        "doc_id BIGINT, source STRING, n_chars BIGINT")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a BIGINT, id_b BIGINT")
+    out = {r.cluster_id: r for r in
+           dedup_survivorship(docs, pairs).collect()}
+    fam = out[1]
+    assert (fam.keep_id, fam.n_members) == (1, 3)
+    assert fam.sources == "books,web"  # sorted distinct provenance
+    assert (fam.max_size, fam.total_size) == (30, 60)
+    assert out[4].n_members == 1 and out[4].sources == "wiki"
+
+
+def test_dedup_events_window(spark):
+    from yardstick_spark.operators import dedup_events_window
+
+    events = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 7, "click"),
+         (2, "2024-01-01 00:00:01", 7, "click"),   # 1s after -> dup
+         (3, "2024-01-01 00:00:10", 7, "click"),   # 9s after -> kept
+         (4, "2024-01-01 00:00:01", 7, "view"),    # other type -> kept
+         (5, "2024-01-01 00:00:01", 8, "click")],  # other user -> kept
+        "event_id BIGINT, ts STRING, user_id BIGINT, event_type STRING"
+    ).selectExpr("event_id", "CAST(ts AS TIMESTAMP) AS ts",
+                 "user_id", "event_type")
+    out = {r.event_id: r.is_duplicate
+           for r in dedup_events_window(events, tolerance_s=2).collect()}
+    assert out == {1: False, 2: True, 3: False, 4: False, 5: False}

@@ -23,6 +23,7 @@ from .cluster import (  # noqa: F401
     dedup_assign,
     dedup_keep_best,
     dedup_source_matrix,
+    dedup_survivorship,
 )
 from .dedup import (  # noqa: F401
     clear_dedup_caches,

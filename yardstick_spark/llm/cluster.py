@@ -214,6 +214,43 @@ def dedup_source_matrix(docs: DataFrame, pairs: DataFrame,
     )
 
 
+def dedup_survivorship(docs: DataFrame, pairs: DataFrame,
+                       id_col: str = "doc_id",
+                       source_col: str = "source",
+                       size_col: str = "n_chars") -> DataFrame:
+    """Entity-resolution survivorship: one merged record per near-dup
+    cluster — the metadata a production dedup KEEPS from the records
+    it drops.  Returns (cluster_id, keep_id, n_members, sources,
+    max_size, total_size): keeper = min id (matching `dedup_assign`),
+    `sources` = comma-joined sorted distinct source values (provenance
+    union), sizes aggregated across the family.  Singletons appear as
+    1-member clusters, so the output is a complete canonical corpus
+    directory.
+
+    Same scale shape as `dedup_assign` plus one cluster-keyed
+    aggregation; the collected-set state per group is bounded by the
+    number of DISTINCT sources in a family, not its member count."""
+    comp = connected_components(pairs)
+    assigned = (
+        docs.select(F.col(id_col), F.col(source_col).alias("__src"),
+                    F.col(size_col).alias("__sz"))
+        .join(comp, F.col(id_col) == comp.id, "left")
+        .select(
+            id_col, "__src", "__sz",
+            F.coalesce(F.col("cluster_id"), F.col(id_col))
+            .alias("cluster_id"),
+        )
+    )
+    return assigned.groupBy("cluster_id").agg(
+        F.min(id_col).alias("keep_id"),
+        F.count("*").alias("n_members"),
+        F.concat_ws(",", F.sort_array(F.collect_set("__src")))
+        .alias("sources"),
+        F.max("__sz").alias("max_size"),
+        F.sum("__sz").cast("long").alias("total_size"),
+    )
+
+
 def dedup_keep_best(docs: DataFrame, pairs: DataFrame,
                     score_col: str, id_col: str = "doc_id",
                     src_col: str = "id_a",

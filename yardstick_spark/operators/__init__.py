@@ -12,6 +12,7 @@ from .graph import (  # noqa: F401
 from .funnel import (  # noqa: F401
     daily_anomalies,
     event_paths,
+    dedup_events_window,
     event_transitions,
     funnel_counts,
     retention_cohorts,

@@ -77,6 +77,34 @@ def retention_cohorts(events: DataFrame, user_col: str = "user_id",
     )
 
 
+def dedup_events_window(events: DataFrame, tolerance_s: int = 2,
+                        key_cols: tuple = ("user_id", "event_type"),
+                        ts_col: str = "ts",
+                        id_col: str = "event_id") -> DataFrame:
+    """Telemetry double-fire dedup: an event is a duplicate when the
+    SAME key (default user+type) fired within `tolerance_s` seconds of
+    the immediately preceding event — the standard double-click /
+    client-retry cleanup.  Returns the input keys plus is_duplicate
+    (lag-based debounce: each event is compared to its predecessor,
+    the deterministic windowable form every engine agrees on).
+
+    One window keyed on the event key (partition = one user's one
+    event type — small, uniform); ties on the timestamp break by id
+    so verdicts are partition-layout independent."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(ts_col, id_col)
+    prev = F.lag(ts_col).over(w)
+    return events.select(
+        id_col, *key_cols, ts_col,
+        (
+            prev.isNotNull()
+            & (F.col(ts_col) - prev
+               <= F.expr(f"INTERVAL {int(tolerance_s)} SECOND"))
+        ).alias("is_duplicate"),
+    )
+
+
 def event_transitions(events: DataFrame,
                       user_col: str = "user_id",
                       type_col: str = "event_type",
