@@ -831,3 +831,26 @@ def test_folded_knn_edge_cases(spark):
     assert len(b) == 3 and all(r.sim is None for r in b)
     assert lsh_bucketed_knn(emb, nullq, k=3).count() == 0
     assert ivf_knn_seeded(emb, nullq, k=3).count() == 0
+
+
+def test_folded_knn_null_ids_match_join(spark):
+    # NULL corpus ids are dropped by the join path's three-valued
+    # `!=`; the folded path must agree
+    from pyspark.sql import functions as F
+
+    from yardstick_spark.llm import brute_force_knn
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding").limit(50)
+    dirty = emb.unionByName(
+        emb.limit(1).select(F.lit(None).cast("long").alias("vec_id"),
+                            "embedding"))
+    q = emb.filter("vec_id < 3")
+    fold = sorted(map(tuple,
+                      brute_force_knn(dirty, q, k=5).collect()))
+    join = sorted(map(tuple,
+                      brute_force_knn(dirty, q, k=5,
+                                      strategy="join").collect()))
+    assert fold == join
+    assert all(r[1] is not None for r in fold)

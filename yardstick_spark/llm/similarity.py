@@ -494,10 +494,13 @@ def _folded_knn(corpus: DataFrame, queries: DataFrame, k: int,
             best["sim"] = best["sim"].astype("Float64")
             yield best
 
+    # NULL corpus ids: the join path's `query_id != neighbor_id` is
+    # three-valued SQL (NULL -> dropped); pandas `!=` would keep them,
+    # so filter here to stay bit-identical on dirty data
     cand = corpus.select(
         F.col(id_col).alias("__nid"),
         F.expr(_as_double(vec_col)).alias("__cv"),
-    ).mapInPandas(
+    ).filter(F.col("__nid").isNotNull()).mapInPandas(
         score,
         "query_id {}, neighbor_id {}, sim double".format(
             schema["query_id"].dataType.simpleString(),
