@@ -480,3 +480,18 @@ def test_containment_verify_no_cartesian(spark):
         ngram_containment_pairs(docs, k=5, threshold=0.8), mode="simple")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_tfidf_tf_table_has_cache_barrier(spark):
+    # tf feeds both the df aggregation and the final join; without the
+    # materialization barrier Catalyst re-executes the explode+agg
+    # subtree per consumer (measured 6 scans / 14 exchanges at 10x,
+    # round 6) — pin the barrier's presence
+    from yardstick_spark.llm import clear_dedup_caches, tfidf_terms
+    from yardstick_spark.plans import explain_str
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    try:
+        assert "InMemoryTableScan" in explain_str(tfidf_terms(docs))
+    finally:
+        clear_dedup_caches()
