@@ -4334,7 +4334,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT i, j,
                ROUND(CAST(sxy * n - sx * sy AS DOUBLE)
                      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1e12),
-                     6) AS cov
+                     6) + 0.0 AS cov
         FROM s"""
     # JL signs are md5 parity — f"42:{plane}:{dim}", low bit of the
     # 15-hex-digit prefix — identical to similarity._md5_signs

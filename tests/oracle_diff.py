@@ -25,6 +25,13 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
+        if math.isinf(v):
+            return "inf" if v > 0 else "-inf"
+        if v == 0.0 and math.copysign(1.0, v) < 0:
+            # -0.0 stays distinct from +0.0 — the driver's value hash
+            # preserves the sign bit, and collapsing them here masked
+            # a real mismatch for two rounds (emb_covariance)
+            return "-0"
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
         return repr(round(v, 9))

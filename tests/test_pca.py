@@ -72,6 +72,24 @@ def test_covariance_partition_stable(spark, cloud):
             assert got == ref  # exact ==, not approx
 
 
+def test_covariance_never_emits_signed_zero(spark):
+    # Round-6 driver red row (emb_covariance): a tiny negative
+    # covariance rounds to IEEE -0.0, which a sign-preserving value
+    # hash distinguishes from the oracle's +0.0.  The projection now
+    # adds +0.0 to canonicalize.  These two dims have
+    # cov = -2.5e-13 -> ROUND(.,6) = -0.0 without the fix.
+    import math
+
+    from yardstick_spark.llm import covariance_matrix
+
+    df = spark.createDataFrame(
+        [(0, [1e-6, 0.0]), (1, [0.0, 1e-6])],
+        "vec_id long, embedding array<float>")
+    for r in covariance_matrix(df).collect():
+        if r.cov == 0.0:
+            assert math.copysign(1.0, r.cov) > 0, (r.i, r.j, r.cov)
+
+
 def test_covariance_skips_null_and_ragged(spark, cloud):
     from yardstick_spark.llm import covariance_matrix
 

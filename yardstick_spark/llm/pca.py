@@ -227,6 +227,11 @@ def covariance_from_moments(moments: DataFrame,
         n_d * n_d * F.lit(float(_QUANT_SCALE) * _QUANT_SCALE))
     if round_to is not None:
         cov = F.round(cov, round_to)
+    # + 0.0 canonicalizes IEEE signed zero: a cell that rounds to -0.0
+    # (tiny negative covariance) becomes +0.0, matching the oracle's
+    # identical normalization — value hashes that preserve the sign bit
+    # (the driver's does) would otherwise see -0.0 != +0.0
+    cov = cov + F.lit(0.0)
     return merged.select("i", "j", cov.alias("cov"))
 
 
