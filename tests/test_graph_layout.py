@@ -107,6 +107,21 @@ def test_zorder_key_interleaves_bits(spark):
     assert out[(3, 3)] == 0b1111
 
 
+def test_zorder_span_overflow_raises(spark):
+    # (col - lo) * (2^bits - 1) runs in int64: a span past
+    # (2^63-1)/top (e.g. an epoch-MICROS range at bits=16) would
+    # overflow SILENTLY and corrupt every Morton key — the module
+    # must refuse instead (round-6 ADVICE fix, operators/layout.py)
+    from yardstick_spark.operators import zorder_key
+
+    df = spark.createDataFrame([(0, 0)], "ts long, y int")
+    with pytest.raises(ValueError, match="overflow"):
+        zorder_key(df, [("ts", 0, 10 ** 15), ("y", 0, 3)], bits=16)
+    # a span just under the limit is accepted
+    ok = (2 ** 63 - 1) // ((1 << 16) - 1) - 1
+    zorder_key(df, [("ts", 0, ok), ("y", 0, 3)], bits=16)
+
+
 def test_zorder_duckdb_twin_matches(spark):
     import duckdb
 

@@ -110,6 +110,23 @@ def test_pq_recall_vs_exact(spark, corpus):
         assert (q, q) in a  # own quantization is distance-0-ish
 
 
+def test_pq_knn_stale_codebook_raises(spark, corpus):
+    # codes scored against a codebook missing a (sub, code) centroid
+    # they reference would silently drop that subspace from the LUT
+    # join and understate adist — the job must fail instead
+    # (round-6 ADVICE fix, llm/pq.py raise_error guard)
+    from yardstick_spark.llm import pq_codebook, pq_encode, pq_knn
+
+    df = _vecs(spark, corpus)
+    cb = pq_codebook(df, m=4, ks=8)
+    codes = pq_encode(df, cb)
+    used = codes.selectExpr("codes[0] AS c0").first().c0
+    stale = cb.filter(f"NOT (sub = 0 AND code = {used})")
+    q = _vecs(spark, corpus[:2])
+    with pytest.raises(Exception, match="pq_knn"):
+        pq_knn(codes, stale, q, k=3).collect()
+
+
 def test_pq_empty_cells_are_skipped(spark):
     """ks near the corpus size leaves empty cells; encode argmins over
     the codes that exist instead of failing."""

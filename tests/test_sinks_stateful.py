@@ -539,6 +539,21 @@ def test_compact_files_reduces_count_keeps_rows(spark, tmp_path):
     assert not glob.glob(str(tmp_path / "frag__compact_*"))
 
 
+def test_compact_files_refuses_leftover_backup(spark, tmp_path):
+    # a crashed swap parks the data at <path>__compact_old; a second
+    # run must refuse with recovery instructions, never silently
+    # delete the parked copy (round-6 ADVICE fix, sources/write.py)
+    from yardstick_spark.sources import compact_files
+
+    path = str(tmp_path / "frag0")
+    spark.range(100).write.parquet(path)
+    (tmp_path / "frag0__compact_old").mkdir()
+    with pytest.raises(RuntimeError, match="compact_old"):
+        compact_files(spark, path)
+    # the parked dir is untouched
+    assert (tmp_path / "frag0__compact_old").exists()
+
+
 def test_compact_files_with_sort_restores_clustering(spark, tmp_path):
     from yardstick_spark.sources import compact_files
 
