@@ -493,3 +493,36 @@ def test_p11_incremental_merge_equals_recompute(spark, rows, cut):
             base, spark.createDataFrame(rows[cut:], schema), ["k"], ["v"])
     got = {r.k: (r.v, r.cnt) for r in merged.collect()}
     assert got == want
+
+
+@pytest.mark.parametrize("op", ["outliers", "prototypes", "medoids",
+                                "stream_cov"])
+def test_p13_float_reducers_repartition_stable(spark, op):
+    """Determinism contract for the float-reducing family (the class
+    that shipped the two-round emb_covariance red row): identical
+    output — exact ==, the driver's value hash — for any repartition
+    n in {1, 3, 8, 32}.  Runs on the real sf0.001 embeddings table so
+    the pinned property is the one the driver actually hashes.
+    stream_cov exercises the streaming moment kernel + merge +
+    assembly (the foreachBatch maintenance path reuses all three)."""
+    from yardstick_spark.llm import (embedding_outliers, label_medoids,
+                                     label_prototypes)
+    from yardstick_spark.llm.pca import covariance_from_moments
+    from yardstick_spark.streaming.stats import _batch_moments
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    ops = {
+        "outliers": lambda df: embedding_outliers(df),
+        "prototypes": lambda df: label_prototypes(df).selectExpr(
+            "label", "n_vecs", "posexplode(centroid) AS (pos, c)"),
+        "medoids": lambda df: label_medoids(df),
+        "stream_cov": lambda df: covariance_from_moments(
+            _batch_moments(df, "embedding")),
+    }
+    ref = None
+    for n in (1, 3, 8, 32):
+        got = sorted(map(tuple, ops[op](emb.repartition(n)).collect()))
+        if ref is None:
+            ref = got
+        else:
+            assert got == ref, f"{op}: output depends on repartition({n})"
