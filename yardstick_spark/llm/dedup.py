@@ -331,6 +331,86 @@ def _shingled(docs: DataFrame, text_col: str, id_col: str,
     )
 
 
+def _family_collapse(rows: DataFrame, key_col: str):
+    """(reps, members) for identical-`key_col` families: every row
+    whose key (shingle-set array / minhash signature) is identical
+    joins one family; `rep` is the family's min id.
+
+    THE near-dup scale lever on boilerplate-heavy corpora: a family
+    of f copies contributes f rows to every candidate bucket, so
+    candidate volume grows ~f² per family while the DISTINCT-key
+    workload is constant — measured 86x runtime growth for the ppjoin
+    on a 10x-replicated corpus before this collapse, ~6x after.  The
+    pair semantics are untouched because similarity is a pure
+    function of the key: within a family sim = 1 exactly, and for
+    any cross pair sim(a, b) = sim(rep_a, rep_b).  Cost when no
+    duplicates exist: one hash shuffle of the key rows (the window),
+    nothing else.
+
+    One window, not groupBy-then-join-back: the arrays ride the
+    shuffle once.  A mega-family is a hot window key, but the window
+    computes only min(id) — no per-family row explosion here (the
+    quadratic intra-family OUTPUT is the operator's contract and is
+    produced by `_family_expand`)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col)
+    tagged = _cache(rows.withColumn("__rep", F.min("id").over(w)))
+    reps = tagged.filter(F.col("id") == F.col("__rep")).drop("__rep")
+    members = tagged.select(F.col("__rep").alias("rep"), "id")
+    return reps, members
+
+
+def _family_expand(rep_pairs: DataFrame, members: DataFrame,
+                   sim_col: str, threshold: float,
+                   max_family_size: int | None = None) -> DataFrame:
+    """Expand representative-level pairs back to document-level pairs
+    and append the intra-family pairs (sim exactly 1.0, the value the
+    uncollapsed path computes for identical keys).  `rep_pairs` is
+    small relative to the corpus (it already passed the similarity
+    threshold) — AQE broadcasts it against the two membership probes;
+    the intra self-join's per-family fan-out IS the operator's output.
+
+    `max_family_size` carries the `max_bucket_size` guard's intent
+    through the collapse: a family of f members owes C(f, 2) intra
+    pairs — quadratic OUTPUT a mega-family (1M identical docs) turns
+    into the whole job — so over-cap families skip intra emission
+    ("their pairs belong to exact dedup upstream", same contract as
+    `_cap_buckets`; cross-family pairs still flow, which is strictly
+    better recall than the uncollapsed cap gave).  Restores the
+    numeric id_a < id_b output contract."""
+    ma = members.select(F.col("rep").alias("id_a"),
+                        F.col("id").alias("__ma"))
+    mb = members.select(F.col("rep").alias("id_b"),
+                        F.col("id").alias("__mb"))
+    cross = (
+        rep_pairs.join(ma, "id_a").join(mb, "id_b")
+        .select(F.least("__ma", "__mb").alias("id_a"),
+                F.greatest("__ma", "__mb").alias("id_b"), sim_col)
+    )
+    intra_src = members
+    if max_family_size:
+        from pyspark.sql import Window
+
+        wf = Window.partitionBy("rep")
+        intra_src = (
+            members.withColumn("__fs", F.count("*").over(wf))
+            .filter(F.col("__fs") <= max_family_size)
+            .drop("__fs")
+        )
+    intra = (
+        intra_src.alias("x")
+        .join(intra_src.alias("y"),
+              (F.col("x.rep") == F.col("y.rep"))
+              & (F.col("x.id") < F.col("y.id")))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"),
+                F.lit(1.0).alias(sim_col))
+    )
+    if threshold > 1.0:  # nothing can pass; mirror the plain filter
+        return cross.unionByName(intra.limit(0))
+    return cross.unionByName(intra)
+
+
 def _hint_sets(df: DataFrame, force: bool | None) -> DataFrame:
     """Broadcast policy for pair-verification build sides.
 
@@ -426,11 +506,20 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     sets0 = _shingled(docs, text_col, id_col, k)
     sh = sets0.select("id", F.explode("shs").alias("sh"))
     freq, universe = _rarity_sid_table(sh)
-    isets = _cache(
-        sh.join(F.broadcast(freq.select("sh", "sid")), "sh")
-        .groupBy("id")
-        .agg(F.sort_array(F.collect_list("sid")).alias("sids"))
-        .withColumn("n_sh", F.size("sids"))
+    # identical shingle SETS collapse to one representative before the
+    # prefix join (see _family_collapse): exact copies and boilerplate
+    # families otherwise inflate every candidate bucket quadratically
+    # (measured: 10x-replicated corpus took the sf0.1 ppjoin from
+    # 6.8 s to 582 s; collapsed it is pair-OUTPUT-bound).  Pairs are
+    # re-expanded by _family_expand with bit-identical jaccard values.
+    isets, members = _family_collapse(
+        _cache(
+            sh.join(F.broadcast(freq.select("sh", "sid")), "sh")
+            .groupBy("id")
+            .agg(F.sort_array(F.collect_list("sid")).alias("sids"))
+            .withColumn("n_sh", F.size("sids"))
+        ),
+        "sids",
     )
     # ppjoin asymmetric prefixes over the rarity-sorted arrays (no
     # window over the big exploded table).  For a size-ordered pair
@@ -524,7 +613,7 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     else:
         vsets = isets.select("id", "n_sh", F.col("sids").alias("vs"))
         common = F.size(F.array_intersect("vs_a", "vs_b"))
-    return (
+    rep_pairs = (
         cand.join(_hint_sets(vsets.select(F.col("id").alias("id_a"),
                                           F.col("vs").alias("vs_a"),
                                           F.col("n_sh").alias("n_a")),
@@ -549,6 +638,7 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
         .select(F.least("id_a", "id_b").alias("id_a"),
                 F.greatest("id_a", "id_b").alias("id_b"), "jaccard")
     )
+    return _family_expand(rep_pairs, members, "jaccard", threshold)
 
 
 def ngram_containment_pairs(docs: DataFrame, text_col: str = "text",
@@ -731,7 +821,17 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     with `zip_with`, then thresholded.  `max_bucket_size` guards the
     self-join against degenerate buckets (see `_cap_buckets`).
     """
-    sigs = _cache(minhash_signatures(docs, text_col, id_col, k, num_hashes))
+    # identical signatures collapse to one representative before the
+    # band self-join (see _family_collapse): bucket membership and the
+    # position-match estimate are pure functions of the signature, so
+    # rep-level pairs expand back bit-identically while the bucket
+    # join sees one row per DISTINCT signature instead of one per
+    # duplicate (boilerplate families otherwise grow every bucket
+    # quadratically; same measurement class as the ppjoin collapse)
+    sigs, members = _family_collapse(
+        _cache(minhash_signatures(docs, text_col, id_col, k, num_hashes)),
+        "signature",
+    )
     banded = _cap_buckets(
         _banded_buckets(sigs, num_hashes, bands),
         ["band", "bhash"], max_bucket_size,
@@ -752,7 +852,7 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
         "IF(x = y, 1, 0)), 0, (acc, v) -> acc + v) / size(sig_a), 6)"
     )
     cand = _pairs_hint(cand, max_broadcast_pairs)
-    return (
+    rep_pairs = (
         cand.join(_hint_sets(sigs.select(F.col("id").alias("id_a"),
                                          F.col("signature").alias("sig_a")),
                              broadcast_sets),
@@ -765,6 +865,8 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
     )
+    return _family_expand(rep_pairs, members, "est_jaccard", threshold,
+                          max_family_size=max_bucket_size)
 
 
 def simhash64(docs: DataFrame, text_col: str = "text",
