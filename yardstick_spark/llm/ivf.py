@@ -114,19 +114,26 @@ _LITERAL_CENTROID_LIMIT = 0
 
 
 def _centroid_matrix(centroids: DataFrame):
-    """(cells_sorted, matrix) with row i = centroid of cells_sorted[i].
-    On a ragged corpus the seeded centroids can disagree on dimension;
-    the matrix keeps only the MAJORITY dimension's cells (ties to the
-    smaller dim — deterministic), and the assignment UDFs drop vectors
-    whose dim doesn't match the matrix, so mixed-dim corpora degrade
-    to NULL cells instead of a vstack crash."""
-    import numpy as np
-
-    rows = sorted(
+    """(cells_sorted, matrix) with row i = centroid of cells_sorted[i];
+    collects the (bounded, n_lists-row) centroid table and delegates to
+    `_centroid_matrix_from_rows`."""
+    return _centroid_matrix_from_rows(
         (int(r["cell"]), [float(x) for x in r["centroid"]])
         for r in centroids.collect()
         if r["centroid"] is not None and len(r["centroid"]) > 0
     )
+
+
+def _centroid_matrix_from_rows(cell_centroid_rows):
+    """(cells_sorted, matrix) from (cell, centroid) pairs.  On a ragged
+    corpus the seeded centroids can disagree on dimension; the matrix
+    keeps only the MAJORITY dimension's cells (ties to the smaller dim
+    — deterministic), and the assignment UDFs drop vectors whose dim
+    doesn't match the matrix, so mixed-dim corpora degrade to NULL
+    cells instead of a vstack crash."""
+    import numpy as np
+
+    rows = sorted(cell_centroid_rows)
     if not rows:
         return np.array([], dtype=np.int64), np.zeros((0, 1))
     from collections import Counter
@@ -341,11 +348,43 @@ def ivf_knn_seeded(corpus: DataFrame, queries: DataFrame, k: int = 10,
     """
     cent_df = seed_centroids(corpus, id_col, vec_col, n_lists)
     if strategy == "fold":
-        from .similarity import _collect_query_matrix, _folded_knn
+        from .similarity import _folded_knn, _query_matrix_from_rows
 
-        cells, mat = _centroid_matrix(cent_df)
-        qids, Q, qn = _collect_query_matrix(
-            queries, id_col, vec_col, keep_null_vecs=False)
+        # ONE combined driver action for both closure inputs: the
+        # n_lists-row centroid aggregate and the (small by contract)
+        # query rows ride the same tagged union, so the fold path pays
+        # exactly two Spark jobs total — this collect and the scan —
+        # instead of three (separate centroid + query collects each
+        # paid a full job-launch floor; measured on the 10x corpus the
+        # merge removes ~0.2 s of pure scheduling).  Both legs keep
+        # their original shaping expressions, so the parsed rows are
+        # identical to the two-collect formulation (parity pinned by
+        # test_ivf_seeded_udf_path_matches_literal and
+        # test_folded_knn_matches_join_path).
+        qid_t = queries.schema[id_col].dataType
+        cent_leg = cent_df.select(
+            F.lit(0).alias("__tag"),
+            F.col("cell").cast("int").alias("cell"),
+            F.col("centroid").alias("centroid"),
+            F.lit(None).cast(qid_t).alias("__qid"),
+            F.lit(None).cast("array<double>").alias("__qv"),
+        )
+        q_leg = queries.select(
+            F.lit(1).alias("__tag"),
+            F.lit(None).cast("int").alias("cell"),
+            F.lit(None).cast("array<double>").alias("centroid"),
+            F.col(id_col).alias("__qid"),
+            F.expr(_as_vec(vec_col)).alias("__qv"),
+        )
+        rows = cent_leg.unionByName(q_leg).collect()
+        cells, mat = _centroid_matrix_from_rows(
+            (int(r["cell"]), [float(x) for x in r["centroid"]])
+            for r in rows
+            if r["__tag"] == 0 and r["centroid"] is not None
+            and len(r["centroid"]) > 0)
+        qids, Q, qn = _query_matrix_from_rows(
+            [(r["__qid"], r["__qv"]) for r in rows if r["__tag"] == 1],
+            keep_null_vecs=False)
         qmap = _ivf_probe_map(Q, cells, mat, n_probe) if qids else {}
         return _folded_knn(corpus, queries, k, id_col, vec_col, 4,
                            _ivf_key_closure(cells, mat), qmap,

@@ -381,15 +381,24 @@ def _collect_query_matrix(queries: DataFrame, id_col: str, vec_col: str,
         F.col(id_col).alias("__qid"),
         F.expr(_as_double(vec_col)).alias("__qv"),
     ).collect()
-    dim = next((len(r["__qv"]) for r in rows if r["__qv"]), 0)
+    return _query_matrix_from_rows(
+        [(r["__qid"], r["__qv"]) for r in rows], keep_null_vecs)
+
+
+def _query_matrix_from_rows(id_vec_rows, keep_null_vecs):
+    """(qids, Q, qn) from already-collected (id, vec) pairs — shared
+    by `_collect_query_matrix` and the IVF fold path's single combined
+    centroid+query collect."""
+    import numpy as np
+
+    dim = next((len(v) for _, v in id_vec_rows if v), 0)
     qids, vecs = [], []
-    for r in rows:
-        v = r["__qv"]
+    for qid, v in id_vec_rows:
         if v is not None and len(v) == dim and dim > 0:
-            qids.append(r["__qid"])
-            vecs.append(v)
+            qids.append(qid)
+            vecs.append(list(v))
         elif keep_null_vecs:
-            qids.append(r["__qid"])
+            qids.append(qid)
             vecs.append([0.0] * dim)
     if not qids:
         return [], None, None

