@@ -336,6 +336,61 @@ def test_q18_q21_single_fact_exchange(spark):
         assert fact_ex <= 1, f"{name}: {fact_ex} fact exchanges"
 
 
+def test_q18_q21_bucketed_zero_fact_exchanges(spark):
+    # The storage-layout endgame the q18/q21 irreducibility note
+    # points at: bucket lineitem AND orders by orderkey ONCE at write
+    # time, and the per-order aggregate (q18), the fact-fact join and
+    # the per-order windows (q21) all reuse the bucket clustering —
+    # ZERO fact-keyed exchanges in either plan (vs exactly one for
+    # the plain-parquet variants, test above).  Bucket clustering
+    # satisfies the (okey, skey) groupBy by the subset rule and the
+    # okey windows directly, so no REPARTITION hint is needed.
+    import re
+
+    from yardstick_spark.plans import explain_str
+    from yardstick_spark.sources import write_bucketed
+
+    sf = "/root/testdata/sf0.001"
+    write_bucketed(spark.read.parquet(f"{sf}/lineitem.parquet"),
+                   "li_bkt_t", ["l_orderkey"], num_buckets=8)
+    write_bucketed(spark.read.parquet(f"{sf}/orders.parquet"),
+                   "od_bkt_t", ["o_orderkey"], num_buckets=8)
+    try:
+        q18 = spark.sql(
+            "WITH osum AS (SELECT l_orderkey AS bokey, "
+            "ROUND(SUM(l_quantity), 2) AS sum_qty FROM li_bkt_t "
+            "GROUP BY l_orderkey HAVING SUM(l_quantity) > 150) "
+            "SELECT o.o_orderkey AS okey, ROUND(o.o_totalprice, 2) "
+            "AS total, sum_qty FROM osum "
+            "JOIN od_bkt_t o ON o.o_orderkey = bokey "
+            "ORDER BY total DESC, okey LIMIT 100")
+        q21 = spark.sql(
+            "WITH src AS (SELECT l_orderkey, l_suppkey, "
+            "CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY "
+            "THEN 1 ELSE 0 END AS is_late "
+            "FROM li_bkt_t JOIN od_bkt_t ON o_orderkey = l_orderkey "
+            "WHERE o_orderstatus = 'F'), "
+            "per AS (SELECT l_orderkey AS okey, l_suppkey AS skey, "
+            "MAX(is_late) AS late FROM src GROUP BY l_orderkey, "
+            "l_suppkey), "
+            "stat AS (SELECT skey, late, "
+            "COUNT(*) OVER (PARTITION BY okey) AS n_supp, "
+            "SUM(late) OVER (PARTITION BY okey) AS n_late FROM per) "
+            "SELECT skey, COUNT(*) AS numwait FROM stat "
+            "WHERE late = 1 AND n_supp >= 2 AND n_late = 1 "
+            "GROUP BY skey")
+        for name, df in (("q18", q18), ("q21", q21)):
+            plan = explain_str(df)
+            fact_ex = re.findall(
+                r"Exchange (?:hash|range)partitioning\("
+                r"(?:l_orderkey|o_orderkey|okey|bokey)\b", plan)
+            assert not fact_ex, f"{name}: fact exchanges {fact_ex}"
+            assert df.count() >= 0  # plans execute, not just explain
+    finally:
+        spark.sql("DROP TABLE IF EXISTS li_bkt_t")
+        spark.sql("DROP TABLE IF EXISTS od_bkt_t")
+
+
 def test_mining_and_quantized_plans(spark):
     # hard negatives / quantized kNN keep the kNN plan contract: the
     # anchor/query side broadcasts (corpus rows never shuffle for
