@@ -2081,10 +2081,11 @@ def _q_graph_doc_rank(spark, sf_dir):
     pairs = minhash_lsh_pairs(
         docs, k=5, num_hashes=32, bands=8, threshold=0.5
     )
-    edges = pairs.selectExpr("id_a AS src", "id_b AS dst").unionAll(
-        pairs.selectExpr("id_b AS src", "id_a AS dst")
-    )
-    return pagerank(edges, iterations=6).select(
+    # symmetrize=True makes pagerank emit both directions in ONE pass
+    # over the pair rows — a caller-side unionAll of the swap would
+    # evaluate the (expensive) pair-generation subtree once per leg
+    edges = pairs.selectExpr("id_a AS src", "id_b AS dst")
+    return pagerank(edges, iterations=6, symmetrize=True).select(
         "node", F.round("rank", 6).alias("rank")
     )
 

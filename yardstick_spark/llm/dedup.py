@@ -671,11 +671,19 @@ def ngram_containment_pairs(docs: DataFrame, text_col: str = "text",
     sets0 = _shingled(docs, text_col, id_col, k)
     sh = sets0.select("id", F.explode("shs").alias("sh"))
     freq, _ = _rarity_sid_table(sh)
-    isets = _cache(
-        sh.join(F.broadcast(freq.select("sh", "sid")), "sh")
-        .groupBy("id")
-        .agg(F.sort_array(F.collect_list("sid")).alias("sids"))
-        .withColumn("n_sh", F.size("sids"))
+    # identical shingle sets collapse before the prefix join — same
+    # quadratic-bucket argument and bit-identical re-expansion as
+    # ngram_jaccard_pairs (containment of identical sets is exactly
+    # 1.0, and cross-family containment is a pure function of the
+    # representatives' sets)
+    isets, members = _family_collapse(
+        _cache(
+            sh.join(F.broadcast(freq.select("sh", "sid")), "sh")
+            .groupBy("id")
+            .agg(F.sort_array(F.collect_list("sid")).alias("sids"))
+            .withColumn("n_sh", F.size("sids"))
+        ),
+        "sids",
     )
     plen = (
         F.col("n_sh")
@@ -719,7 +727,7 @@ def ngram_containment_pairs(docs: DataFrame, text_col: str = "text",
     )
     cand = _pairs_hint(cand, max_broadcast_pairs)
     vsets = isets.select("id", "n_sh", F.col("sids").alias("vs"))
-    return (
+    rep_pairs = (
         cand.join(_hint_sets(vsets.select(F.col("id").alias("id_a"),
                                           F.col("vs").alias("vs_a"),
                                           F.col("n_sh").alias("n_a")),
@@ -741,6 +749,7 @@ def ngram_containment_pairs(docs: DataFrame, text_col: str = "text",
         .select(F.least("id_a", "id_b").alias("id_a"),
                 F.greatest("id_a", "id_b").alias("id_b"), "containment")
     )
+    return _family_expand(rep_pairs, members, "containment", threshold)
 
 
 # Mersenne prime 2^31-1 for the universal-hash permutation family

@@ -49,6 +49,7 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     weight: str | None = None,
+    symmetrize: bool = False,
 ) -> DataFrame:
     """Weighted PageRank over `edges` → (node, rank) with
     sum(rank) = 1.  Nodes are the distinct union of endpoints.
@@ -59,6 +60,13 @@ def pagerank(
     Parallel edges are legal (weights add).  Nodes without out-edges
     contribute their mass uniformly to all nodes (standard dangling
     handling), so rank stays a probability distribution.
+
+    `symmetrize=True` adds the reversed edge for every input edge
+    INSIDE this operator, after the one-time projection — for
+    undirected graphs whose edge list is expensive to produce (the
+    near-dup pair tables), this halves edge-subtree evaluations vs
+    the caller unioning `edges` with its own swap (each union leg is
+    a separate Catalyst subtree and evaluates independently).
     """
     from ..llm.dedup import _cache  # shared cache registry —
     # released by llm.clear_dedup_caches() like every other barrier
@@ -69,6 +77,17 @@ def pagerank(
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w")
     )
+    if symmetrize:
+        # explode-the-swap instead of union-the-subtree: one pass over
+        # the edge rows emits both directions, so the (possibly very
+        # expensive) upstream plan is evaluated once, not per leg
+        e = e.select(
+            F.explode(F.array(
+                F.struct(F.col("src"), F.col("dst"), F.col("w")),
+                F.struct(F.col("dst").alias("src"),
+                         F.col("src").alias("dst"), F.col("w")),
+            )).alias("__e")
+        ).select("__e.src", "__e.dst", "__e.w")
     # collapse parallel edges, then EAGERLY materialize (localCheckpoint,
     # not cache): the collapsed relation feeds `outw`, the normalization
     # join, `nodes` and `srcs`, and a lazy cache only materializes
