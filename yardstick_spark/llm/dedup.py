@@ -363,7 +363,8 @@ def _family_collapse(rows: DataFrame, key_col: str):
 
 def _family_expand(rep_pairs: DataFrame, members: DataFrame,
                    sim_col: str, threshold: float,
-                   max_family_size: int | None = None) -> DataFrame:
+                   max_family_size: int | None = None,
+                   intra_value=None) -> DataFrame:
     """Expand representative-level pairs back to document-level pairs
     and append the intra-family pairs (sim exactly 1.0, the value the
     uncollapsed path computes for identical keys).  `rep_pairs` is
@@ -398,13 +399,17 @@ def _family_expand(rep_pairs: DataFrame, members: DataFrame,
             .filter(F.col("__fs") <= max_family_size)
             .drop("__fs")
         )
+    # intra_value: the similarity an identical-key pair scores in the
+    # uncollapsed path — 1.0 for the Jaccard/containment/estimate
+    # family, 0 for Hamming distances
+    iv = F.lit(1.0) if intra_value is None else intra_value
     intra = (
         intra_src.alias("x")
         .join(intra_src.alias("y"),
               (F.col("x.rep") == F.col("y.rep"))
               & (F.col("x.id") < F.col("y.id")))
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"),
-                F.lit(1.0).alias(sim_col))
+                iv.alias(sim_col))
     )
     if threshold > 1.0:  # nothing can pass; mirror the plain filter
         return cross.unionByName(intra.limit(0))
@@ -939,7 +944,14 @@ def simhash_pairs(docs: DataFrame, text_col: str = "text",
             "banded candidates are exact only for max_hamming <= 3 "
             "(4 bands of 15 bits; pigeonhole needs d < bands)"
         )
-    sigs = _cache(simhash64(docs, text_col, id_col))
+    # identical simhash values collapse to one representative before
+    # the band join (hamming is a pure function of the two signatures:
+    # within-family hamming = 0, always <= max_hamming; cross-family
+    # hamming = hamming(rep_a, rep_b)) — same quadratic-bucket guard
+    # as the minhash/ppjoin collapses, and unlike `max_bucket_size`
+    # it preserves the exactness guarantee
+    sigs, members = _family_collapse(
+        _cache(simhash64(docs, text_col, id_col)), "simhash")
     banded = sigs.select(
         "id",
         F.explode(F.expr(
@@ -960,7 +972,7 @@ def simhash_pairs(docs: DataFrame, text_col: str = "text",
         .distinct()
     )
     cand = _pairs_hint(cand, max_broadcast_pairs)
-    return (
+    rep_pairs = (
         cand.join(sigs.select(F.col("id").alias("id_a"),
                               F.col("simhash").alias("sig_a")), "id_a")
         .join(sigs.select(F.col("id").alias("id_b"),
@@ -970,6 +982,9 @@ def simhash_pairs(docs: DataFrame, text_col: str = "text",
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+    return _family_expand(rep_pairs, members, "hamming", threshold=0.0,
+                          max_family_size=max_bucket_size,
+                          intra_value=F.lit(0).cast("int"))
 
 
 def _banded_buckets(sigs: DataFrame, num_hashes: int,
