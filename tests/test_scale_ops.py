@@ -353,6 +353,55 @@ def test_lsh_bucket_cap_guards_degenerate_buckets(spark):
     assert capped.count() == 0, "over-cap buckets must be skipped"
 
 
+def test_family_expand_mixed_corpus_cross_and_intra(spark):
+    """Family-collapse exactness on a corpus that mixes shapes: two
+    identical-text families plus a loner.  Intra-family pairs must
+    carry similarity exactly 1.0, cross-family pairs must expand
+    through the membership table (f_a x f_b of them, all with the one
+    rep-level value), and the loner pairs with nothing.  Also pins the
+    cap's recall claim: an over-cap family skips only its INTRA pairs
+    while its cross-family pairs still flow (strictly better than the
+    pre-collapse bucket cap, which dropped both)."""
+    from yardstick_spark.llm import (clear_dedup_caches,
+                                     minhash_lsh_pairs,
+                                     ngram_jaccard_pairs)
+
+    ta = ("the quick brown fox jumps over the lazy dog near the old"
+          " river bank every single morning before sunrise and rain")
+    tb = ("the quick brown fox jumps over the lazy dog near the old"
+          " river bank every single morning before sunrise and snow")
+    rows = ([(i, ta) for i in (0, 1, 2)] + [(i, tb) for i in (10, 11)]
+            + [(20, "totally unrelated content about maritime"
+                    " navigation and celestial charts")])
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    intra_a = {(0, 1), (0, 2), (1, 2)}
+    intra = intra_a | {(10, 11)}
+    cross = {(a, b) for a in (0, 1, 2) for b in (10, 11)}
+
+    pairs = {(r.id_a, r.id_b): r.jaccard
+             for r in ngram_jaccard_pairs(docs, k=5, threshold=0.3)
+             .collect()}
+    clear_dedup_caches()
+    assert set(pairs) == intra | cross
+    assert all(pairs[p] == 1.0 for p in intra)
+    assert len({pairs[p] for p in cross}) == 1, \
+        "every cross pair must carry the one rep-level similarity"
+    assert 0.3 <= pairs[(0, 10)] < 1.0
+
+    est = {(r.id_a, r.id_b): r.est_jaccard
+           for r in minhash_lsh_pairs(docs, threshold=0.0).collect()}
+    clear_dedup_caches()
+    assert intra | cross <= set(est)
+    assert all(est[p] == 1.0 for p in intra)
+    capped = {(r.id_a, r.id_b)
+              for r in minhash_lsh_pairs(docs, threshold=0.0,
+                                         max_bucket_size=2).collect()}
+    clear_dedup_caches()
+    assert cross <= capped, "cross pairs must survive the family cap"
+    assert (10, 11) in capped, "under-cap family keeps its intra pair"
+    assert not (intra_a & capped), "over-cap family skips intra pairs"
+
+
 def test_simhash_bucket_cap_wiring(spark):
     # capped path: identical docs collapse every band bucket, so the
     # cap suppresses all candidates; uncapped stays exhaustive
