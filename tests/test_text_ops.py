@@ -770,6 +770,57 @@ def test_containment_exact_vs_bruteforce(spark):
     assert got == want
 
 
+def test_pair_generators_exact_on_replicated_corpus(spark):
+    """Brute-force equality on a corpus where every doc appears 3x:
+    the family-collapse path (identical shingle sets collapse to one
+    representative before candidate generation, pairs re-expand
+    through membership) must reproduce the uncollapsed ground truth
+    exactly — within-family 1.0 pairs, cross-family pairs at the
+    rep-level value, and nothing else."""
+    import itertools
+
+    from yardstick_spark.llm import (clear_dedup_caches,
+                                     ngram_containment_pairs,
+                                     ngram_jaccard_pairs)
+
+    words = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+             "golf", "hotel", "india", "juliet"]
+    base = []
+    for i in range(15):
+        picks = [words[(i * 3 + j * 7) % 10] for j in range(4 + i % 5)]
+        base.append((i, " ".join(picks)))
+    docs = [(i + 100 * rep, t) for rep in range(3) for i, t in base]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def shingles(t):
+        t = " ".join(t.lower().strip().split())
+        return {t[i:i + 5] for i in range(max(1, len(t) - 4))}
+
+    want_j, want_c = {}, {}
+    for (i, ta), (j, tb) in itertools.combinations(sorted(docs), 2):
+        sa, sb = shingles(ta), shingles(tb)
+        inter = len(sa & sb)
+        jac = inter / len(sa | sb)
+        con = inter / min(len(sa), len(sb))
+        if jac >= 0.5:
+            want_j[(i, j)] = round(jac, 6)
+        if con >= 0.7:
+            want_c[(i, j)] = round(con, 6)
+    # the replicated corpus must actually exercise the collapse
+    assert sum(v == 1.0 for v in want_j.values()) >= 45  # 15 * C(3,2)
+
+    got_j = {(r.id_a, r.id_b): r.jaccard
+             for r in ngram_jaccard_pairs(df, k=5, threshold=0.5)
+             .collect()}
+    clear_dedup_caches()
+    assert got_j == want_j
+    got_c = {(r.id_a, r.id_b): r.containment
+             for r in ngram_containment_pairs(df, k=5, threshold=0.7)
+             .collect()}
+    clear_dedup_caches()
+    assert got_c == want_c
+
+
 def test_remove_duplicate_lines(spark):
     # CCNet-style: a line whose normalized form appears in >= min_docs
     # distinct docs is removed from EVERY doc; order and empty lines
