@@ -226,13 +226,26 @@ def label_propagation(edges: DataFrame, iterations: int = 4,
     input was map-side combined — the same two-shuffle superstep cost
     as `pagerank`, with the same eager per-round localCheckpoint (see
     module docstring)."""
-    from ..llm.dedup import _cache
-
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    e = _cache(
-        e.unionByName(e.selectExpr("dst AS src", "src AS dst"))
+    # explode-the-swap, not union-the-subtree (same reasoning as
+    # pagerank's symmetrize: each union leg is a separate Catalyst
+    # subtree, so an expensive caller edge plan — e.g. the minhash
+    # pair generation under graph_communities — would evaluate once
+    # per leg before any cache fills); then materialize the distinct
+    # symmetrized edge list EAGERLY in its src layout so iteration 1
+    # never re-evaluates the caller's plan
+    e = (
+        e.select(
+            F.explode(F.array(
+                F.struct(F.col("src"), F.col("dst")),
+                F.struct(F.col("dst").alias("src"),
+                         F.col("src").alias("dst")),
+            )).alias("__e")
+        )
+        .select("__e.src", "__e.dst")
         .distinct()
         .repartition("src")
+        .localCheckpoint(eager=True)
     )
     labels = e.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label"))
