@@ -2247,22 +2247,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # Round-7 driver-window rotation (the driver checks the FIRST 50
-# entries): (1) emb_covariance — the one red r6 row, fixed this round
-# (signed-zero canonicalization on both engines); (2) the 4 entries
-# whose last driver row dates from round 2; (3) the 49-entry
-# round-3-green block (measure modifiers + sim/text wave-1), of which
-# 45 fit — the 4 deferred to positions 51-54 (m_at_all_month,
-# m_agg_basic, m_implicit_default, m_derived_ratio) are the ones most
-# densely replayed by the golden corpus every session, so they carry
-# the strongest non-driver evidence and lead the r8 window.  Every
+# entries): (1) the 17 entries whose Spark-side plan changed this
+# round — emb_covariance (the one red r6 row, signed-zero
+# canonicalization on both engines), the 12 consumers of the
+# identical-key family collapse now inside every near-dup candidate
+# generator, the 3 graph entries (eager edge barrier +
+# explode-the-swap symmetrization in pagerank AND label_propagation),
+# and sim_knn_ivf (folded closure collects) — changed code must
+# re-green in the driver, not just the local sweep; (2) the 4 entries
+# whose last driver row dates from round 2; (3) the round-3-green
+# block (measure modifiers + sim/text wave-1) fills the remaining 29
+# slots — its tail (window funcs, AT-modifier family) is the most
+# densely corpus-replayed code in the repo, so it carries the
+# strongest non-driver evidence and leads the r8 window.  Every
 # inventory entry additionally gets a local ORACLE_SWEEP_r7 row.
 _R7_LEAD: list[str] = [
     # changed this round — must re-green in the driver
     "emb_covariance",
+    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_containment",
+    "dedup_simhash_pairs", "dedup_clusters", "dedup_keep_best",
+    "dedup_survivorship", "dedup_source_matrix", "ops_split_leakage",
+    "ops_leakage_safe_split", "dedup_minhash_eval",
+    "pipeline_curation_full", "graph_pagerank", "graph_doc_rank",
+    "graph_communities", "sim_knn_ivf",
     # last driver row round 2
     "dedup_embedding", "mm_decode_real", "mm_resize", "sim_knn_bruteforce",
-    # last driver row round 3
-    "sim_knn_lsh", "sim_knn_lsh_multiprobe", "sim_knn_ivf", "text_tokens",
+    # last driver row round 3 (as many as fit; the rest lead r8)
+    "sim_knn_lsh", "sim_knn_lsh_multiprobe", "text_tokens",
     "text_quality", "text_langid", "text_fingerprint", "text_gopher",
     "text_pii", "text_topterms", "text_chunks", "pipeline_curation",
     "text_mixture", "mm_decode", "mm_frame_sample", "events_tumbling",
