@@ -136,6 +136,7 @@ def prepare_embedding_corpus(vecs: DataFrame, id_col: str = "vec_id",
     scan-side; SemDeDup shuffles each vector once to its cell; the
     quantizer adds one dim-cardinality aggregation and a scan-side
     transform.  The whole chain is SQL-expressible for the oracle."""
+    from .dedup import _cache
     from .quantize import quantization_params, quantize_embeddings
     from .similarity import semantic_dedup_pairs
 
@@ -146,8 +147,13 @@ def prepare_embedding_corpus(vecs: DataFrame, id_col: str = "vec_id",
     drops = (semantic_dedup_pairs(ok, id_col, vec_col,
                                   threshold, n_lists)
              .select(F.col("id_b").alias("__drop_id")).distinct())
-    kept = ok.join(drops, F.col(id_col) == F.col("__drop_id"),
-                   "left_anti")
+    # cache barrier BEFORE the quantization-params collect: params is
+    # a separate driver action whose plan otherwise embeds the whole
+    # norm-filter -> SemDeDup -> anti-join chain, re-executing the
+    # dedup subtree once for the params and again for the result
+    # (same discipline as curate_corpus_full's barrier above)
+    kept = _cache(ok.join(drops, F.col(id_col) == F.col("__drop_id"),
+                          "left_anti"))
     params = quantization_params(kept, vec_col=vec_col)
     keep_cols = ("__norm",) + ((label_col,) if label_col else ())
     qv = quantize_embeddings(kept, id_col=id_col, vec_col=vec_col,
