@@ -418,6 +418,61 @@ def test_simhash_bucket_cap_wiring(spark):
     assert simhash_pairs(boiler, max_bucket_size=10).count() == 0
 
 
+def test_family_collapse_null_text_stays_unpaired(spark):
+    """NULL-text docs must NOT pair with each other (regression for
+    the family-collapse NULL hole): the uncollapsed band/prefix joins
+    drop NULL band values under SQL equality, so the collapsed path
+    must treat NULL/NULL-element signatures as singleton families —
+    never as one family whose re-expansion emits sim-1.0 intra pairs.
+    Real near-dup pairs among non-NULL docs must be unaffected."""
+    from yardstick_spark.llm import (clear_dedup_caches,
+                                     minhash_lsh_pairs,
+                                     ngram_containment_pairs,
+                                     ngram_jaccard_pairs, simhash_pairs)
+
+    t = ("the quick brown fox jumps over the lazy dog near the old"
+         " river bank every single morning before sunrise")
+    rows = [(0, t), (1, t), (2, None), (3, None), (4, None)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    null_ids = {2, 3, 4}
+
+    for fn, kw in ((minhash_lsh_pairs, {"threshold": 0.0}),
+                   (simhash_pairs, {}),
+                   (ngram_jaccard_pairs, {"k": 5, "threshold": 0.1}),
+                   (ngram_containment_pairs,
+                    {"k": 5, "threshold": 0.1})):
+        pairs = {(r.id_a, r.id_b) for r in fn(docs, **kw).collect()}
+        clear_dedup_caches()
+        touched_null = {p for p in pairs
+                        if p[0] in null_ids or p[1] in null_ids}
+        assert not touched_null, \
+            f"{fn.__name__} paired NULL-text docs: {touched_null}"
+        assert (0, 1) in pairs, \
+            f"{fn.__name__} lost the real duplicate pair"
+
+
+def test_graph_checkpoints_release_via_shared_registry(spark):
+    """The eager edge barriers in pagerank/label_propagation register
+    in the same cache registry as every dedup barrier, so
+    clear_dedup_caches() drops the references (regression for the
+    untracked-localCheckpoint leak)."""
+    from yardstick_spark.llm import clear_dedup_caches
+    from yardstick_spark.llm.dedup import _CACHED
+    from yardstick_spark.operators.graph import (label_propagation,
+                                                 pagerank)
+
+    edges = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0), (3, 1, 1.0)], "src long, dst long, w double")
+    clear_dedup_caches()
+    pagerank(edges, iterations=2).count()
+    assert _CACHED, "pagerank must register its edge state"
+    label_propagation(edges, iterations=2).count()
+    n = len(_CACHED)
+    assert n >= 2, "both operators must register their edge barriers"
+    clear_dedup_caches()
+    assert not _CACHED
+
+
 def test_ivf_seeded_udf_path_matches_literal(spark, monkeypatch):
     # the default Arrow-UDF centroid closure and the SQL-literal
     # centroid tree (the engine-portable spec the oracles transcribe)

@@ -39,6 +39,17 @@ def _cache(df: DataFrame) -> DataFrame:
     return df
 
 
+def _register(df: DataFrame) -> DataFrame:
+    """Track an already-materialized frame (eager localCheckpoint) in
+    the shared registry WITHOUT re-caching it.  unpersist() on a
+    checkpointed frame is a no-op; the actual release path is
+    ContextCleaner GC once the Python/JVM references drop — which
+    clear_dedup_caches() triggers by popping the registry entry, the
+    same lifecycle every cache() barrier gets."""
+    _CACHED.append(df)
+    return df
+
+
 def clear_dedup_caches() -> None:
     """Unpersist every intermediate this module has cached.  Results
     already materialized stay valid; unmaterialized lazy results will
@@ -322,10 +333,18 @@ def _shingled(docs: DataFrame, text_col: str, id_col: str,
         )
         .select(
             "id",
+            # NULL text -> EMPTY shingle set, not [NULL]: a NULL
+            # element would reach the rarity table's driver-side sort
+            # (unorderable vs str) and give minhash a joinable
+            # stringified band hash.  Empty set means the doc simply
+            # contributes no shingle rows; minhash's array_min over
+            # zero hashes still yields the all-NULL signature the
+            # NULL contract expects.
             F.expr(
+                f"IF(__norm IS NULL, CAST(array() AS ARRAY<STRING>), "
                 f"array_distinct(transform("
                 f"sequence(1, greatest(1, length(__norm) - {k - 1})), "
-                f"i -> substring(__norm, i, {k})))"
+                f"i -> substring(__norm, i, {k}))))"
             ).alias("shs"),
         )
     )
@@ -351,11 +370,26 @@ def _family_collapse(rows: DataFrame, key_col: str):
     shuffle once.  A mega-family is a hot window key, but the window
     computes only min(id) — no per-family row explosion here (the
     quadratic intra-family OUTPUT is the operator's contract and is
-    produced by `_family_expand`)."""
+    produced by `_family_expand`).
+
+    NULL keys must NOT form families: the uncollapsed band/prefix
+    joins use SQL equality, which drops NULL band values, so two
+    NULL-text docs (all-NULL minhash signature, NULL simhash) never
+    pair there — but window partitionBy groups NULLs null-safely and
+    would collapse them into ONE family whose re-expansion emits
+    sim-1.0 intra pairs the uncollapsed path never produces.  A NULL
+    (or NULL-element) key therefore makes the row its own singleton
+    family: it stays a rep, downstream bucket joins drop it exactly
+    as before, and a singleton owes no intra pairs."""
     from pyspark.sql import Window
 
     w = Window.partitionBy(key_col)
-    tagged = _cache(rows.withColumn("__rep", F.min("id").over(w)))
+    null_key = F.col(key_col).isNull()
+    if dict(rows.dtypes)[key_col].startswith("array"):
+        null_key = null_key | F.exists(key_col, lambda x: x.isNull())
+    tagged = _cache(rows.withColumn(
+        "__rep",
+        F.when(null_key, F.col("id")).otherwise(F.min("id").over(w))))
     reps = tagged.filter(F.col("id") == F.col("__rep")).drop("__rep")
     members = tagged.select(F.col("__rep").alias("rep"), "id")
     return reps, members
@@ -443,8 +477,11 @@ def _rarity_sid_table(sh: DataFrame) -> tuple[DataFrame, int]:
 
     npart = sh.sparkSession.sparkContext.defaultParallelism
     # cache BEFORE repartitionByRange: its range-bounds sampling job
-    # re-evaluates the child, which would re-run the explode+groupBy
-    freq0 = _cache(sh.groupBy("sh").agg(F.count("*").alias("df")))
+    # re-evaluates the child, which would re-run the explode+groupBy.
+    # NULL shingles can't rank (the driver-side sort would compare
+    # None vs str) and never join back anyway — drop them up front.
+    freq0 = _cache(sh.filter(F.col("sh").isNotNull())
+                   .groupBy("sh").agg(F.count("*").alias("df")))
     universe = freq0.count()
     if universe <= 200_000:
         order = sorted((r["df"], r["sh"]) for r in freq0.collect())
@@ -518,12 +555,14 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     # 6.8 s to 582 s; collapsed it is pair-OUTPUT-bound).  Pairs are
     # re-expanded by _family_expand with bit-identical jaccard values.
     isets, members = _family_collapse(
-        _cache(
-            sh.join(F.broadcast(freq.select("sh", "sid")), "sh")
-            .groupBy("id")
-            .agg(F.sort_array(F.collect_list("sid")).alias("sids"))
-            .withColumn("n_sh", F.size("sids"))
-        ),
+        # no caller-side _cache: _family_collapse reads this exactly
+        # once to build its cached `tagged` frame — the tagged cache IS
+        # the barrier, a second cache here would only double the
+        # persisted footprint
+        sh.join(F.broadcast(freq.select("sh", "sid")), "sh")
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list("sid")).alias("sids"))
+        .withColumn("n_sh", F.size("sids")),
         "sids",
     )
     # ppjoin asymmetric prefixes over the rarity-sorted arrays (no
@@ -682,12 +721,14 @@ def ngram_containment_pairs(docs: DataFrame, text_col: str = "text",
     # 1.0, and cross-family containment is a pure function of the
     # representatives' sets)
     isets, members = _family_collapse(
-        _cache(
-            sh.join(F.broadcast(freq.select("sh", "sid")), "sh")
-            .groupBy("id")
-            .agg(F.sort_array(F.collect_list("sid")).alias("sids"))
-            .withColumn("n_sh", F.size("sids"))
-        ),
+        # no caller-side _cache: _family_collapse reads this exactly
+        # once to build its cached `tagged` frame — the tagged cache IS
+        # the barrier, a second cache here would only double the
+        # persisted footprint
+        sh.join(F.broadcast(freq.select("sh", "sid")), "sh")
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list("sid")).alias("sids"))
+        .withColumn("n_sh", F.size("sids")),
         "sids",
     )
     plen = (
@@ -843,7 +884,9 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     # duplicate (boilerplate families otherwise grow every bucket
     # quadratically; same measurement class as the ppjoin collapse)
     sigs, members = _family_collapse(
-        _cache(minhash_signatures(docs, text_col, id_col, k, num_hashes)),
+        # read once into the collapse's own tagged cache — see the
+        # ppjoin site for why no second _cache here
+        minhash_signatures(docs, text_col, id_col, k, num_hashes),
         "signature",
     )
     banded = _cap_buckets(
@@ -890,7 +933,13 @@ def simhash64(docs: DataFrame, text_col: str = "text",
     Pure SQL: token md5 -> two 32-bit halves -> per-bit +-1 votes summed
     with `aggregate` over the token array; scan-only, no shuffle.
     Near-dup candidates are rows whose simhash differ in few bits
-    (`bit_count(simhash ^ other) <= r`)."""
+    (`bit_count(simhash ^ other) <= r`).
+
+    NULL contract: NULL text yields a NULL simhash (NULL means
+    "unknown content", which is not near anything — downstream band
+    joins drop it, so NULL docs never pair).  EMPTY text (zero tokens
+    after normalization) yields simhash 0: two genuinely empty docs
+    are identical content and do pair, same as any identical pair."""
     norm = _norm_text(text_col)
     tokens = f"filter(split({norm}, ' '), t -> t <> '')"
     tok_hash = _portable_hash("t")
@@ -912,6 +961,10 @@ def simhash64(docs: DataFrame, text_col: str = "text",
         f"(v, i) -> IF(v > 0, shiftleft(1L, i), 0L)), 0L, "
         f"(acc, x) -> acc | x)"
     )
+    # NULL text -> NULL token array -> NULL simhash (the per-bit IF
+    # would otherwise quietly turn the NULL votes into simhash 0,
+    # conflating "unknown content" with "empty content")
+    sim = f"IF(__ys_th IS NULL, CAST(NULL AS BIGINT), {sim})"
     return hashed.select("id", F.expr(sim).alias("simhash"))
 
 
@@ -951,8 +1004,10 @@ def simhash_pairs(docs: DataFrame, text_col: str = "text",
     # as the minhash/ppjoin collapses, and unlike `max_bucket_size`
     # it preserves the exactness guarantee
     sigs, members = _family_collapse(
-        _cache(simhash64(docs, text_col, id_col)), "simhash")
-    banded = sigs.select(
+        simhash64(docs, text_col, id_col), "simhash")
+    # NULL simhash = NULL text (see simhash64's NULL contract): no
+    # bucket rows, no pairs — mirrors _banded_buckets' NULL guard
+    banded = sigs.filter(F.col("simhash").isNotNull()).select(
         "id",
         F.explode(F.expr(
             "transform(sequence(0, 3), b -> "
@@ -991,8 +1046,16 @@ def _banded_buckets(sigs: DataFrame, num_hashes: int,
                     bands: int) -> DataFrame:
     """(id, band, bhash) bucket rows from a minhash signature table —
     the slim shuffle/probe key used by every LSH candidate generator
-    (signature arrays stay out of the candidate exchange)."""
+    (signature arrays stay out of the candidate exchange).
+
+    NULL guard: a NULL-text doc's signature is all-NULL, and
+    `cast(slice(...) AS STRING)` stringifies NULL elements into a
+    perfectly joinable band hash — so without this filter every
+    NULL doc lands in the same bucket and pairs at threshold 0.
+    NULL means unknown content; such rows emit no bucket rows, in
+    every consumer (batch, incremental, persisted-store probes)."""
     rows = num_hashes // bands
+    sigs = sigs.filter(~F.exists("signature", lambda x: x.isNull()))
     return sigs.select(
         "id",
         F.explode(

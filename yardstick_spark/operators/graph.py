@@ -68,7 +68,7 @@ def pagerank(
     the caller unioning `edges` with its own swap (each union leg is
     a separate Catalyst subtree and evaluates independently).
     """
-    from ..llm.dedup import _cache  # shared cache registry —
+    from ..llm.dedup import _cache, _register  # shared cache registry —
     # released by llm.clear_dedup_caches() like every other barrier
 
     if weight is None and "w" in edges.columns:
@@ -98,8 +98,17 @@ def pagerank(
     # on a 23k-edge graph; with the eager barrier the same loop runs
     # in ~7 s).  The checkpointed state is one row per distinct edge —
     # the same size class as the per-superstep rank checkpoints below.
-    e = e.groupBy("src", "dst").agg(F.sum("w").alias("w")) \
-        .localCheckpoint(eager=True)
+    # NOTE eager=True makes CONSTRUCTION eager — calling pagerank()
+    # runs this Spark job before the caller takes any action.  The
+    # checkpointed state is registered in the shared cache registry so
+    # clear_dedup_caches() releases it (registry pop -> ref drop ->
+    # ContextCleaner frees the blocks).  localCheckpoint is executor-
+    # local and NOT recoverable after executor loss — acceptable here
+    # because the state is one row per distinct edge and a lost-stage
+    # rerun restarts the operator; a fault-tolerant cluster deployment
+    # would set a checkpoint dir and use reliable .checkpoint() instead.
+    e = _register(e.groupBy("src", "dst").agg(F.sum("w").alias("w"))
+                  .localCheckpoint(eager=True))
     outw = e.groupBy("src").agg(F.sum("w").alias("outw"))
     e = e.join(outw, "src").withColumn("p", F.col("w") / F.col("outw"))
     e = _cache(e.select("src", "dst", "p").repartition("src"))
@@ -233,8 +242,13 @@ def label_propagation(edges: DataFrame, iterations: int = 4,
     # pair generation under graph_communities — would evaluate once
     # per leg before any cache fills); then materialize the distinct
     # symmetrized edge list EAGERLY in its src layout so iteration 1
-    # never re-evaluates the caller's plan
-    e = (
+    # never re-evaluates the caller's plan.  Registered in the shared
+    # cache registry for clear_dedup_caches() release, and eager at
+    # CONSTRUCTION time — same lifecycle notes as pagerank's edge
+    # barrier above.
+    from ..llm.dedup import _register
+
+    e = _register(
         e.select(
             F.explode(F.array(
                 F.struct(F.col("src"), F.col("dst")),
