@@ -999,6 +999,47 @@ def _q_text_tfidf(spark, sf_dir):
     return tfidf_terms(_docs(spark, sf_dir), top_k=3)
 
 
+_RET_QUERY = "spark join window query"
+_RET_QUERY2 = "table scan filter data"
+
+
+def _q_ret_bm25(spark, sf_dir):
+    # Okapi BM25 top-10 for a fixed literal query — scan-side tf via
+    # array HOFs, one 1-row broadcast stats agg, TakeOrdered top-k;
+    # no corpus-sized shuffle (yardstick_spark/llm/retrieval.py)
+    from yardstick_spark.llm import bm25_scores
+
+    return bm25_scores(_docs(spark, sf_dir), _RET_QUERY, top_k=10)
+
+
+def _q_ret_rrf(spark, sf_dir):
+    # reciprocal-rank fusion of two BM25 top-15 lists (bounded inputs;
+    # two contributions per doc sum commutatively, so the float fold
+    # is order-independent)
+    from yardstick_spark.llm import bm25_scores, rrf_fuse
+
+    docs = _docs(spark, sf_dir)
+    return rrf_fuse(
+        [bm25_scores(docs, _RET_QUERY, top_k=15),
+         bm25_scores(docs, _RET_QUERY2, top_k=15)],
+        top_k=10,
+    )
+
+
+def _q_ret_hybrid(spark, sf_dir):
+    # hybrid first-stage retrieval: BM25 lexical top-15 fused with
+    # embedding-cosine top-15 (folded single-scan kNN, query vector
+    # rides the Arrow closure); the 1-row collect of the query vector
+    # is bounded by construction
+    from yardstick_spark.llm import hybrid_search
+
+    _ys(spark, sf_dir)
+    docs = spark.table("documents")
+    emb = spark.table("embeddings")
+    qv = emb.filter("vec_id = 7").collect()[0].embedding
+    return hybrid_search(docs, emb, _RET_QUERY, qv, top_k=10, fetch_k=15)
+
+
 def _q_dedup_semantic(spark, sf_dir):
     # SemDeDup: cluster-scoped embedding near-dup pairs (one cell per
     # vector via deterministic seeded centroids, all-pairs cosine
@@ -2149,6 +2190,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_eval": _q_dedup_minhash_eval,
         # round-5 additions (ordered first via _R5_NEW)
         "dedup_semantic": _q_dedup_semantic,
+        # round-8 retrieval wave (ordered first via _R8_LEAD)
+        "ret_bm25": _q_ret_bm25,
+        "ret_rrf": _q_ret_rrf,
+        "ret_hybrid": _q_ret_hybrid,
         "text_mixture_weights": _q_text_mixture_weights,
         "text_unigram_logprob": _q_text_unigram_logprob,
         "events_transitions": _q_events_transitions,
@@ -2238,12 +2283,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     full = dict(r4_new)
     full.update({k: v for k, v in out.items() if k not in full})
-    lead = [k for k in (*_R7_LEAD, *_R6_LEAD, *_R5_NEW, *_R5_STALE_R2,
-                        *_R5_STALE_R3) if k in full]
+    lead = [k for k in (*_R8_LEAD, *_R7_LEAD, *_R6_LEAD, *_R5_NEW,
+                        *_R5_STALE_R2, *_R5_STALE_R3) if k in full]
     seen = set()
     lead = [k for k in lead if not (k in seen or seen.add(k))]
     return {k: full[k] for k in (*lead, *(k for k in full
                                           if k not in seen))}
+
+
+# Round-8 driver-window rotation (the driver checks the FIRST 50
+# entries): (1) the 3 round-8 retrieval additions (never
+# driver-oracled); (2) the 17 entries whose Spark-side code changed
+# this round — every consumer of the shingle/minhash/simhash NULL
+# contract (_shingled empty-set change, _banded_buckets NULL filter,
+# simhash64 NULL propagation, family-collapse singleton rule, dropped
+# caller-side caches) plus the 3 graph entries (edge checkpoints now
+# in the shared registry); (3) the 19 measure/ops entries whose last
+# driver row dates from round 3 — the stalest block; (4) 11 of the 13
+# round-4-stale entries fill the remaining slots (tpch_q22 and
+# dedup_exact defer to the r9 head — both are pinned by golden plan /
+# corpus tests locally).  Every inventory entry additionally gets a
+# local ORACLE_SWEEP_r8 row.
+_R8_LEAD: list[str] = [
+    # round-8 additions — never driver-oracled
+    "ret_bm25", "ret_rrf", "ret_hybrid",
+    # changed this round (NULL contract + graph registry)
+    "dedup_ngram_jaccard", "dedup_containment", "dedup_minhash_lsh",
+    "dedup_minhash_eval", "dedup_simhash", "dedup_simhash_pairs",
+    "dedup_clusters", "dedup_keep_best", "dedup_source_matrix",
+    "dedup_survivorship", "dedup_incremental", "ops_split_leakage",
+    "ops_leakage_safe_split", "pipeline_curation_full",
+    "graph_pagerank", "graph_communities", "graph_doc_rank",
+    # last driver row round 3 (stalest block)
+    "m_cube", "ops_pivot", "ops_window_funcs", "ops_unpivot",
+    "m_grouping_sets", "m_star_join", "m_at_set_const",
+    "m_derived_at_all", "m_grand_total", "m_at_all_share",
+    "m_at_all_dim", "m_at_where", "m_at_set_yoy", "m_at_visible",
+    "m_at_chained", "m_at_all_month", "m_agg_basic",
+    "m_implicit_default", "m_derived_ratio",
+    # last driver row round 4 (11 of 13; q22 + dedup_exact lead r9)
+    "tpch_q7", "tpch_q10", "tpch_q14", "tpch_q18", "tpch_q19",
+    "tpch_q8", "tpch_q13", "tpch_q15", "tpch_q17",
+    "ops_window_running", "ops_percentiles",
+]
 
 
 # Round-7 driver-window rotation (the driver checks the FIRST 50
@@ -2384,8 +2466,51 @@ _REV = "SUM(l_extendedprice * (1 - l_discount))"
 _NORM_DOC = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
 
+def _rrf_tail_sql(union_sql: str, top_k: int = 10) -> str:
+    """Shared RRF fusion tail: `union_sql` yields (id, rank) rows from
+    the bounded per-retriever top-k lists; at most two contributions
+    per id sum commutatively, so the float fold is order-independent."""
+    return f"""
+        u AS ({union_sql}),
+        fused AS (SELECT id, ROUND(SUM(1.0 / (60 + rank)), 6) AS rrf,
+                         CAST(COUNT(*) AS INT) AS n_lists
+                  FROM u GROUP BY id)
+        SELECT id AS doc_id, rrf, n_lists,
+               CAST(row_number() OVER (ORDER BY rrf DESC, id) AS INT)
+                 AS rank
+        FROM fused ORDER BY rrf DESC, id LIMIT {top_k}"""
+
+
 def oracle_sql() -> dict[str, str]:
+    from yardstick_spark.llm import bm25_sql
+
     o: dict[str, str] = {}
+    o["ret_bm25"] = bm25_sql(_RET_QUERY, top_k=10)
+    o["ret_rrf"] = f"""
+        WITH lex1 AS ({bm25_sql(_RET_QUERY, top_k=15)}),
+        lex2 AS ({bm25_sql(_RET_QUERY2, top_k=15)}),
+        {_rrf_tail_sql('''SELECT doc_id AS id, rank FROM lex1
+                  UNION ALL SELECT doc_id, rank FROM lex2''')}"""
+    # dense leg mirrors the sim_knn_bruteforce oracle's cosine (same
+    # rounding-then-rank), query vector = embeddings row vec_id 7, no
+    # self-exclusion (the hybrid query id is synthetic)
+    o["ret_hybrid"] = f"""
+        WITH lex AS ({bm25_sql(_RET_QUERY, top_k=15)}),
+        v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+              FROM embeddings),
+        q AS (SELECT e FROM v WHERE vec_id = 7),
+        dsc AS (SELECT c.vec_id AS id,
+            ROUND(list_sum(list_transform(list_zip(q.e, c.e),
+                                          x -> x[1] * x[2]))
+              / (sqrt(list_sum(list_transform(q.e, x -> x * x)))
+                 * sqrt(list_sum(list_transform(c.e, x -> x * x)))), 4)
+              AS sim
+          FROM v c CROSS JOIN q),
+        dense AS (SELECT id, rank FROM (
+            SELECT id, CAST(row_number() OVER (ORDER BY sim DESC, id)
+                            AS INT) AS rank FROM dsc) WHERE rank <= 15),
+        {_rrf_tail_sql('''SELECT doc_id AS id, rank FROM lex
+                  UNION ALL SELECT id, rank FROM dense''')}"""
     o["m_agg_basic"] = f"""
         SELECT l_returnflag, l_linestatus, ROUND({_REV}, 2) AS revenue,
                ROUND(SUM(l_quantity), 2) AS total_qty, COUNT(*) AS line_count

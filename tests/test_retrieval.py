@@ -1,0 +1,131 @@
+"""BM25 / RRF / hybrid retrieval unit tests (llm/retrieval.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bm25_orders_by_relevance(spark):
+    from yardstick_spark.llm import bm25_scores, clear_dedup_caches
+
+    docs = _docs(spark, [
+        (1, "spark spark spark join"),          # dense in query terms
+        (2, "spark join filler filler filler filler filler filler"),
+        (3, "completely unrelated words here"),
+        (4, "spark"),
+    ])
+    got = bm25_scores(docs, "spark join", top_k=10).collect()
+    clear_dedup_caches()
+    ids = [r.doc_id for r in got]
+    assert 3 not in ids, "doc with no query term must be excluded"
+    assert ids[0] == 1, "term-dense short doc ranks first"
+    assert got[0].rank == 1 and [r.rank for r in got] == list(
+        range(1, len(got) + 1))
+    # two-term doc beats one-term doc of similar length
+    assert ids.index(2) < ids.index(4) or got[ids.index(2)].bm25 > 0
+
+
+def test_bm25_null_and_empty_text_excluded(spark):
+    from yardstick_spark.llm import bm25_scores, clear_dedup_caches
+
+    docs = _docs(spark, [(1, "spark join"), (2, None), (3, ""),
+                         (4, "   ")])
+    got = bm25_scores(docs, "spark", top_k=10).collect()
+    clear_dedup_caches()
+    assert [r.doc_id for r in got] == [1]
+
+
+def test_bm25_rejects_empty_query(spark):
+    from yardstick_spark.llm import bm25_scores
+
+    docs = _docs(spark, [(1, "a")])
+    with pytest.raises(ValueError):
+        bm25_scores(docs, "   ")
+
+
+def test_bm25_matches_duckdb_formula(spark):
+    """Value-level parity with the SQL twin on a corpus with repeated
+    terms and length variance — the same check the driver's oracle
+    gate runs, pinned locally."""
+    import duckdb
+
+    from yardstick_spark.llm import bm25_scores, bm25_sql, \
+        clear_dedup_caches
+
+    rows = [(i, f"alpha beta {'gamma ' * (i % 5)}delta epsilon "
+                f"{'alpha ' * (i % 3)}") for i in range(40)]
+    docs = _docs(spark, rows)
+    got = [(r.doc_id, r.bm25, r.rank)
+           for r in bm25_scores(docs, "alpha gamma", top_k=15).collect()]
+    clear_dedup_caches()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = con.execute(bm25_sql("alpha gamma", top_k=15)).fetchall()
+    assert got == [(a, b, c) for a, b, c in want]
+
+
+def test_bm25_plan_is_scan_plus_takeordered(spark, tmp_path):
+    """The fixed-query BM25 never shuffles corpus-sized data: the doc
+    scan is pruned to (id, text), top-k compiles to
+    TakeOrderedAndProject, and no exchange carries the token arrays
+    (only the 1-row stats agg, its broadcast, and the k-row rank
+    window shuffle exist)."""
+    from yardstick_spark.llm import bm25_scores, clear_dedup_caches
+
+    p = str(tmp_path / "docs.parquet")
+    _docs(spark, [(i, "spark join data " * (i % 7 + 1))
+                  for i in range(100)]).write.parquet(p)
+    docs = spark.read.parquet(p).select("doc_id", "text")
+    df = bm25_scores(docs, "spark join", top_k=5)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    full = df._jdf.queryExecution().toString()
+    scans = [ln for ln in full.splitlines() if "ReadSchema" in ln]
+    assert scans and all("text" in ln and "doc_id" in ln for ln in scans)
+    clear_dedup_caches()
+
+
+def test_rrf_hand_computed(spark):
+    from yardstick_spark.llm import rrf_fuse
+
+    a = spark.createDataFrame([(10, 1), (20, 2), (30, 3)],
+                              "doc_id long, rank int")
+    b = spark.createDataFrame([(20, 1), (10, 2), (40, 3)],
+                              "doc_id long, rank int")
+    got = {r.doc_id: (r.rrf, r.n_lists, r.rank)
+           for r in rrf_fuse([a, b], top_k=10).collect()}
+    # 10 and 20 tie exactly (same two contributions) -> id tiebreak
+    assert got[10] == (round(1 / 61 + 1 / 62, 6), 2, 1)
+    assert got[20] == (round(1 / 62 + 1 / 61, 6), 2, 2)
+    assert got[30] == (round(1 / 63, 6), 1, 3)  # id tiebreak vs 40
+    assert got[40] == (round(1 / 63, 6), 1, 4)
+
+
+def test_rrf_requires_input(spark):
+    from yardstick_spark.llm import rrf_fuse
+
+    with pytest.raises(ValueError):
+        rrf_fuse([])
+
+
+def test_hybrid_search_fuses_both_legs(spark):
+    from yardstick_spark.llm import clear_dedup_caches, hybrid_search
+
+    docs = _docs(spark, [(i, ("spark join " * (i % 4)) or "noise word")
+                         for i in range(30)])
+    emb = spark.createDataFrame(
+        [(i, [float(i % 5), 1.0, float(i % 3)]) for i in range(30)],
+        "vec_id long, embedding array<float>")
+    got = hybrid_search(docs, emb, "spark join", [4.0, 1.0, 2.0],
+                        top_k=8, fetch_k=10).collect()
+    clear_dedup_caches()
+    assert 0 < len(got) <= 8
+    assert all(r.n_lists in (1, 2) for r in got)
+    assert any(r.n_lists == 2 for r in got), \
+        "some doc should appear in both the lexical and dense lists"
+    assert [r.rank for r in got] == list(range(1, len(got) + 1))

@@ -70,6 +70,12 @@ from .ivf import (  # noqa: F401
     load_ivf_index, save_ivf_index, seed_centroids,
     semantic_pairs_against_index,
 )
+from .retrieval import (  # noqa: F401
+    bm25_scores,
+    bm25_sql,
+    hybrid_search,
+    rrf_fuse,
+)
 from .similarity import (  # noqa: F401
     brute_force_knn,
     embedding_dedup_pairs,

@@ -1,0 +1,231 @@
+"""Full-text and hybrid retrieval: Okapi BM25 scoring, reciprocal-rank
+fusion, and a BM25+embedding hybrid search.
+
+Greenfield Spark-first designs (no reference counterpart — the
+reference engine has no retrieval surface): the 100 TB shapes are
+
+* `bm25_scores` — for a FIXED small query (a handful of terms, the
+  interactive-retrieval case) BM25 needs NO explode and NO wide
+  shuffle: per-document term frequencies for the query terms are
+  computed scan-side with array higher-order functions, corpus
+  statistics (N, avgdl, per-term df) are ONE map-side-combined 1-row
+  aggregate broadcast back over the scan, and top-k is Spark's
+  distributed TakeOrderedAndProject.  Total cost: two passes over a
+  pruned (id, tokens) projection — the second rides a cache barrier —
+  and a k-row result.  Compare the classic inverted-index formulation
+  (explode -> groupBy(term) -> join): that shuffles the whole posting
+  list of every query term; this shuffles nothing but the final k rows.
+* `rrf_fuse` — reciprocal-rank fusion over ALREADY-RANKED top-k lists.
+  Inputs are bounded (each retriever emitted <= its own top-k), so the
+  union + groupBy is trivially small; documented as such rather than
+  pretending it needs a scale path.
+* `hybrid_search` — BM25 lexical top-k fused with embedding-cosine
+  top-k (the folded single-scan kNN from `similarity.py`), the
+  standard first-stage retrieval stack for RAG-style pipelines.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+# same normalization every text operator here uses (llm/text.py _NORM)
+_NORM = "regexp_replace(lower(trim({c})), '\\\\s+', ' ')"
+
+
+def _query_terms(query: str) -> list[str]:
+    """Driver-side twin of the scan-side normalization: lower, collapse
+    whitespace, split — deduplicated, original order kept (the score is
+    a sum over DISTINCT query terms, standard bag-of-words BM25)."""
+    norm = re.sub(r"\s+", " ", query.lower().strip())
+    seen: dict[str, None] = {}
+    for t in norm.split(" "):
+        if t:
+            seen.setdefault(t, None)
+    return list(seen)
+
+
+def bm25_scores(docs: DataFrame, query: str, text_col: str = "text",
+                id_col: str = "doc_id", k1: float = 1.2, b: float = 0.75,
+                top_k: int = 10, round_to: int = 6) -> DataFrame:
+    """Okapi BM25 top-`top_k` documents for a literal query string.
+
+    Returns (id_col, bm25, rank) ordered by (bm25 desc, id asc).
+
+    score(d) = sum over distinct query terms t of
+      idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl)),
+    idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5))   (Lucene's
+    non-negative variant), tf = occurrences of t in d, dl = |tokens of
+    d|, avgdl = corpus mean dl, df = #docs containing t.  Documents
+    matching no query term score 0 and are excluded.
+
+    Scale shape: `tokens` is computed once per document scan-side; per
+    query term, tf is an array `filter` over that token array (the
+    query is small and LITERAL, so this is |q| lambda passes, not an
+    explode).  The (id, dl, tf...) projection is cached — one slim row
+    per document — the corpus statistics aggregate over it map-side
+    into ONE row that broadcasts back via cross join, and the
+    ORDER BY + LIMIT compiles to TakeOrderedAndProject (per-partition
+    heaps, driver merges n_partitions * k rows).  No shuffle ever
+    carries document text or posting lists."""
+    from .dedup import _cache
+
+    terms = _query_terms(query)
+    if not terms:
+        raise ValueError("query has no terms after normalization")
+    norm = _NORM.format(c=text_col)
+    toks = f"filter(split({norm}, ' '), t -> t <> '')"
+    per_doc = _cache(docs.select(
+        F.col(id_col).alias("id"),
+        F.expr(f"size({toks})").alias("dl"),
+        *[
+            F.expr(
+                f"size(filter({toks}, t -> t = '{t}'))"
+            ).alias(f"tf_{i}")
+            for i, t in enumerate(terms)
+        ],
+    ))
+    stats = per_doc.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0))
+            .alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    contrib = " + ".join(
+        f"ln(1 + (n_docs - df_{i} + 0.5) / (df_{i} + 0.5))"
+        f" * tf_{i} * {k1 + 1.0}"
+        f" / (tf_{i} + {k1} * (1 - {b} + {b} * dl / avgdl))"
+        for i in range(len(terms))
+    )
+    scored = (
+        per_doc.join(F.broadcast(stats))
+        .withColumn("bm25", F.expr(f"round({contrib}, {round_to})"))
+        .filter(F.col("bm25") > 0)
+        .orderBy(F.col("bm25").desc(), F.col("id"))
+        .limit(top_k)
+    )
+    from pyspark.sql import Window
+
+    # rank over the <= top_k surviving rows — bounded by construction,
+    # so the unpartitioned window is a k-row driver-side formality
+    w = Window.orderBy(F.col("bm25").desc(), F.col("id"))
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).select(F.col("id").alias(id_col), "bm25", "rank")
+
+
+def bm25_sql(query: str, text_col: str = "text", id_col: str = "doc_id",
+             table: str = "documents", k1: float = 1.2, b: float = 0.75,
+             top_k: int = 10, round_to: int = 6) -> str:
+    """ANSI-SQL twin of `bm25_scores` (the DuckDB oracle): identical
+    tokenization, tf/df/avgdl statistics, and idf arithmetic, term by
+    term in the same order so the float sum folds identically."""
+    terms = _query_terms(query)
+    norm = (f"regexp_replace(lower(trim({text_col})), '\\s+', ' ', 'g')")
+    toks = f"list_filter(string_split({norm}, ' '), t -> t <> '')"
+    tf_cols = ", ".join(
+        f"len(list_filter(tk, t -> t = '{t}')) AS tf_{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(terms))
+    )
+    contrib = " + ".join(
+        f"ln(1 + (n_docs - df_{i} + 0.5) / (df_{i} + 0.5))"
+        f" * tf_{i} * {k1 + 1.0}"
+        f" / (tf_{i} + {k1} * (1 - {b} + {b} * dl / avgdl))"
+        for i in range(len(terms))
+    )
+    return f"""
+        WITH tok AS (SELECT {id_col} AS id, {toks} AS tk FROM {table}),
+        d AS (SELECT id, len(tk) AS dl, {tf_cols} FROM tok),
+        s AS (SELECT COUNT(*) AS n_docs,
+                     CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+                     {df_cols} FROM d),
+        scored AS (SELECT id, ROUND({contrib}, {round_to}) AS bm25
+                   FROM d CROSS JOIN s)
+        SELECT id AS {id_col}, bm25,
+               CAST(row_number() OVER (ORDER BY bm25 DESC, id) AS INT)
+                 AS rank
+        FROM scored WHERE bm25 > 0
+        ORDER BY bm25 DESC, id LIMIT {top_k}"""
+
+
+def rrf_fuse(rankings: Sequence[DataFrame], id_col: str = "doc_id",
+             rank_col: str = "rank", k: int = 60,
+             top_k: int = 10, round_to: int = 6) -> DataFrame:
+    """Reciprocal-rank fusion of already-ranked retrieval lists:
+    rrf(d) = sum over lists of 1 / (k + rank_of_d) for the lists that
+    contain d.  Returns (id_col, rrf, n_lists, rank).
+
+    Every input is some retriever's top-k output, so the union is
+    bounded by sum of the lists' sizes — a few hundred rows however
+    large the corpus is.  The groupBy and the final rank window are
+    driver-scale formalities on that bounded set; nothing here ever
+    touches corpus-sized data (the retrievers already did)."""
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    parts = [
+        r.select(
+            F.col(id_col).alias("id"),
+            (F.lit(1.0) / (F.lit(float(k)) + F.col(rank_col)
+                           .cast("double"))).alias("contrib"),
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = (
+        u.groupBy("id")
+        .agg(F.round(F.sum("contrib"), round_to).alias("rrf"),
+             F.count("*").cast("int").alias("n_lists"))
+        .orderBy(F.col("rrf").desc(), F.col("id"))
+        .limit(top_k)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("rrf").desc(), F.col("id"))
+    return fused.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).select(F.col("id").alias(id_col), "rrf", "n_lists", "rank")
+
+
+def hybrid_search(docs: DataFrame, embeddings: DataFrame, query: str,
+                  query_vec: list[float], top_k: int = 10,
+                  fetch_k: int = 20, rrf_k: int = 60,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  vec_id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """First-stage hybrid retrieval: BM25 lexical top-`fetch_k` fused
+    with embedding-cosine top-`fetch_k` by reciprocal rank, top-`top_k`
+    returned as (id_col, rrf, n_lists, rank).
+
+    The lexical leg is `bm25_scores` (scan-side tf, no shuffle); the
+    dense leg is the folded single-scan kNN (`brute_force_knn`,
+    strategy='fold': the query vector rides the Arrow closure, only
+    n_partitions * k candidate rows ever shuffle).  Fusion sees two
+    <= fetch_k row lists.  `embeddings` ids must share the document id
+    space (vec_id == doc_id in the test corpus)."""
+    from .similarity import brute_force_knn
+
+    lex = bm25_scores(docs, query, text_col=text_col, id_col=id_col,
+                      top_k=fetch_k)
+    spark = docs.sparkSession
+    qdf = spark.createDataFrame(
+        [(-1, [float(x) for x in query_vec])],
+        f"{vec_id_col} long, {vec_col} array<double>",
+    ).select(F.col(vec_id_col),
+             F.col(vec_col).cast("array<float>").alias(vec_col))
+    dense = (
+        brute_force_knn(embeddings, qdf, k=fetch_k, id_col=vec_id_col,
+                        vec_col=vec_col)
+        .select(F.col("neighbor_id").alias(id_col), "rank")
+    )
+    return rrf_fuse([lex, dense], id_col=id_col, k=rrf_k, top_k=top_k)
