@@ -1040,6 +1040,26 @@ def _q_ret_hybrid(spark, sf_dir):
     return hybrid_search(docs, emb, _RET_QUERY, qv, top_k=10, fetch_k=15)
 
 
+def _q_ret_bm25_indexed(spark, sf_dir):
+    # BM25 against a PERSISTED term-bucket-partitioned inverted index:
+    # bit-identical to ret_bm25 (same stats, query-order float fold)
+    # but the scan is partition-pruned to the query terms' buckets —
+    # the build-once/query-many production path (same contract as
+    # sim_knn_lsh_persisted: rebuild only when no index exists for
+    # this immutable sf_dir)
+    import hashlib
+    import tempfile
+    from pathlib import Path
+
+    from yardstick_spark.llm import bm25_search_index, save_bm25_index
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = str(Path(tempfile.gettempdir()) / f"ys_bm25_idx_{tag}")
+    if not (Path(path) / "_bm25_meta.json").exists():
+        save_bm25_index(_docs(spark, sf_dir), path)
+    return bm25_search_index(spark, path, _RET_QUERY, top_k=10)
+
+
 def _q_dedup_semantic(spark, sf_dir):
     # SemDeDup: cluster-scoped embedding near-dup pairs (one cell per
     # vector via deterministic seeded centroids, all-pairs cosine
@@ -2192,6 +2212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic": _q_dedup_semantic,
         # round-8 retrieval wave (ordered first via _R8_LEAD)
         "ret_bm25": _q_ret_bm25,
+        "ret_bm25_indexed": _q_ret_bm25_indexed,
         "ret_rrf": _q_ret_rrf,
         "ret_hybrid": _q_ret_hybrid,
         "text_mixture_weights": _q_text_mixture_weights,
@@ -2292,21 +2313,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # Round-8 driver-window rotation (the driver checks the FIRST 50
-# entries): (1) the 3 round-8 retrieval additions (never
+# entries): (1) the 4 round-8 retrieval additions (never
 # driver-oracled); (2) the 17 entries whose Spark-side code changed
 # this round — every consumer of the shingle/minhash/simhash NULL
 # contract (_shingled empty-set change, _banded_buckets NULL filter,
 # simhash64 NULL propagation, family-collapse singleton rule, dropped
 # caller-side caches) plus the 3 graph entries (edge checkpoints now
 # in the shared registry); (3) the 19 measure/ops entries whose last
-# driver row dates from round 3 — the stalest block; (4) 11 of the 13
-# round-4-stale entries fill the remaining slots (tpch_q22 and
-# dedup_exact defer to the r9 head — both are pinned by golden plan /
-# corpus tests locally).  Every inventory entry additionally gets a
+# driver row dates from round 3 — the stalest block; (4) 10 of the 13
+# round-4-stale entries fill the remaining slots (tpch_q22,
+# dedup_exact and ops_percentiles defer to the r9 head — all pinned
+# by golden plan / corpus tests locally).  Every entry also gets a
 # local ORACLE_SWEEP_r8 row.
 _R8_LEAD: list[str] = [
     # round-8 additions — never driver-oracled
-    "ret_bm25", "ret_rrf", "ret_hybrid",
+    "ret_bm25", "ret_bm25_indexed", "ret_rrf", "ret_hybrid",
     # changed this round (NULL contract + graph registry)
     "dedup_ngram_jaccard", "dedup_containment", "dedup_minhash_lsh",
     "dedup_minhash_eval", "dedup_simhash", "dedup_simhash_pairs",
@@ -2324,7 +2345,8 @@ _R8_LEAD: list[str] = [
     # last driver row round 4 (11 of 13; q22 + dedup_exact lead r9)
     "tpch_q7", "tpch_q10", "tpch_q14", "tpch_q18", "tpch_q19",
     "tpch_q8", "tpch_q13", "tpch_q15", "tpch_q17",
-    "ops_window_running", "ops_percentiles",
+    "ops_window_running",
+    # ops_percentiles joins tpch_q22 + dedup_exact at the r9 head
 ]
 
 
@@ -2486,6 +2508,8 @@ def oracle_sql() -> dict[str, str]:
 
     o: dict[str, str] = {}
     o["ret_bm25"] = bm25_sql(_RET_QUERY, top_k=10)
+    # the persisted-index path must reproduce the scan path bit-for-bit
+    o["ret_bm25_indexed"] = o["ret_bm25"]
     o["ret_rrf"] = f"""
         WITH lex1 AS ({bm25_sql(_RET_QUERY, top_k=15)}),
         lex2 AS ({bm25_sql(_RET_QUERY2, top_k=15)}),

@@ -90,6 +90,63 @@ def test_bm25_plan_is_scan_plus_takeordered(spark, tmp_path):
     clear_dedup_caches()
 
 
+def test_bm25_index_matches_scan_path_exactly(spark, tmp_path):
+    """The persisted inverted index must reproduce bm25_scores
+    bit-for-bit (same stats, query-order float fold) — the contract
+    that lets ret_bm25_indexed share ret_bm25's oracle."""
+    from yardstick_spark.llm import (bm25_scores, bm25_search_index,
+                                     clear_dedup_caches,
+                                     save_bm25_index)
+
+    rows = [(i, f"alpha beta {'gamma ' * (i % 5)}delta epsilon "
+                f"{'alpha ' * (i % 3)}") for i in range(60)] + [(99, None)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    p = str(tmp_path / "bm25_idx")
+    save_bm25_index(docs, p, buckets=8)
+    got = [(r.doc_id, r.bm25, r.rank)
+           for r in bm25_search_index(spark, p, "alpha gamma",
+                                      top_k=20).collect()]
+    want = [(r.doc_id, r.bm25, r.rank)
+            for r in bm25_scores(docs, "alpha gamma",
+                                 top_k=20).collect()]
+    clear_dedup_caches()
+    assert got == want
+
+
+def test_bm25_index_partition_prunes(spark, tmp_path):
+    """A query must read only its terms' bucket partitions: the scan
+    carries a bucket PartitionFilter, and the files actually read are
+    a strict subset of the index."""
+    from pathlib import Path
+
+    from yardstick_spark.llm import (bm25_search_index,
+                                     clear_dedup_caches,
+                                     save_bm25_index)
+
+    docs = spark.createDataFrame(
+        [(i, f"term{i % 50} common filler") for i in range(200)],
+        "doc_id long, text string")
+    p = str(tmp_path / "bm25_idx")
+    save_bm25_index(docs, p, buckets=16)
+    n_buckets = len(list(Path(p).glob("bucket=*")))
+    assert n_buckets > 2, "corpus should spread over several buckets"
+    df = bm25_search_index(spark, p, "term3", top_k=5)
+    df.collect()
+    # inputFiles() lists the unfiltered relation, so assert on the
+    # scan node: the bucket filter must land in PartitionFilters (file
+    # pruning) and the term filter in PushedFilters (row-group pruning)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert scan and any("bucket" in ln for ln in scan), plan
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
+    assert "bucket" in pf and pf.strip(), \
+        f"bucket partition filter must be present, got: {pf!r}"
+    assert "PushedFilters" in plan and "term" in plan
+    clear_dedup_caches()
+
+
 def test_rrf_hand_computed(spark):
     from yardstick_spark.llm import rrf_fuse
 

@@ -72,9 +72,11 @@ from .ivf import (  # noqa: F401
 )
 from .retrieval import (  # noqa: F401
     bm25_scores,
+    bm25_search_index,
     bm25_sql,
     hybrid_search,
     rrf_fuse,
+    save_bm25_index,
 )
 from .similarity import (  # noqa: F401
     brute_force_knn,

@@ -47,6 +47,16 @@ def _query_terms(query: str) -> list[str]:
     return list(seen)
 
 
+def _bm25_contrib(tf: str, df: str, k1: float, b: float) -> str:
+    """One query term's BM25 contribution — the EXACT expression both
+    the scan path and the index path evaluate (n_docs BIGINT and avgdl
+    DOUBLE must be columns: a non-integer SQL literal would type as
+    DECIMAL and drift a ulp from the double arithmetic)."""
+    return (f"ln(1 + (n_docs - {df} + 0.5) / ({df} + 0.5))"
+            f" * {tf} * {k1 + 1.0}"
+            f" / ({tf} + {k1} * (1 - {b} + {b} * dl / avgdl))")
+
+
 def bm25_scores(docs: DataFrame, query: str, text_col: str = "text",
                 id_col: str = "doc_id", k1: float = 1.2, b: float = 0.75,
                 top_k: int = 10, round_to: int = 6) -> DataFrame:
@@ -97,9 +107,7 @@ def bm25_scores(docs: DataFrame, query: str, text_col: str = "text",
         ],
     )
     contrib = " + ".join(
-        f"ln(1 + (n_docs - df_{i} + 0.5) / (df_{i} + 0.5))"
-        f" * tf_{i} * {k1 + 1.0}"
-        f" / (tf_{i} + {k1} * (1 - {b} + {b} * dl / avgdl))"
+        _bm25_contrib(f"tf_{i}", f"df_{i}", k1, b)
         for i in range(len(terms))
     )
     scored = (
@@ -137,9 +145,7 @@ def bm25_sql(query: str, text_col: str = "text", id_col: str = "doc_id",
         for i in range(len(terms))
     )
     contrib = " + ".join(
-        f"ln(1 + (n_docs - df_{i} + 0.5) / (df_{i} + 0.5))"
-        f" * tf_{i} * {k1 + 1.0}"
-        f" / (tf_{i} + {k1} * (1 - {b} + {b} * dl / avgdl))"
+        _bm25_contrib(f"tf_{i}", f"df_{i}", k1, b)
         for i in range(len(terms))
     )
     return f"""
@@ -155,6 +161,120 @@ def bm25_sql(query: str, text_col: str = "text", id_col: str = "doc_id",
                  AS rank
         FROM scored WHERE bm25 > 0
         ORDER BY bm25 DESC, id LIMIT {top_k}"""
+
+
+def save_bm25_index(docs: DataFrame, path: str, text_col: str = "text",
+                    id_col: str = "doc_id", buckets: int = 64) -> None:
+    """Persist a BM25 inverted index: one parquet dataset PARTITIONED
+    BY term-hash bucket holding (term, id, tf, dl, df) posting rows,
+    plus a `_bm25_meta.json` sidecar with the corpus statistics
+    (n_docs, avgdl) — the build-once / query-many production shape.
+
+    dl and df are DENORMALIZED onto the posting rows so a query needs
+    nothing but its own terms' postings: no doc-length side table, no
+    df lookup join.  Partitioning by `pmod(xxhash64(term), buckets)`
+    turns every query into a partition-PRUNED scan — a q-term query
+    reads at most q/buckets of the posting files and none of the rest
+    (plus the term equality filter pushed into those files).  Each
+    bucket is repartitioned to one task before the write (the
+    small-file problem is the classic partitioned-index killer).
+
+    Statistics match `bm25_scores` exactly: n_docs counts every row
+    (NULL-text docs included), avgdl divides the total token count by
+    it — so index-path scores are bit-identical to the scan path."""
+    import json
+    from pathlib import Path
+
+    norm = _NORM.format(c=text_col)
+    toks = f"filter(split({norm}, ' '), t -> t <> '')"
+    base = docs.select(F.col(id_col).alias("id"),
+                       F.expr(toks).alias("tk"))
+    from .dedup import _cache
+
+    tf = _cache(
+        base.select("id", F.expr("size(tk)").alias("dl"),
+                    F.explode("tk").alias("term"))
+        .groupBy("id", "term")
+        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+    )
+    dfx = tf.groupBy("term").agg(F.count("*").alias("df"))
+    stats = base.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum(F.expr("size(tk)")).cast("double") / F.count("*"))
+        .alias("avgdl"),
+    ).collect()[0]
+    (
+        tf.join(dfx, "term")
+        .withColumn("bucket", F.pmod(F.xxhash64("term"),
+                                     F.lit(buckets)).cast("int"))
+        .repartition(F.col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    )
+    Path(path, "_bm25_meta.json").write_text(json.dumps(
+        {"buckets": buckets, "n_docs": stats["n_docs"],
+         "avgdl": stats["avgdl"]}))
+
+
+def bm25_search_index(spark, path: str, query: str,
+                      id_col: str = "doc_id", k1: float = 1.2,
+                      b: float = 0.75, top_k: int = 10,
+                      round_to: int = 6) -> DataFrame:
+    """BM25 top-k against a `save_bm25_index` dataset — bit-identical
+    scores to `bm25_scores` over the original corpus, reading ONLY the
+    query terms' posting partitions.
+
+    The probed bucket ids (≤ |q|, computed with the same xxhash64 the
+    build used — one bounded collect, like the LSH index probe) become
+    a partition-pruning filter; the term IN filter is pushed into the
+    surviving files.  Scoring folds per-term contributions in QUERY
+    ORDER via a term→contribution map (a groupBy float sum would fold
+    in partition order and could drift a ulp from the scan path), so
+    index and scan paths agree bit-for-bit, rank for rank."""
+    import json
+    from pathlib import Path
+
+    meta = json.loads(Path(path, "_bm25_meta.json").read_text())
+    terms = _query_terms(query)
+    if not terms:
+        raise ValueError("query has no terms after normalization")
+    tdf = spark.createDataFrame([(t,) for t in terms], "term string")
+    tb = {r.term: r.b for r in tdf.select(
+        "term", F.pmod(F.xxhash64("term"),
+                       F.lit(meta["buckets"])).cast("int").alias("b")
+    ).collect()}
+    post = (
+        spark.read.parquet(path)
+        .filter(F.col("bucket").isin(sorted(set(tb.values())))
+                & F.col("term").isin(terms))
+    )
+    # n_docs/avgdl ride as typed columns, never interpolated literals:
+    # a non-integer SQL literal types as DECIMAL and would drift a ulp
+    # from the scan path's double arithmetic (caught by the oracle)
+    per_term = post.withColumn(
+        "n_docs", F.lit(int(meta["n_docs"])).cast("bigint")
+    ).withColumn(
+        "avgdl", F.lit(float(meta["avgdl"])).cast("double")
+    ).select("id", "term",
+             F.expr(_bm25_contrib("tf", "df", k1, b)).alias("c"))
+    # fixed-order fold over the term→contribution map: identical float
+    # association to bm25_scores' literal sum
+    msum = " + ".join(
+        f"coalesce(element_at(m, '{t}'), 0D)" for t in terms)
+    scored = (
+        per_term.groupBy("id")
+        .agg(F.map_from_entries(
+            F.collect_list(F.struct("term", "c"))).alias("m"))
+        .withColumn("bm25", F.expr(f"round({msum}, {round_to})"))
+        .filter(F.col("bm25") > 0)
+        .orderBy(F.col("bm25").desc(), F.col("id"))
+        .limit(top_k)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("bm25").desc(), F.col("id"))
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).select(F.col("id").alias(id_col), "bm25", "rank")
 
 
 def rrf_fuse(rankings: Sequence[DataFrame], id_col: str = "doc_id",
