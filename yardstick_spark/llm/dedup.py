@@ -386,7 +386,16 @@ def _family_collapse(rows: DataFrame, key_col: str):
     w = Window.partitionBy(key_col)
     null_key = F.col(key_col).isNull()
     if dict(rows.dtypes)[key_col].startswith("array"):
-        null_key = null_key | F.exists(key_col, lambda x: x.isNull())
+        # O(1), not exists(): every array key here is all-NULL or
+        # all-non-NULL by construction (a minhash signature is one
+        # array_min per hash over the SAME shingle set, so the whole
+        # signature nulls together on an empty set; ppjoin sid arrays
+        # are collect_list of non-NULL ints and can't hold NULLs), so
+        # the first element decides — an exists() scan over the long
+        # sid arrays measured ~2 s at sf0.1 for a check that's
+        # per-element constant.  element_at also returns NULL for an
+        # empty array, which correctly degrades to a singleton family.
+        null_key = null_key | F.element_at(F.col(key_col), 1).isNull()
     tagged = _cache(rows.withColumn(
         "__rep",
         F.when(null_key, F.col("id")).otherwise(F.min("id").over(w))))
@@ -1055,7 +1064,9 @@ def _banded_buckets(sigs: DataFrame, num_hashes: int,
     NULL means unknown content; such rows emit no bucket rows, in
     every consumer (batch, incremental, persisted-store probes)."""
     rows = num_hashes // bands
-    sigs = sigs.filter(~F.exists("signature", lambda x: x.isNull()))
+    # element 1 decides (signatures null all-or-nothing, see
+    # _family_collapse's guard); NULL-element and NULL-array rows drop
+    sigs = sigs.filter(F.element_at(F.col("signature"), 1).isNotNull())
     return sigs.select(
         "id",
         F.explode(
