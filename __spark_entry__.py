@@ -1060,6 +1060,20 @@ def _q_ret_bm25_indexed(spark, sf_dir):
     return bm25_search_index(spark, path, _RET_QUERY, top_k=10)
 
 
+def _q_emb_decontaminate(spark, sf_dir):
+    # benchmark-contamination screen: corpus vectors (vec_id >= 20)
+    # max-cosine against the "benchmark" slice (vec_id < 20) riding
+    # the Arrow closure — one corpus scan, map-side verdicts, nothing
+    # corpus-sized shuffles (yardstick_spark/llm/similarity.py)
+    from yardstick_spark.llm import semantic_decontaminate
+
+    _ys(spark, sf_dir)
+    emb = spark.table("embeddings")
+    return semantic_decontaminate(
+        emb.filter("vec_id >= 20"), emb.filter("vec_id < 20"),
+        threshold=0.9)
+
+
 def _q_dedup_semantic(spark, sf_dir):
     # SemDeDup: cluster-scoped embedding near-dup pairs (one cell per
     # vector via deterministic seeded centroids, all-pairs cosine
@@ -2215,6 +2229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ret_bm25_indexed": _q_ret_bm25_indexed,
         "ret_rrf": _q_ret_rrf,
         "ret_hybrid": _q_ret_hybrid,
+        "emb_decontaminate": _q_emb_decontaminate,
         "text_mixture_weights": _q_text_mixture_weights,
         "text_unigram_logprob": _q_text_unigram_logprob,
         "events_transitions": _q_events_transitions,
@@ -2328,6 +2343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _R8_LEAD: list[str] = [
     # round-8 additions — never driver-oracled
     "ret_bm25", "ret_bm25_indexed", "ret_rrf", "ret_hybrid",
+    "emb_decontaminate",
     # changed this round (NULL contract + graph registry)
     "dedup_ngram_jaccard", "dedup_containment", "dedup_minhash_lsh",
     "dedup_minhash_eval", "dedup_simhash", "dedup_simhash_pairs",
@@ -2345,8 +2361,8 @@ _R8_LEAD: list[str] = [
     # last driver row round 4 (11 of 13; q22 + dedup_exact lead r9)
     "tpch_q7", "tpch_q10", "tpch_q14", "tpch_q18", "tpch_q19",
     "tpch_q8", "tpch_q13", "tpch_q15", "tpch_q17",
-    "ops_window_running",
-    # ops_percentiles joins tpch_q22 + dedup_exact at the r9 head
+    # ops_window_running, ops_percentiles, tpch_q22 and dedup_exact
+    # lead the r9 window head
 ]
 
 
@@ -2510,6 +2526,29 @@ def oracle_sql() -> dict[str, str]:
     o["ret_bm25"] = bm25_sql(_RET_QUERY, top_k=10)
     # the persisted-index path must reproduce the scan path bit-for-bit
     o["ret_bm25_indexed"] = o["ret_bm25"]
+    # same cosine fold as the kNN oracles; ties on the rounded max take
+    # the smallest bench id; unscoreable vectors excluded on both sides
+    o["emb_decontaminate"] = """
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                   FROM embeddings),
+        b AS (SELECT vec_id AS bid, e,
+                     sqrt(list_sum(list_transform(e, x -> x * x))) AS bn
+              FROM v WHERE vec_id < 20),
+        c AS (SELECT vec_id AS cid, e,
+                     sqrt(list_sum(list_transform(e, x -> x * x))) AS cn
+              FROM v WHERE vec_id >= 20),
+        s AS (SELECT cid, bid,
+                ROUND(list_sum(list_transform(list_zip(c.e, b.e),
+                                              x -> x[1] * x[2]))
+                  / (cn * bn), 4) AS sim
+              FROM c CROSS JOIN b
+              WHERE len(c.e) = len(b.e) AND cn > 0 AND bn > 0),
+        m AS (SELECT cid, MAX(sim) AS max_sim FROM s
+              WHERE sim IS NOT NULL GROUP BY cid)
+        SELECT s.cid AS vec_id, MIN(s.bid) AS bench_id, m.max_sim,
+               CAST(m.max_sim >= 0.9 AS INT) AS contaminated
+        FROM s JOIN m ON s.cid = m.cid AND s.sim = m.max_sim
+        GROUP BY s.cid, m.max_sim"""
     o["ret_rrf"] = f"""
         WITH lex1 AS ({bm25_sql(_RET_QUERY, top_k=15)}),
         lex2 AS ({bm25_sql(_RET_QUERY2, top_k=15)}),

@@ -170,6 +170,43 @@ def test_rrf_requires_input(spark):
         rrf_fuse([])
 
 
+def test_semantic_decontaminate_verdicts_and_edge_cases(spark):
+    """Nearest-benchmark verdicts: exact duplicate flagged, orthogonal
+    doc not; ties on the rounded max take the SMALLEST bench id; NULL,
+    ragged, and zero-norm corpus vectors are excluded (unknown content
+    can't be declared contaminated); zero-norm benchmark rows drop out
+    of the max."""
+    from yardstick_spark.llm import semantic_decontaminate
+
+    bench = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [1.0, 0.0, 0.0]),  # duplicate pair
+         (2, [0.0, 1.0, 0.0]), (3, [0.0, 0.0, 0.0])],  # zero-norm
+        "vec_id long, embedding array<float>")
+    corpus = spark.createDataFrame(
+        [(100, [2.0, 0.0, 0.0]),       # == bench 0 and 1 (tie) -> 0
+         (101, [0.0, 0.0, 5.0]),       # orthogonal to all
+         (102, None),                  # NULL: excluded
+         (103, [1.0, 0.0]),            # ragged: excluded
+         (104, [0.0, 0.0, 0.0])],      # zero-norm: excluded
+        "vec_id long, embedding array<float>")
+    got = {r.vec_id: r for r in
+           semantic_decontaminate(corpus, bench, threshold=0.9)
+           .collect()}
+    assert set(got) == {100, 101}
+    assert got[100].bench_id == 0 and got[100].max_sim == 1.0 \
+        and got[100].contaminated == 1
+    assert got[101].max_sim == 0.0 and got[101].contaminated == 0
+
+
+def test_semantic_decontaminate_empty_benchmark(spark):
+    from yardstick_spark.llm import semantic_decontaminate
+
+    corpus = spark.createDataFrame([(1, [1.0, 2.0])],
+                                   "vec_id long, embedding array<float>")
+    bench = corpus.filter("vec_id < 0")
+    assert semantic_decontaminate(corpus, bench).count() == 0
+
+
 def test_hybrid_search_fuses_both_legs(spark):
     from yardstick_spark.llm import clear_dedup_caches, hybrid_search
 

@@ -935,3 +935,92 @@ def knn_lsh_from_index(spark, path: str, queries: DataFrame,
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def semantic_decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                           threshold: float = 0.9,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           round_to: int = 4) -> DataFrame:
+    """Benchmark-contamination screen over embeddings: one row per
+    scoreable corpus vector with its nearest benchmark item —
+    (id_col, bench_id, max_sim, contaminated INT) — the semantic
+    complement of the n-gram `decontaminate` in `llm/text.py` (catches
+    paraphrased eval items that shingle overlap misses).
+
+    Scale shape: the benchmark is an eval set — thousands of rows —
+    so it rides the Arrow closure (sorted by id for deterministic
+    ties) and the corpus is scanned ONCE by a mapInPandas computing a
+    vectorized max-cosine per row; nothing corpus-sized ever shuffles
+    (the output is one slim row per corpus vector, produced map-side).
+    Compare the relational formulation (corpus CROSS JOIN benchmark
+    then groupBy max): |benchmark|× row inflation through the
+    exchange.  Sims use the same sequential per-dimension fold as
+    every kNN path here, so results are bit-identical to the SQL
+    oracle; ties on the rounded max pick the smallest bench id.
+
+    NULL, dimension-mismatched, and zero-norm corpus vectors are NOT
+    scored (unknown content cannot be declared contaminated);
+    zero-norm benchmark vectors score NULL against everything and
+    drop out of the max like the SQL MAX over NULLs."""
+    import numpy as np
+
+    from pyspark.sql.types import (BooleanType, DoubleType, IntegerType,
+                                   StructField, StructType)
+
+    qids, Q, qn = _collect_query_matrix(
+        benchmark, id_col, vec_col, keep_null_vecs=False)
+    corpus_id_type = corpus.schema[id_col].dataType
+    bench_id_type = benchmark.schema[id_col].dataType
+    schema = StructType([
+        StructField(id_col, corpus_id_type),
+        StructField("bench_id", bench_id_type),
+        StructField("max_sim", DoubleType()),
+        StructField("contaminated", IntegerType()),
+    ])
+    spark = corpus.sparkSession
+    if not qids:
+        return spark.createDataFrame([], schema)
+    order = np.argsort(np.array(qids))     # smallest bench id wins ties
+    qids_sorted = [qids[i] for i in order]
+    Qs, qns = Q[order], qn[order]
+    qdim = Qs.shape[1]
+
+    slim = corpus.select(F.col(id_col).alias("__nid"),
+                         F.expr(_as_double(vec_col)).alias("__cv"))
+
+    def score(it):
+        for pdf in it:
+            ids = pdf["__nid"].to_numpy()
+            arr = pdf["__cv"].to_numpy()
+            for dim, sel in _length_groups(arr):
+                if dim != qdim:
+                    continue
+                C = np.vstack(arr[sel]).astype(np.float64)
+                rid = ids[sel]
+                cn = _np_seq_norm(C)
+                ok = cn > 0
+                if not ok.any():
+                    continue
+                S = _np_seq_dot(C[ok], Qs.T)
+                denom = np.outer(cn[ok], qns)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sim = S / denom
+                sim[denom <= 0] = np.nan
+                sim = np.round(sim, round_to)
+                allnan = np.all(np.isnan(sim), axis=1)
+                if allnan.all():
+                    continue
+                sim_f = np.where(np.isnan(sim), -np.inf, sim)
+                best = np.argmax(sim_f, axis=1)   # first max = min id
+                mx = sim_f[np.arange(sim_f.shape[0]), best]
+                keep = ~allnan
+                yield pd.DataFrame({
+                    id_col: rid[ok][keep],
+                    "bench_id": [qids_sorted[j] for j in best[keep]],
+                    "max_sim": mx[keep],
+                    "contaminated": (mx[keep] >= threshold)
+                    .astype("int32"),
+                })
+
+    return slim.mapInPandas(score, schema)
