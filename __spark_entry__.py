@@ -1054,9 +1054,31 @@ def _q_ret_bm25_indexed(spark, sf_dir):
     from yardstick_spark.llm import bm25_search_index, save_bm25_index
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = str(Path(tempfile.gettempdir()) / f"ys_bm25_idx_{tag}")
+    # v2: postings/dfs split layout (incremental-update support)
+    path = str(Path(tempfile.gettempdir()) / f"ys_bm25v2_idx_{tag}")
     if not (Path(path) / "_bm25_meta.json").exists():
         save_bm25_index(_docs(spark, sf_dir), path)
+    return bm25_search_index(spark, path, _RET_QUERY, top_k=10)
+
+
+def _q_ret_bm25_incremental(spark, sf_dir):
+    # incremental index maintenance: build on the first corpus slice,
+    # fold the rest in with update_bm25_index (postings append + tiny
+    # df rewrite + integer stat addition) — scores must equal the full
+    # rebuild, so this shares ret_bm25's oracle too
+    import hashlib
+    import tempfile
+    from pathlib import Path
+
+    from yardstick_spark.llm import (bm25_search_index, save_bm25_index,
+                                     update_bm25_index)
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = str(Path(tempfile.gettempdir()) / f"ys_bm25v2_inc_{tag}")
+    if not (Path(path) / "_bm25_meta.json").exists():
+        docs = _docs(spark, sf_dir)
+        save_bm25_index(docs.filter("doc_id % 3 != 0"), path)
+        update_bm25_index(docs.filter("doc_id % 3 = 0"), path)
     return bm25_search_index(spark, path, _RET_QUERY, top_k=10)
 
 
@@ -2227,6 +2249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-8 retrieval wave (ordered first via _R8_LEAD)
         "ret_bm25": _q_ret_bm25,
         "ret_bm25_indexed": _q_ret_bm25_indexed,
+        "ret_bm25_incremental": _q_ret_bm25_incremental,
         "ret_rrf": _q_ret_rrf,
         "ret_hybrid": _q_ret_hybrid,
         "emb_decontaminate": _q_emb_decontaminate,
@@ -2342,8 +2365,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # local ORACLE_SWEEP_r8 row.
 _R8_LEAD: list[str] = [
     # round-8 additions — never driver-oracled
-    "ret_bm25", "ret_bm25_indexed", "ret_rrf", "ret_hybrid",
-    "emb_decontaminate",
+    "ret_bm25", "ret_bm25_indexed", "ret_bm25_incremental", "ret_rrf",
+    "ret_hybrid", "emb_decontaminate",
     # changed this round (NULL contract + graph registry)
     "dedup_ngram_jaccard", "dedup_containment", "dedup_minhash_lsh",
     "dedup_minhash_eval", "dedup_simhash", "dedup_simhash_pairs",
@@ -2360,9 +2383,9 @@ _R8_LEAD: list[str] = [
     "m_implicit_default", "m_derived_ratio",
     # last driver row round 4 (11 of 13; q22 + dedup_exact lead r9)
     "tpch_q7", "tpch_q10", "tpch_q14", "tpch_q18", "tpch_q19",
-    "tpch_q8", "tpch_q13", "tpch_q15", "tpch_q17",
-    # ops_window_running, ops_percentiles, tpch_q22 and dedup_exact
-    # lead the r9 window head
+    "tpch_q8", "tpch_q13", "tpch_q15",
+    # tpch_q17, ops_window_running, ops_percentiles, tpch_q22 and
+    # dedup_exact lead the r9 window head
 ]
 
 
@@ -2526,6 +2549,7 @@ def oracle_sql() -> dict[str, str]:
     o["ret_bm25"] = bm25_sql(_RET_QUERY, top_k=10)
     # the persisted-index path must reproduce the scan path bit-for-bit
     o["ret_bm25_indexed"] = o["ret_bm25"]
+    o["ret_bm25_incremental"] = o["ret_bm25"]
     # same cosine fold as the kNN oracles; ties on the rounded max take
     # the smallest bench id; unscoreable vectors excluded on both sides
     o["emb_decontaminate"] = """

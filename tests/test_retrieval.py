@@ -128,7 +128,7 @@ def test_bm25_index_partition_prunes(spark, tmp_path):
         "doc_id long, text string")
     p = str(tmp_path / "bm25_idx")
     save_bm25_index(docs, p, buckets=16)
-    n_buckets = len(list(Path(p).glob("bucket=*")))
+    n_buckets = len(list((Path(p) / "postings").glob("bucket=*")))
     assert n_buckets > 2, "corpus should spread over several buckets"
     df = bm25_search_index(spark, p, "term3", top_k=5)
     df.collect()
@@ -145,6 +145,40 @@ def test_bm25_index_partition_prunes(spark, tmp_path):
         f"bucket partition filter must be present, got: {pf!r}"
     assert "PushedFilters" in plan and "term" in plan
     clear_dedup_caches()
+
+
+def test_bm25_index_incremental_equals_rebuild(spark, tmp_path):
+    """update_bm25_index folds a new batch in O(batch): the updated
+    index must score EXACTLY like a full rebuild over old∪new (same
+    integer stats, same df sums, same postings) — and both equal the
+    scan path."""
+    from yardstick_spark.llm import (bm25_scores, bm25_search_index,
+                                     clear_dedup_caches,
+                                     save_bm25_index, update_bm25_index)
+
+    rows = [(i, f"alpha beta {'gamma ' * (i % 5)}delta "
+                f"{'alpha ' * (i % 3)}") for i in range(80)] + [(99, None)]
+    full = spark.createDataFrame(rows, "doc_id long, text string")
+    old = full.filter("doc_id < 50")
+    new = full.filter("doc_id >= 50")
+
+    inc = str(tmp_path / "inc_idx")
+    save_bm25_index(old, inc, buckets=8)
+    update_bm25_index(new, inc)
+    reb = str(tmp_path / "reb_idx")
+    save_bm25_index(full, reb, buckets=8)
+
+    q = "alpha gamma"
+    got_inc = [(r.doc_id, r.bm25, r.rank)
+               for r in bm25_search_index(spark, inc, q,
+                                          top_k=30).collect()]
+    got_reb = [(r.doc_id, r.bm25, r.rank)
+               for r in bm25_search_index(spark, reb, q,
+                                          top_k=30).collect()]
+    got_scan = [(r.doc_id, r.bm25, r.rank)
+                for r in bm25_scores(full, q, top_k=30).collect()]
+    clear_dedup_caches()
+    assert got_inc == got_reb == got_scan
 
 
 def test_rrf_hand_computed(spark):

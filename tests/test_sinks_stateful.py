@@ -610,3 +610,40 @@ def test_line_dedup_ingest_stream_equals_batch(spark, tmp_path):
     want = sorted(map(tuple, remove_duplicate_lines_incremental(
         batch_docs, spark, store).collect()))
     assert sorted(got) == want and len(want) == batch_docs.count()
+
+
+def test_bm25_index_ingest_stream_equals_batch(spark, tmp_path):
+    # streaming index maintenance must converge to the same index a
+    # full batch rebuild produces: identical top-k scores afterward
+    from yardstick_spark.llm import (bm25_scores, bm25_search_index,
+                                     save_bm25_index)
+    from yardstick_spark.streaming import start_bm25_index_ingest
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    seed = docs.filter("doc_id % 5 <> 0")
+    idx = str(tmp_path / "bm25_stream_idx")
+    save_bm25_index(seed, idx, buckets=8)
+
+    new_dir = str(tmp_path / "incoming_docs")
+    batch_docs = docs.filter("doc_id % 5 = 0").select("doc_id", "text")
+    batch_docs.write.parquet(new_dir)
+    schema = spark.read.parquet(new_dir).schema
+    stream = spark.readStream.schema(schema).parquet(new_dir)
+
+    q = start_bm25_index_ingest(
+        stream, spark, idx,
+        checkpointLocation=str(tmp_path / "ckpt_bm25"),
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    query = "spark join window query"
+    got = [(r.doc_id, r.bm25, r.rank)
+           for r in bm25_search_index(spark, idx, query,
+                                      top_k=20).collect()]
+    want = [(r.doc_id, r.bm25, r.rank)
+            for r in bm25_scores(docs, query, top_k=20).collect()]
+    from yardstick_spark.llm import clear_dedup_caches
+    clear_dedup_caches()
+    assert got == want

@@ -77,6 +77,7 @@ from .retrieval import (  # noqa: F401
     hybrid_search,
     rrf_fuse,
     save_bm25_index,
+    update_bm25_index,
 )
 from .similarity import (  # noqa: F401
     brute_force_knn,

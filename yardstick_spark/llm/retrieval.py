@@ -168,28 +168,14 @@ def bm25_sql(query: str, text_col: str = "text", id_col: str = "doc_id",
         ORDER BY bm25 DESC, id LIMIT {top_k}"""
 
 
-def save_bm25_index(docs: DataFrame, path: str, text_col: str = "text",
-                    id_col: str = "doc_id", buckets: int = 64) -> None:
-    """Persist a BM25 inverted index: one parquet dataset PARTITIONED
-    BY term-hash bucket holding (term, id, tf, dl, df) posting rows,
-    plus a `_bm25_meta.json` sidecar with the corpus statistics
-    (n_docs, avgdl) — the build-once / query-many production shape.
-
-    dl and df are DENORMALIZED onto the posting rows so a query needs
-    nothing but its own terms' postings: no doc-length side table, no
-    df lookup join.  Partitioning by `pmod(xxhash64(term), buckets)`
-    turns every query into a partition-PRUNED scan — a q-term query
-    reads at most q/buckets of the posting files and none of the rest
-    (plus the term equality filter pushed into those files).  Each
-    bucket is repartitioned to one task before the write (the
-    small-file problem is the classic partitioned-index killer).
-
-    Statistics match `bm25_scores` exactly: n_docs counts every row
-    (NULL-text docs included), avgdl divides the total token count by
-    it — so index-path scores are bit-identical to the scan path."""
-    import json
-    from pathlib import Path
-
+def _bm25_batch_parts(docs: DataFrame, text_col: str, id_col: str,
+                      buckets: int):
+    """(postings, dfs, n_docs, sum_dl) for one document batch —
+    shared by the initial build and the incremental update.
+    Statistics are EXACT INTEGERS (token total + doc count), so
+    merging batches is plain addition and avgdl is derived at query
+    time from the merged integers, bit-identical to what a full
+    rebuild computes."""
     norm = _NORM.format(c=text_col)
     toks = f"filter(split({norm}, ' '), t -> t <> '')"
     base = docs.select(F.col(id_col).alias("id"),
@@ -201,23 +187,104 @@ def save_bm25_index(docs: DataFrame, path: str, text_col: str = "text",
                     F.explode("tk").alias("term"))
         .groupBy("id", "term")
         .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
-    )
-    dfx = tf.groupBy("term").agg(F.count("*").alias("df"))
-    stats = base.agg(
-        F.count("*").alias("n_docs"),
-        (F.sum(F.expr("size(tk)")).cast("double") / F.count("*"))
-        .alias("avgdl"),
-    ).collect()[0]
-    (
-        tf.join(dfx, "term")
         .withColumn("bucket", F.pmod(F.xxhash64("term"),
                                      F.lit(buckets)).cast("int"))
-        .repartition(F.col("bucket"))
-        .write.mode("overwrite").partitionBy("bucket").parquet(path)
     )
+    dfs = tf.groupBy("bucket", "term").agg(F.count("*").alias("df"))
+    stats = base.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.sum(F.expr("size(tk)")), F.lit(0)).alias("sdl"),
+    ).collect()[0]
+    return tf, dfs, int(stats["n"]), int(stats["sdl"])
+
+
+def save_bm25_index(docs: DataFrame, path: str, text_col: str = "text",
+                    id_col: str = "doc_id", buckets: int = 64) -> None:
+    """Persist a BM25 inverted index as the build-once / query-many /
+    APPEND-MANY production shape: `{path}/postings` holds (term, id,
+    tf, dl) posting rows PARTITIONED BY term-hash bucket, `{path}/dfs`
+    holds the (term, df) document frequencies (same partitioning, tiny
+    — one row per distinct term), and `_bm25_meta.json` carries exact
+    integer corpus statistics (n_docs, sum_dl).
+
+    df lives in its own table, NOT denormalized onto postings: an
+    incremental batch changes df for every term it touches, and a
+    small rewrite of `dfs` beats rewriting corpus-sized postings
+    (which stay append-only — see `update_bm25_index`).  dl IS
+    denormalized (a document's length never changes).  Partitioning
+    both tables by `pmod(xxhash64(term), buckets)` turns every query
+    into a partition-PRUNED scan of ≤ |q| buckets; each bucket is
+    repartitioned to one task before the write (the small-file
+    problem is the classic partitioned-index killer).
+
+    n_docs counts every row (NULL-text docs included) and avgdl is
+    derived at query time as sum_dl/n_docs — matching `bm25_scores`
+    exactly, so index-path scores are bit-identical to the scan path."""
+    import json
+    from pathlib import Path
+
+    tf, dfs, n, sdl = _bm25_batch_parts(docs, text_col, id_col, buckets)
+    (tf.select("term", "id", "tf", "dl", "bucket")
+     .repartition(F.col("bucket"))
+     .write.mode("overwrite").partitionBy("bucket")
+     .parquet(str(Path(path) / "postings")))
+    (dfs.repartition(F.col("bucket"))
+     .write.mode("overwrite").partitionBy("bucket")
+     .parquet(str(Path(path) / "dfs")))
     Path(path, "_bm25_meta.json").write_text(json.dumps(
-        {"buckets": buckets, "n_docs": stats["n_docs"],
-         "avgdl": stats["avgdl"]}))
+        {"buckets": buckets, "n_docs": n, "sum_dl": sdl}))
+
+
+def update_bm25_index(new_docs: DataFrame, path: str,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> None:
+    """Fold a batch of NEW documents into a `save_bm25_index` dataset
+    — O(batch) work, never a corpus rebuild: the batch's posting rows
+    APPEND into their bucket partitions, the (tiny) df table is
+    re-summed and rewritten, and the integer corpus statistics add up.
+    A subsequent `bm25_search_index` scores exactly what a full
+    rebuild over old∪new would — pinned by
+    tests/test_retrieval.py::test_bm25_index_incremental_equals_rebuild.
+
+    Caller contract (same as the incremental dedup stores): batches
+    contain only UNSEEN doc ids — re-ingesting a doc would split its
+    tf across duplicate posting rows.  The df rewrite is the one
+    non-append step; it is last, after the postings append, so a
+    crash in between leaves df undercounted (scores too high for the
+    batch's terms) rather than postings missing — rerun the update's
+    df step (or the whole idempotent batch after deduplicating ids)
+    to repair."""
+    import json
+    from pathlib import Path
+
+    meta = json.loads(Path(path, "_bm25_meta.json").read_text())
+    buckets = meta["buckets"]
+    tf, new_dfs, n, sdl = _bm25_batch_parts(
+        new_docs, text_col, id_col, buckets)
+    spark = new_docs.sparkSession
+    (tf.select("term", "id", "tf", "dl", "bucket")
+     .repartition(F.col("bucket"))
+     .write.mode("append").partitionBy("bucket")
+     .parquet(str(Path(path) / "postings")))
+    merged = (
+        spark.read.parquet(str(Path(path) / "dfs"))
+        .select("bucket", "term", "df")
+        .unionByName(new_dfs.select("bucket", "term", "df"))
+        .groupBy("bucket", "term").agg(F.sum("df").alias("df"))
+    )
+    # the df table is one row per distinct term — rewrite via a temp
+    # dataset + swap (reading and overwriting the same parquet path in
+    # one plan is not safe)
+    tmp = str(Path(path) / "dfs_tmp")
+    (merged.repartition(F.col("bucket"))
+     .write.mode("overwrite").partitionBy("bucket").parquet(tmp))
+    import shutil
+
+    shutil.rmtree(str(Path(path) / "dfs"))
+    Path(tmp).rename(str(Path(path) / "dfs"))
+    Path(path, "_bm25_meta.json").write_text(json.dumps(
+        {"buckets": buckets, "n_docs": meta["n_docs"] + n,
+         "sum_dl": meta["sum_dl"] + sdl}))
 
 
 def bm25_search_index(spark, path: str, query: str,
@@ -247,18 +314,27 @@ def bm25_search_index(spark, path: str, query: str,
         "term", F.pmod(F.xxhash64("term"),
                        F.lit(meta["buckets"])).cast("int").alias("b")
     ).collect()}
+    bsel = sorted(set(tb.values()))
     post = (
-        spark.read.parquet(path)
-        .filter(F.col("bucket").isin(sorted(set(tb.values())))
-                & F.col("term").isin(terms))
+        spark.read.parquet(str(Path(path) / "postings"))
+        .filter(F.col("bucket").isin(bsel) & F.col("term").isin(terms))
     )
-    # n_docs/avgdl ride as typed columns, never interpolated literals:
-    # a non-integer SQL literal types as DECIMAL and would drift a ulp
+    dfs = (
+        spark.read.parquet(str(Path(path) / "dfs"))
+        .filter(F.col("bucket").isin(bsel) & F.col("term").isin(terms))
+        .select("term", "df")
+    )
+    # avgdl derives from the exact integer stats the way bm25_scores
+    # computes it (double division of the same integers); both stats
+    # ride as typed columns, never interpolated literals — a
+    # non-integer SQL literal types as DECIMAL and would drift a ulp
     # from the scan path's double arithmetic (caught by the oracle)
-    per_term = post.withColumn(
+    per_term = post.join(F.broadcast(dfs), "term").withColumn(
         "n_docs", F.lit(int(meta["n_docs"])).cast("bigint")
     ).withColumn(
-        "avgdl", F.lit(float(meta["avgdl"])).cast("double")
+        "avgdl",
+        F.lit(int(meta["sum_dl"])).cast("double")
+        / F.lit(int(meta["n_docs"])).cast("bigint"),
     ).select("id", "term",
              F.expr(_bm25_contrib("tf", "df", k1, b)).alias("c"))
     # fixed-order fold over the term→contribution map: identical float

@@ -383,3 +383,29 @@ def load_heavy_hitters(spark, state_path: str, k: int | None = 10):
         return cur
     return (cur.filter(F.col("term").isNotNull())
             .orderBy(F.desc("wlow"), "term").limit(k))
+
+
+def start_bm25_index_ingest(new_docs: DataFrame, spark, index_path: str,
+                            text_col: str = "text",
+                            id_col: str = "doc_id", **stream_opts):
+    """foreachBatch twin of `llm.retrieval.update_bm25_index` for a
+    document stream: each micro-batch folds into the persisted BM25
+    index (postings append into their bucket partitions, tiny df
+    rewrite, integer stat addition) — O(batch) per trigger, the corpus
+    postings are never re-read.  Stream≡batch holds because each batch
+    runs the tested batch operator verbatim (pinned alongside
+    `test_bm25_index_incremental_equals_rebuild`); queries via
+    `bm25_search_index` between triggers see a consistent index (the
+    df swap is the one non-append step and is last — see the batch
+    operator's crash-ordering note).  Same caller contract as every
+    ingest here: batches carry only unseen doc ids."""
+    from ..llm.retrieval import update_bm25_index
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        update_bm25_index(batch_df, index_path,
+                          text_col=text_col, id_col=id_col)
+
+    return (new_docs.writeStream.foreachBatch(_process)
+            .options(**stream_opts).start())
