@@ -526,3 +526,35 @@ def test_p13_float_reducers_repartition_stable(spark, op):
             ref = got
         else:
             assert got == ref, f"{op}: output depends on repartition({n})"
+
+
+@pytest.mark.parametrize("op", ["bm25", "decontaminate"])
+def test_p14_retrieval_reducers_repartition_stable(spark, op):
+    """Same determinism contract for the round-8 retrieval family:
+    BM25's only cross-row reductions are INTEGER (tf counts, sum_dl,
+    df, n_docs) so scores must be exact-equal under any partitioning;
+    semantic_decontaminate's per-row max-cosine must not depend on
+    which Arrow batch a row lands in."""
+    from yardstick_spark.llm import bm25_scores, clear_dedup_caches, \
+        semantic_decontaminate
+
+    if op == "bm25":
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet")
+        run = lambda df: bm25_scores(df, "spark join window query",
+                                     top_k=25)
+        src = docs
+    else:
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet")
+        bench = emb.filter("vec_id < 20")
+        run = lambda df: semantic_decontaminate(df, bench)
+        src = emb.filter("vec_id >= 20")
+    ref = None
+    for n in (1, 3, 8, 32):
+        got = sorted(map(tuple, run(src.repartition(n)).collect()))
+        clear_dedup_caches()
+        if ref is None:
+            ref = got
+        else:
+            assert got == ref, f"{op}: output depends on repartition({n})"
