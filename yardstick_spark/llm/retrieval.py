@@ -274,14 +274,24 @@ def update_bm25_index(new_docs: DataFrame, path: str,
     )
     # the df table is one row per distinct term — rewrite via a temp
     # dataset + swap (reading and overwriting the same parquet path in
-    # one plan is not safe)
-    tmp = str(Path(path) / "dfs_tmp")
+    # one plan is not safe).  Hadoop FileSystem renames, not local
+    # shutil: the index lives on whatever scheme the cluster uses
+    # (hdfs://, file://, s3a with its rename caveats) — same pattern
+    # as sources/write.compact_files, and the same isolation caveat
+    # (the two renames are individually atomic, not as a pair)
+    tmp_p = str(Path(path) / "dfs_tmp")
     (merged.repartition(F.col("bucket"))
-     .write.mode("overwrite").partitionBy("bucket").parquet(tmp))
-    import shutil
-
-    shutil.rmtree(str(Path(path) / "dfs"))
-    Path(tmp).rename(str(Path(path) / "dfs"))
+     .write.mode("overwrite").partitionBy("bucket").parquet(tmp_p))
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    dfs_h = jvm.org.apache.hadoop.fs.Path(str(Path(path) / "dfs"))
+    tmp_h = jvm.org.apache.hadoop.fs.Path(tmp_p)
+    fs = dfs_h.getFileSystem(conf)
+    fs.delete(dfs_h, True)
+    if not fs.rename(tmp_h, dfs_h):
+        raise RuntimeError(
+            f"update_bm25_index: rename {tmp_p} -> {dfs_h} failed — "
+            "df table missing; rerun the update's df merge")
     Path(path, "_bm25_meta.json").write_text(json.dumps(
         {"buckets": buckets, "n_docs": meta["n_docs"] + n,
          "sum_dl": meta["sum_dl"] + sdl}))
