@@ -1096,6 +1096,20 @@ def _q_emb_decontaminate(spark, sf_dir):
         threshold=0.9)
 
 
+def _q_ret_eval(spark, sf_dir):
+    # retrieval-quality evaluation as a first-class operator: the LSH
+    # retriever graded against brute-force ground truth — per-query
+    # recall@10 and MRR over the two bounded top-k lists
+    from yardstick_spark.llm import (brute_force_knn, lsh_bucketed_knn,
+                                     retrieval_eval)
+
+    _ys(spark, sf_dir)
+    emb = spark.table("embeddings")
+    q = emb.filter("vec_id < 5")
+    return retrieval_eval(lsh_bucketed_knn(emb, q, k=10),
+                          brute_force_knn(emb, q, k=10))
+
+
 def _q_dedup_semantic(spark, sf_dir):
     # SemDeDup: cluster-scoped embedding near-dup pairs (one cell per
     # vector via deterministic seeded centroids, all-pairs cosine
@@ -2253,6 +2267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ret_rrf": _q_ret_rrf,
         "ret_hybrid": _q_ret_hybrid,
         "emb_decontaminate": _q_emb_decontaminate,
+        "ret_eval": _q_ret_eval,
         "text_mixture_weights": _q_text_mixture_weights,
         "text_unigram_logprob": _q_text_unigram_logprob,
         "events_transitions": _q_events_transitions,
@@ -2366,7 +2381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _R8_LEAD: list[str] = [
     # round-8 additions — never driver-oracled
     "ret_bm25", "ret_bm25_indexed", "ret_bm25_incremental", "ret_rrf",
-    "ret_hybrid", "emb_decontaminate",
+    "ret_hybrid", "emb_decontaminate", "ret_eval",
     # changed this round (NULL contract + graph registry)
     "dedup_ngram_jaccard", "dedup_containment", "dedup_minhash_lsh",
     "dedup_minhash_eval", "dedup_simhash", "dedup_simhash_pairs",
@@ -2383,9 +2398,9 @@ _R8_LEAD: list[str] = [
     "m_implicit_default", "m_derived_ratio",
     # last driver row round 4 (11 of 13; q22 + dedup_exact lead r9)
     "tpch_q7", "tpch_q10", "tpch_q14", "tpch_q18", "tpch_q19",
-    "tpch_q8", "tpch_q13", "tpch_q15",
-    # tpch_q17, ops_window_running, ops_percentiles, tpch_q22 and
-    # dedup_exact lead the r9 window head
+    "tpch_q8", "tpch_q13",
+    # tpch_q15, tpch_q17, ops_window_running, ops_percentiles,
+    # tpch_q22 and dedup_exact lead the r9 window head
 ]
 
 
@@ -3421,6 +3436,30 @@ def oracle_sql() -> dict[str, str]:
           SELECT *, CAST(row_number() OVER (PARTITION BY query_id
                      ORDER BY sim DESC, neighbor_id) AS INT) AS rank
           FROM scored) WHERE rank <= 10"""
+    # retrieval-quality eval: LSH results vs brute-force truth — the
+    # same per-query recall/MRR math as llm.retrieval.retrieval_eval
+    o["ret_eval"] = f"""
+        WITH res AS ({o["sim_knn_lsh"]}),
+        tru AS ({o["sim_knn_bruteforce"]}),
+        tc AS (SELECT query_id AS q, COUNT(*) AS n_truth
+               FROM tru GROUP BY 1),
+        rc AS (SELECT query_id AS q, COUNT(*) AS n_results
+               FROM res GROUP BY 1),
+        h AS (SELECT r.query_id AS q, COUNT(*) AS hits,
+                     MIN(r.rank) AS first_hit
+              FROM res r JOIN tru t
+                ON r.query_id = t.query_id
+               AND r.neighbor_id = t.neighbor_id
+              GROUP BY 1)
+        SELECT tc.q AS query_id, n_truth,
+               COALESCE(n_results, 0) AS n_results,
+               COALESCE(hits, 0) AS hits,
+               ROUND(CAST(COALESCE(hits, 0) AS DOUBLE) / n_truth, 6)
+                 AS recall,
+               ROUND(COALESCE(CAST(1 AS DOUBLE) / first_hit, 0), 6)
+                 AS mrr
+        FROM tc LEFT JOIN rc ON rc.q = tc.q
+        LEFT JOIN h ON h.q = tc.q"""
     o["text_tokens"] = f"""
         WITH norm AS (SELECT doc_id, {_NORM_DOC} AS t FROM documents)
         SELECT doc_id,

@@ -241,6 +241,30 @@ def test_semantic_decontaminate_empty_benchmark(spark):
     assert semantic_decontaminate(corpus, bench).count() == 0
 
 
+def test_retrieval_eval_hand_computed(spark):
+    """recall = |res ∩ truth| / |truth|, mrr = 1/rank of the first
+    relevant result, 0.0 when nothing relevant retrieved, and queries
+    missing from results entirely still get a row (recall 0)."""
+    from yardstick_spark.llm import retrieval_eval
+
+    truth = spark.createDataFrame(
+        [("a", 1, 1), ("a", 2, 2), ("b", 3, 1), ("c", 4, 1)],
+        "query_id string, neighbor_id long, rank int")
+    res = spark.createDataFrame(
+        [("a", 9, 1), ("a", 2, 2), ("a", 1, 3),   # hits at ranks 2, 3
+         ("b", 8, 1), ("b", 7, 2)],               # no hit; c absent
+        "query_id string, neighbor_id long, rank int")
+    got = {r.query_id: r for r in retrieval_eval(res, truth).collect()}
+    assert set(got) == {"a", "b", "c"}
+    a = got["a"]
+    assert (a.n_truth, a.n_results, a.hits) == (2, 3, 2)
+    assert a.recall == 1.0 and a.mrr == 0.5
+    b = got["b"]
+    assert (b.n_truth, b.hits, b.recall, b.mrr) == (1, 0, 0.0, 0.0)
+    c = got["c"]
+    assert (c.n_results, c.recall, c.mrr) == (0, 0.0, 0.0)
+
+
 def test_hybrid_search_fuses_both_legs(spark):
     from yardstick_spark.llm import clear_dedup_caches, hybrid_search
 

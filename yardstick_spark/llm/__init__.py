@@ -75,6 +75,7 @@ from .retrieval import (  # noqa: F401
     bm25_search_index,
     bm25_sql,
     hybrid_search,
+    retrieval_eval,
     rrf_fuse,
     save_bm25_index,
     update_bm25_index,

@@ -440,3 +440,45 @@ def hybrid_search(docs: DataFrame, embeddings: DataFrame, query: str,
         .select(F.col("neighbor_id").alias(id_col), "rank")
     )
     return rrf_fuse([lex, dense], id_col=id_col, k=rrf_k, top_k=top_k)
+
+
+def retrieval_eval(results: DataFrame, truth: DataFrame,
+                   query_col: str = "query_id",
+                   id_col: str = "neighbor_id", rank_col: str = "rank",
+                   round_to: int = 6) -> DataFrame:
+    """Per-query retrieval quality of `results` against a ground-truth
+    ranking `truth` (e.g. an ANN retriever vs brute force): one row
+    per truth query — (query_col, n_truth, n_results, hits, recall,
+    mrr).  recall = |results ∩ truth| / |truth|; mrr = 1/rank of the
+    FIRST relevant result (0.0 when nothing relevant was retrieved).
+
+    Both inputs are per-query top-k lists — |queries| × k rows however
+    large the corpus — so the two joins here are uniform-key exchanges
+    over bounded data; the expensive part of an evaluation is the
+    retrievers upstream, not this."""
+    t = truth.select(F.col(query_col).alias("q"),
+                     F.col(id_col).alias("d"))
+    tcnt = t.groupBy("q").agg(F.count("*").alias("n_truth"))
+    r = results.select(F.col(query_col).alias("q"),
+                       F.col(id_col).alias("d"),
+                       F.col(rank_col).alias("rk"))
+    rcnt = r.groupBy("q").agg(F.count("*").alias("n_results"))
+    hits = (
+        r.join(t, ["q", "d"])
+        .groupBy("q")
+        .agg(F.count("*").alias("hits"), F.min("rk").alias("first_hit"))
+    )
+    return (
+        tcnt.join(rcnt, "q", "left").join(hits, "q", "left")
+        .select(
+            F.col("q").alias(query_col),
+            "n_truth",
+            F.coalesce("n_results", F.lit(0)).cast("long")
+            .alias("n_results"),
+            F.coalesce("hits", F.lit(0)).cast("long").alias("hits"),
+            F.expr(f"round(CAST(coalesce(hits, 0) AS DOUBLE) / n_truth,"
+                   f" {round_to})").alias("recall"),
+            F.expr(f"round(coalesce(CAST(1 AS DOUBLE) / first_hit, 0D),"
+                   f" {round_to})").alias("mrr"),
+        )
+    )
