@@ -558,3 +558,37 @@ def test_p14_retrieval_reducers_repartition_stable(spark, op):
             ref = got
         else:
             assert got == ref, f"{op}: output depends on repartition({n})"
+
+
+_WORDS = st.sampled_from(
+    ["spark", "join", "window", "query", "data", "table", "scan",
+     "alpha", "beta", "gamma", ""])
+_DOC_TEXTS = st.lists(
+    st.one_of(st.none(),
+              st.lists(_WORDS, min_size=0, max_size=12).map(" ".join)),
+    min_size=1, max_size=25)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=_DOC_TEXTS)
+def test_p15_bm25_index_equals_scan_on_random_corpora(spark, tmp_path_factory, texts):
+    """Property: for ANY corpus (random word soups, empties, NULLs,
+    whitespace runs) the persisted-index BM25 path returns exactly the
+    scan path's (id, score, rank) list — the contract that lets the
+    indexed/incremental entries share the scan oracle."""
+    from yardstick_spark.llm import (bm25_scores, bm25_search_index,
+                                     clear_dedup_caches,
+                                     save_bm25_index)
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string")
+    p = str(tmp_path_factory.mktemp("bm25_prop") / "idx")
+    save_bm25_index(docs, p, buckets=4)
+    q = "spark join gamma"
+    want = [(r.doc_id, r.bm25, r.rank)
+            for r in bm25_scores(docs, q, top_k=30).collect()]
+    got = [(r.doc_id, r.bm25, r.rank)
+           for r in bm25_search_index(spark, p, q, top_k=30).collect()]
+    clear_dedup_caches()
+    assert got == want

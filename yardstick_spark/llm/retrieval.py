@@ -51,10 +51,14 @@ def _bm25_contrib(tf: str, df: str, k1: float, b: float) -> str:
     """One query term's BM25 contribution — the EXACT expression both
     the scan path and the index path evaluate (n_docs BIGINT and avgdl
     DOUBLE must be columns: a non-integer SQL literal would type as
-    DECIMAL and drift a ulp from the double arithmetic)."""
+    DECIMAL and drift a ulp from the double arithmetic).  nullif
+    guards the every-document-empty corpus (avgdl 0): ANSI Spark
+    throws on the 0/0, NULL instead makes every score NULL → excluded,
+    which is also what the DuckDB twin's NaN does under `bm25 > 0`;
+    for any avgdl > 0 nullif is the identity, so bit-parity holds."""
     return (f"ln(1 + (n_docs - {df} + 0.5) / ({df} + 0.5))"
             f" * {tf} * {k1 + 1.0}"
-            f" / ({tf} + {k1} * (1 - {b} + {b} * dl / avgdl))")
+            f" / ({tf} + {k1} * (1 - {b} + {b} * dl / nullif(avgdl, 0)))")
 
 
 def bm25_scores(docs: DataFrame, query: str, text_col: str = "text",
@@ -224,15 +228,20 @@ def save_bm25_index(docs: DataFrame, path: str, text_col: str = "text",
     from pathlib import Path
 
     tf, dfs, n, sdl = _bm25_batch_parts(docs, text_col, id_col, buckets)
-    (tf.select("term", "id", "tf", "dl", "bucket")
-     .repartition(F.col("bucket"))
+    post = tf.select("term", "id", "tf", "dl", "bucket")
+    (post.repartition(F.col("bucket"))
      .write.mode("overwrite").partitionBy("bucket")
      .parquet(str(Path(path) / "postings")))
     (dfs.repartition(F.col("bucket"))
      .write.mode("overwrite").partitionBy("bucket")
      .parquet(str(Path(path) / "dfs")))
+    # schemas ride the sidecar so probes never infer: an index whose
+    # corpus produced zero postings (all NULL/empty docs) writes no
+    # part files, and schema inference on the empty dataset would fail
     Path(path, "_bm25_meta.json").write_text(json.dumps(
-        {"buckets": buckets, "n_docs": n, "sum_dl": sdl}))
+        {"buckets": buckets, "n_docs": n, "sum_dl": sdl,
+         "postings_schema": post.schema.json(),
+         "dfs_schema": dfs.schema.json()}))
 
 
 def update_bm25_index(new_docs: DataFrame, path: str,
@@ -262,12 +271,18 @@ def update_bm25_index(new_docs: DataFrame, path: str,
     tf, new_dfs, n, sdl = _bm25_batch_parts(
         new_docs, text_col, id_col, buckets)
     spark = new_docs.sparkSession
-    (tf.select("term", "id", "tf", "dl", "bucket")
-     .repartition(F.col("bucket"))
+    post = tf.select("term", "id", "tf", "dl", "bucket")
+    (post.repartition(F.col("bucket"))
      .write.mode("append").partitionBy("bucket")
      .parquet(str(Path(path) / "postings")))
+    old_dfs = spark.read
+    if "dfs_schema" in meta:  # sidecar schema: empty-index safe
+        from pyspark.sql.types import StructType
+
+        old_dfs = old_dfs.schema(StructType.fromJson(
+            json.loads(meta["dfs_schema"])))
     merged = (
-        spark.read.parquet(str(Path(path) / "dfs"))
+        old_dfs.parquet(str(Path(path) / "dfs"))
         .select("bucket", "term", "df")
         .unionByName(new_dfs.select("bucket", "term", "df"))
         .groupBy("bucket", "term").agg(F.sum("df").alias("df"))
@@ -294,7 +309,9 @@ def update_bm25_index(new_docs: DataFrame, path: str,
             "df table missing; rerun the update's df merge")
     Path(path, "_bm25_meta.json").write_text(json.dumps(
         {"buckets": buckets, "n_docs": meta["n_docs"] + n,
-         "sum_dl": meta["sum_dl"] + sdl}))
+         "sum_dl": meta["sum_dl"] + sdl,
+         "postings_schema": post.schema.json(),
+         "dfs_schema": new_dfs.schema.json()}))
 
 
 def bm25_search_index(spark, path: str, query: str,
@@ -325,15 +342,21 @@ def bm25_search_index(spark, path: str, query: str,
                        F.lit(meta["buckets"])).cast("int").alias("b")
     ).collect()}
     bsel = sorted(set(tb.values()))
-    post = (
-        spark.read.parquet(str(Path(path) / "postings"))
-        .filter(F.col("bucket").isin(bsel) & F.col("term").isin(terms))
-    )
-    dfs = (
-        spark.read.parquet(str(Path(path) / "dfs"))
-        .filter(F.col("bucket").isin(bsel) & F.col("term").isin(terms))
-        .select("term", "df")
-    )
+
+    def _read(sub: str, schema_key: str):
+        r = spark.read
+        if schema_key in meta:  # sidecar schema: empty-index safe
+            from pyspark.sql.types import StructType
+
+            r = r.schema(StructType.fromJson(
+                json.loads(meta[schema_key])))
+        return r.parquet(str(Path(path) / sub))
+
+    post = _read("postings", "postings_schema").filter(
+        F.col("bucket").isin(bsel) & F.col("term").isin(terms))
+    dfs = _read("dfs", "dfs_schema").filter(
+        F.col("bucket").isin(bsel) & F.col("term").isin(terms)
+    ).select("term", "df")
     # avgdl derives from the exact integer stats the way bm25_scores
     # computes it (double division of the same integers); both stats
     # ride as typed columns, never interpolated literals — a
