@@ -197,6 +197,27 @@ def test_rrf_hand_computed(spark):
     assert got[40] == (round(1 / 63, 6), 1, 4)
 
 
+def test_rrf_three_lists_repartition_stable(spark):
+    """With >= 3 lists a plain float SUM would fold in partition order;
+    the sorted-array fold pins bit-identical rrf under any layout."""
+    from yardstick_spark.llm import rrf_fuse
+
+    lists = [
+        spark.createDataFrame(
+            [(d, r + 1) for r, d in enumerate(perm)],
+            "doc_id long, rank int")
+        for perm in ([1, 2, 3, 4], [3, 1, 4, 2], [2, 4, 1, 3])
+    ]
+    ref = None
+    for n in (1, 2, 8):
+        got = sorted(map(tuple, rrf_fuse(
+            [df.repartition(n) for df in lists], top_k=10).collect()))
+        if ref is None:
+            ref = got
+        else:
+            assert got == ref
+
+
 def test_rrf_requires_input(spark):
     from yardstick_spark.llm import rrf_fuse
 

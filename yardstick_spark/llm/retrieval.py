@@ -402,7 +402,15 @@ def rrf_fuse(rankings: Sequence[DataFrame], id_col: str = "doc_id",
     bounded by sum of the lists' sizes — a few hundred rows however
     large the corpus is.  The groupBy and the final rank window are
     driver-scale formalities on that bounded set; nothing here ever
-    touches corpus-sized data (the retrievers already did)."""
+    touches corpus-sized data (the retrievers already did).
+
+    Determinism: a doc's contributions are summed over a SORTED array
+    fold, not a partition-ordered float sum — with three or more lists
+    a plain SUM's association order follows row placement and can
+    drift a ulp between runs (two contributions are safe by
+    commutativity alone, but the operator accepts N).  The per-doc
+    array is at most |rankings| elements, so the sorted fold costs
+    nothing."""
     if not rankings:
         raise ValueError("rrf_fuse needs at least one ranking")
     parts = [
@@ -418,8 +426,13 @@ def rrf_fuse(rankings: Sequence[DataFrame], id_col: str = "doc_id",
         u = u.unionByName(p)
     fused = (
         u.groupBy("id")
-        .agg(F.round(F.sum("contrib"), round_to).alias("rrf"),
-             F.count("*").cast("int").alias("n_lists"))
+        .agg(
+            F.expr(
+                "round(aggregate(array_sort(collect_list(contrib)), "
+                f"0D, (a, x) -> a + x), {round_to})"
+            ).alias("rrf"),
+            F.count("*").cast("int").alias("n_lists"),
+        )
         .orderBy(F.col("rrf").desc(), F.col("id"))
         .limit(top_k)
     )
