@@ -253,6 +253,28 @@ def test_semantic_decontaminate_verdicts_and_edge_cases(spark):
     assert got[101].max_sim == 0.0 and got[101].contaminated == 0
 
 
+def test_semantic_decontaminate_plan_is_shuffle_free(spark, tmp_path):
+    """The verdicts are produced map-side: ONE corpus scan feeding the
+    Arrow-closure mapInPandas, ZERO exchanges anywhere in the plan
+    (the relational formulation would inflate |benchmark|x through a
+    cross-join exchange)."""
+    from pyspark.sql import functions as F
+
+    from yardstick_spark.llm import semantic_decontaminate
+
+    p = str(tmp_path / "vecs.parquet")
+    spark.createDataFrame(
+        [(i, [float(i % 7), 1.0, float(i % 3)]) for i in range(200)],
+        "vec_id long, embedding array<float>").write.parquet(p)
+    emb = spark.read.parquet(p)
+    df = semantic_decontaminate(emb.filter("vec_id >= 20"),
+                                emb.filter("vec_id < 20"))
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "MapInPandas" in plan or "mapInPandas" in plan.lower()
+
+
 def test_semantic_decontaminate_empty_benchmark(spark):
     from yardstick_spark.llm import semantic_decontaminate
 
