@@ -1575,6 +1575,22 @@ def _q_text_sample_weighted(spark, sf_dir):
                            weight_col="n_chars")
 
 
+def _q_text_dsir_weights(spark, sf_dir):
+    # DSIR hashed-ngram importance weights, target = English sub-corpus
+    from yardstick_spark.llm import dsir_weights
+
+    return dsir_weights(_docs(spark, sf_dir), "lang = 'en'",
+                        n_buckets=1024, alpha=1.0)
+
+
+def _q_text_dsir_sample(spark, sf_dir):
+    # DSIR Gumbel top-k resampling toward the English target
+    from yardstick_spark.llm import dsir_sample
+
+    return dsir_sample(_docs(spark, sf_dir), "lang = 'en'", k=100,
+                       n_buckets=1024, alpha=1.0)
+
+
 def _q_events_transitions(spark, sf_dir):
     # first-order Markov transition matrix over per-user event streams
     from yardstick_spark.operators import event_transitions
@@ -2353,6 +2369,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "mm_resize": _q_mm_resize,
             "dedup_embedding": _q_dedup_embedding,
             "sim_knn_bruteforce": _q_knn,
+            "text_dsir_weights": _q_text_dsir_weights,
+            "text_dsir_sample": _q_text_dsir_sample,
         }
     )
     full = dict(r4_new)
@@ -2380,6 +2398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # local ORACLE_SWEEP_r8 row.
 _R8_LEAD: list[str] = [
     # round-8 additions — never driver-oracled
+    "text_dsir_weights", "text_dsir_sample",
     "ret_bm25", "ret_bm25_indexed", "ret_bm25_incremental", "ret_rrf",
     "ret_hybrid", "emb_decontaminate", "ret_eval",
     # changed this round (NULL contract + graph registry)
@@ -3910,6 +3929,54 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
         WHERE n_chars IS NOT NULL AND n_chars > 0
         ORDER BY samp_key, doc_id LIMIT 100"""
+    # DSIR: shared gram-bucket CTE prefix (unigram+bigram occurrences
+    # hashed into 1024 buckets; the 1e-6-quantized bucket log-ratios
+    # sum as exact BIGINTs on both engines, so the per-doc weight is
+    # partitioning- and engine-independent)
+    _dsir_prefix = f"""
+        WITH norm AS (SELECT doc_id, lang, {_NORM_DOC} AS t
+                      FROM documents),
+        w AS (SELECT doc_id, lang,
+              list_filter(string_split(t, ' '), x -> x <> '') AS words
+              FROM norm),
+        g AS (SELECT doc_id, lang, list_concat(words,
+                CASE WHEN len(words) >= 2 THEN
+                  [concat_ws(' ', words[i], words[i+1])
+                   for i in range(1, len(words))]
+                ELSE [] END) AS grams FROM w),
+        eg AS (SELECT doc_id,
+                 CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS tflag,
+                 unnest(grams) AS gram FROM g),
+        e AS (SELECT doc_id, tflag,
+                 CAST(CONCAT('0x', SUBSTRING(md5(gram), 1, 15))
+                   AS BIGINT) % 1024 AS bucket FROM eg),
+        c AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c_raw,
+                     CAST(SUM(tflag) AS BIGINT) AS c_target
+              FROM e GROUP BY bucket),
+        tot AS (SELECT SUM(c_raw) AS tr, SUM(c_target) AS tt FROM c),
+        lr AS (SELECT bucket,
+                 CAST(round((ln((c_target + 1.0) / (tt + 1024.0))
+                   - ln((c_raw + 1.0) / (tr + 1024.0))) * 1000000)
+                   AS BIGINT) AS lr_q
+               FROM c, tot),
+        s AS (SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+                     CAST(SUM(lr_q) AS BIGINT) AS wq
+              FROM e JOIN lr USING (bucket) GROUP BY e.doc_id),
+        wt AS (SELECT d.doc_id,
+                 COALESCE(s.n_grams, 0) AS n_grams,
+                 ROUND(COALESCE(s.wq, 0) / 1000000.0, 6) AS logw
+               FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id)"""
+    o["text_dsir_weights"] = f"""{_dsir_prefix}
+        SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, logw
+        FROM wt"""
+    o["text_dsir_sample"] = f"""{_dsir_prefix}
+        SELECT doc_id, logw,
+               ROUND(logw / 1.0 - LN(-LN(((CAST(CONCAT('0x',
+                   SUBSTRING(md5(CONCAT('42:', CAST(doc_id AS VARCHAR))),
+                   1, 15)) AS BIGINT) % 999999) + 1) / 1000000.0)), 6)
+                 AS samp_key
+        FROM wt
+        ORDER BY samp_key DESC, doc_id LIMIT 100"""
     o["events_transitions"] = """
         WITH seq AS (SELECT event_type,
                LEAD(event_type) OVER (PARTITION BY user_id

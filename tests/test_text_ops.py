@@ -1063,3 +1063,71 @@ def test_dedup_events_window(spark):
     out = {r.event_id: r.is_duplicate
            for r in dedup_events_window(events, tolerance_s=2).collect()}
     assert out == {1: False, 2: True, 3: False, 4: False, 5: False}
+
+
+def _dsir_docs(spark, n=60):
+    # English docs share a telltale vocabulary; the others don't
+    rows = []
+    for i in range(n):
+        if i % 3 == 0:
+            lang, text = "en", f"the quick brown fox number {i} jumps over the lazy dog"
+        elif i % 3 == 1:
+            lang, text = "de", f"der schnelle braune fuchs nummer {i} springt hoch"
+        else:
+            lang, text = "fr", f"le renard brun rapide numero {i} saute tres haut"
+        rows.append((i, text, lang))
+    return spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+
+
+def test_dsir_weights_target_docs_score_higher(spark):
+    from yardstick_spark.llm import dsir_weights
+
+    docs = _dsir_docs(spark)
+    out = {r["doc_id"]: r for r in
+           dsir_weights(docs, "lang = 'en'", n_buckets=256).collect()}
+    assert len(out) == 60
+    en = [out[i]["logw"] for i in range(0, 60, 3)]
+    rest = [out[i]["logw"] for i in range(60) if i % 3 != 0]
+    # every English doc outscores every non-English doc
+    assert min(en) > max(rest)
+    assert all(out[i]["n_grams"] > 0 for i in range(60))
+
+
+def test_dsir_weights_repartition_stable(spark):
+    from yardstick_spark.llm import dsir_weights
+
+    docs = _dsir_docs(spark)
+    base = sorted(map(tuple, dsir_weights(
+        docs, "lang = 'en'", n_buckets=256).collect()))
+    for n in (1, 3, 7, 32):
+        got = sorted(map(tuple, dsir_weights(
+            docs.repartition(n), "lang = 'en'", n_buckets=256).collect()))
+        assert got == base, f"weights changed under repartition({n})"
+
+
+def test_dsir_weights_gramless_doc_kept_at_zero(spark):
+    from yardstick_spark.llm import dsir_weights
+
+    docs = spark.createDataFrame(
+        [(1, "the quick fox", "en"), (2, "", "en"), (3, None, "de")],
+        "doc_id bigint, text string, lang string")
+    out = {r["doc_id"]: r for r in
+           dsir_weights(docs, "lang = 'en'").collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[2]["n_grams"] == 0 and out[2]["logw"] == 0.0
+    assert out[3]["n_grams"] == 0 and out[3]["logw"] == 0.0
+
+
+def test_dsir_sample_prefers_target_and_is_deterministic(spark):
+    from yardstick_spark.llm import dsir_sample
+
+    docs = _dsir_docs(spark)
+    got = dsir_sample(docs, "lang = 'en'", k=20, n_buckets=256).collect()
+    assert len(got) == 20
+    # Gumbel noise is ~[-2, 7] sigma-ish but the planted log-ratio gap is
+    # large: the winning set should be mostly English docs
+    en_share = sum(1 for r in got if r["doc_id"] % 3 == 0) / 20
+    assert en_share >= 0.7
+    again = dsir_sample(docs.repartition(5), "lang = 'en'", k=20,
+                        n_buckets=256).collect()
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in again]

@@ -133,6 +133,9 @@ from .text import (  # noqa: F401
     decontaminate,
     decontaminate_bloom,
     doc_fingerprint,
+    dsir_bucket_logratios,
+    dsir_sample,
+    dsir_weights,
     duplicated_spans,
     fingerprint_overlap_pairs,
     gopher_filter,

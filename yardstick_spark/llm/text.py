@@ -1414,3 +1414,150 @@ def zipf_fit(docs: DataFrame, top_n: int = 50,
         .alias("intercept"),
         F.round(F.expr("regr_r2(ln(tf), ln(rank))"), 6).alias("r2"),
     )
+
+
+def _dsir_grams(text_col: str) -> str:
+    """Word unigram + bigram multiset (WITH multiplicity — DSIR weights
+    are expectations over gram OCCURRENCES, not the distinct-set used
+    by decontamination) over the normalized text, as a SQL string."""
+    norm = _NORM.format(c=text_col)
+    words = f"filter(split({norm}, ' '), t -> t <> '')"
+    bigrams = (
+        f"CASE WHEN size({words}) >= 2 THEN "
+        f"transform(sequence(1, size({words}) - 1), "
+        f"i -> concat_ws(' ', slice({words}, i, 2))) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+    return f"concat({words}, {bigrams})"
+
+
+_DSIR_SCALE = 1_000_000  # 1e-6 quantization grid for log-ratios
+
+
+def dsir_bucket_logratios(docs: DataFrame, target_cond: str,
+                          n_buckets: int = 1024, alpha: float = 1.0,
+                          text_col: str = "text") -> DataFrame:
+    """Hashed n-gram bucket log-importance-ratios for DSIR (Data
+    Selection with Importance Resampling, Xie et al. 2023): unigram +
+    bigram occurrences hash into `n_buckets` buckets; each bucket gets
+    lr = ln(p_target[b]) - ln(p_raw[b]) under add-`alpha` smoothing,
+    where the target distribution is the sub-corpus satisfying
+    `target_cond` (a SQL predicate over the document columns) and the
+    raw distribution is the whole corpus.
+
+    Returns (bucket, c_raw, c_target, lr_q) where lr_q is the
+    log-ratio snapped to the 1e-6 integer grid — per-document weights
+    sum lr_q as exact BIGINTs, so they are bit-identical under any
+    partitioning (the `covariance_matrix` determinism contract).
+
+    100 TB shape: one corpus scan (scan-side explode with map-side
+    combine collapses to bucket grain before the shuffle — at most
+    #partitions * n_buckets rows move), one `n_buckets`-row aggregate,
+    and a 1-row totals broadcast.  The output is <= n_buckets rows:
+    broadcast material for any downstream scorer."""
+    grams = _dsir_grams(text_col)
+    bucket = (f"pmod(CAST(conv(substring(md5(__g), 1, 15), 16, 10) "
+              f"AS BIGINT), {n_buckets})")
+    exploded = (
+        docs.select(F.expr(f"CAST(({target_cond}) AS INT)").alias("__t"),
+                    F.explode(F.expr(grams)).alias("__g"))
+        .select(F.expr(bucket).alias("bucket"), "__t")
+    )
+    counts = exploded.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("c_raw"),
+        F.sum("__t").cast("bigint").alias("c_target"),
+    )
+    totals = counts.agg(F.sum("c_raw").alias("__tr"),
+                        F.sum("c_target").alias("__tt"))
+    ab = alpha * n_buckets
+    # round BEFORE the BIGINT cast: Spark's double->BIGINT cast
+    # truncates while DuckDB's rounds, so the cast must only ever see
+    # an exactly-integer-valued double
+    lr = (f"(ln((c_target + {alpha}D) / (__tt + {ab}D)) "
+          f"- ln((c_raw + {alpha}D) / (__tr + {ab}D)))")
+    return (
+        counts.join(F.broadcast(totals))
+        .select("bucket", "c_raw", "c_target",
+                F.expr(f"CAST(round({lr} * {_DSIR_SCALE}) AS BIGINT)")
+                .alias("lr_q"))
+    )
+
+
+def dsir_weights(docs: DataFrame, target_cond: str,
+                 n_buckets: int = 1024, alpha: float = 1.0,
+                 text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Per-document DSIR log-importance weight: the sum of bucket
+    log-ratios over the document's gram occurrences (Xie et al. 2023,
+    eq. 3 — the hashed-n-gram estimate of ln p_target(x)/p_raw(x)).
+    High logw = looks like the target distribution; feed into
+    `dsir_sample` (Gumbel top-k resampling) or threshold directly.
+
+    Returns (id_col, n_grams, logw) for EVERY document — gram-less
+    (empty/NULL) documents keep logw = 0.0 rather than dropping, so
+    the output stays doc-grain joinable.
+
+    Determinism: logw sums the 1e-6-quantized integer log-ratios
+    (exact BIGINT adds, order-independent) and divides once at the
+    end.  100 TB shape: the bucket table (<= n_buckets rows) is a
+    broadcast hash relation; the corpus side is one scan-side explode
+    probing it, reduced at document grain with map-side combine; plus
+    one broadcast join back for gram-less documents.  Two corpus
+    scans total (one to fit buckets, one to score) — the tf-idf
+    two-pass shape."""
+    lrs = dsir_bucket_logratios(docs, target_cond, n_buckets=n_buckets,
+                                alpha=alpha, text_col=text_col)
+    grams = _dsir_grams(text_col)
+    bucket = (f"pmod(CAST(conv(substring(md5(__g), 1, 15), 16, 10) "
+              f"AS BIGINT), {n_buckets})")
+    scored = (
+        docs.select(F.col(id_col), F.explode(F.expr(grams)).alias("__g"))
+        .select(id_col, F.expr(bucket).alias("bucket"))
+        .join(F.broadcast(lrs.select("bucket", "lr_q")), "bucket")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_grams"),
+             F.sum("lr_q").alias("__wq"))
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_grams", F.lit(0)).cast("bigint")
+            .alias("n_grams"),
+            F.expr(f"round(coalesce(__wq, 0L) / {_DSIR_SCALE}.0D, 6)")
+            .alias("logw"),
+        )
+    )
+
+
+def dsir_sample(docs: DataFrame, target_cond: str, k: int,
+                n_buckets: int = 1024, alpha: float = 1.0,
+                tau: float = 1.0, seed: int = 42,
+                text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """DSIR resampling: k documents sampled WITHOUT replacement with
+    probability proportional to exp(logw / tau) via the Gumbel
+    top-k trick — key = logw/tau + Gumbel(0,1), take the k largest.
+    The Gumbel draw is a deterministic md5-uniform of the document id
+    (u strictly inside (0,1) so -ln(-ln(u)) is finite), making the
+    sample reproducible across runs, engines, and partitionings.
+
+    Returns (id_col, logw, samp_key) ordered by key descending.
+    100 TB shape: `dsir_weights`'s two scans plus a global top-k,
+    which Spark executes as per-partition TakeOrdered(k) — only k rows
+    per task reach the driver-side merge, no full sort."""
+    w = dsir_weights(docs, target_cond, n_buckets=n_buckets,
+                     alpha=alpha, text_col=text_col, id_col=id_col)
+    u = (f"((CAST(conv(substring(md5(concat('{seed}:', "
+         f"CAST({id_col} AS STRING))), 1, 15), 16, 10) AS BIGINT) "
+         f"% 999999) + 1) / 1000000.0D")
+    return (
+        w.select(
+            F.col(id_col), "logw",
+            F.expr(f"round(logw / {tau}D - ln(-ln({u})), 6)")
+            .alias("samp_key"),
+        )
+        .orderBy(F.col("samp_key").desc(), id_col)
+        .limit(k)
+    )
