@@ -1591,6 +1591,23 @@ def _q_text_dsir_sample(spark, sf_dir):
                        n_buckets=1024, alpha=1.0)
 
 
+def _q_emb_kmeans(spark, sf_dir):
+    # deterministic integer-grid Lloyd k-means: final cell assignments
+    from yardstick_spark.llm import kmeans_assign
+
+    _ys(spark, sf_dir)
+    return kmeans_assign(spark.table("embeddings"), k=8, iters=3)
+
+
+def _q_emb_cluster_sample(spark, sf_dir):
+    # topic-balanced selection: 10 md5-uniform winners per k-means cell
+    from yardstick_spark.llm import cluster_balanced_sample
+
+    _ys(spark, sf_dir)
+    return cluster_balanced_sample(spark.table("embeddings"), k=8,
+                                   iters=3, per_cell=10)
+
+
 def _q_events_transitions(spark, sf_dir):
     # first-order Markov transition matrix over per-user event streams
     from yardstick_spark.operators import event_transitions
@@ -2371,6 +2388,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "sim_knn_bruteforce": _q_knn,
             "text_dsir_weights": _q_text_dsir_weights,
             "text_dsir_sample": _q_text_dsir_sample,
+            "emb_kmeans": _q_emb_kmeans,
+            "emb_cluster_sample": _q_emb_cluster_sample,
         }
     )
     full = dict(r4_new)
@@ -2398,7 +2417,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # local ORACLE_SWEEP_r8 row.
 _R8_LEAD: list[str] = [
     # round-8 additions — never driver-oracled
-    "text_dsir_weights", "text_dsir_sample",
+    "text_dsir_weights", "text_dsir_sample", "emb_kmeans",
+    "emb_cluster_sample",
     "ret_bm25", "ret_bm25_indexed", "ret_bm25_incremental", "ret_rrf",
     "ret_hybrid", "emb_decontaminate", "ret_eval",
     # changed this round (NULL contract + graph registry)
@@ -3989,6 +4009,69 @@ def oracle_sql() -> dict[str, str]:
                ROUND(n / CAST(SUM(n) OVER (PARTITION BY from_type)
                  AS DOUBLE), 6) AS p
         FROM pairs"""
+    # k-means: the fixed-iteration quantized Lloyd loop unrolls into a
+    # CTE chain (seed -> [assign -> update] x iters -> final assign);
+    # every arithmetic step is exact-integer or a shared
+    # round-half-away, so the chain reproduces Spark bit-for-bit
+    _KM_K, _KM_ITERS, _KM_DIM = 8, 3, 64
+
+    def _km_d(a: str, b: str) -> str:
+        return (f"list_sum([({a}[j] - {b}[j]) * ({a}[j] - {b}[j]) "
+                f"for j in range(1, {_KM_DIM + 1})])")
+
+    _km_dist = _km_d("v.xq", "cent.c")
+    _km_ctes = [f"""
+        v AS (SELECT vec_id AS id,
+                list_transform(CAST(embedding AS DOUBLE[]),
+                  x -> CAST(round(x * 1000000.0) AS BIGINT)) AS xq
+              FROM embeddings
+              WHERE embedding IS NOT NULL AND len(embedding) > 0),
+        ch0 AS (SELECT 0 AS cell, xq AS c FROM v ORDER BY id LIMIT 1)"""]
+    # farthest-first seeding unroll (Gonzalez 1985), mirrors
+    # kmeans_assign: next seed = argmax over v of min distance to the
+    # chosen set, ties to the smaller id
+    for _s in range(1, _KM_K):
+        _km_ctes.append(f"""
+        fd{_s} AS (SELECT v.id, v.xq,
+                 MIN({_km_d("v.xq", "c.c")}) AS dmin
+               FROM v, ch{_s - 1} AS c GROUP BY v.id, v.xq),
+        fp{_s} AS (SELECT xq FROM fd{_s} ORDER BY dmin DESC, id LIMIT 1),
+        ch{_s} AS (SELECT cell, c FROM ch{_s - 1}
+               UNION ALL SELECT {_s} AS cell, xq AS c FROM fp{_s})""")
+    _km_ctes.append(f"""
+        cent0 AS (SELECT cell, c FROM ch{_KM_K - 1})""")
+    for _i in range(1, _KM_ITERS + 1):
+        _km_ctes.append(f"""
+        a{_i} AS (SELECT id, xq, cell, dist FROM (
+                SELECT v.id, v.xq, cent.cell, {_km_dist} AS dist
+                FROM v, cent{_i - 1} AS cent)
+              QUALIFY row_number() OVER (PARTITION BY id
+                ORDER BY dist, cell) = 1),
+        u{_i} AS (SELECT cell, t.j AS d, SUM(xq[t.j]) AS s,
+                 COUNT(*) AS n
+               FROM a{_i}, generate_series(1, {_KM_DIM}) AS t(j)
+               GROUP BY cell, t.j),
+        cent{_i} AS (SELECT cell, list(CAST(round(s / CAST(n AS DOUBLE))
+                   AS BIGINT) ORDER BY d) AS c
+                 FROM u{_i} GROUP BY cell)""")
+    _km_prefix = "WITH" + ",".join(_km_ctes) + f""",
+        af AS (SELECT id, cell, dist FROM (
+                SELECT v.id, cent.cell, {_km_dist} AS dist
+                FROM v, cent{_KM_ITERS} AS cent)
+              QUALIFY row_number() OVER (PARTITION BY id
+                ORDER BY dist, cell) = 1)"""
+    o["emb_kmeans"] = f"""{_km_prefix}
+        SELECT id AS vec_id, CAST(cell AS INT) AS cell,
+               CAST(dist AS BIGINT) AS dist_q
+        FROM af"""
+    o["emb_cluster_sample"] = f"""{_km_prefix}
+        SELECT id AS vec_id, CAST(cell AS INT) AS cell,
+               CAST(rn AS INT) AS rn
+        FROM (SELECT id, cell, row_number() OVER (PARTITION BY cell
+                ORDER BY CAST(CONCAT('0x', SUBSTRING(md5(CONCAT('42:',
+                  CAST(id AS VARCHAR))), 1, 15)) AS BIGINT), id) AS rn
+              FROM af)
+        WHERE rn <= 10"""
     o["emb_hard_negatives"] = """
         WITH v AS (SELECT vec_id, label,
                           CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

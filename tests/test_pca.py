@@ -173,3 +173,69 @@ def test_jl_preserves_norms_in_expectation(spark):
     # E[||Px||^2] = ||x||^2; at k=32 the mean ratio concentrates
     ratio = (kept / orig).mean()
     assert 0.8 < ratio < 1.2
+
+
+def _planted_clusters(spark, n_per=40, k=4, dim=8):
+    # k well-separated blobs: center c has coordinates 10*c, members
+    # perturb one coordinate by i/1000 (well inside the separation)
+    rows = []
+    vid = 0
+    for c in range(k):
+        for i in range(n_per):
+            v = [10.0 * c] * dim
+            v[i % dim] += i / 1000.0
+            rows.append((vid, v, c))
+            vid += 1
+    return spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, truth int")
+
+
+def test_kmeans_recovers_planted_clusters(spark):
+    from yardstick_spark.llm import kmeans_assign
+
+    vecs = _planted_clusters(spark)
+    out = kmeans_assign(vecs, k=4, iters=4).collect()
+    assert len(out) == 160
+    truth = {r["vec_id"]: r["truth"] for r in vecs.collect()}
+    # same-blob members must share a cell; different blobs must not
+    by_truth = {}
+    for r in out:
+        by_truth.setdefault(truth[r["vec_id"]], set()).add(r["cell"])
+    assert all(len(cells) == 1 for cells in by_truth.values())
+    assert len({next(iter(c)) for c in by_truth.values()}) == 4
+
+
+def test_kmeans_partition_stable_and_null_policy(spark):
+    from pyspark.sql import functions as F
+    from yardstick_spark.llm import kmeans_assign
+
+    vecs = _planted_clusters(spark).unionByName(
+        spark.createDataFrame(
+            [(900, None, 0), (901, [], 0)],
+            "vec_id bigint, embedding array<double>, truth int"))
+    base = sorted(map(tuple, kmeans_assign(vecs, k=4, iters=3).collect()))
+    assert not any(r[0] in (900, 901) for r in base)  # NULL/empty dropped
+    for n in (1, 5, 32):
+        got = sorted(map(tuple, kmeans_assign(
+            vecs.repartition(n), k=4, iters=3).collect()))
+        assert got == base, f"assignment changed under repartition({n})"
+
+
+def test_kmeans_rejects_wide_k(spark):
+    import pytest
+    from yardstick_spark.llm import kmeans_assign
+
+    with pytest.raises(ValueError, match="ceiling"):
+        kmeans_assign(_planted_clusters(spark), k=500)
+
+
+def test_cluster_balanced_sample_caps_per_cell(spark):
+    from yardstick_spark.llm import cluster_balanced_sample
+
+    out = cluster_balanced_sample(_planted_clusters(spark), k=4,
+                                  iters=3, per_cell=7).collect()
+    import collections
+    sizes = collections.Counter(r["cell"] for r in out)
+    assert all(v <= 7 for v in sizes.values())
+    assert len(sizes) == 4 and len(out) == 28
+    assert all(1 <= r["rn"] <= 7 for r in out)

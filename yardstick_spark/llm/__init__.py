@@ -112,6 +112,10 @@ from .pca import (  # noqa: F401
     pca_components,
     pca_project,
 )
+from .kmeans import (  # noqa: F401
+    cluster_balanced_sample,
+    kmeans_assign,
+)
 from .quantize import (  # noqa: F401
     dequantize_expr,
     quantization_params,
