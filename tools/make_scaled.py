@@ -1,0 +1,60 @@
+"""Build the N-x replicated measurement corpus under /tmp/sf{N}x.
+
+Replicates the sf0.1 tables with id offsets (the protocol every
+SCALING.md 10x row uses: 6M lineitem / 1.5M orders / 50k docs / 20k
+vectors at N=10).  Identical parquet feeds both engines.
+
+    python tools/make_scaled.py [N] [table,table,...]
+
+Defaults: N=10, tables=documents,embeddings,lineitem,orders,events.
+"""
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import duckdb
+
+_ID_COLS = {
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "events": ["event_id", "user_id"],
+}
+_OFFSET = 10_000_000
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    tables = (sys.argv[2].split(",") if len(sys.argv) > 2
+              else list(_ID_COLS))
+    src = Path("/root/testdata/sf0.1")
+    dst = Path(f"/tmp/sf{n}x")
+    dst.mkdir(parents=True, exist_ok=True)
+    con = duckdb.connect()
+    for t in tables:
+        shifted = ", ".join(
+            f"{c} + {{i}} * {_OFFSET} AS {c}" for c in _ID_COLS[t])
+        others = con.sql(
+            f"SELECT * FROM '{src}/{t}.parquet' LIMIT 0").columns
+        keep = ", ".join(c for c in others if c not in _ID_COLS[t])
+        parts = " UNION ALL ".join(
+            f"SELECT {shifted.format(i=i)}, {keep} "
+            f"FROM '{src}/{t}.parquet'" for i in range(n))
+        con.sql(f"COPY ({parts}) TO '{dst}/{t}.parquet' "
+                f"(FORMAT PARQUET)")
+        print(t, con.sql(f"SELECT COUNT(*) FROM "
+                         f"'{dst}/{t}.parquet'").fetchone()[0])
+    # the remaining small tables copy through unscaled so _ys() finds
+    # every registered view
+    for t in ("region", "nation", "customer", "supplier", "part"):
+        p = src / f"{t}.parquet"
+        if p.exists() and t not in tables:
+            con.sql(f"COPY (SELECT * FROM '{p}') TO "
+                    f"'{dst}/{t}.parquet' (FORMAT PARQUET)")
+    print("done:", dst)
+
+
+if __name__ == "__main__":
+    main()

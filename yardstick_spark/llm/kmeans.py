@@ -37,10 +37,13 @@ def _quantized(vecs: DataFrame, vec_col: str, id_col: str) -> DataFrame:
     """(id, xq) with xq = coordinates snapped to the integer grid;
     NULL/empty vectors are excluded (they can neither seed nor be
     assigned — same policy as `ivf.seed_centroids`)."""
+    from .dedup import _spread  # single-file inputs must not pin 1 core
+
     xq = (f"transform(CAST({vec_col} AS ARRAY<DOUBLE>), "
           f"x -> CAST(round(x * {_QUANT}.0D) AS BIGINT))")
     return (
-        vecs.select(F.col(id_col).alias("id"), F.expr(xq).alias("xq"))
+        _spread(vecs)
+        .select(F.col(id_col).alias("id"), F.expr(xq).alias("xq"))
         .filter(F.col("xq").isNotNull() & (F.size("xq") > 0))
     )
 

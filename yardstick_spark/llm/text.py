@@ -1455,12 +1455,15 @@ def dsir_bucket_logratios(docs: DataFrame, target_cond: str,
     #partitions * n_buckets rows move), one `n_buckets`-row aggregate,
     and a 1-row totals broadcast.  The output is <= n_buckets rows:
     broadcast material for any downstream scorer."""
+    from .dedup import _spread  # single-file inputs must not pin 1 core
+
     grams = _dsir_grams(text_col)
     bucket = (f"pmod(CAST(conv(substring(md5(__g), 1, 15), 16, 10) "
               f"AS BIGINT), {n_buckets})")
     exploded = (
-        docs.select(F.expr(f"CAST(({target_cond}) AS INT)").alias("__t"),
-                    F.explode(F.expr(grams)).alias("__g"))
+        _spread(docs)
+        .select(F.expr(f"CAST(({target_cond}) AS INT)").alias("__t"),
+                F.explode(F.expr(grams)).alias("__g"))
         .select(F.expr(bucket).alias("bucket"), "__t")
     )
     counts = exploded.groupBy("bucket").agg(
@@ -1505,26 +1508,33 @@ def dsir_weights(docs: DataFrame, target_cond: str,
     one broadcast join back for gram-less documents.  Two corpus
     scans total (one to fit buckets, one to score) — the tf-idf
     two-pass shape."""
+    from .dedup import _spread
+
     lrs = dsir_bucket_logratios(docs, target_cond, n_buckets=n_buckets,
                                 alpha=alpha, text_col=text_col)
-    grams = _dsir_grams(text_col)
+    # a NULL sentinel gram per document keeps gram-less (empty/NULL)
+    # docs in the aggregate WITHOUT a join-back: the sentinel's bucket
+    # is NULL (md5(NULL) = NULL), it never matches the broadcast LEFT
+    # join, count(bucket) skips it, and sum(lr_q) over no matches
+    # coalesces to 0.  One corpus scan to score instead of two, and
+    # the output cardinality now flows through the aggregate (a
+    # count() action cannot optimize the scoring away).
+    grams = (f"concat(array(CAST(NULL AS STRING)), "
+             f"coalesce({_dsir_grams(text_col)}, "
+             f"CAST(array() AS ARRAY<STRING>)))")
     bucket = (f"pmod(CAST(conv(substring(md5(__g), 1, 15), 16, 10) "
               f"AS BIGINT), {n_buckets})")
-    scored = (
-        docs.select(F.col(id_col), F.explode(F.expr(grams)).alias("__g"))
-        .select(id_col, F.expr(bucket).alias("bucket"))
-        .join(F.broadcast(lrs.select("bucket", "lr_q")), "bucket")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_grams"),
-             F.sum("lr_q").alias("__wq"))
-    )
     return (
-        docs.select(id_col)
-        .join(scored, id_col, "left")
+        _spread(docs)
+        .select(F.col(id_col), F.explode(F.expr(grams)).alias("__g"))
+        .select(id_col, F.expr(bucket).alias("bucket"))
+        .join(F.broadcast(lrs.select("bucket", "lr_q")), "bucket", "left")
+        .groupBy(id_col)
+        .agg(F.count("bucket").alias("n_grams"),
+             F.sum("lr_q").alias("__wq"))
         .select(
             F.col(id_col),
-            F.coalesce("n_grams", F.lit(0)).cast("bigint")
-            .alias("n_grams"),
+            F.col("n_grams").cast("bigint").alias("n_grams"),
             F.expr(f"round(coalesce(__wq, 0L) / {_DSIR_SCALE}.0D, 6)")
             .alias("logw"),
         )
