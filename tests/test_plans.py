@@ -550,3 +550,43 @@ def test_tfidf_tf_table_has_cache_barrier(spark):
         assert "InMemoryTableScan" in explain_str(tfidf_terms(docs))
     finally:
         clear_dedup_caches()
+
+
+def test_dsir_scoring_broadcasts_buckets_two_exchanges(spark):
+    # the bucket log-ratio table (<=1024 rows) must reach the scoring
+    # scan as a broadcast hash relation, and the whole weight
+    # computation must shuffle exactly twice: once at bucket grain
+    # (fit) and once at doc grain (score) — never at gram grain
+    from yardstick_spark.llm import dsir_weights
+    from yardstick_spark.plans import explain_str, has_broadcast_join
+
+    docs = spark.createDataFrame(
+        [(i, f"some words number {i}", "en" if i % 2 else "de")
+         for i in range(40)],
+        "doc_id bigint, text string, lang string")
+    df = dsir_weights(docs, "lang = 'en'")
+    assert has_broadcast_join(df), "bucket table must broadcast"
+    plan = explain_str(df)
+    # bucket-grain fit + doc-grain score; the _spread round-robins are
+    # local-mode artifacts (no-ops on a pre-split cluster scan) and
+    # gram-grain rows never hash-shuffle
+    hash_shuffles = plan.count("hashpartitioning")
+    assert hash_shuffles <= 2, f"too many keyed exchanges:\n{plan}"
+    assert "SortMergeJoin" not in plan, "scoring join must not sort-merge"
+
+
+def test_kmeans_assignment_scan_is_joinless(spark):
+    # the centroid table rides the row expression as a literal: the
+    # final assignment plan must contain no Join operator at all and
+    # no Exchange (assignment is scan-side)
+    from yardstick_spark.llm import kmeans_assign
+    from yardstick_spark.plans import explain_str
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 4) * 10.0, float(i)]) for i in range(40)],
+        "vec_id bigint, embedding array<double>")
+    df = kmeans_assign(vecs, k=2, iters=1)
+    plan = explain_str(df)
+    assert "Join" not in plan, f"assignment must be joinless:\n{plan}"
+    assert "Exchange" not in plan.replace("BroadcastExchange", ""), \
+        f"assignment must not shuffle the corpus:\n{plan}"

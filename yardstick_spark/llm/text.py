@@ -1470,20 +1470,25 @@ def dsir_bucket_logratios(docs: DataFrame, target_cond: str,
         F.count(F.lit(1)).alias("c_raw"),
         F.sum("__t").cast("bigint").alias("c_target"),
     )
-    totals = counts.agg(F.sum("c_raw").alias("__tr"),
-                        F.sum("c_target").alias("__tt"))
+    # totals via a global window over the <=n_buckets-row bucket table
+    # (one single-partition exchange of tiny rows) rather than a
+    # second aggregate consumer: a broadcast-joined totals subplan
+    # makes Catalyst re-execute the entire fit scan once per consumer
+    # (the tfidf double-scan class, caught by the plan test)
+    w = Window.partitionBy()
+    totaled = counts.withColumn(
+        "__tr", F.sum("c_raw").over(w)).withColumn(
+        "__tt", F.sum("c_target").over(w))
     ab = alpha * n_buckets
     # round BEFORE the BIGINT cast: Spark's double->BIGINT cast
     # truncates while DuckDB's rounds, so the cast must only ever see
     # an exactly-integer-valued double
     lr = (f"(ln((c_target + {alpha}D) / (__tt + {ab}D)) "
           f"- ln((c_raw + {alpha}D) / (__tr + {ab}D)))")
-    return (
-        counts.join(F.broadcast(totals))
-        .select("bucket", "c_raw", "c_target",
-                F.expr(f"CAST(round({lr} * {_DSIR_SCALE}) AS BIGINT)")
-                .alias("lr_q"))
-    )
+    return totaled.select(
+        "bucket", "c_raw", "c_target",
+        F.expr(f"CAST(round({lr} * {_DSIR_SCALE}) AS BIGINT)")
+        .alias("lr_q"))
 
 
 def dsir_weights(docs: DataFrame, target_cond: str,
