@@ -1591,6 +1591,29 @@ def _q_text_dsir_sample(spark, sf_dir):
                        n_buckets=1024, alpha=1.0)
 
 
+def _q_text_dsir_incremental(spark, sf_dir):
+    # persisted-store DSIR: fit the bucket statistic on two thirds of
+    # the corpus, fold the rest in with update_dsir_store (integer
+    # counts merge exactly), score everything against the store —
+    # must equal the full refit, so this shares text_dsir_weights'
+    # oracle
+    import hashlib
+    import tempfile
+    from pathlib import Path
+
+    from yardstick_spark.llm import (dsir_score_with_store,
+                                     save_dsir_store, update_dsir_store)
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = str(Path(tempfile.gettempdir()) / f"ys_dsir_inc_{tag}")
+    docs = _docs(spark, sf_dir)
+    if not (Path(path) / "_dsir_meta.json").exists():
+        save_dsir_store(docs.filter("doc_id % 3 != 0"), "lang = 'en'",
+                        path, n_buckets=1024)
+        update_dsir_store(docs.filter("doc_id % 3 = 0"), path)
+    return dsir_score_with_store(docs, path, alpha=1.0)
+
+
 def _q_emb_kmeans(spark, sf_dir):
     # deterministic integer-grid Lloyd k-means: final cell assignments
     from yardstick_spark.llm import kmeans_assign
@@ -2390,6 +2413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_dsir_sample": _q_text_dsir_sample,
             "emb_kmeans": _q_emb_kmeans,
             "emb_cluster_sample": _q_emb_cluster_sample,
+            "text_dsir_incremental": _q_text_dsir_incremental,
         }
     )
     full = dict(r4_new)
@@ -2417,8 +2441,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # local ORACLE_SWEEP_r8 row.
 _R8_LEAD: list[str] = [
     # round-8 additions — never driver-oracled
-    "text_dsir_weights", "text_dsir_sample", "emb_kmeans",
-    "emb_cluster_sample",
+    "text_dsir_weights", "text_dsir_sample", "text_dsir_incremental",
+    "emb_kmeans", "emb_cluster_sample",
     "ret_bm25", "ret_bm25_indexed", "ret_bm25_incremental", "ret_rrf",
     "ret_hybrid", "emb_decontaminate", "ret_eval",
     # changed this round (NULL contract + graph registry)
@@ -3989,6 +4013,9 @@ def oracle_sql() -> dict[str, str]:
     o["text_dsir_weights"] = f"""{_dsir_prefix}
         SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, logw
         FROM wt"""
+    # incremental store == full refit (integer counts merge exactly),
+    # so the persisted-store entry shares the weights oracle
+    o["text_dsir_incremental"] = o["text_dsir_weights"]
     o["text_dsir_sample"] = f"""{_dsir_prefix}
         SELECT doc_id, logw,
                ROUND(logw / 1.0 - LN(-LN(((CAST(CONCAT('0x',

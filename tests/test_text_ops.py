@@ -1131,3 +1131,42 @@ def test_dsir_sample_prefers_target_and_is_deterministic(spark):
     again = dsir_sample(docs.repartition(5), "lang = 'en'", k=20,
                         n_buckets=256).collect()
     assert [r["doc_id"] for r in got] == [r["doc_id"] for r in again]
+
+
+def test_dsir_store_incremental_equals_refit(spark, tmp_path):
+    from yardstick_spark.llm import (dsir_score_with_store, dsir_weights,
+                                     save_dsir_store, update_dsir_store)
+
+    docs = _dsir_docs(spark)
+    path = str(tmp_path / "dsir_store")
+    save_dsir_store(docs.filter("doc_id % 2 = 0"), "lang = 'en'", path,
+                    n_buckets=256)
+    update_dsir_store(docs.filter("doc_id % 2 = 1"), path)
+    inc = sorted(map(tuple, dsir_score_with_store(docs, path).collect()))
+    full = sorted(map(tuple, dsir_weights(
+        docs, "lang = 'en'", n_buckets=256).collect()))
+    assert inc == full, "incremental store must equal a full refit"
+
+
+def test_dsir_store_stream_twin_equals_batch(spark, tmp_path):
+    from yardstick_spark.llm import (dsir_score_with_store, dsir_weights,
+                                     save_dsir_store)
+    from yardstick_spark.streaming import start_dsir_store_ingest
+
+    docs = _dsir_docs(spark)
+    path = str(tmp_path / "dsir_stream_store")
+    save_dsir_store(docs.filter("doc_id < 20"), "lang = 'en'", path,
+                    n_buckets=256)
+    src = str(tmp_path / "src")
+    docs.filter("doc_id >= 20").write.mode("overwrite").parquet(src)
+    stream = (spark.readStream.schema(
+        "doc_id bigint, text string, lang string").parquet(src))
+    q = start_dsir_store_ingest(
+        stream, spark, path,
+        checkpointLocation=str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(map(tuple, dsir_score_with_store(docs, path).collect()))
+    want = sorted(map(tuple, dsir_weights(
+        docs, "lang = 'en'", n_buckets=256).collect()))
+    assert got == want, "stream-ingested store must equal a full refit"

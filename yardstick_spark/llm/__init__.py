@@ -139,7 +139,10 @@ from .text import (  # noqa: F401
     doc_fingerprint,
     dsir_bucket_logratios,
     dsir_sample,
+    dsir_score_with_store,
     dsir_weights,
+    save_dsir_store,
+    update_dsir_store,
     duplicated_spans,
     fingerprint_overlap_pairs,
     gopher_filter,

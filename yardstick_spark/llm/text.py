@@ -1434,47 +1434,37 @@ def _dsir_grams(text_col: str) -> str:
 _DSIR_SCALE = 1_000_000  # 1e-6 quantization grid for log-ratios
 
 
-def dsir_bucket_logratios(docs: DataFrame, target_cond: str,
-                          n_buckets: int = 1024, alpha: float = 1.0,
-                          text_col: str = "text") -> DataFrame:
-    """Hashed n-gram bucket log-importance-ratios for DSIR (Data
-    Selection with Importance Resampling, Xie et al. 2023): unigram +
-    bigram occurrences hash into `n_buckets` buckets; each bucket gets
-    lr = ln(p_target[b]) - ln(p_raw[b]) under add-`alpha` smoothing,
-    where the target distribution is the sub-corpus satisfying
-    `target_cond` (a SQL predicate over the document columns) and the
-    raw distribution is the whole corpus.
-
-    Returns (bucket, c_raw, c_target, lr_q) where lr_q is the
-    log-ratio snapped to the 1e-6 integer grid — per-document weights
-    sum lr_q as exact BIGINTs, so they are bit-identical under any
-    partitioning (the `covariance_matrix` determinism contract).
-
-    100 TB shape: one corpus scan (scan-side explode with map-side
-    combine collapses to bucket grain before the shuffle — at most
-    #partitions * n_buckets rows move), one `n_buckets`-row aggregate,
-    and a 1-row totals broadcast.  The output is <= n_buckets rows:
-    broadcast material for any downstream scorer."""
+def _dsir_bucket_counts(docs: DataFrame, target_cond: str,
+                        n_buckets: int,
+                        text_col: str) -> DataFrame:
+    """(bucket, c_raw, c_target) gram-occurrence counts — the DSIR
+    sufficient statistic.  Exactly mergeable (integer adds), which is
+    what makes the persisted store's incremental update equal a full
+    refit."""
     from .dedup import _spread  # single-file inputs must not pin 1 core
 
     grams = _dsir_grams(text_col)
     bucket = (f"pmod(CAST(conv(substring(md5(__g), 1, 15), 16, 10) "
               f"AS BIGINT), {n_buckets})")
-    exploded = (
+    return (
         _spread(docs)
         .select(F.expr(f"CAST(({target_cond}) AS INT)").alias("__t"),
                 F.explode(F.expr(grams)).alias("__g"))
         .select(F.expr(bucket).alias("bucket"), "__t")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c_raw"),
+             F.sum("__t").cast("bigint").alias("c_target"))
     )
-    counts = exploded.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("c_raw"),
-        F.sum("__t").cast("bigint").alias("c_target"),
-    )
-    # totals via a global window over the <=n_buckets-row bucket table
-    # (one single-partition exchange of tiny rows) rather than a
-    # second aggregate consumer: a broadcast-joined totals subplan
-    # makes Catalyst re-execute the entire fit scan once per consumer
-    # (the tfidf double-scan class, caught by the plan test)
+
+
+def _dsir_lr(counts: DataFrame, alpha: float,
+             n_buckets: int) -> DataFrame:
+    """Derive (bucket, c_raw, c_target, lr_q) from the counts table.
+    Totals come from a global window over the <=n_buckets-row table
+    (one single-partition exchange of tiny rows) rather than a second
+    aggregate consumer: a broadcast-joined totals subplan makes
+    Catalyst re-execute the entire fit scan once per consumer (the
+    tfidf double-scan class, caught by the plan test)."""
     w = Window.partitionBy()
     totaled = counts.withColumn(
         "__tr", F.sum("c_raw").over(w)).withColumn(
@@ -1491,39 +1481,19 @@ def dsir_bucket_logratios(docs: DataFrame, target_cond: str,
         .alias("lr_q"))
 
 
-def dsir_weights(docs: DataFrame, target_cond: str,
-                 n_buckets: int = 1024, alpha: float = 1.0,
-                 text_col: str = "text",
-                 id_col: str = "doc_id") -> DataFrame:
-    """Per-document DSIR log-importance weight: the sum of bucket
-    log-ratios over the document's gram occurrences (Xie et al. 2023,
-    eq. 3 — the hashed-n-gram estimate of ln p_target(x)/p_raw(x)).
-    High logw = looks like the target distribution; feed into
-    `dsir_sample` (Gumbel top-k resampling) or threshold directly.
-
-    Returns (id_col, n_grams, logw) for EVERY document — gram-less
-    (empty/NULL) documents keep logw = 0.0 rather than dropping, so
-    the output stays doc-grain joinable.
-
-    Determinism: logw sums the 1e-6-quantized integer log-ratios
-    (exact BIGINT adds, order-independent) and divides once at the
-    end.  100 TB shape: the bucket table (<= n_buckets rows) is a
-    broadcast hash relation; the corpus side is one scan-side explode
-    probing it, reduced at document grain with map-side combine; plus
-    one broadcast join back for gram-less documents.  Two corpus
-    scans total (one to fit buckets, one to score) — the tf-idf
-    two-pass shape."""
+def _dsir_score(docs: DataFrame, lrs: DataFrame, n_buckets: int,
+                text_col: str, id_col: str) -> DataFrame:
+    """Score documents against a (bucket, lr_q) table: one scan-side
+    explode probing the broadcast bucket relation, reduced at doc
+    grain.  A NULL sentinel gram per document keeps gram-less
+    (empty/NULL) docs inside the aggregate WITHOUT a join-back: the
+    sentinel's bucket is NULL (md5(NULL) = NULL), it never matches
+    the broadcast LEFT join, count(bucket) skips it, and sum(lr_q)
+    over no matches coalesces to 0.  The output cardinality flows
+    through the aggregate, so a count() action cannot optimize the
+    scoring away."""
     from .dedup import _spread
 
-    lrs = dsir_bucket_logratios(docs, target_cond, n_buckets=n_buckets,
-                                alpha=alpha, text_col=text_col)
-    # a NULL sentinel gram per document keeps gram-less (empty/NULL)
-    # docs in the aggregate WITHOUT a join-back: the sentinel's bucket
-    # is NULL (md5(NULL) = NULL), it never matches the broadcast LEFT
-    # join, count(bucket) skips it, and sum(lr_q) over no matches
-    # coalesces to 0.  One corpus scan to score instead of two, and
-    # the output cardinality now flows through the aggregate (a
-    # count() action cannot optimize the scoring away).
     grams = (f"concat(array(CAST(NULL AS STRING)), "
              f"coalesce({_dsir_grams(text_col)}, "
              f"CAST(array() AS ARRAY<STRING>)))")
@@ -1544,6 +1514,133 @@ def dsir_weights(docs: DataFrame, target_cond: str,
             .alias("logw"),
         )
     )
+
+
+def dsir_bucket_logratios(docs: DataFrame, target_cond: str,
+                          n_buckets: int = 1024, alpha: float = 1.0,
+                          text_col: str = "text") -> DataFrame:
+    """Hashed n-gram bucket log-importance-ratios for DSIR (Data
+    Selection with Importance Resampling, Xie et al. 2023): unigram +
+    bigram occurrences hash into `n_buckets` buckets; each bucket gets
+    lr = ln(p_target[b]) - ln(p_raw[b]) under add-`alpha` smoothing,
+    where the target distribution is the sub-corpus satisfying
+    `target_cond` (a SQL predicate over the document columns) and the
+    raw distribution is the whole corpus.
+
+    Returns (bucket, c_raw, c_target, lr_q) where lr_q is the
+    log-ratio snapped to the 1e-6 integer grid — per-document weights
+    sum lr_q as exact BIGINTs, so they are bit-identical under any
+    partitioning (the `covariance_matrix` determinism contract).
+
+    100 TB shape: one corpus scan (scan-side explode with map-side
+    combine collapses to bucket grain before the shuffle — at most
+    #partitions * n_buckets rows move), one `n_buckets`-row aggregate,
+    and a single-partition window over the tiny bucket table.  The
+    output is <= n_buckets rows: broadcast material for any
+    downstream scorer."""
+    return _dsir_lr(
+        _dsir_bucket_counts(docs, target_cond, n_buckets, text_col),
+        alpha, n_buckets)
+
+
+def dsir_weights(docs: DataFrame, target_cond: str,
+                 n_buckets: int = 1024, alpha: float = 1.0,
+                 text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Per-document DSIR log-importance weight: the sum of bucket
+    log-ratios over the document's gram occurrences (Xie et al. 2023,
+    eq. 3 — the hashed-n-gram estimate of ln p_target(x)/p_raw(x)).
+    High logw = looks like the target distribution; feed into
+    `dsir_sample` (Gumbel top-k resampling) or threshold directly.
+
+    Returns (id_col, n_grams, logw) for EVERY document — gram-less
+    (empty/NULL) documents keep logw = 0.0 rather than dropping, so
+    the output stays doc-grain joinable.
+
+    Determinism: logw sums the 1e-6-quantized integer log-ratios
+    (exact BIGINT adds, order-independent) and divides once at the
+    end.  100 TB shape: the bucket table (<= n_buckets rows) is a
+    broadcast hash relation; the corpus side is one scan-side explode
+    probing it, reduced at document grain with map-side combine.  Two
+    corpus scans total (one to fit buckets, one to score) — the
+    tf-idf two-pass shape."""
+    lrs = dsir_bucket_logratios(docs, target_cond, n_buckets=n_buckets,
+                                alpha=alpha, text_col=text_col)
+    return _dsir_score(docs, lrs, n_buckets, text_col, id_col)
+
+
+def save_dsir_store(docs: DataFrame, target_cond: str, path: str,
+                    n_buckets: int = 1024,
+                    text_col: str = "text") -> None:
+    """Persist the DSIR sufficient statistic (the <=n_buckets-row
+    gram-occurrence count table) so later batches score WITHOUT
+    re-fitting the corpus — the same probe-only ingest contract as
+    the minhash signature and BM25 index stores.  Counts, not
+    log-ratios, are stored: integer counts merge exactly, so
+    `update_dsir_store` + `dsir_score_with_store` equals a full refit
+    over old ∪ new (pinned by test_dsir_store_incremental_equals_refit)."""
+    import json
+    from pathlib import Path
+
+    counts = _dsir_bucket_counts(docs, target_cond, n_buckets, text_col)
+    counts.write.mode("overwrite").parquet(str(Path(path) / "buckets"))
+    Path(path, "_dsir_meta.json").write_text(json.dumps(
+        {"n_buckets": n_buckets, "target_cond": target_cond}))
+
+
+def update_dsir_store(new_docs: DataFrame, path: str,
+                      text_col: str = "text") -> None:
+    """Fold a batch of NEW documents into a `save_dsir_store` dataset
+    — O(batch) scan work plus an O(n_buckets) merge, never a corpus
+    refit.  Same caller contract as the other incremental stores:
+    batches contain only unseen documents (re-ingesting double-counts
+    their grams).  The merged table rewrites via a temp dataset +
+    Hadoop FileSystem rename (reading and overwriting the same
+    parquet path in one plan is not safe; same pattern and isolation
+    caveat as `update_bm25_index`)."""
+    import json
+    from pathlib import Path
+
+    meta = json.loads(Path(path, "_dsir_meta.json").read_text())
+    spark = new_docs.sparkSession
+    batch = _dsir_bucket_counts(new_docs, meta["target_cond"],
+                                meta["n_buckets"], text_col)
+    merged = (
+        spark.read.parquet(str(Path(path) / "buckets"))
+        .unionByName(batch)
+        .groupBy("bucket")
+        .agg(F.sum("c_raw").alias("c_raw"),
+             F.sum("c_target").cast("bigint").alias("c_target"))
+    )
+    tmp_p = str(Path(path) / "buckets_tmp")
+    merged.write.mode("overwrite").parquet(tmp_p)
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    dst_h = jvm.org.apache.hadoop.fs.Path(str(Path(path) / "buckets"))
+    tmp_h = jvm.org.apache.hadoop.fs.Path(tmp_p)
+    fs = dst_h.getFileSystem(conf)
+    fs.delete(dst_h, True)
+    if not fs.rename(tmp_h, dst_h):
+        raise RuntimeError(
+            f"update_dsir_store: rename {tmp_p} -> {dst_h} failed — "
+            "bucket table missing; rerun the update's merge")
+
+
+def dsir_score_with_store(docs: DataFrame, path: str,
+                          alpha: float = 1.0, text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Score a batch against a persisted DSIR store: loads the
+    <=n_buckets-row count table, derives the smoothed log-ratios, and
+    probes them as a broadcast relation — ONE scan over the batch,
+    zero work proportional to the corpus the store was fitted on."""
+    import json
+    from pathlib import Path
+
+    meta = json.loads(Path(path, "_dsir_meta.json").read_text())
+    spark = docs.sparkSession
+    counts = spark.read.parquet(str(Path(path) / "buckets"))
+    lrs = _dsir_lr(counts, alpha, meta["n_buckets"])
+    return _dsir_score(docs, lrs, meta["n_buckets"], text_col, id_col)
 
 
 def dsir_sample(docs: DataFrame, target_cond: str, k: int,

@@ -19,6 +19,7 @@ from .ingest import (  # noqa: F401
     start_heavy_hitters_stream,
     start_incremental_agg,
     start_bm25_index_ingest,
+    start_dsir_store_ingest,
     start_line_dedup_ingest,
     start_scd2_ingest,
 )

@@ -409,3 +409,27 @@ def start_bm25_index_ingest(new_docs: DataFrame, spark, index_path: str,
 
     return (new_docs.writeStream.foreachBatch(_process)
             .options(**stream_opts).start())
+
+
+def start_dsir_store_ingest(new_docs: DataFrame, spark, store_path: str,
+                            text_col: str = "text", **stream_opts):
+    """foreachBatch twin of `llm.text.update_dsir_store` for a
+    document stream: each micro-batch's gram-bucket counts fold into
+    the persisted DSIR sufficient statistic — O(batch) scan work plus
+    an O(n_buckets) merge per trigger, the fitted corpus is never
+    re-read.  Stream≡batch holds because each batch runs the tested
+    batch operator verbatim, and integer counts merge exactly, so the
+    store after any batch split equals a full refit (pinned by
+    test_dsir_store_incremental_equals_refit).  Scoring via
+    `dsir_score_with_store` between triggers sees a consistent table
+    (the bucket rewrite swaps via FileSystem rename).  Same caller
+    contract as every ingest here: batches carry only unseen docs."""
+    from ..llm.text import update_dsir_store
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        update_dsir_store(batch_df, store_path, text_col=text_col)
+
+    return (new_docs.writeStream.foreachBatch(_process)
+            .options(**stream_opts).start())
