@@ -1576,11 +1576,16 @@ def _q_text_sample_weighted(spark, sf_dir):
 
 
 def _q_text_dsir_weights(spark, sf_dir):
-    # DSIR hashed-ngram importance weights, target = English sub-corpus
+    # DSIR hashed-ngram importance weights, target = English sub-corpus.
+    # The logw filter is vacuous (|logw| < 1e9 by construction) but
+    # value-dependent: under the bench's count() action Catalyst prunes
+    # unreferenced aggregate values, which cascades into eliminating
+    # the whole fit subplan inside the broadcast build — this pins the
+    # measured plan to the real one.
     from yardstick_spark.llm import dsir_weights
 
     return dsir_weights(_docs(spark, sf_dir), "lang = 'en'",
-                        n_buckets=1024, alpha=1.0)
+                        n_buckets=1024, alpha=1.0).filter("logw > -1e15")
 
 
 def _q_text_dsir_sample(spark, sf_dir):
@@ -1611,7 +1616,9 @@ def _q_text_dsir_incremental(spark, sf_dir):
         save_dsir_store(docs.filter("doc_id % 3 != 0"), "lang = 'en'",
                         path, n_buckets=1024)
         update_dsir_store(docs.filter("doc_id % 3 = 0"), path)
-    return dsir_score_with_store(docs, path, alpha=1.0)
+    # vacuous value-dependent filter: see _q_text_dsir_weights
+    return dsir_score_with_store(docs, path,
+                                 alpha=1.0).filter("logw > -1e15")
 
 
 def _q_emb_kmeans(spark, sf_dir):
@@ -3997,12 +4004,15 @@ def oracle_sql() -> dict[str, str]:
         c AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c_raw,
                      CAST(SUM(tflag) AS BIGINT) AS c_target
               FROM e GROUP BY bucket),
-        tot AS (SELECT SUM(c_raw) AS tr, SUM(c_target) AS tt FROM c),
+        cf AS (SELECT r.bucket, COALESCE(c.c_raw, 0) AS c_raw,
+                      COALESCE(c.c_target, 0) AS c_target
+               FROM range(0, 1024) r(bucket) LEFT JOIN c USING (bucket)),
+        tot AS (SELECT SUM(c_raw) AS tr, SUM(c_target) AS tt FROM cf),
         lr AS (SELECT bucket,
                  CAST(round((ln((c_target + 1.0) / (tt + 1024.0))
                    - ln((c_raw + 1.0) / (tr + 1024.0))) * 1000000)
                    AS BIGINT) AS lr_q
-               FROM c, tot),
+               FROM cf, tot),
         s AS (SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
                      CAST(SUM(lr_q) AS BIGINT) AS wq
               FROM e JOIN lr USING (bucket) GROUP BY e.doc_id),

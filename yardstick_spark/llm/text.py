@@ -1459,14 +1459,33 @@ def _dsir_bucket_counts(docs: DataFrame, target_cond: str,
 
 def _dsir_lr(counts: DataFrame, alpha: float,
              n_buckets: int) -> DataFrame:
-    """Derive (bucket, c_raw, c_target, lr_q) from the counts table.
+    """Derive (bucket, c_raw, c_target, lr_q) over the COMPLETE bucket
+    domain [0, n_buckets): buckets the fit corpus never touched get
+    their zero-count smoothed log-ratio rather than silently
+    contributing 0 — that is the principled DSIR default and it
+    matters when a persisted store scores a NOVEL batch whose grams
+    hash to unseen buckets.  (A complete domain also means scoring
+    joins INNER, which a count() action cannot prune — the fit pass
+    stays in every measured plan.)
+
     Totals come from a global window over the <=n_buckets-row table
     (one single-partition exchange of tiny rows) rather than a second
     aggregate consumer: a broadcast-joined totals subplan makes
     Catalyst re-execute the entire fit scan once per consumer (the
     tfidf double-scan class, caught by the plan test)."""
+    spark = counts.sparkSession
+    domain = spark.range(n_buckets).select(
+        F.col("id").cast("bigint").alias("bucket"))
+    filled = (
+        domain.join(F.broadcast(counts), "bucket", "left")
+        .select("bucket",
+                F.coalesce("c_raw", F.lit(0)).cast("bigint")
+                .alias("c_raw"),
+                F.coalesce("c_target", F.lit(0)).cast("bigint")
+                .alias("c_target"))
+    )
     w = Window.partitionBy()
-    totaled = counts.withColumn(
+    totaled = filled.withColumn(
         "__tr", F.sum("c_raw").over(w)).withColumn(
         "__tt", F.sum("c_target").over(w))
     ab = alpha * n_buckets
@@ -1483,35 +1502,39 @@ def _dsir_lr(counts: DataFrame, alpha: float,
 
 def _dsir_score(docs: DataFrame, lrs: DataFrame, n_buckets: int,
                 text_col: str, id_col: str) -> DataFrame:
-    """Score documents against a (bucket, lr_q) table: one scan-side
-    explode probing the broadcast bucket relation, reduced at doc
-    grain.  A NULL sentinel gram per document keeps gram-less
-    (empty/NULL) docs inside the aggregate WITHOUT a join-back: the
-    sentinel's bucket is NULL (md5(NULL) = NULL), it never matches
-    the broadcast LEFT join, count(bucket) skips it, and sum(lr_q)
-    over no matches coalesces to 0.  The output cardinality flows
-    through the aggregate, so a count() action cannot optimize the
-    scoring away."""
+    """Score documents against a complete-domain (bucket, lr_q) table:
+    one scan-side explode probing the broadcast bucket relation,
+    reduced at doc grain.  A sentinel gram per document (bucket -1,
+    lr_q 0 via the unioned sentinel row) keeps gram-less (empty/NULL)
+    docs inside the aggregate WITHOUT a join-back; n_grams counts only
+    real buckets.  The join is INNER over a complete key domain, so
+    the result is exact AND no action can prune the fit subplan out of
+    a measured run (a broadcast LEFT join is cardinality-preserving
+    and count() deletes it, fit pass included — the second fake-bench
+    class this operator hit)."""
     from .dedup import _spread
 
+    spark = docs.sparkSession
+    sentinel = spark.createDataFrame([(-1, 0)], "bucket bigint, lr_q bigint")
+    rel = lrs.select("bucket", "lr_q").unionByName(sentinel)
     grams = (f"concat(array(CAST(NULL AS STRING)), "
              f"coalesce({_dsir_grams(text_col)}, "
              f"CAST(array() AS ARRAY<STRING>)))")
-    bucket = (f"pmod(CAST(conv(substring(md5(__g), 1, 15), 16, 10) "
-              f"AS BIGINT), {n_buckets})")
+    bucket = (f"coalesce(pmod(CAST(conv(substring(md5(__g), 1, 15), "
+              f"16, 10) AS BIGINT), {n_buckets}), -1L)")
     return (
         _spread(docs)
         .select(F.col(id_col), F.explode(F.expr(grams)).alias("__g"))
         .select(id_col, F.expr(bucket).alias("bucket"))
-        .join(F.broadcast(lrs.select("bucket", "lr_q")), "bucket", "left")
+        .join(F.broadcast(rel), "bucket")
         .groupBy(id_col)
-        .agg(F.count("bucket").alias("n_grams"),
+        .agg(F.sum(F.expr("CAST(bucket >= 0 AS BIGINT)"))
+             .cast("bigint").alias("n_grams"),
              F.sum("lr_q").alias("__wq"))
         .select(
             F.col(id_col),
-            F.col("n_grams").cast("bigint").alias("n_grams"),
-            F.expr(f"round(coalesce(__wq, 0L) / {_DSIR_SCALE}.0D, 6)")
-            .alias("logw"),
+            F.col("n_grams").alias("n_grams"),
+            F.expr(f"round(__wq / {_DSIR_SCALE}.0D, 6)").alias("logw"),
         )
     )
 
