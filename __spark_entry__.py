@@ -2231,11 +2231,14 @@ def _q_dedup_fuzzy_clusters(spark, sf_dir):
     # fuzzy pairs -> connected components -> per-record canonical
     # verdict: the same pointer-jumping CC machinery as dedup_clusters
     # over the blocked-levenshtein edge list
-    from yardstick_spark.llm import dedup_assign, fuzzy_dedup_pairs
+    from yardstick_spark.llm import dedup_assign, fuzzy_cluster_edges
 
     _ys(spark, sf_dir)
     part = spark.table("part")
-    pairs = fuzzy_dedup_pairs(part, "p_partkey", "p_name", max_edit=1)
+    # connectivity-equivalent star+rep edges, NOT the all-pairs list:
+    # identical-name cliques (20k parts / 64 names at sf0.1 = 3.8M
+    # edit-0 edges) collapse to one star edge per member
+    pairs = fuzzy_cluster_edges(part, "p_partkey", "p_name", max_edit=1)
     return dedup_assign(part, pairs, id_col="p_partkey")
 
 

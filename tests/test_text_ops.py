@@ -1170,3 +1170,36 @@ def test_dsir_store_stream_twin_equals_batch(spark, tmp_path):
     want = sorted(map(tuple, dsir_weights(
         docs, "lang = 'en'", n_buckets=256).collect()))
     assert got == want, "stream-ingested store must equal a full refit"
+
+
+def test_fuzzy_cluster_edges_components_equal_all_pairs(spark):
+    from yardstick_spark.llm import (dedup_assign, fuzzy_cluster_edges,
+                                     fuzzy_dedup_pairs)
+
+    rows = []
+    # three identical-name families (sizes 5, 4, 1), one off-by-one
+    # bridge between family A and B, an empty and a NULL doc
+    for i in range(5):
+        rows.append((i, "almond antique blue"))
+    for i in range(10, 14):
+        rows.append((i, "almond antique blux"))  # edit 1, same len bucket
+    rows.append((20, "totally different name"))
+    rows.append((30, ""))
+    rows.append((31, None))
+    rows.append((32, ""))
+    df = spark.createDataFrame(rows, "pk bigint, name string")
+
+    via_pairs = dedup_assign(
+        df, fuzzy_dedup_pairs(df, "pk", "name", max_edit=1), id_col="pk")
+    via_edges = dedup_assign(
+        df, fuzzy_cluster_edges(df, "pk", "name", max_edit=1), id_col="pk")
+    a = sorted(map(tuple, via_pairs.collect()))
+    b = sorted(map(tuple, via_edges.collect()))
+    assert a == b, "collapsed edges must give identical components"
+    got = {r["pk"]: r["cluster_id"] for r in via_edges.collect()}
+    # families A and B merge through the edit-1 bridge, label = min id
+    assert all(got[i] == 0 for i in list(range(5)) + list(range(10, 14)))
+    # token-less docs stay singletons (fuzzy_dedup_pairs never pairs
+    # them — no shared token — so the collapse must not either)
+    assert got[30] == 30 and got[32] == 32 and got[31] == 31
+    assert got[20] == 20

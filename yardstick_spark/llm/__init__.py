@@ -44,7 +44,11 @@ from .dedup import (  # noqa: F401
     simhash64,
     simhash_pairs,
 )
-from .fuzzy import blocking_keys, fuzzy_dedup_pairs  # noqa: F401
+from .fuzzy import (  # noqa: F401
+    blocking_keys,
+    fuzzy_cluster_edges,
+    fuzzy_dedup_pairs,
+)
 from .multimodal import (  # noqa: F401
     attach_media_column,
     decode_media,

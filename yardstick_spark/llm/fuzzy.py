@@ -137,3 +137,56 @@ def fuzzy_dedup_pairs(
         .where(F.col("edit") >= 0)
         .distinct()
     )
+
+
+def fuzzy_cluster_edges(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_edit: int = 2,
+    len_bucket: int = 4,
+    max_block: int = 10_000,
+) -> DataFrame:
+    """Connectivity-equivalent edge list for fuzzy COMPONENTS — the
+    family-collapse discipline applied to the levenshtein path.
+
+    `fuzzy_dedup_pairs` must emit every qualifying pair, so a corpus
+    with heavy exact repetition (sf0.1 part: 20k rows, 64 distinct
+    names) materializes dense edit-0 cliques — 3.8M edges whose only
+    job downstream is connectivity.  For component resolution a clique
+    and a star are the same graph: identical normalized strings
+    collapse to their min-id representative (one star edge per
+    member), and ONLY representatives run the blocked-levenshtein
+    verify.  Components — and the min-id cluster labels — are provably
+    identical to the all-pairs list: levenshtein is a function of the
+    strings, so a cross-family pair exists iff the representative pair
+    does, and blocking keys depend only on the (shared) string.
+
+    Returns (id_a, id_b) with no edit column (edits are rep-level
+    facts, meaningless for star edges).  Token-less strings (empty /
+    whitespace / NULL) stay singletons — `fuzzy_dedup_pairs` never
+    pairs them (no shared token), so the collapse must not either.
+
+    100 TB shape: the family table is one corpus-grain groupBy; the
+    verify — the only superlinear part — runs over |distinct strings|
+    rows.  Edge count falls from sum of squared family sizes to
+    n_members + rep pairs, which is what keeps the downstream
+    connected-components' driver union-find gate usable."""
+    from .dedup import _cache
+
+    norm = F.lower(F.trim(F.col(text_col)))
+    fams = (
+        df.select(F.col(id_col).alias("id"), norm.alias("s"))
+        .where(F.col("s").isNotNull() & (F.col("s") != ""))
+    )
+    reps = _cache(fams.groupBy("s").agg(F.min("id").alias("rid")))
+    stars = (
+        fams.join(reps, "s")
+        .where(F.col("id") != F.col("rid"))
+        .select(F.col("rid").alias("id_a"), F.col("id").alias("id_b"))
+    )
+    rep_pairs = fuzzy_dedup_pairs(
+        reps.select(F.col("rid"), F.col("s")), "rid", "s",
+        max_edit=max_edit, len_bucket=len_bucket, max_block=max_block,
+    ).select("id_a", "id_b")
+    return rep_pairs.unionByName(stars)
