@@ -4021,7 +4021,7 @@ def oracle_sql() -> dict[str, str]:
               FROM e JOIN lr USING (bucket) GROUP BY e.doc_id),
         wt AS (SELECT d.doc_id,
                  COALESCE(s.n_grams, 0) AS n_grams,
-                 ROUND(COALESCE(s.wq, 0) / 1000000.0, 6) AS logw
+                 ROUND(COALESCE(s.wq, 0) / 1000000.0, 6) + 0.0 AS logw
                FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id)"""
     o["text_dsir_weights"] = f"""{_dsir_prefix}
         SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, logw
@@ -4034,7 +4034,7 @@ def oracle_sql() -> dict[str, str]:
                ROUND(logw / 1.0 - LN(-LN(((CAST(CONCAT('0x',
                    SUBSTRING(md5(CONCAT('42:', CAST(doc_id AS VARCHAR))),
                    1, 15)) AS BIGINT) % 999999) + 1) / 1000000.0)), 6)
-                 AS samp_key
+                 + 0.0 AS samp_key
         FROM wt
         ORDER BY samp_key DESC, doc_id LIMIT 100"""
     o["events_transitions"] = """

@@ -1534,7 +1534,11 @@ def _dsir_score(docs: DataFrame, lrs: DataFrame, n_buckets: int,
         .select(
             F.col(id_col),
             F.col("n_grams").alias("n_grams"),
-            F.expr(f"round(__wq / {_DSIR_SCALE}.0D, 6)").alias("logw"),
+            # + 0.0 canonicalizes -0.0 (round of a tiny negative) to
+            # +0.0 on both engines — the emb_covariance signed-zero
+            # class that the driver's value hash distinguishes
+            F.expr(f"round(__wq / {_DSIR_SCALE}.0D, 6) + 0.0D")
+            .alias("logw"),
         )
     )
 
@@ -1690,7 +1694,8 @@ def dsir_sample(docs: DataFrame, target_cond: str, k: int,
     return (
         w.select(
             F.col(id_col), "logw",
-            F.expr(f"round(logw / {tau}D - ln(-ln({u})), 6)")
+            # + 0.0: signed-zero canonicalization, see dsir_weights
+            F.expr(f"round(logw / {tau}D - ln(-ln({u})), 6) + 0.0D")
             .alias("samp_key"),
         )
         .orderBy(F.col("samp_key").desc(), id_col)
