@@ -1638,6 +1638,21 @@ def _q_emb_cluster_sample(spark, sf_dir):
                                    iters=3, per_cell=10)
 
 
+def _q_emb_margin_pairs(spark, sf_dir):
+    # bitext-style mutual margin mining between the two label halves:
+    # exact kNN lists both directions (k=4), then the bounded margin
+    # post-processing — at corpus scale the lists come from the LSH /
+    # persisted-index retrievers with the same margin layer
+    from yardstick_spark.llm import brute_force_knn, margin_pairs
+
+    _ys(spark, sf_dir)
+    emb = spark.table("embeddings")
+    a = emb.filter("label <= 4")
+    b = emb.filter("label >= 5")
+    return margin_pairs(brute_force_knn(b, a, k=4),
+                        brute_force_knn(a, b, k=4))
+
+
 def _q_events_transitions(spark, sf_dir):
     # first-order Markov transition matrix over per-user event streams
     from yardstick_spark.operators import event_transitions
@@ -2424,6 +2439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "emb_kmeans": _q_emb_kmeans,
             "emb_cluster_sample": _q_emb_cluster_sample,
             "text_dsir_incremental": _q_text_dsir_incremental,
+            "emb_margin_pairs": _q_emb_margin_pairs,
         }
     )
     full = dict(r4_new)
@@ -2452,7 +2468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _R8_LEAD: list[str] = [
     # round-8 additions — never driver-oracled
     "text_dsir_weights", "text_dsir_sample", "text_dsir_incremental",
-    "emb_kmeans", "emb_cluster_sample",
+    "emb_kmeans", "emb_cluster_sample", "emb_margin_pairs",
     "ret_bm25", "ret_bm25_indexed", "ret_bm25_incremental", "ret_rrf",
     "ret_hybrid", "emb_decontaminate", "ret_eval",
     # changed this round (NULL contract + graph registry)
@@ -3496,6 +3512,62 @@ def oracle_sql() -> dict[str, str]:
         JOIN cf cw ON cw.term = tf2.w
         CROSS JOIN tot
         GROUP BY tf2.id ORDER BY doc_id"""
+    # margin-based bitext mining: exact kNN lists both directions,
+    # quantized-denominator margins, mutual best (intersection)
+    _mp_sim = """ROUND(list_sum(list_transform(list_zip(q.e, c.e),
+            x -> x[1] * x[2]))
+          / (sqrt(list_sum(list_transform(q.e, x -> x * x)))
+             * sqrt(list_sum(list_transform(c.e, x -> x * x)))), 4)"""
+    o["emb_margin_pairs"] = f"""
+        WITH v AS (SELECT vec_id, label,
+                          CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        sa AS (SELECT vec_id, e FROM v WHERE label <= 4),
+        sb AS (SELECT vec_id, e FROM v WHERE label >= 5),
+        sab AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  {_mp_sim} AS sim FROM sa q CROSS JOIN sb c),
+        sba AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  {_mp_sim} AS sim FROM sb q CROSS JOIN sa c),
+        kab AS (SELECT query_id, neighbor_id, sim FROM (
+                  SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY sim DESC, neighbor_id) AS rnk FROM sab)
+                WHERE rnk <= 4),
+        kba AS (SELECT query_id, neighbor_id, sim FROM (
+                  SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY sim DESC, neighbor_id) AS rnk FROM sba)
+                WHERE rnk <= 4),
+        dena AS (SELECT query_id AS id,
+                   SUM(CAST(round(sim * 10000) AS BIGINT)) AS s,
+                   COUNT(*) AS n FROM kab GROUP BY 1),
+        denb AS (SELECT query_id AS id,
+                   SUM(CAST(round(sim * 10000) AS BIGINT)) AS s,
+                   COUNT(*) AS n FROM kba GROUP BY 1),
+        ma AS (SELECT * FROM (
+                 SELECT k.query_id, k.neighbor_id,
+                   ROUND(k.sim / nullif((da.s / CAST(da.n AS DOUBLE)
+                     + db.s / CAST(db.n AS DOUBLE)) / 2.0 / 10000.0, 0),
+                     6) + 0.0 AS margin
+                 FROM kab k JOIN dena da ON k.query_id = da.id
+                            JOIN denb db ON k.neighbor_id = db.id)
+               WHERE margin IS NOT NULL),
+        mb AS (SELECT * FROM (
+                 SELECT k.query_id, k.neighbor_id,
+                   ROUND(k.sim / nullif((db.s / CAST(db.n AS DOUBLE)
+                     + da.s / CAST(da.n AS DOUBLE)) / 2.0 / 10000.0, 0),
+                     6) + 0.0 AS margin
+                 FROM kba k JOIN denb db ON k.query_id = db.id
+                            JOIN dena da ON k.neighbor_id = da.id)
+               WHERE margin IS NOT NULL),
+        besta AS (SELECT query_id, neighbor_id, margin FROM (
+                    SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY margin DESC, neighbor_id) AS rn FROM ma)
+                  WHERE rn = 1),
+        bestb AS (SELECT query_id, neighbor_id, margin FROM (
+                    SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY margin DESC, neighbor_id) AS rn FROM mb)
+                  WHERE rn = 1)
+        SELECT x.query_id AS id_a, x.neighbor_id AS id_b, x.margin
+        FROM besta x JOIN bestb y
+          ON x.query_id = y.neighbor_id AND x.neighbor_id = y.query_id"""
     o["sim_knn_bruteforce"] = """
         WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         q AS (SELECT * FROM v WHERE vec_id < 5),

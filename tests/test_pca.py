@@ -239,3 +239,39 @@ def test_cluster_balanced_sample_caps_per_cell(spark):
     assert all(v <= 7 for v in sizes.values())
     assert len(sizes) == 4 and len(out) == 28
     assert all(1 <= r["rn"] <= 7 for r in out)
+
+
+def test_margin_pairs_recover_planted_translations(spark):
+    from yardstick_spark.llm import brute_force_knn, margin_pairs
+
+    # side A: 12 well-separated vectors; side B: the same vectors
+    # lightly perturbed (the "translation"), ids offset by 100
+    rows = []
+    for i in range(12):
+        base = [0.0] * 12
+        base[i] = 1.0 + i
+        rows.append((i, [float(x) for x in base]))
+        pert = [x + 0.01 for x in base]
+        rows.append((100 + i, pert))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    a, b = df.filter("vec_id < 100"), df.filter("vec_id >= 100")
+    got = margin_pairs(brute_force_knn(b, a, k=3),
+                       brute_force_knn(a, b, k=3)).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in got}
+    # every planted translation is a mutual best-margin pair
+    assert {(i, 100 + i) for i in range(12)} <= pairs
+    assert all(r["margin"] > 1.0 for r in got)  # above-average neighbor
+
+
+def test_margin_pairs_repartition_stable(spark):
+    from yardstick_spark.llm import brute_force_knn, margin_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a, b = emb.filter("label <= 4"), emb.filter("label >= 5")
+    base = sorted(map(tuple, margin_pairs(
+        brute_force_knn(b, a, k=4), brute_force_knn(a, b, k=4)).collect()))
+    for n in (1, 7, 32):
+        got = sorted(map(tuple, margin_pairs(
+            brute_force_knn(b.repartition(n), a, k=4),
+            brute_force_knn(a.repartition(n), b, k=4)).collect()))
+        assert got == base, f"margin pairs changed under repartition({n})"

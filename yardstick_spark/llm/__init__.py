@@ -93,6 +93,7 @@ from .similarity import (  # noqa: F401
     save_lsh_index,
     lsh_plane_dots_expr,
     lsh_probe_buckets_expr,
+    margin_pairs,
     semantic_decontaminate,
     semantic_dedup_pairs,
     semantic_dedup_verdicts,

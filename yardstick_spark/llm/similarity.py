@@ -1024,3 +1024,69 @@ def semantic_decontaminate(corpus: DataFrame, benchmark: DataFrame,
                 })
 
     return slim.mapInPandas(score, schema)
+
+
+def margin_pairs(knn_a2b: DataFrame, knn_b2a: DataFrame,
+                 round_to: int = 6) -> DataFrame:
+    """Margin-based parallel-pair mining (Artetxe & Schwenk 2019, the
+    LASER/CCMatrix bitext criterion, "ratio" margin):
+
+        margin(x, y) = cos(x, y) /
+                       (0.5 * (mean_k cos(x, NN_B(x)) +
+                               mean_k cos(y, NN_A(y))))
+
+    factored the way it scales: the inputs are BOUNDED top-k neighbor
+    lists (query_id, neighbor_id, sim, rank) from ANY retriever —
+    `brute_force_knn` for exactness, `lsh_bucketed_knn` /
+    `knn_lsh_from_index` at corpus scale — so every join here is on
+    lists of <= |side| * k rows and nothing quadratic materializes
+    (the same post-processing factorization as `rrf_fuse`).
+
+    Returns the MUTUAL best-margin pairs (id_a, id_b, margin): y is
+    x's margin-argmax in A->B and x is y's in B->A — the
+    "intersection" strategy of the paper, the highest-precision
+    variant.  Determinism: sims arrive rounded (round_to=4 in the kNN
+    paths); denominators sum the 1e-4-quantized sims as exact BIGINTs
+    (order-independent), margins round to `round_to` with signed zero
+    canonicalized, argmax ties break to the smaller neighbor id.
+    Zero/negative denominators yield NULL margins and are excluded."""
+    q = "CAST(round(sim * 10000) AS BIGINT)"
+
+    def _denom(knn: DataFrame) -> DataFrame:
+        return (knn.select(F.col("query_id").alias("id"),
+                           F.expr(q).alias("sq"))
+                .groupBy("id")
+                .agg(F.sum("sq").alias("s"), F.count("*").alias("n")))
+
+    da, db = _denom(knn_a2b), _denom(knn_b2a)
+
+    def _margined(knn: DataFrame, dq: DataFrame, dn: DataFrame) -> DataFrame:
+        m = ("round(sim / nullif((sa / CAST(na AS DOUBLE) "
+             "+ sb / CAST(nb AS DOUBLE)) / 2.0 / 10000.0, 0D), "
+             f"{round_to}) + 0.0D")
+        scored = (
+            knn.join(dq.select(F.col("id").alias("query_id"),
+                               F.col("s").alias("sa"),
+                               F.col("n").alias("na")), "query_id")
+            .join(dn.select(F.col("id").alias("neighbor_id"),
+                            F.col("s").alias("sb"),
+                            F.col("n").alias("nb")), "neighbor_id")
+            .select("query_id", "neighbor_id", F.expr(m).alias("margin"))
+            .filter(F.col("margin").isNotNull())
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("margin").desc(), F.col("neighbor_id"))
+        return (scored.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1).drop("__rn"))
+
+    best_a = _margined(knn_a2b, da, db)
+    best_b = _margined(knn_b2a, db, da)
+    return (
+        best_a.alias("a")
+        .join(best_b.alias("b"),
+              (F.col("a.query_id") == F.col("b.neighbor_id"))
+              & (F.col("a.neighbor_id") == F.col("b.query_id")))
+        .select(F.col("a.query_id").alias("id_a"),
+                F.col("a.neighbor_id").alias("id_b"),
+                F.col("a.margin").alias("margin"))
+    )
