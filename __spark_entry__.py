@@ -1653,6 +1653,15 @@ def _q_emb_margin_pairs(spark, sf_dir):
                         brute_force_knn(a, b, k=4))
 
 
+def _q_text_shard_manifest(spark, sf_dir):
+    # deterministic training-shard cut: md5-shuffle order, 5k-token
+    # shards, exact-integer manifest (the write_training_shards audit
+    # artifact)
+    from yardstick_spark.llm import shard_manifest
+
+    return shard_manifest(_docs(spark, sf_dir), shard_tokens=5_000)
+
+
 def _q_events_transitions(spark, sf_dir):
     # first-order Markov transition matrix over per-user event streams
     from yardstick_spark.operators import event_transitions
@@ -2440,6 +2449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "emb_cluster_sample": _q_emb_cluster_sample,
             "text_dsir_incremental": _q_text_dsir_incremental,
             "emb_margin_pairs": _q_emb_margin_pairs,
+            "text_shard_manifest": _q_text_shard_manifest,
         }
     )
     full = dict(r4_new)
@@ -2469,6 +2479,7 @@ _R8_LEAD: list[str] = [
     # round-8 additions — never driver-oracled
     "text_dsir_weights", "text_dsir_sample", "text_dsir_incremental",
     "emb_kmeans", "emb_cluster_sample", "emb_margin_pairs",
+    "text_shard_manifest",
     "ret_bm25", "ret_bm25_indexed", "ret_bm25_incremental", "ret_rrf",
     "ret_hybrid", "emb_decontaminate", "ret_eval",
     # changed this round (NULL contract + graph registry)
@@ -4109,6 +4120,24 @@ def oracle_sql() -> dict[str, str]:
                  + 0.0 AS samp_key
         FROM wt
         ORDER BY samp_key DESC, doc_id LIMIT 100"""
+    # training-shard manifest: md5-shuffle global cumsum, floor cut
+    o["text_shard_manifest"] = f"""
+        WITH t AS (SELECT doc_id,
+                 md5(CONCAT('42:', CAST(doc_id AS VARCHAR))) AS skey,
+                 CAST(COALESCE(len(list_filter(string_split(
+                   {_NORM_DOC}, ' '), x -> x <> '')), 0) AS BIGINT) AS n
+               FROM documents),
+        c AS (SELECT *, SUM(n) OVER (ORDER BY skey, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM t),
+        s AS (SELECT doc_id, skey, n,
+                CAST((cum - n) // 5000 AS BIGINT) AS shard
+              FROM c)
+        SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n) AS BIGINT) AS n_tokens,
+               arg_min(doc_id, skey) AS first_id,
+               arg_max(doc_id, skey) AS last_id
+        FROM s GROUP BY shard"""
     o["events_transitions"] = """
         WITH seq AS (SELECT event_type,
                LEAD(event_type) OVER (PARTITION BY user_id

@@ -1203,3 +1203,42 @@ def test_fuzzy_cluster_edges_components_equal_all_pairs(spark):
     # them — no shared token — so the collapse must not either)
     assert got[30] == 30 and got[32] == 32 and got[31] == 31
     assert got[20] == 20
+
+
+def test_shard_assign_covers_corpus_within_budget(spark):
+    from yardstick_spark.llm import shard_assign
+
+    rows = [(i, ("tok " * (10 + i % 7)).strip()) for i in range(80)]
+    rows += [(200, ""), (201, None)]  # zero-token docs keep a shard
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    a = shard_assign(df, shard_tokens=100).collect()
+    assert len(a) == 82 and len({r["doc_id"] for r in a}) == 82
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r["shard"], []).append(r)
+    # consecutive shard ids from 0
+    assert sorted(by_shard) == list(range(len(by_shard)))
+    # each shard's token sum stays under budget + one straddling doc
+    for sh, members in by_shard.items():
+        tot = sum(r["n_tok"] for r in members)
+        assert tot <= 100 + max(r["n_tok"] for r in members)
+    # deterministic under repartitioning
+    b = shard_assign(df.repartition(7), shard_tokens=100).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_write_training_shards_roundtrip(spark, tmp_path):
+    from yardstick_spark.llm import shard_manifest, write_training_shards
+
+    rows = [(i, ("w " * (20 + i % 5)).strip()) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    path = str(tmp_path / "shards")
+    write_training_shards(df, path, shard_tokens=200)
+    back = spark.read.parquet(path)
+    assert back.count() == 60
+    got = {r["shard"]: r["cnt"] for r in
+           back.groupBy("shard").agg(__import__("pyspark.sql.functions",
+               fromlist=["count"]).count("*").alias("cnt")).collect()}
+    want = {r["shard"]: r["n_docs"] for r in
+            shard_manifest(df, shard_tokens=200).collect()}
+    assert got == want, "written shards must match the manifest"

@@ -160,6 +160,8 @@ from .text import (  # noqa: F401
     ngram_counts,
     sample_mixture,
     sample_weighted,
+    shard_assign,
+    shard_manifest,
     source_quota,
     leakage_safe_split,
     split_corpus,
@@ -172,5 +174,6 @@ from .text import (  # noqa: F401
     top_terms,
     unigram_logprob,
     vocab_coverage,
+    write_training_shards,
     zipf_fit,
 )

@@ -1701,3 +1701,99 @@ def dsir_sample(docs: DataFrame, target_cond: str, k: int,
         .orderBy(F.col("samp_key").desc(), id_col)
         .limit(k)
     )
+
+
+def shard_assign(docs: DataFrame, shard_tokens: int,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 seed: int = 42) -> DataFrame:
+    """Deterministic training-shard assignment — the final
+    materialization step of a pretraining pipeline: shuffle the corpus
+    with a reproducible md5 key, run the global token cumsum, and cut
+    shards of ~`shard_tokens` whitespace tokens each (a document never
+    splits; shard = floor(tokens-before-me / shard_tokens)).
+
+    Returns (id_col, skey, n_tok, shard).  Zero-token (empty/NULL)
+    documents keep a shard (they ride their shuffle position with
+    weight 0) so no document is silently dropped at write time.
+
+    The cumsum is pack_sequences' two-phase scan, in md5-key order:
+    range-partition by (skey, id), per-partition window cumsum,
+    #partitions totals to the driver for the exact prefix, broadcast
+    back — driver state is #partitions integers at any corpus size.
+    The per-partition `local` frame is CACHED before the collect for
+    the same boundary-stability reason documented there."""
+    from pyspark.sql import Window
+
+    from .dedup import _cache
+
+    norm = _NORM.format(c=text_col)
+    n_tok = f"coalesce(size(filter(split({norm}, ' '), t -> t <> '')), 0)"
+    key = (f"md5(concat('{seed}:', CAST({id_col} AS STRING)))")
+    toks = (
+        docs.select(F.col(id_col).alias("id"),
+                    F.expr(key).alias("skey"),
+                    F.expr(n_tok).cast("bigint").alias("n"))
+        .repartitionByRange(F.col("skey"), F.col("id"))
+        .sortWithinPartitions("skey", "id")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    w = Window.partitionBy("pid").orderBy("skey", "id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    local = _cache(toks.withColumn("lcum", F.sum("n").over(w)))
+    part_totals = (
+        local.groupBy("pid").agg(F.max("lcum").alias("ptotal"))
+        .collect()
+    )
+    offsets, acc = {}, 0
+    for row in sorted(part_totals, key=lambda r: r["pid"]):
+        offsets[row["pid"]] = acc
+        acc += row["ptotal"] or 0
+    off_df = local.sparkSession.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()],
+        "pid INT, poff BIGINT",
+    )
+    return (
+        local.join(F.broadcast(off_df), "pid")
+        .select(
+            F.col("id").alias(id_col), "skey", F.col("n").alias("n_tok"),
+            # integer division: exact at any corpus size (a double
+            # floor holds only to ~2^53 cumulative tokens)
+            F.expr(f"(poff + lcum - n) DIV {shard_tokens}")
+            .cast("bigint").alias("shard"),
+        )
+    )
+
+
+def shard_manifest(docs: DataFrame, shard_tokens: int,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   seed: int = 42) -> DataFrame:
+    """Per-shard manifest of `shard_assign`: (shard, n_docs, n_tokens,
+    first_id, last_id) with first/last in shuffle order — the audit
+    artifact a loader checks against the written shards.  One shard
+    row per ~shard_tokens of corpus; every aggregate is exact
+    integers, so the manifest is bit-stable under any partitioning."""
+    a = shard_assign(docs, shard_tokens, text_col=text_col,
+                     id_col=id_col, seed=seed)
+    return (
+        a.groupBy("shard")
+        .agg(F.count("*").cast("bigint").alias("n_docs"),
+             F.sum("n_tok").cast("bigint").alias("n_tokens"),
+             F.expr(f"min_by({id_col}, skey)").alias("first_id"),
+             F.expr(f"max_by({id_col}, skey)").alias("last_id"))
+    )
+
+
+def write_training_shards(docs: DataFrame, path: str, shard_tokens: int,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          seed: int = 42) -> None:
+    """Materialize the corpus as shard-partitioned parquet
+    (`path/shard=N/...`): `shard_assign`'s deterministic cut joined
+    back to the full rows, one directory per ~shard_tokens of corpus.
+    The join is id-grain on two corpus-sized tables (sort-merge at
+    scale); everything else is the write."""
+    a = shard_assign(docs, shard_tokens, text_col=text_col,
+                     id_col=id_col, seed=seed)
+    (docs.join(a.select(id_col, "shard"), id_col)
+     .repartition(F.col("shard"))
+     .write.mode("overwrite").partitionBy("shard").parquet(path))
