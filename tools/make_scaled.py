@@ -21,6 +21,7 @@ _ID_COLS = {
     "lineitem": ["l_orderkey"],
     "orders": ["o_orderkey", "o_custkey"],
     "events": ["event_id", "user_id"],
+    "part": ["p_partkey"],
 }
 _OFFSET = 10_000_000
 
