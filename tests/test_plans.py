@@ -590,3 +590,22 @@ def test_kmeans_assignment_scan_is_joinless(spark):
     assert "Join" not in plan, f"assignment must be joinless:\n{plan}"
     assert "Exchange" not in plan.replace("BroadcastExchange", ""), \
         f"assignment must not shuffle the corpus:\n{plan}"
+
+
+def test_shard_assign_cumsum_is_two_phase(spark):
+    # the global token cumsum must be the two-phase scan: the window
+    # partitions by spark_partition_id (parallel) and the offsets
+    # arrive via a broadcast join — never a single-partition window
+    # over the corpus
+    from yardstick_spark.llm import shard_assign
+    from yardstick_spark.plans import explain_str, has_broadcast_join
+
+    docs = spark.createDataFrame(
+        [(i, "w " * 20) for i in range(50)], "doc_id bigint, text string")
+    df = shard_assign(docs, shard_tokens=100)
+    assert has_broadcast_join(df), "partition offsets must broadcast"
+    plan = explain_str(df)
+    import re
+    for line in plan.splitlines():
+        if "Window" in line and "SinglePartition" in line:
+            raise AssertionError(f"corpus-wide window found:\n{line}")
