@@ -1118,6 +1118,49 @@ def test_dsir_weights_gramless_doc_kept_at_zero(spark):
     assert out[3]["n_grams"] == 0 and out[3]["logw"] == 0.0
 
 
+def test_dsir_hash_impl_fast_path(spark):
+    """xxhash64 is a drop-in bucket hash: identical doc coverage and
+    gram counts (hash-independent), a VALID but different bucket
+    assignment (some weight differs from md5's), the same physical
+    plan shape (same exchange/aggregate skeleton — only the hash
+    expression changes), and repartition-stable like the md5 path."""
+    import re
+
+    import pytest
+
+    from yardstick_spark.llm import dsir_weights
+
+    docs = _dsir_docs(spark)
+    md5_df = dsir_weights(docs, "lang = 'en'", n_buckets=256)
+    xx_df = dsir_weights(docs, "lang = 'en'", n_buckets=256,
+                         hash_impl="xxhash64")
+    a = {r["doc_id"]: (r["n_grams"], r["logw"]) for r in md5_df.collect()}
+    b = {r["doc_id"]: (r["n_grams"], r["logw"]) for r in xx_df.collect()}
+    assert set(a) == set(b) == set(range(60))
+    assert all(a[k][0] == b[k][0] for k in a), "n_grams is hash-free"
+    assert any(a[k][1] != b[k][1] for k in a), \
+        "different hash must give a different bucketing somewhere"
+    # the target/raw separation survives the hash swap
+    en = [b[i][1] for i in range(0, 60, 3)]
+    rest = [b[i][1] for i in range(60) if i % 3 != 0]
+    assert min(en) > max(rest)
+
+    def shape(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return [len(re.findall(p, plan))
+                for p in ("Exchange", "HashAggregate", "BroadcastHashJoin",
+                          "Generate")]
+
+    assert shape(md5_df) == shape(xx_df), \
+        "hash swap must not change the plan skeleton"
+    again = sorted(map(tuple, dsir_weights(
+        docs.repartition(7), "lang = 'en'", n_buckets=256,
+        hash_impl="xxhash64").collect()))
+    assert again == sorted((k, *v) for k, v in b.items())
+    with pytest.raises(ValueError):
+        dsir_weights(docs, "lang = 'en'", hash_impl="sha1").collect()
+
+
 def test_dsir_sample_prefers_target_and_is_deterministic(spark):
     from yardstick_spark.llm import dsir_sample
 
@@ -1203,6 +1246,45 @@ def test_fuzzy_cluster_edges_components_equal_all_pairs(spark):
     # them — no shared token — so the collapse must not either)
     assert got[30] == 30 and got[32] == 32 and got[31] == 31
     assert got[20] == 20
+
+
+def test_fuzzy_cluster_edges_cap_is_member_grain(spark):
+    """The max_block cap must engage at MEMBER grain on the collapsed
+    path (r8 ADVICE high): a family of 12 identical strings with
+    max_block=10 contributes a 12-member block even though the rep
+    table holds one row, and a bridge block shared by two families is
+    over cap when their combined membership is, even though only two
+    reps sit in it.  Components must equal the record-grain capped
+    pair list in all three regimes: every-block-over-cap (singletons),
+    bridge-block-over-cap (cliques survive via private blocks, no
+    merge), and under-cap (normal clique)."""
+    from yardstick_spark.llm import (dedup_assign, fuzzy_cluster_edges,
+                                     fuzzy_dedup_pairs)
+
+    rows = []
+    rows += [(i, "zebra") for i in range(12)]  # every block over cap
+    rows += [(20 + i, "qux lemon") for i in range(8)]  # 'qux#2' = 16 > 10
+    rows += [(40 + i, "qux melon") for i in range(8)]  # bridge only via 'qux'
+    rows += [(60 + i, "pear") for i in range(3)]  # under cap
+    df = spark.createDataFrame(rows, "pk bigint, name string")
+
+    via_pairs = dedup_assign(
+        df, fuzzy_dedup_pairs(df, "pk", "name", max_edit=1, max_block=10),
+        id_col="pk")
+    via_edges = dedup_assign(
+        df, fuzzy_cluster_edges(df, "pk", "name", max_edit=1, max_block=10),
+        id_col="pk")
+    assert (sorted(map(tuple, via_pairs.collect()))
+            == sorted(map(tuple, via_edges.collect()))), \
+        "capped collapsed edges must give identical components"
+    got = {r["pk"]: r["cluster_id"] for r in via_edges.collect()}
+    # over-cap family: no surviving block -> singletons on both paths
+    assert all(got[i] == i for i in range(12))
+    # each 'qux *' family keeps its private token block -> clique, but
+    # the shared 'qux' bridge block is over cap -> NO cross-family merge
+    assert all(got[20 + i] == 20 for i in range(8))
+    assert all(got[40 + i] == 40 for i in range(8))
+    assert all(got[60 + i] == 60 for i in range(3))
 
 
 def test_shard_assign_covers_corpus_within_budget(spark):

@@ -15,12 +15,20 @@ from pathlib import Path
 
 import duckdb
 
+# Only PRIMARY keys shift (uniqueness across copies).  Foreign keys
+# into tables that copy through unscaled (o_custkey -> customer,
+# user_id -> the user dimension) must NOT shift, or every copy beyond
+# i=0 dangles against the dimension — the scaled corpus instead fans
+# each dimension row out n-fold, which is the realistic shape of a
+# bigger fact table over a fixed dimension.  l_orderkey shifts in
+# lockstep with o_orderkey (same offset, same copy index), so the
+# lineitem<->orders join stays intact when both are scaled together.
 _ID_COLS = {
     "documents": ["doc_id"],
     "embeddings": ["vec_id"],
     "lineitem": ["l_orderkey"],
-    "orders": ["o_orderkey", "o_custkey"],
-    "events": ["event_id", "user_id"],
+    "orders": ["o_orderkey"],
+    "events": ["event_id"],
     "part": ["p_partkey"],
 }
 _OFFSET = 10_000_000
@@ -47,13 +55,14 @@ def main() -> None:
                 f"(FORMAT PARQUET)")
         print(t, con.sql(f"SELECT COUNT(*) FROM "
                          f"'{dst}/{t}.parquet'").fetchone()[0])
-    # the remaining small tables copy through unscaled so _ys() finds
-    # every registered view
-    for t in ("region", "nation", "customer", "supplier", "part"):
-        p = src / f"{t}.parquet"
-        if p.exists() and t not in tables:
+    # EVERY other source table copies through unscaled — _ys() view
+    # registration needs the complete corpus, so scaling a subset
+    # (e.g. "10 part") must still produce a directory every inventory
+    # entry can run against
+    for p in sorted(src.glob("*.parquet")):
+        if p.stem not in tables:
             con.sql(f"COPY (SELECT * FROM '{p}') TO "
-                    f"'{dst}/{t}.parquet' (FORMAT PARQUET)")
+                    f"'{dst}/{p.stem}.parquet' (FORMAT PARQUET)")
     print("done:", dst)
 
 

@@ -63,6 +63,39 @@ def blocking_keys(
     )
 
 
+def _capped_blocks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    len_bucket: int,
+    max_block: int,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Blocking keys with the degenerate-block cap applied.
+
+    `weight_col` makes the cap MEMBER-grain even when `df` holds one
+    representative per family: each rep's block contribution is its
+    family size, so a block's measured size equals exactly what the
+    uncollapsed record-grain table would count (blocking keys are a
+    function of the string alone, and every member of a family shares
+    its rep's string).  Without it, the cap counts rows of `df`."""
+    keyed = blocking_keys(df, id_col, text_col, len_bucket)
+    # degenerate-block cap: count per block, drop oversized (report via
+    # .where so the plan stays lazy — same policy as dedup.py buckets)
+    if weight_col is None:
+        sizes = keyed.groupBy("block").agg(F.count("*").alias("bn"))
+    else:
+        w = df.select(
+            F.col(id_col).alias("id"), F.col(weight_col).alias("_w")
+        )
+        sizes = keyed.join(w, "id").groupBy("block").agg(
+            F.sum("_w").alias("bn")
+        )
+    return keyed.join(
+        sizes.where(F.col("bn") <= max_block).select("block"), "block"
+    )
+
+
 def fuzzy_dedup_pairs(
     df: DataFrame,
     id_col: str,
@@ -70,6 +103,7 @@ def fuzzy_dedup_pairs(
     max_edit: int = 2,
     len_bucket: int = 4,
     max_block: int = 10_000,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Pairs (id_a, id_b, edit) with levenshtein ≤ `max_edit`, found
     via token blocking — never an all-pairs join.
@@ -86,14 +120,20 @@ def fuzzy_dedup_pairs(
     max_edit` the straddle loss is at most pairs differing by a
     boundary crossing; the oracle replicates the exact same keying, so
     the contract is bit-testable.
+
+    `weight_col` (internal, used by `fuzzy_cluster_edges`): evaluate
+    the `max_block` cap over summed weights instead of row counts, so
+    a family-collapsed input is capped at member grain.
     """
-    keyed = blocking_keys(df, id_col, text_col, len_bucket)
-    # degenerate-block cap: count per block, drop oversized (report via
-    # .where so the plan stays lazy — same policy as dedup.py buckets)
-    sizes = keyed.groupBy("block").agg(F.count("*").alias("bn"))
-    keyed = keyed.join(
-        sizes.where(F.col("bn") <= max_block).select("block"), "block"
+    keyed = _capped_blocks(
+        df, id_col, text_col, len_bucket, max_block, weight_col
     )
+    return _verify_pairs(keyed, max_edit)
+
+
+def _verify_pairs(keyed: DataFrame, max_edit: int) -> DataFrame:
+    """Blocked self-join + banded-levenshtein verify over a capped
+    (block, id, s) table."""
     # EXPLICIT numbered repartition of the probe side: the keyed table
     # is tiny relative to the candidate expansion (avg block size x),
     # so AQE's size-based coalescing would otherwise shrink it to ONE
@@ -102,7 +142,7 @@ def fuzzy_dedup_pairs(
     # task vs ~2 s across 64 at sf0.1).  A user-numbered repartition is
     # exempt from AQE coalescing, and hashing on id spreads every block
     # across all tasks, which also neutralizes block-size skew.
-    n_verify = 2 * df.sparkSession.sparkContext.defaultParallelism
+    n_verify = 2 * keyed.sparkSession.sparkContext.defaultParallelism
     keyed = keyed.repartition(n_verify, "id")
     a = keyed.select(
         F.col("block"), F.col("id").alias("id_a"), F.col("s").alias("s_a")
@@ -158,9 +198,22 @@ def fuzzy_cluster_edges(
     collapse to their min-id representative (one star edge per
     member), and ONLY representatives run the blocked-levenshtein
     verify.  Components — and the min-id cluster labels — are provably
-    identical to the all-pairs list: levenshtein is a function of the
-    strings, so a cross-family pair exists iff the representative pair
-    does, and blocking keys depend only on the (shared) string.
+    identical to the record-grain pair list AT EVERY SCALE, including
+    when the `max_block` cap engages:
+
+      * blocking keys are a function of the string alone, so every
+        member of a family lands in exactly its rep's blocks; the cap
+        is therefore evaluated over family-size-WEIGHTED rep counts
+        (`weight_col`), which equals the record-grain block size —
+        the surviving-block set is identical by construction;
+      * a cross-family pair exists in the record-grain graph iff the
+        rep pair shares a surviving block and passes the verify — the
+        same test the collapsed path runs;
+      * intra-family (edit-0) pairs exist in the record-grain graph
+        iff the family has at least one SURVIVING block, so star
+        edges are emitted only for families that kept a block — a
+        family whose every block is over cap stays singletons on both
+        paths.
 
     Returns (id_a, id_b) with no edit column (edits are rep-level
     facts, meaningless for star edges).  Token-less strings (empty /
@@ -179,14 +232,24 @@ def fuzzy_cluster_edges(
         df.select(F.col(id_col).alias("id"), norm.alias("s"))
         .where(F.col("s").isNotNull() & (F.col("s") != ""))
     )
-    reps = _cache(fams.groupBy("s").agg(F.min("id").alias("rid")))
+    reps = _cache(
+        fams.groupBy("s").agg(
+            F.min("id").alias("rid"), F.count("*").alias("fam_n")
+        )
+    )
+    # member-grain cap: block sizes are summed family sizes, so the
+    # surviving-block set matches the record-grain computation exactly
+    keyed = _cache(
+        _capped_blocks(reps, "rid", "s", len_bucket, max_block, "fam_n")
+    )
+    # families that kept >=1 block — only these have intra-family
+    # edges at record grain (a dropped block contributes no pairs)
+    alive = keyed.select(F.col("id").alias("rid")).distinct()
     stars = (
-        fams.join(reps, "s")
+        fams.join(reps.select("s", "rid"), "s")
+        .join(alive, "rid")
         .where(F.col("id") != F.col("rid"))
         .select(F.col("rid").alias("id_a"), F.col("id").alias("id_b"))
     )
-    rep_pairs = fuzzy_dedup_pairs(
-        reps.select(F.col("rid"), F.col("s")), "rid", "s",
-        max_edit=max_edit, len_bucket=len_bucket, max_block=max_block,
-    ).select("id_a", "id_b")
+    rep_pairs = _verify_pairs(keyed, max_edit).select("id_a", "id_b")
     return rep_pairs.unionByName(stars)

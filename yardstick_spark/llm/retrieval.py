@@ -288,25 +288,16 @@ def update_bm25_index(new_docs: DataFrame, path: str,
         .groupBy("bucket", "term").agg(F.sum("df").alias("df"))
     )
     # the df table is one row per distinct term — rewrite via a temp
-    # dataset + swap (reading and overwriting the same parquet path in
-    # one plan is not safe).  Hadoop FileSystem renames, not local
-    # shutil: the index lives on whatever scheme the cluster uses
-    # (hdfs://, file://, s3a with its rename caveats) — same pattern
-    # as sources/write.compact_files, and the same isolation caveat
-    # (the two renames are individually atomic, not as a pair)
+    # dataset + the crash-recoverable rename-aside swap (reading and
+    # overwriting the same parquet path in one plan is not safe; a
+    # crash mid-swap leaves a complete copy at dfs or dfs_old)
     tmp_p = str(Path(path) / "dfs_tmp")
     (merged.repartition(F.col("bucket"))
      .write.mode("overwrite").partitionBy("bucket").parquet(tmp_p))
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    dfs_h = jvm.org.apache.hadoop.fs.Path(str(Path(path) / "dfs"))
-    tmp_h = jvm.org.apache.hadoop.fs.Path(tmp_p)
-    fs = dfs_h.getFileSystem(conf)
-    fs.delete(dfs_h, True)
-    if not fs.rename(tmp_h, dfs_h):
-        raise RuntimeError(
-            f"update_bm25_index: rename {tmp_p} -> {dfs_h} failed — "
-            "df table missing; rerun the update's df merge")
+    from .store import swap_dataset
+
+    swap_dataset(spark, tmp_p, str(Path(path) / "dfs"),
+                 "update_bm25_index")
     Path(path, "_bm25_meta.json").write_text(json.dumps(
         {"buckets": buckets, "n_docs": meta["n_docs"] + n,
          "sum_dl": meta["sum_dl"] + sdl,

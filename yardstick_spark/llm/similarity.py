@@ -1049,7 +1049,10 @@ def margin_pairs(knn_a2b: DataFrame, knn_b2a: DataFrame,
     paths); denominators sum the 1e-4-quantized sims as exact BIGINTs
     (order-independent), margins round to `round_to` with signed zero
     canonicalized, argmax ties break to the smaller neighbor id.
-    Zero/negative denominators yield NULL margins and are excluded."""
+    An exactly-zero mean-sim denominator yields a NULL margin and the
+    pair is excluded; a NEGATIVE denominator (all-negative neighbor
+    sims) flows through as a negative margin — identically on both
+    engines — and loses every argmax to any positive-margin pair."""
     q = "CAST(round(sim * 10000) AS BIGINT)"
 
     def _denom(knn: DataFrame) -> DataFrame:

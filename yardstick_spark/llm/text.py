@@ -1434,9 +1434,37 @@ def _dsir_grams(text_col: str) -> str:
 _DSIR_SCALE = 1_000_000  # 1e-6 quantization grid for log-ratios
 
 
+def _dsir_bucket_expr(col: str, n_buckets: int, hash_impl: str) -> str:
+    """Gram -> bucket SQL under the chosen hash.
+
+    "md5" (default): portable — DuckDB computes the identical bucket
+    for the identical gram, so the whole DSIR surface is
+    oracle-diffable.  Cost: md5 + the base-16 string conv per gram is
+    the measured 100x residual (~2.5x DuckDB's C++ md5 throughput).
+
+    "xxhash64": Spark's JVM-native 64-bit hash (one codegen'd long op,
+    no string intermediates) — the production fast path.  Bucket
+    assignments differ from md5's (both are valid uniform hashes of
+    the same gram multiset), so weights are NOT cross-engine
+    comparable; everything downstream (quantized-integer determinism,
+    store mergeability, plan shape) is identical."""
+    if hash_impl == "xxhash64":
+        # NULL guard: xxhash64(NULL) returns the SEED's hash, not NULL
+        # (it skips null args), while md5(NULL) is NULL — the scorer's
+        # sentinel gram relies on NULL-in -> NULL-out to reach the -1
+        # bucket, so the swap must preserve that contract
+        return (f"if({col} IS NULL, CAST(NULL AS BIGINT), "
+                f"pmod(xxhash64({col}), {n_buckets}))")
+    if hash_impl == "md5":
+        return (f"pmod(CAST(conv(substring(md5({col}), 1, 15), 16, 10) "
+                f"AS BIGINT), {n_buckets})")
+    raise ValueError(
+        f"hash_impl must be 'md5' or 'xxhash64', got {hash_impl!r}")
+
+
 def _dsir_bucket_counts(docs: DataFrame, target_cond: str,
-                        n_buckets: int,
-                        text_col: str) -> DataFrame:
+                        n_buckets: int, text_col: str,
+                        hash_impl: str = "md5") -> DataFrame:
     """(bucket, c_raw, c_target) gram-occurrence counts — the DSIR
     sufficient statistic.  Exactly mergeable (integer adds), which is
     what makes the persisted store's incremental update equal a full
@@ -1444,8 +1472,7 @@ def _dsir_bucket_counts(docs: DataFrame, target_cond: str,
     from .dedup import _spread  # single-file inputs must not pin 1 core
 
     grams = _dsir_grams(text_col)
-    bucket = (f"pmod(CAST(conv(substring(md5(__g), 1, 15), 16, 10) "
-              f"AS BIGINT), {n_buckets})")
+    bucket = _dsir_bucket_expr("__g", n_buckets, hash_impl)
     return (
         _spread(docs)
         .select(F.expr(f"CAST(({target_cond}) AS INT)").alias("__t"),
@@ -1501,7 +1528,8 @@ def _dsir_lr(counts: DataFrame, alpha: float,
 
 
 def _dsir_score(docs: DataFrame, lrs: DataFrame, n_buckets: int,
-                text_col: str, id_col: str) -> DataFrame:
+                text_col: str, id_col: str,
+                hash_impl: str = "md5") -> DataFrame:
     """Score documents against a complete-domain (bucket, lr_q) table:
     one scan-side explode probing the broadcast bucket relation,
     reduced at doc grain.  A sentinel gram per document (bucket -1,
@@ -1520,8 +1548,8 @@ def _dsir_score(docs: DataFrame, lrs: DataFrame, n_buckets: int,
     grams = (f"concat(array(CAST(NULL AS STRING)), "
              f"coalesce({_dsir_grams(text_col)}, "
              f"CAST(array() AS ARRAY<STRING>)))")
-    bucket = (f"coalesce(pmod(CAST(conv(substring(md5(__g), 1, 15), "
-              f"16, 10) AS BIGINT), {n_buckets}), -1L)")
+    bucket = (f"coalesce({_dsir_bucket_expr('__g', n_buckets, hash_impl)}"
+              f", -1L)")
     return (
         _spread(docs)
         .select(F.col(id_col), F.explode(F.expr(grams)).alias("__g"))
@@ -1545,7 +1573,8 @@ def _dsir_score(docs: DataFrame, lrs: DataFrame, n_buckets: int,
 
 def dsir_bucket_logratios(docs: DataFrame, target_cond: str,
                           n_buckets: int = 1024, alpha: float = 1.0,
-                          text_col: str = "text") -> DataFrame:
+                          text_col: str = "text",
+                          hash_impl: str = "md5") -> DataFrame:
     """Hashed n-gram bucket log-importance-ratios for DSIR (Data
     Selection with Importance Resampling, Xie et al. 2023): unigram +
     bigram occurrences hash into `n_buckets` buckets; each bucket gets
@@ -1566,14 +1595,16 @@ def dsir_bucket_logratios(docs: DataFrame, target_cond: str,
     output is <= n_buckets rows: broadcast material for any
     downstream scorer."""
     return _dsir_lr(
-        _dsir_bucket_counts(docs, target_cond, n_buckets, text_col),
+        _dsir_bucket_counts(docs, target_cond, n_buckets, text_col,
+                            hash_impl),
         alpha, n_buckets)
 
 
 def dsir_weights(docs: DataFrame, target_cond: str,
                  n_buckets: int = 1024, alpha: float = 1.0,
                  text_col: str = "text",
-                 id_col: str = "doc_id") -> DataFrame:
+                 id_col: str = "doc_id",
+                 hash_impl: str = "md5") -> DataFrame:
     """Per-document DSIR log-importance weight: the sum of bucket
     log-ratios over the document's gram occurrences (Xie et al. 2023,
     eq. 3 — the hashed-n-gram estimate of ln p_target(x)/p_raw(x)).
@@ -1590,15 +1621,23 @@ def dsir_weights(docs: DataFrame, target_cond: str,
     broadcast hash relation; the corpus side is one scan-side explode
     probing it, reduced at document grain with map-side combine.  Two
     corpus scans total (one to fit buckets, one to score) — the
-    tf-idf two-pass shape."""
+    tf-idf two-pass shape.
+
+    `hash_impl="xxhash64"` swaps the per-gram md5+conv chain (the
+    measured 100x throughput residual, the portability contract) for
+    Spark's codegen'd 64-bit hash — same plan shape, same determinism,
+    different (non-oracle-comparable) bucket assignment; see
+    `_dsir_bucket_expr`."""
     lrs = dsir_bucket_logratios(docs, target_cond, n_buckets=n_buckets,
-                                alpha=alpha, text_col=text_col)
-    return _dsir_score(docs, lrs, n_buckets, text_col, id_col)
+                                alpha=alpha, text_col=text_col,
+                                hash_impl=hash_impl)
+    return _dsir_score(docs, lrs, n_buckets, text_col, id_col, hash_impl)
 
 
 def save_dsir_store(docs: DataFrame, target_cond: str, path: str,
                     n_buckets: int = 1024,
-                    text_col: str = "text") -> None:
+                    text_col: str = "text",
+                    hash_impl: str = "md5") -> None:
     """Persist the DSIR sufficient statistic (the <=n_buckets-row
     gram-occurrence count table) so later batches score WITHOUT
     re-fitting the corpus — the same probe-only ingest contract as
@@ -1609,10 +1648,14 @@ def save_dsir_store(docs: DataFrame, target_cond: str, path: str,
     import json
     from pathlib import Path
 
-    counts = _dsir_bucket_counts(docs, target_cond, n_buckets, text_col)
+    counts = _dsir_bucket_counts(docs, target_cond, n_buckets, text_col,
+                                 hash_impl)
     counts.write.mode("overwrite").parquet(str(Path(path) / "buckets"))
+    # hash_impl persists with the store: scoring/updating MUST bucket
+    # with the hash the counts were fitted under
     Path(path, "_dsir_meta.json").write_text(json.dumps(
-        {"n_buckets": n_buckets, "target_cond": target_cond}))
+        {"n_buckets": n_buckets, "target_cond": target_cond,
+         "hash_impl": hash_impl}))
 
 
 def update_dsir_store(new_docs: DataFrame, path: str,
@@ -1621,17 +1664,19 @@ def update_dsir_store(new_docs: DataFrame, path: str,
     — O(batch) scan work plus an O(n_buckets) merge, never a corpus
     refit.  Same caller contract as the other incremental stores:
     batches contain only unseen documents (re-ingesting double-counts
-    their grams).  The merged table rewrites via a temp dataset +
-    Hadoop FileSystem rename (reading and overwriting the same
-    parquet path in one plan is not safe; same pattern and isolation
-    caveat as `update_bm25_index`)."""
+    their grams).  The merged table rewrites via a temp dataset + the
+    crash-recoverable rename-aside swap (`store.swap_dataset`: a crash
+    at any point leaves a complete copy at `buckets` or
+    `buckets_old`); reading and overwriting the same parquet path in
+    one plan is not safe, hence the temp dataset."""
     import json
     from pathlib import Path
 
     meta = json.loads(Path(path, "_dsir_meta.json").read_text())
     spark = new_docs.sparkSession
     batch = _dsir_bucket_counts(new_docs, meta["target_cond"],
-                                meta["n_buckets"], text_col)
+                                meta["n_buckets"], text_col,
+                                meta.get("hash_impl", "md5"))
     merged = (
         spark.read.parquet(str(Path(path) / "buckets"))
         .unionByName(batch)
@@ -1641,16 +1686,10 @@ def update_dsir_store(new_docs: DataFrame, path: str,
     )
     tmp_p = str(Path(path) / "buckets_tmp")
     merged.write.mode("overwrite").parquet(tmp_p)
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    dst_h = jvm.org.apache.hadoop.fs.Path(str(Path(path) / "buckets"))
-    tmp_h = jvm.org.apache.hadoop.fs.Path(tmp_p)
-    fs = dst_h.getFileSystem(conf)
-    fs.delete(dst_h, True)
-    if not fs.rename(tmp_h, dst_h):
-        raise RuntimeError(
-            f"update_dsir_store: rename {tmp_p} -> {dst_h} failed — "
-            "bucket table missing; rerun the update's merge")
+    from .store import swap_dataset
+
+    swap_dataset(spark, tmp_p, str(Path(path) / "buckets"),
+                 "update_dsir_store")
 
 
 def dsir_score_with_store(docs: DataFrame, path: str,
@@ -1667,14 +1706,16 @@ def dsir_score_with_store(docs: DataFrame, path: str,
     spark = docs.sparkSession
     counts = spark.read.parquet(str(Path(path) / "buckets"))
     lrs = _dsir_lr(counts, alpha, meta["n_buckets"])
-    return _dsir_score(docs, lrs, meta["n_buckets"], text_col, id_col)
+    return _dsir_score(docs, lrs, meta["n_buckets"], text_col, id_col,
+                       meta.get("hash_impl", "md5"))
 
 
 def dsir_sample(docs: DataFrame, target_cond: str, k: int,
                 n_buckets: int = 1024, alpha: float = 1.0,
                 tau: float = 1.0, seed: int = 42,
                 text_col: str = "text",
-                id_col: str = "doc_id") -> DataFrame:
+                id_col: str = "doc_id",
+                hash_impl: str = "md5") -> DataFrame:
     """DSIR resampling: k documents sampled WITHOUT replacement with
     probability proportional to exp(logw / tau) via the Gumbel
     top-k trick — key = logw/tau + Gumbel(0,1), take the k largest.
@@ -1687,7 +1728,8 @@ def dsir_sample(docs: DataFrame, target_cond: str, k: int,
     which Spark executes as per-partition TakeOrdered(k) — only k rows
     per task reach the driver-side merge, no full sort."""
     w = dsir_weights(docs, target_cond, n_buckets=n_buckets,
-                     alpha=alpha, text_col=text_col, id_col=id_col)
+                     alpha=alpha, text_col=text_col, id_col=id_col,
+                     hash_impl=hash_impl)
     u = (f"((CAST(conv(substring(md5(concat('{seed}:', "
          f"CAST({id_col} AS STRING))), 1, 15), 16, 10) AS BIGINT) "
          f"% 999999) + 1) / 1000000.0D")
