@@ -2454,12 +2454,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     full = dict(r4_new)
     full.update({k: v for k, v in out.items() if k not in full})
-    lead = [k for k in (*_R8_LEAD, *_R7_LEAD, *_R6_LEAD, *_R5_NEW,
-                        *_R5_STALE_R2, *_R5_STALE_R3) if k in full]
+    lead = [k for k in (*_R9_LEAD, *_R8_LEAD, *_R7_LEAD, *_R6_LEAD,
+                        *_R5_NEW, *_R5_STALE_R2, *_R5_STALE_R3)
+            if k in full]
     seen = set()
     lead = [k for k in lead if not (k in seen or seen.add(k))]
     return {k: full[k] for k in (*lead, *(k for k in full
                                           if k not in seen))}
+
+
+# Round-9 driver-window rotation (the driver checks the FIRST 50
+# entries): (1) the 13 entries whose last driver row dates from round
+# 4 — the stalest block, cut from the r8 window's tail (the r8 lead
+# listed 57 names for 50 slots); (2) the 9 entries whose Spark-side
+# code changed this round — the fuzzy pair/collapse family
+# (member-grain max_block cap), the three DSIR entries (hash_impl
+# threading, md5 default), and the BM25 consumers of the bm25_scores
+# tokens_col refactor + the rename-aside store swap; (3) 28 of the 42
+# round-5-stale entries fill the remaining slots, leading with the
+# entries this round's perf tasks touch (ops_profile, mm_phash,
+# pipeline_embeddings) and the VERDICT-named rotation heads.  The 14
+# deferred r5 entries (ops_zorder, events_pivot, ops_benford,
+# mm_audio_fp, emb_jl_project, emb_pq, emb_outliers, text_zipf,
+# mm_scene_cuts, text_lang_confusion, events_transitions,
+# events_anomaly, text_sample_weighted, emb_prototypes — the block
+# with the densest property-test/corpus coverage) lead the r10 window.
+# Every inventory entry additionally gets a local ORACLE_SWEEP_r9 row.
+_R9_LEAD: list[str] = [
+    # last driver row round 4 (stalest)
+    "tpch_q15", "tpch_q17", "tpch_q22", "ops_window_running",
+    "ops_percentiles", "dedup_exact", "tpch_q7", "tpch_q8",
+    "tpch_q10", "tpch_q13", "tpch_q14", "tpch_q18", "tpch_q19",
+    # changed this round — must re-green in the driver
+    "dedup_fuzzy", "dedup_fuzzy_clusters",
+    "text_dsir_weights", "text_dsir_sample", "text_dsir_incremental",
+    "ret_bm25", "ret_rrf", "ret_hybrid", "ret_bm25_incremental",
+    # last driver row round 5 (28 of 42; the rest lead r10)
+    "ops_profile", "mm_phash", "pipeline_embeddings",
+    "ops_scd2_lookup", "ops_expectations", "text_dup_spans", "sim_mmr",
+    "graph_triangles", "sim_knn_pq", "dedup_semantic",
+    "text_mixture_weights", "text_unigram_logprob", "ops_histogram",
+    "emb_hard_negatives", "emb_medoids", "emb_quantize",
+    "sim_knn_quantized", "events_paths", "text_vocab_coverage",
+    "text_ngrams", "ops_cdc_compact", "ops_scd2", "text_heavy_hitters",
+    "ops_incremental_agg", "ops_table_diff", "text_char_entropy",
+    "ops_gap_fill", "text_stratified",
+]
 
 
 # Round-8 driver-window rotation (the driver checks the FIRST 50

@@ -560,6 +560,47 @@ def test_p14_retrieval_reducers_repartition_stable(spark, op):
             assert got == ref, f"{op}: output depends on repartition({n})"
 
 
+@pytest.mark.parametrize("op", ["rrf", "eval", "margin"])
+def test_p16_ranked_float_reducers_repartition_stable(spark, op):
+    """Same determinism contract for the round-8 ranked-list family:
+    rrf_fuse's fusion sums, retrieval_eval's recall@k/MRR, and
+    margin_pairs' margins all reduce floats over BOUNDED top-k lists —
+    each must be exact-equal (the driver's value hash) under any input
+    partitioning.  The covariance episode showed this class ships red
+    driver rows when a float fold picks up partition order."""
+    from yardstick_spark.llm import (bm25_scores, brute_force_knn,
+                                     lsh_bucketed_knn, margin_pairs,
+                                     retrieval_eval, rrf_fuse)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    if op == "rrf":
+        run = lambda n: rrf_fuse(
+            [bm25_scores(docs.repartition(n), "spark join window query",
+                         top_k=15),
+             bm25_scores(docs.repartition(n), "data table scan",
+                         top_k=15)],
+            top_k=10)
+    elif op == "eval":
+        run = lambda n: retrieval_eval(
+            lsh_bucketed_knn(emb.repartition(n),
+                             emb.filter("vec_id < 5"), k=10),
+            brute_force_knn(emb.repartition(n),
+                            emb.filter("vec_id < 5"), k=10))
+    else:
+        a, b = emb.filter("label <= 4"), emb.filter("label >= 5")
+        run = lambda n: margin_pairs(
+            brute_force_knn(b.repartition(n), a.repartition(n), k=4),
+            brute_force_knn(a.repartition(n), b.repartition(n), k=4))
+    ref = None
+    for n in (1, 3, 8, 32):
+        got = sorted(map(tuple, run(n).collect()))
+        if ref is None:
+            ref = got
+        else:
+            assert got == ref, f"{op}: output depends on repartition({n})"
+
+
 _WORDS = st.sampled_from(
     ["spark", "join", "window", "query", "data", "table", "scan",
      "alpha", "beta", "gamma", ""])

@@ -38,6 +38,25 @@ def test_bm25_null_and_empty_text_excluded(spark):
     assert [r.doc_id for r in got] == [1]
 
 
+def test_bm25_pretokenized_layout_bit_identical(spark):
+    """The pre-tokenized corpus layout (tokenize_for_bm25 materialized
+    once, tokens_col= at query time) must reproduce the scan path's
+    (id, bm25, rank) exactly — the contract that lets a standing
+    corpus drop the regex+split chain from every query."""
+    from yardstick_spark.llm import (bm25_scores, clear_dedup_caches,
+                                     tokenize_for_bm25)
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+    pre = tokenize_for_bm25(docs)
+    a = bm25_scores(docs, "spark join window query", top_k=25).collect()
+    clear_dedup_caches()
+    b = bm25_scores(pre, "spark join window query", top_k=25,
+                    tokens_col="tokens").collect()
+    clear_dedup_caches()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
 def test_bm25_rejects_empty_query(spark):
     from yardstick_spark.llm import bm25_scores
 

@@ -82,6 +82,7 @@ from .retrieval import (  # noqa: F401
     retrieval_eval,
     rrf_fuse,
     save_bm25_index,
+    tokenize_for_bm25,
     update_bm25_index,
 )
 from .similarity import (  # noqa: F401

@@ -1438,28 +1438,56 @@ def _dsir_bucket_expr(col: str, n_buckets: int, hash_impl: str) -> str:
     """Gram -> bucket SQL under the chosen hash.
 
     "md5" (default): portable — DuckDB computes the identical bucket
-    for the identical gram, so the whole DSIR surface is
-    oracle-diffable.  Cost: md5 + the base-16 string conv per gram is
-    the measured 100x residual (~2.5x DuckDB's C++ md5 throughput).
+    for the identical string gram, so the whole DSIR surface is
+    oracle-diffable.
 
-    "xxhash64": Spark's JVM-native 64-bit hash (one codegen'd long op,
-    no string intermediates) — the production fast path.  Bucket
-    assignments differ from md5's (both are valid uniform hashes of
-    the same gram multiset), so weights are NOT cross-engine
-    comparable; everything downstream (quantized-integer determinism,
-    store mergeability, plan shape) is identical."""
+    "xxhash64": `col` is a STRUCT<a,b> gram from `_dsir_gram_structs`
+    (unigram = (w, NULL), bigram = (w_i, w_{i+1})) hashed as
+    `xxhash64(a, b)` — the production fast path.  Measured at 10x:
+    the bigram CONCAT_WS STRING MATERIALIZATION, not the hash, is the
+    dominant per-gram cost (grams-as-strings 4.0 s/pass vs
+    grams-as-structs 1.2 s with the identical aggregate), so the fast
+    path changes the gram REPRESENTATION, not just the hash fn.
+    xxhash64 skips NULL args, so the unigram struct hashes exactly as
+    xxhash64(w).  Bucket assignments differ from md5's (both are
+    valid uniform hashes of the same gram multiset), so weights are
+    NOT cross-engine comparable; everything downstream
+    (quantized-integer determinism, store mergeability, plan shape)
+    is identical."""
     if hash_impl == "xxhash64":
-        # NULL guard: xxhash64(NULL) returns the SEED's hash, not NULL
-        # (it skips null args), while md5(NULL) is NULL — the scorer's
-        # sentinel gram relies on NULL-in -> NULL-out to reach the -1
-        # bucket, so the swap must preserve that contract
-        return (f"if({col} IS NULL, CAST(NULL AS BIGINT), "
-                f"pmod(xxhash64({col}), {n_buckets}))")
+        # NULL guard: xxhash64(NULL, NULL) returns the SEED's hash,
+        # not NULL (it skips null args), while md5(NULL) is NULL — the
+        # scorer's sentinel gram relies on NULL-in -> NULL-out to
+        # reach the -1 bucket.  Real grams always have a non-NULL `a`.
+        return (f"if({col}.a IS NULL, CAST(NULL AS BIGINT), "
+                f"pmod(xxhash64({col}.a, {col}.b), {n_buckets}))")
     if hash_impl == "md5":
         return (f"pmod(CAST(conv(substring(md5({col}), 1, 15), 16, 10) "
                 f"AS BIGINT), {n_buckets})")
     raise ValueError(
         f"hash_impl must be 'md5' or 'xxhash64', got {hash_impl!r}")
+
+
+def _dsir_gram_structs(text_col: str) -> str:
+    """`_dsir_grams`' multiset as ARRAY<STRUCT<a,b>> — same grams with
+    the same multiplicity, no bigram string ever built: unigrams are
+    (w, NULL), bigrams zip the word array against its own tail."""
+    norm = _NORM.format(c=text_col)
+    words = f"filter(split({norm}, ' '), t -> t <> '')"
+    uni = (f"transform({words}, "
+           f"w -> named_struct('a', w, 'b', CAST(NULL AS STRING)))")
+    bi = (f"CASE WHEN size({words}) >= 2 THEN "
+          f"zip_with(slice({words}, 1, size({words}) - 1), "
+          f"slice({words}, 2, size({words}) - 1), "
+          f"(a, b) -> named_struct('a', a, 'b', b)) "
+          f"ELSE CAST(array() AS ARRAY<STRUCT<a STRING, b STRING>>) END")
+    return f"concat({uni}, {bi})"
+
+
+def _dsir_gram_src(text_col: str, hash_impl: str) -> str:
+    """The gram-array expression the chosen hash consumes."""
+    return (_dsir_gram_structs(text_col) if hash_impl == "xxhash64"
+            else _dsir_grams(text_col))
 
 
 def _dsir_bucket_counts(docs: DataFrame, target_cond: str,
@@ -1471,7 +1499,7 @@ def _dsir_bucket_counts(docs: DataFrame, target_cond: str,
     refit."""
     from .dedup import _spread  # single-file inputs must not pin 1 core
 
-    grams = _dsir_grams(text_col)
+    grams = _dsir_gram_src(text_col, hash_impl)
     bucket = _dsir_bucket_expr("__g", n_buckets, hash_impl)
     return (
         _spread(docs)
@@ -1545,9 +1573,15 @@ def _dsir_score(docs: DataFrame, lrs: DataFrame, n_buckets: int,
     spark = docs.sparkSession
     sentinel = spark.createDataFrame([(-1, 0)], "bucket bigint, lr_q bigint")
     rel = lrs.select("bucket", "lr_q").unionByName(sentinel)
-    grams = (f"concat(array(CAST(NULL AS STRING)), "
-             f"coalesce({_dsir_grams(text_col)}, "
-             f"CAST(array() AS ARRAY<STRING>)))")
+    if hash_impl == "xxhash64":
+        sent = ("named_struct('a', CAST(NULL AS STRING), "
+                "'b', CAST(NULL AS STRING))")
+        empty = "CAST(array() AS ARRAY<STRUCT<a STRING, b STRING>>)"
+    else:
+        sent = "CAST(NULL AS STRING)"
+        empty = "CAST(array() AS ARRAY<STRING>)"
+    grams = (f"concat(array({sent}), "
+             f"coalesce({_dsir_gram_src(text_col, hash_impl)}, {empty}))")
     bucket = (f"coalesce({_dsir_bucket_expr('__g', n_buckets, hash_impl)}"
               f", -1L)")
     return (
