@@ -614,7 +614,12 @@ def phash64(media: DataFrame, hash_size: int = 8) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "phash"]).astype(
                 {"phash": "Int64"})
 
-    return _spread_by_bytes(media).mapInPandas(ph, schema=PHASH_SCHEMA)
+    # rows floor: the DCT is ~0.2 ms/payload of per-ROW numpy work, so
+    # a byte-only estimate of the tiny-image corpus under-partitions
+    # to 1 task (measured 1.58 s -> 0.59 s at 5k payloads, sweep in
+    # SCALING.md mm_phash section)
+    return _spread_by_bytes(media, rows_per_part=256).mapInPandas(
+        ph, schema=PHASH_SCHEMA)
 
 
 def phash_pairs(media: DataFrame, max_hamming: int = 3,
