@@ -4,9 +4,12 @@ Replicates the sf0.1 tables with id offsets (the protocol every
 SCALING.md 10x row uses: 6M lineitem / 1.5M orders / 50k docs / 20k
 vectors at N=10).  Identical parquet feeds both engines.
 
-    python tools/make_scaled.py [N] [table,table,...]
+    python tools/make_scaled.py [N] [table,table,...] [dst_dir]
 
-Defaults: N=10, tables=documents,embeddings,lineitem,orders,events.
+Defaults: N=10, tables=documents,embeddings,lineitem,orders,events,
+dst=/tmp/sf{N}x.  Pass an explicit dst_dir when scaling a SUBSET for
+a stress corpus (e.g. "10 part /tmp/sf10xpart") so the canonical
+/tmp/sf{N}x full-corpus build is not overwritten.
 """
 from __future__ import annotations
 
@@ -39,7 +42,7 @@ def main() -> None:
     tables = (sys.argv[2].split(",") if len(sys.argv) > 2
               else list(_ID_COLS))
     src = Path("/root/testdata/sf0.1")
-    dst = Path(f"/tmp/sf{n}x")
+    dst = Path(sys.argv[3]) if len(sys.argv) > 3 else Path(f"/tmp/sf{n}x")
     dst.mkdir(parents=True, exist_ok=True)
     con = duckdb.connect()
     for t in tables:
