@@ -57,6 +57,30 @@ def test_bm25_pretokenized_layout_bit_identical(spark):
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
 
 
+def test_bm25_index_from_pretokenized_corpus_identical(spark, tmp_path):
+    """An index built (and incrementally updated) from the
+    pre-tokenized layout must search identically to one built from
+    raw text — the layout composes with the whole index lifecycle."""
+    from yardstick_spark.llm import (bm25_search_index, save_bm25_index,
+                                     tokenize_for_bm25, update_bm25_index)
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+    pre = tokenize_for_bm25(docs)
+    raw_p, tok_p = str(tmp_path / "raw"), str(tmp_path / "tok")
+    save_bm25_index(docs, raw_p)
+    save_bm25_index(pre.filter("doc_id % 3 != 0"), tok_p,
+                    tokens_col="tokens")
+    update_bm25_index(pre.filter("doc_id % 3 = 0"), tok_p,
+                      tokens_col="tokens")
+    q = "spark join window query"
+    a = [tuple(r) for r in bm25_search_index(spark, raw_p, q,
+                                             top_k=25).collect()]
+    b = [tuple(r) for r in bm25_search_index(spark, tok_p, q,
+                                             top_k=25).collect()]
+    assert a == b
+
+
 def test_bm25_rejects_empty_query(spark):
     from yardstick_spark.llm import bm25_scores
 

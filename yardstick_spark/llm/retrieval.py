@@ -196,17 +196,19 @@ def bm25_sql(query: str, text_col: str = "text", id_col: str = "doc_id",
 
 
 def _bm25_batch_parts(docs: DataFrame, text_col: str, id_col: str,
-                      buckets: int):
+                      buckets: int, tokens_col: str | None = None):
     """(postings, dfs, n_docs, sum_dl) for one document batch —
     shared by the initial build and the incremental update.
     Statistics are EXACT INTEGERS (token total + doc count), so
     merging batches is plain addition and avgdl is derived at query
     time from the merged integers, bit-identical to what a full
-    rebuild computes."""
+    rebuild computes.  `tokens_col` consumes a pre-tokenized layout
+    (`tokenize_for_bm25`) instead of re-running the regex chain."""
     norm = _NORM.format(c=text_col)
     toks = f"filter(split({norm}, ' '), t -> t <> '')"
-    base = docs.select(F.col(id_col).alias("id"),
-                       F.expr(toks).alias("tk"))
+    tk_src = (F.col(tokens_col) if tokens_col is not None
+              else F.expr(toks))
+    base = docs.select(F.col(id_col).alias("id"), tk_src.alias("tk"))
     from .dedup import _cache
 
     tf = _cache(
@@ -226,7 +228,8 @@ def _bm25_batch_parts(docs: DataFrame, text_col: str, id_col: str,
 
 
 def save_bm25_index(docs: DataFrame, path: str, text_col: str = "text",
-                    id_col: str = "doc_id", buckets: int = 64) -> None:
+                    id_col: str = "doc_id", buckets: int = 64,
+                    tokens_col: str | None = None) -> None:
     """Persist a BM25 inverted index as the build-once / query-many /
     APPEND-MANY production shape: `{path}/postings` holds (term, id,
     tf, dl) posting rows PARTITIONED BY term-hash bucket, `{path}/dfs`
@@ -250,7 +253,8 @@ def save_bm25_index(docs: DataFrame, path: str, text_col: str = "text",
     import json
     from pathlib import Path
 
-    tf, dfs, n, sdl = _bm25_batch_parts(docs, text_col, id_col, buckets)
+    tf, dfs, n, sdl = _bm25_batch_parts(docs, text_col, id_col, buckets,
+                                        tokens_col)
     post = tf.select("term", "id", "tf", "dl", "bucket")
     (post.repartition(F.col("bucket"))
      .write.mode("overwrite").partitionBy("bucket")
@@ -269,7 +273,8 @@ def save_bm25_index(docs: DataFrame, path: str, text_col: str = "text",
 
 def update_bm25_index(new_docs: DataFrame, path: str,
                       text_col: str = "text",
-                      id_col: str = "doc_id") -> None:
+                      id_col: str = "doc_id",
+                      tokens_col: str | None = None) -> None:
     """Fold a batch of NEW documents into a `save_bm25_index` dataset
     — O(batch) work, never a corpus rebuild: the batch's posting rows
     APPEND into their bucket partitions, the (tiny) df table is
@@ -292,7 +297,7 @@ def update_bm25_index(new_docs: DataFrame, path: str,
     meta = json.loads(Path(path, "_bm25_meta.json").read_text())
     buckets = meta["buckets"]
     tf, new_dfs, n, sdl = _bm25_batch_parts(
-        new_docs, text_col, id_col, buckets)
+        new_docs, text_col, id_col, buckets, tokens_col)
     spark = new_docs.sparkSession
     post = tf.select("term", "id", "tf", "dl", "bucket")
     (post.repartition(F.col("bucket"))
