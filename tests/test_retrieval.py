@@ -224,6 +224,29 @@ def test_bm25_index_incremental_equals_rebuild(spark, tmp_path):
     assert got_inc == got_reb == got_scan
 
 
+def test_swap_dataset_is_crash_recoverable(spark, tmp_path):
+    """The rename-aside swap must (a) replace the live dataset, (b)
+    clean up both the temp and the _old copy on success, (c) sweep a
+    stale _old left by a previous crashed swap, and (d) install the
+    temp even when no live dataset exists yet (first build)."""
+    from yardstick_spark.llm.store import swap_dataset
+
+    dst = str(tmp_path / "ds")
+    # (d) first build: no live dataset
+    spark.range(3).write.parquet(str(tmp_path / "t1"))
+    swap_dataset(spark, str(tmp_path / "t1"), dst, "test")
+    assert spark.read.parquet(dst).count() == 3
+    assert not (tmp_path / "t1").exists()
+    # (a)+(b) replace live; (c) stale _old from a "crashed" prior swap
+    (tmp_path / "ds_old").mkdir()
+    (tmp_path / "ds_old" / "junk").write_text("stale")
+    spark.range(7).write.parquet(str(tmp_path / "t2"))
+    swap_dataset(spark, str(tmp_path / "t2"), dst, "test")
+    assert spark.read.parquet(dst).count() == 7
+    assert not (tmp_path / "ds_old").exists()
+    assert not (tmp_path / "t2").exists()
+
+
 def test_rrf_hand_computed(spark):
     from yardstick_spark.llm import rrf_fuse
 
