@@ -601,6 +601,43 @@ def test_p16_ranked_float_reducers_repartition_stable(spark, op):
             assert got == ref, f"{op}: output depends on repartition({n})"
 
 
+_FUZZ_NAMES = st.lists(
+    st.one_of(
+        st.none(),
+        st.sampled_from([
+            "", "  ", "cold anvil", "old anvil", "bold anvil",
+            "almond blue", "almond blux", "qux", "qux lemon",
+            "qux melon", "zebra", "zebrb", "pear",
+        ])),
+    min_size=1, max_size=40)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(names=_FUZZ_NAMES, max_block=st.sampled_from([2, 3, 5, 8, 10_000]))
+def test_p17_fuzzy_collapse_equals_record_grain_under_any_cap(
+        spark, names, max_block):
+    """Property (the r8 ADVICE class): for ANY corpus — heavy
+    identical-string families, near-miss bridges, empties, NULLs —
+    and ANY max_block, including caps small enough to drop most
+    blocks, the family-collapsed edge list must yield components
+    identical to the record-grain capped pair list."""
+    from yardstick_spark.llm import (dedup_assign, fuzzy_cluster_edges,
+                                     fuzzy_dedup_pairs)
+
+    df = spark.createDataFrame(
+        list(enumerate(names)), "pk bigint, name string")
+    a = sorted(map(tuple, dedup_assign(
+        df, fuzzy_dedup_pairs(df, "pk", "name", max_edit=1,
+                              max_block=max_block),
+        id_col="pk").collect()))
+    b = sorted(map(tuple, dedup_assign(
+        df, fuzzy_cluster_edges(df, "pk", "name", max_edit=1,
+                                max_block=max_block),
+        id_col="pk").collect()))
+    assert a == b
+
+
 _WORDS = st.sampled_from(
     ["spark", "join", "window", "query", "data", "table", "scan",
      "alpha", "beta", "gamma", ""])
