@@ -592,6 +592,24 @@ def test_kmeans_assignment_scan_is_joinless(spark):
         f"assignment must not shuffle the corpus:\n{plan}"
 
 
+def test_phash_rows_floor_engages_parallelism(spark):
+    # the pHash chain's cost is per-ROW numpy work, so the rows floor
+    # must fan a tiny-byte multi-hundred-row parquet-backed corpus out
+    # to >1 partition (the r9 fix: byte-only estimation pinned the
+    # whole DCT chain to 1 task at sf0.1)
+    from yardstick_spark.llm import synth_textured_media
+    from yardstick_spark.llm.dedup import _spread_by_bytes
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+    media = synth_textured_media(docs)
+    assert _spread_by_bytes(media, rows_per_part=256) \
+        .rdd.getNumPartitions() > 1
+    # and the byte-only estimate still coalesces the same tiny input
+    # (the decode-chain behavior the original measurement justified)
+    assert _spread_by_bytes(media).rdd.getNumPartitions() == 1
+
+
 def test_shard_assign_cumsum_is_two_phase(spark):
     # the global token cumsum must be the two-phase scan: the window
     # partitions by spark_partition_id (parallel) and the offsets
