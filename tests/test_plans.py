@@ -627,3 +627,43 @@ def test_shard_assign_cumsum_is_two_phase(spark):
     for line in plan.splitlines():
         if "Window" in line and "SinglePartition" in line:
             raise AssertionError(f"corpus-wide window found:\n{line}")
+
+
+def test_inventory_plan_lint_no_cartesian_products(spark):
+    """Whole-inventory plan lint: build every entry's physical plan at
+    sf0.001 and assert (a) NO CartesianProduct anywhere — an unkeyed
+    join over corpus-sized inputs is never an acceptable shape at
+    100 TB — and (b) BroadcastNestedLoopJoin appears only in the
+    known-bounded set (1-row corpus-stats cross joins and grand-total
+    broadcasts, each with a provably tiny build side).  A new entry
+    that accidentally introduces an unkeyed join fails here before it
+    ever reaches a bench."""
+    import __spark_entry__ as e
+
+    # every member is a 1-row (stats/total) or k-row (grand-total /
+    # share / pool-table) broadcast build side, audited individually
+    BNLJ_OK = {
+        "ret_bm25", "ret_rrf", "ret_hybrid", "sim_knn_pq",
+        "text_unigram_logprob", "emb_hard_negatives",
+        "text_vocab_coverage", "dedup_source_matrix", "m_star_join",
+        "m_at_set_const", "m_derived_at_all", "m_at_all_share",
+        "m_at_where", "m_at_visible", "text_bigram_logprob",
+        "text_tfidf", "m_nd_at_all", "m_window_measure",
+    }
+    sf = "/root/testdata/sf0.001"
+    cartesian, stray_bnlj, errors = [], [], []
+    for name, fn in e.queries().items():
+        try:
+            plan = fn(spark, sf)._jdf.queryExecution() \
+                .executedPlan().toString()
+        except Exception as ex:  # noqa: BLE001
+            errors.append(f"{name}: {ex}")
+            continue
+        if "CartesianProduct" in plan:
+            cartesian.append(name)
+        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
+            stray_bnlj.append(name)
+    assert not errors, f"plan build failed: {errors[:3]}"
+    assert not cartesian, f"cartesian products in: {cartesian}"
+    assert not stray_bnlj, \
+        f"unaudited BroadcastNestedLoopJoin in: {stray_bnlj}"
