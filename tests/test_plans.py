@@ -637,7 +637,8 @@ def test_inventory_plan_lint_no_cartesian_products(spark):
     known-bounded set (1-row corpus-stats cross joins and grand-total
     broadcasts, each with a provably tiny build side).  A new entry
     that accidentally introduces an unkeyed join fails here before it
-    ever reaches a bench."""
+    ever reaches a bench; same pass asserts no row-at-a-time
+    BatchEvalPython node survives anywhere in the inventory."""
     import __spark_entry__ as e
 
     # every member is a 1-row (stats/total) or k-row (grand-total /
@@ -651,7 +652,7 @@ def test_inventory_plan_lint_no_cartesian_products(spark):
         "text_tfidf", "m_nd_at_all", "m_window_measure",
     }
     sf = "/root/testdata/sf0.001"
-    cartesian, stray_bnlj, errors = [], [], []
+    cartesian, stray_bnlj, row_udf, errors = [], [], [], []
     for name, fn in e.queries().items():
         try:
             plan = fn(spark, sf)._jdf.queryExecution() \
@@ -663,7 +664,14 @@ def test_inventory_plan_lint_no_cartesian_products(spark):
             cartesian.append(name)
         if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
             stray_bnlj.append(name)
+        # (c) no row-at-a-time Python UDF anywhere: every Python hop
+        # must be Arrow-batched (ArrowEvalPython / MapInPandas /
+        # FlatMapGroupsInPandas) — BatchEvalPython is the 10-100x
+        # slow path this repo bans from hot paths
+        if "BatchEvalPython" in plan:
+            row_udf.append(name)
     assert not errors, f"plan build failed: {errors[:3]}"
     assert not cartesian, f"cartesian products in: {cartesian}"
     assert not stray_bnlj, \
         f"unaudited BroadcastNestedLoopJoin in: {stray_bnlj}"
+    assert not row_udf, f"row-at-a-time Python UDF in: {row_udf}"
