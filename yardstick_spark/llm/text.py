@@ -1792,12 +1792,18 @@ def shard_assign(docs: DataFrame, shard_tokens: int,
     documents keep a shard (they ride their shuffle position with
     weight 0) so no document is silently dropped at write time.
 
-    The cumsum is pack_sequences' two-phase scan, in md5-key order:
-    range-partition by (skey, id), per-partition window cumsum,
-    #partitions totals to the driver for the exact prefix, broadcast
-    back — driver state is #partitions integers at any corpus size.
-    The per-partition `local` frame is CACHED before the collect for
-    the same boundary-stability reason documented there."""
+    The cumsum is the two-phase scan (per-bucket window cumsum +
+    #buckets driver integers broadcast back), but unlike
+    pack_sequences' generic id-ordered variant the range buckets here
+    are DETERMINISTIC, not sampled: the order key is an md5 hex
+    string — uniform by construction — so bucket =
+    floor(first-8-hex-digits * n_buckets / 2^32) is a pure monotone
+    function of the key (lowercase hex strings sort identically to
+    their numeric value).  That deletes `repartitionByRange`'s
+    sampling job (a full extra pass over the tokenize+md5 subplan)
+    and the plan-dependent-seed boundary instability it brought; the
+    `local` frame keeps its cache only so the totals aggregate and
+    the join-back share one scan."""
     from pyspark.sql import Window
 
     from .dedup import _cache
@@ -1805,13 +1811,14 @@ def shard_assign(docs: DataFrame, shard_tokens: int,
     norm = _NORM.format(c=text_col)
     n_tok = f"coalesce(size(filter(split({norm}, ' '), t -> t <> '')), 0)"
     key = (f"md5(concat('{seed}:', CAST({id_col} AS STRING)))")
+    n_buckets = docs.sparkSession.sparkContext.defaultParallelism
+    bucket = (f"CAST(CAST(conv(substring(skey, 1, 8), 16, 10) AS BIGINT) "
+              f"* {n_buckets} DIV 4294967296 AS INT)")
     toks = (
         docs.select(F.col(id_col).alias("id"),
                     F.expr(key).alias("skey"),
                     F.expr(n_tok).cast("bigint").alias("n"))
-        .repartitionByRange(F.col("skey"), F.col("id"))
-        .sortWithinPartitions("skey", "id")
-        .withColumn("pid", F.spark_partition_id())
+        .withColumn("pid", F.expr(bucket))
     )
     w = Window.partitionBy("pid").orderBy("skey", "id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
