@@ -2489,6 +2489,7 @@ _R9_LEAD: list[str] = [
     "dedup_fuzzy", "dedup_fuzzy_clusters",
     "text_dsir_weights", "text_dsir_sample", "text_dsir_incremental",
     "ret_bm25", "ret_rrf", "ret_hybrid", "ret_bm25_incremental",
+    "text_shard_manifest",  # r9 deterministic range buckets
     # last driver row round 5 (28 of 42; the rest lead r10)
     "ops_profile", "mm_phash", "pipeline_embeddings",
     "ops_scd2_lookup", "ops_expectations", "text_dup_spans", "sim_mmr",
@@ -2498,7 +2499,9 @@ _R9_LEAD: list[str] = [
     "sim_knn_quantized", "events_paths", "text_vocab_coverage",
     "text_ngrams", "ops_cdc_compact", "ops_scd2", "text_heavy_hitters",
     "ops_incremental_agg", "ops_table_diff", "text_char_entropy",
-    "ops_gap_fill", "text_stratified",
+    "ops_gap_fill",
+    # text_stratified displaced by the shard_assign change; it joins
+    # the 14 deferred r5 entries leading the r10 window
 ]
 
 
