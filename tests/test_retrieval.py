@@ -81,6 +81,25 @@ def test_bm25_index_from_pretokenized_corpus_identical(spark, tmp_path):
     assert a == b
 
 
+def test_bm25_pretokenized_null_and_empty_docs(spark):
+    """NULL/empty/whitespace texts tokenize to NULL or empty arrays;
+    the tokens_col path must exclude them exactly like the raw path
+    (size(NULL) is NULL post-legacy, so dl/tf stay NULL -> score NULL
+    -> filtered)."""
+    from yardstick_spark.llm import (bm25_scores, clear_dedup_caches,
+                                     tokenize_for_bm25)
+
+    docs = _docs(spark, [(1, "spark join"), (2, None), (3, ""),
+                         (4, "   "), (5, "spark")])
+    pre = tokenize_for_bm25(docs)
+    a = [tuple(r) for r in bm25_scores(docs, "spark", top_k=10).collect()]
+    clear_dedup_caches()
+    b = [tuple(r) for r in bm25_scores(pre, "spark", top_k=10,
+                                       tokens_col="tokens").collect()]
+    clear_dedup_caches()
+    assert a == b and {r[0] for r in a} == {1, 5}
+
+
 def test_bm25_rejects_empty_query(spark):
     from yardstick_spark.llm import bm25_scores
 

@@ -1287,6 +1287,22 @@ def test_fuzzy_cluster_edges_cap_is_member_grain(spark):
     assert all(got[60 + i] == 60 for i in range(3))
 
 
+def test_fuzzy_cluster_edges_degenerate_inputs(spark):
+    """Empty corpus, all-NULL, and single-row inputs must yield empty
+    edge lists (not errors) on both the collapsed and record-grain
+    paths, under a tight cap and the default."""
+    from yardstick_spark.llm import fuzzy_cluster_edges, fuzzy_dedup_pairs
+
+    for rows in ([], [(1, None)], [(1, "")], [(1, "only one")],
+                 [(1, None), (2, ""), (3, "   ")]):
+        df = spark.createDataFrame(rows, "pk bigint, name string")
+        for mb in (2, 10_000):
+            assert fuzzy_cluster_edges(
+                df, "pk", "name", max_block=mb).count() == 0
+            assert fuzzy_dedup_pairs(
+                df, "pk", "name", max_block=mb).count() == 0
+
+
 def test_shard_assign_covers_corpus_within_budget(spark):
     from yardstick_spark.llm import shard_assign
 
