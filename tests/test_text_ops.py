@@ -1191,6 +1191,25 @@ def test_dsir_store_incremental_equals_refit(spark, tmp_path):
     assert inc == full, "incremental store must equal a full refit"
 
 
+def test_dsir_store_xxhash64_incremental_equals_refit(spark, tmp_path):
+    """hash_impl persists in the store metadata: an xxhash64-fitted
+    store must score/update under xxhash64 buckets (not the md5
+    default) so incremental == refit holds for the fast path too."""
+    from yardstick_spark.llm import (dsir_score_with_store, dsir_weights,
+                                     save_dsir_store, update_dsir_store)
+
+    docs = _dsir_docs(spark)
+    path = str(tmp_path / "store_xx")
+    save_dsir_store(docs.filter("doc_id % 3 != 0"), "lang = 'en'", path,
+                    n_buckets=256, hash_impl="xxhash64")
+    update_dsir_store(docs.filter("doc_id % 3 = 0"), path)
+    got = sorted(map(tuple, dsir_score_with_store(docs, path).collect()))
+    want = sorted(map(tuple, dsir_weights(
+        docs, "lang = 'en'", n_buckets=256,
+        hash_impl="xxhash64").collect()))
+    assert got == want, "xxhash64 store incremental must equal refit"
+
+
 def test_dsir_store_stream_twin_equals_batch(spark, tmp_path):
     from yardstick_spark.llm import (dsir_score_with_store, dsir_weights,
                                      save_dsir_store)
