@@ -2490,6 +2490,7 @@ _R9_LEAD: list[str] = [
     "text_dsir_weights", "text_dsir_sample", "text_dsir_incremental",
     "ret_bm25", "ret_rrf", "ret_hybrid", "ret_bm25_incremental",
     "text_shard_manifest",  # r9 deterministic range buckets
+    "emb_outliers",  # r9 signed-zero canonicalization of z (both sides)
     # last driver row round 5 (28 of 42; the rest lead r10)
     "ops_profile", "mm_phash", "pipeline_embeddings",
     "ops_scd2_lookup", "ops_expectations", "text_dup_spans", "sim_mmr",
@@ -2499,9 +2500,9 @@ _R9_LEAD: list[str] = [
     "sim_knn_quantized", "events_paths", "text_vocab_coverage",
     "text_ngrams", "ops_cdc_compact", "ops_scd2", "text_heavy_hitters",
     "ops_incremental_agg", "ops_table_diff", "text_char_entropy",
-    "ops_gap_fill",
-    # text_stratified displaced by the shard_assign change; it joins
-    # the 14 deferred r5 entries leading the r10 window
+    # text_stratified and ops_gap_fill displaced by the shard_assign
+    # and emb_outliers changes; they join the deferred r5 entries
+    # leading the r10 window
 ]
 
 
@@ -4938,7 +4939,7 @@ def oracle_sql() -> dict[str, str]:
                               OVER (PARTITION BY label) = 0 THEN 0
                      ELSE (dist - AVG(dist) OVER (PARTITION BY label))
                           / STDDEV_POP(dist) OVER (PARTITION BY label)
-                     END, 4) AS z
+                     END, 4) + 0.0 AS z
         FROM sc"""
     # one-pass distributed covariance.  Both engines quantize each
     # coordinate to floor(x*1e6) and sum EXACT integers (Spark:

@@ -166,9 +166,13 @@ def embedding_outliers(vecs: DataFrame, id_col: str = "vec_id",
     distance fold is scan-side, and the z-score windows partition by
     label — the same key the prototype aggregation already used.
     Distances are ROUND()ed (6 dp) before the moment windows and z is
-    rounded to `round_to`, so results are reproducible across
-    partitionings; a zero-variance label (all members equidistant)
-    z-scores to 0 rather than NULL/NaN."""
+    rounded to `round_to` with signed zero canonicalized (+ 0.0: the
+    label mean is a float fold whose last ulp differs across engines,
+    so a dist == mean row can round to -0.0 on one engine and +0.0 on
+    the other — caught at sf0.1 by the r9 cross-scale diff), so
+    results are reproducible across partitionings AND engines; a
+    zero-variance label (all members equidistant) z-scores to 0
+    rather than NULL/NaN."""
     from pyspark.sql import Window
 
     protos = label_prototypes(vecs, id_col=id_col, vec_col=vec_col,
@@ -191,7 +195,8 @@ def embedding_outliers(vecs: DataFrame, id_col: str = "vec_id",
     z = F.when(sd == 0, F.lit(0.0)).otherwise(
         (F.col("dist") - F.avg("dist").over(w)) / sd)
     return scored.select(
-        "id", "label", "dist", F.round(z, round_to).alias("z"))
+        "id", "label", "dist",
+        (F.round(z, round_to) + F.lit(0.0)).alias("z"))
 
 
 def mmr_rerank(corpus: DataFrame, queries: DataFrame, k: int = 5,
