@@ -1827,9 +1827,17 @@ def _q_mm_resize(spark, sf_dir):
 
     media = synth_gradient_media(_docs(spark, sf_dir))
     out = decode_media(resize_media(media, 16, 16), n_features=4, fake=False)
+    # compare on the EXACT INTEGER pixel-sum grid: round(mean * n * 255)
+    # recovers the integer sample sum from the float mean (error << 0.5
+    # since sums < 2^18), and the oracle computes SUM(v) directly —
+    # integer equality on both engines.  The previous 6-dp float-mean
+    # comparison diverged at sf0.1 when a mean landed on a decimal
+    # rounding boundary (0.6265625) that the two engines' float folds
+    # approached from opposite ulps (the emb_outliers class).
     return out.select(
         "media_id", "width", "height", "n_samples",
-        F.round("mean_val", 6).alias("mean_val"),
+        F.expr("CAST(round(mean_val * n_samples * 255) AS BIGINT)")
+        .alias("sum_px"),
     )
 
 
@@ -2491,6 +2499,7 @@ _R9_LEAD: list[str] = [
     "ret_bm25", "ret_rrf", "ret_hybrid", "ret_bm25_incremental",
     "text_shard_manifest",  # r9 deterministic range buckets
     "emb_outliers",  # r9 signed-zero canonicalization of z (both sides)
+    "mm_resize",  # r9 exact-integer-grid comparison (sum_px)
     # last driver row round 5 (28 of 42; the rest lead r10)
     "ops_profile", "mm_phash", "pipeline_embeddings",
     "ops_scd2_lookup", "ops_expectations", "text_dup_spans", "sim_mmr",
@@ -2499,10 +2508,10 @@ _R9_LEAD: list[str] = [
     "emb_hard_negatives", "emb_medoids", "emb_quantize",
     "sim_knn_quantized", "events_paths", "text_vocab_coverage",
     "text_ngrams", "ops_cdc_compact", "ops_scd2", "text_heavy_hitters",
-    "ops_incremental_agg", "ops_table_diff", "text_char_entropy",
-    # text_stratified and ops_gap_fill displaced by the shard_assign
-    # and emb_outliers changes; they join the deferred r5 entries
-    # leading the r10 window
+    "ops_incremental_agg", "ops_table_diff",
+    # text_stratified, ops_gap_fill and text_char_entropy displaced by
+    # the shard_assign / emb_outliers / mm_resize changes; they join
+    # the deferred r5 entries leading the r10 window
 ]
 
 
@@ -3903,7 +3912,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id AS media_id, CAST(16 AS INT) AS width,
                CAST(16 AS INT) AS height,
                CAST(768 AS BIGINT) AS n_samples,
-               ROUND(AVG(v / 255.0), 6) AS mean_val
+               CAST(SUM(v) * 3 AS BIGINT) AS sum_px
         FROM px GROUP BY doc_id"""
     o["mm_frame_sample"] = """
         SELECT CAST(SUM(CAST(floor(length(text) * 10 / 1000.0) AS BIGINT) + 1)
