@@ -610,6 +610,42 @@ def test_phash_rows_floor_engages_parallelism(spark):
     assert _spread_by_bytes(media).rdd.getNumPartitions() == 1
 
 
+def test_spread_rows_floor_disabled_on_any_footer_failure(spark,
+                                                          monkeypatch):
+    """One unreadable parquet footer must disable the rows floor for
+    the WHOLE input, not reset a running count mid-accumulation — a
+    partial row total would silently under-partition the per-row-cost
+    chain (r9 ADVICE).  With the floor off, the tiny-byte input falls
+    back to the byte estimate (1 partition)."""
+    import pyarrow.parquet as pq
+
+    from yardstick_spark.llm.dedup import _spread_by_bytes
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+    n_files = len(docs.inputFiles())
+    real = pq.ParquetFile
+    state = {"i": 0}
+
+    def flaky(p, *a, **k):
+        state["i"] += 1
+        if state["i"] == 1:  # first footer read fails
+            raise OSError("injected footer corruption")
+        return real(p, *a, **k)
+
+    monkeypatch.setattr(pq, "ParquetFile", flaky)
+    got = _spread_by_bytes(docs, rows_per_part=64) \
+        .rdd.getNumPartitions()
+    if n_files == 1:
+        # the only footer failed -> floor disabled -> byte estimate
+        assert got == 1
+    else:
+        # later readable footers must NOT re-accumulate a partial
+        # count; sf0.001 has ~600 docs, a partial floor would still
+        # exceed 1 — the only correct answer is the byte estimate
+        assert got == 1
+
+
 def test_shard_assign_cumsum_is_two_phase(spark):
     # the global token cumsum must be the two-phase scan: the window
     # partitions by spark_partition_id (parallel) and the offsets

@@ -266,6 +266,143 @@ def test_swap_dataset_is_crash_recoverable(spark, tmp_path):
     assert not (tmp_path / "t2").exists()
 
 
+class _Boom(RuntimeError):
+    pass
+
+
+def _crash_on_call(real, n, after=True):
+    """Wrap a callable so its n-th invocation raises — AFTER performing
+    the real effect when `after` (simulating a crash just past the
+    step), before it otherwise."""
+    state = {"i": 0}
+
+    def wrap(*a, **k):
+        state["i"] += 1
+        if state["i"] == n:
+            if after:
+                real(*a, **k)
+            raise _Boom(f"injected crash at call {n}")
+        return real(*a, **k)
+
+    return wrap
+
+
+_BM25_CRASH_POINTS = [
+    # (which callable to sabotage, nth call, after-effect?)
+    ("parquet", 1, False),   # crash after pending write, before append
+    ("parquet", 1, True),    # crash after postings append
+    ("parquet", 2, True),    # crash after dfs_tmp write
+    ("rename", 1, True),     # crash after dfs -> dfs_old (mid-swap)
+    ("rename", 2, True),     # crash after dfs_tmp -> dfs (pre-commit)
+    ("replace", 1, False),   # crash just before the meta commit
+    ("replace", 1, True),    # crash after meta commit, before cleanup
+]
+
+
+@pytest.mark.parametrize("target,nth,after", _BM25_CRASH_POINTS)
+def test_bm25_update_crash_then_rerun(spark, tmp_path, monkeypatch,
+                                      target, nth, after):
+    """Kill update_bm25_index at every step boundary of its protocol,
+    then rerun the SAME batch naively: the rerun must converge to
+    exactly-once semantics (scores identical to a full rebuild and to
+    the scan path — no double-counted postings or df), and a further
+    rerun must be a no-op that leaves no pending/_old/_tmp residue."""
+    import os as _os
+
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    from yardstick_spark.llm import (bm25_scores, bm25_search_index,
+                                     clear_dedup_caches,
+                                     save_bm25_index, update_bm25_index)
+    from yardstick_spark.llm import store as ysstore
+
+    rows = [(i, f"alpha beta {'gamma ' * (i % 5)}delta "
+                f"{'alpha ' * (i % 3)}") for i in range(80)] + [(99, None)]
+    full = spark.createDataFrame(rows, "doc_id long, text string")
+    old, new = full.filter("doc_id < 50"), full.filter("doc_id >= 50")
+    inc = str(tmp_path / "inc_idx")
+    save_bm25_index(old, inc, buckets=8)  # before any sabotage
+
+    with monkeypatch.context() as m:
+        if target == "parquet":
+            m.setattr(DataFrameWriter, "parquet",
+                      _crash_on_call(DataFrameWriter.parquet, nth,
+                                     after))
+        elif target == "rename":
+            m.setattr(ysstore, "rename_dataset",
+                      _crash_on_call(ysstore.rename_dataset, nth,
+                                     after))
+        else:
+            m.setattr(_os, "replace",
+                      _crash_on_call(_os.replace, nth, after))
+        with pytest.raises(_Boom):
+            update_bm25_index(new, inc)
+
+    update_bm25_index(new, inc)  # naive rerun of the same batch
+    update_bm25_index(new, inc)  # and again: applied-batch no-op
+
+    reb = str(tmp_path / "reb_idx")
+    save_bm25_index(full, reb, buckets=8)
+    q = "alpha gamma"
+    got_inc = [(r.doc_id, r.bm25, r.rank)
+               for r in bm25_search_index(spark, inc, q,
+                                          top_k=30).collect()]
+    got_reb = [(r.doc_id, r.bm25, r.rank)
+               for r in bm25_search_index(spark, reb, q,
+                                          top_k=30).collect()]
+    got_scan = [(r.doc_id, r.bm25, r.rank)
+                for r in bm25_scores(full, q, top_k=30).collect()]
+    clear_dedup_caches()
+    assert got_inc == got_reb == got_scan
+    assert not (tmp_path / "inc_idx" / "_bm25_pending.json").exists()
+    assert not (tmp_path / "inc_idx" / "dfs_old").exists()
+    assert not (tmp_path / "inc_idx" / "dfs_tmp").exists()
+
+
+def test_bm25_update_distinct_batches_still_apply(spark, tmp_path):
+    """The batch-id dedup must not eat a GENUINELY new batch: two
+    different batches applied back-to-back both land (equals a full
+    rebuild over all three parts)."""
+    from yardstick_spark.llm import (bm25_search_index,
+                                     clear_dedup_caches,
+                                     save_bm25_index, update_bm25_index)
+
+    rows = [(i, f"alpha beta {'gamma ' * (i % 5)}") for i in range(90)]
+    full = spark.createDataFrame(rows, "doc_id long, text string")
+    inc = str(tmp_path / "inc")
+    save_bm25_index(full.filter("doc_id < 30"), inc, buckets=8)
+    update_bm25_index(full.filter("doc_id >= 30 and doc_id < 60"), inc)
+    update_bm25_index(full.filter("doc_id >= 60"), inc)
+    reb = str(tmp_path / "reb")
+    save_bm25_index(full, reb, buckets=8)
+    q = "alpha gamma"
+    got = [(r.doc_id, r.bm25) for r in
+           bm25_search_index(spark, inc, q, top_k=40).collect()]
+    want = [(r.doc_id, r.bm25) for r in
+            bm25_search_index(spark, reb, q, top_k=40).collect()]
+    clear_dedup_caches()
+    assert got == want
+
+
+def test_heal_dataset_restores_renamed_aside_store(spark, tmp_path):
+    """A swap that died between rename-aside and rename-into-place
+    leaves only `<dst>_old`; heal_dataset restores it so a reader's
+    (or rerunning updater's) initial read succeeds — and is a no-op
+    in the healthy and both-copies states."""
+    from yardstick_spark.llm.store import heal_dataset
+
+    dst = str(tmp_path / "ds")
+    spark.range(5).write.parquet(dst + "_old")  # crashed mid-swap
+    heal_dataset(spark, dst, "test")
+    assert spark.read.parquet(dst).count() == 5
+    assert not (tmp_path / "ds_old").exists()
+    heal_dataset(spark, dst, "test")  # healthy: no-op
+    assert spark.read.parquet(dst).count() == 5
+    spark.range(2).write.parquet(dst + "_old")  # both copies: keep dst
+    heal_dataset(spark, dst, "test")
+    assert spark.read.parquet(dst).count() == 5
+
+
 def test_rrf_hand_computed(spark):
     from yardstick_spark.llm import rrf_fuse
 

@@ -307,19 +307,25 @@ def _spread_by_bytes(df: DataFrame, bytes_per_part: int = 8 << 20,
     try:
         total = 0
         rows = 0
+        rows_known = True
         for f in df.inputFiles():
             p = f.removeprefix("file:")
             if not p.startswith("/"):
                 total = 0
                 break
             total += os.path.getsize(p)
-            if rows_per_part and p.endswith(".parquet"):
+            if rows_per_part and rows_known and p.endswith(".parquet"):
                 try:
                     import pyarrow.parquet as pq
 
                     rows += pq.ParquetFile(p).metadata.num_rows
                 except Exception:  # noqa: BLE001
+                    # One unreadable footer poisons the whole count: a
+                    # PARTIAL row total would silently under-partition
+                    # the per-row-cost chain the floor exists to
+                    # protect.  Disable the floor for this input.
                     rows = 0
+                    rows_known = False
         if total > 0:
             target = min(cores, 1 + total // bytes_per_part)
             if rows_per_part and rows > 0:

@@ -197,13 +197,19 @@ def bm25_sql(query: str, text_col: str = "text", id_col: str = "doc_id",
 
 def _bm25_batch_parts(docs: DataFrame, text_col: str, id_col: str,
                       buckets: int, tokens_col: str | None = None):
-    """(postings, dfs, n_docs, sum_dl) for one document batch —
-    shared by the initial build and the incremental update.
+    """(postings, dfs, n_docs, sum_dl, batch_id) for one document
+    batch — shared by the initial build and the incremental update.
     Statistics are EXACT INTEGERS (token total + doc count), so
     merging batches is plain addition and avgdl is derived at query
     time from the merged integers, bit-identical to what a full
     rebuild computes.  `tokens_col` consumes a pre-tokenized layout
-    (`tokenize_for_bm25`) instead of re-running the regex chain."""
+    (`tokenize_for_bm25`) instead of re-running the regex chain.
+
+    `batch_id` is a deterministic content fingerprint (row count +
+    token total + order-independent sum of id hashes), computed inside
+    the SAME stats action — zero extra scans.  `update_bm25_index`
+    stamps it into the meta sidecar so a rerun of an already-applied
+    batch is detected instead of double-appending postings."""
     norm = _NORM.format(c=text_col)
     toks = f"filter(split({norm}, ' '), t -> t <> '')"
     tk_src = (F.col(tokens_col) if tokens_col is not None
@@ -223,8 +229,14 @@ def _bm25_batch_parts(docs: DataFrame, text_col: str, id_col: str,
     stats = base.agg(
         F.count("*").alias("n"),
         F.coalesce(F.sum(F.expr("size(tk)")), F.lit(0)).alias("sdl"),
+        # order-independent fold of the id set: XOR of hashes never
+        # overflows (a BIGINT sum would, under ANSI) and ids are
+        # unique by the caller contract, so nothing cancels
+        F.coalesce(F.expr("bit_xor(xxhash64(cast(id as string)))"),
+                   F.lit(0)).alias("idh"),
     ).collect()[0]
-    return tf, dfs, int(stats["n"]), int(stats["sdl"])
+    bid = f"{int(stats['n'])}:{int(stats['sdl'])}:{int(stats['idh'])}"
+    return tf, dfs, int(stats["n"]), int(stats["sdl"]), bid
 
 
 def save_bm25_index(docs: DataFrame, path: str, text_col: str = "text",
@@ -253,8 +265,8 @@ def save_bm25_index(docs: DataFrame, path: str, text_col: str = "text",
     import json
     from pathlib import Path
 
-    tf, dfs, n, sdl = _bm25_batch_parts(docs, text_col, id_col, buckets,
-                                        tokens_col)
+    tf, dfs, n, sdl, _ = _bm25_batch_parts(docs, text_col, id_col,
+                                           buckets, tokens_col)
     post = tf.select("term", "id", "tf", "dl", "bucket")
     (post.repartition(F.col("bucket"))
      .write.mode("overwrite").partitionBy("bucket")
@@ -285,24 +297,77 @@ def update_bm25_index(new_docs: DataFrame, path: str,
 
     Caller contract (same as the incremental dedup stores): batches
     contain only UNSEEN doc ids — re-ingesting a doc would split its
-    tf across duplicate posting rows.  The df rewrite is the one
-    non-append step; it is last, after the postings append, so a
-    crash in between leaves df undercounted (scores too high for the
-    batch's terms) rather than postings missing — rerun the update's
-    df step (or the whole idempotent batch after deduplicating ids)
-    to repair."""
+    tf across duplicate posting rows.
+
+    CRASH SAFETY — the update is idempotent; rerunning the same batch
+    after a crash at ANY point converges to exactly-once semantics:
+
+      1. the batch's content fingerprint (`_bm25_batch_parts` bid) is
+         compared against `last_batch` in the meta sidecar — a rerun
+         of a FULLY applied batch is a no-op (plus residue cleanup);
+      2. a `_bm25_pending.json` marker (bid + the pre-append postings
+         file listing) is written BEFORE any mutation.  A rerun that
+         finds a pending marker first ROLLS BACK the half-applied
+         batch: appended posting files (= files not in the recorded
+         listing) are deleted, a half-swapped dfs is restored from
+         dfs_old, dfs_tmp is removed;
+      3. the dfs swap keeps `dfs_old` until AFTER the meta commit
+         (unlike the generic `store.swap_dataset`), so rollback can
+         always restore the pre-batch dfs;
+      4. the meta sidecar (now carrying `last_batch`) commits via
+         write-to-temp + atomic rename; it is the commit point —
+         before it the rerun rolls back, after it the rerun no-ops.
+    Pinned by tests/test_retrieval.py::test_bm25_update_crash_* which
+    kill the update between every pair of steps and rerun."""
     import json
+    import os
     from pathlib import Path
 
-    meta = json.loads(Path(path, "_bm25_meta.json").read_text())
+    from .store import (_dataset_exists, delete_dataset,
+                        delete_dataset_files, list_dataset_files,
+                        rename_dataset)
+
+    meta_p = Path(path, "_bm25_meta.json")
+    pend_p = Path(path, "_bm25_pending.json")
+    meta = json.loads(meta_p.read_text())
     buckets = meta["buckets"]
-    tf, new_dfs, n, sdl = _bm25_batch_parts(
+    tf, new_dfs, n, sdl, bid = _bm25_batch_parts(
         new_docs, text_col, id_col, buckets, tokens_col)
     spark = new_docs.sparkSession
+    post_p = str(Path(path) / "postings")
+    dfs_p = str(Path(path) / "dfs")
+    tmp_p = str(Path(path) / "dfs_tmp")
+    if meta.get("last_batch") == bid:
+        # batch fully applied by a previous run that crashed after the
+        # meta commit — clean the residue and return
+        delete_dataset(spark, dfs_p + "_old")
+        delete_dataset(spark, tmp_p)
+        pend_p.unlink(missing_ok=True)
+        return
+    if pend_p.exists():
+        # a previous update (this batch or another) died mid-apply and
+        # never reached its meta commit: roll it back completely
+        pend = json.loads(pend_p.read_text())
+        # dfs_old exists only between the rename-aside and the meta
+        # commit; whatever sits at dfs then (nothing mid-swap, the NEW
+        # merged table post-swap) must yield to the pre-batch copy
+        fs_old = dfs_p + "_old"
+        if _dataset_exists(spark, fs_old):
+            delete_dataset(spark, dfs_p)
+            rename_dataset(spark, fs_old, dfs_p, "update_bm25_index")
+        delete_dataset_files(spark, post_p,
+                             set(pend["postings_files"]),
+                             "update_bm25_index")
+        delete_dataset(spark, tmp_p)
+        pend_p.unlink()
+    # stage: record the batch id and the pre-append postings listing;
+    # everything after this line is covered by rollback-on-rerun
+    pend_p.write_text(json.dumps(
+        {"batch": bid,
+         "postings_files": list_dataset_files(spark, post_p)}))
     post = tf.select("term", "id", "tf", "dl", "bucket")
     (post.repartition(F.col("bucket"))
-     .write.mode("append").partitionBy("bucket")
-     .parquet(str(Path(path) / "postings")))
+     .write.mode("append").partitionBy("bucket").parquet(post_p))
     old_dfs = spark.read
     if "dfs_schema" in meta:  # sidecar schema: empty-index safe
         from pyspark.sql.types import StructType
@@ -310,27 +375,31 @@ def update_bm25_index(new_docs: DataFrame, path: str,
         old_dfs = old_dfs.schema(StructType.fromJson(
             json.loads(meta["dfs_schema"])))
     merged = (
-        old_dfs.parquet(str(Path(path) / "dfs"))
+        old_dfs.parquet(dfs_p)
         .select("bucket", "term", "df")
         .unionByName(new_dfs.select("bucket", "term", "df"))
         .groupBy("bucket", "term").agg(F.sum("df").alias("df"))
     )
     # the df table is one row per distinct term — rewrite via a temp
-    # dataset + the crash-recoverable rename-aside swap (reading and
-    # overwriting the same parquet path in one plan is not safe; a
-    # crash mid-swap leaves a complete copy at dfs or dfs_old)
-    tmp_p = str(Path(path) / "dfs_tmp")
+    # dataset + rename-aside swap (reading and overwriting the same
+    # parquet path in one plan is not safe), inlined here instead of
+    # store.swap_dataset because dfs_old must OUTLIVE the swap until
+    # the meta commit below
     (merged.repartition(F.col("bucket"))
      .write.mode("overwrite").partitionBy("bucket").parquet(tmp_p))
-    from .store import swap_dataset
-
-    swap_dataset(spark, tmp_p, str(Path(path) / "dfs"),
-                 "update_bm25_index")
-    Path(path, "_bm25_meta.json").write_text(json.dumps(
+    rename_dataset(spark, dfs_p, dfs_p + "_old", "update_bm25_index")
+    rename_dataset(spark, tmp_p, dfs_p, "update_bm25_index")
+    # commit point: meta carries the applied batch id; atomic rename
+    meta_tmp = Path(path, "_bm25_meta.json.tmp")
+    meta_tmp.write_text(json.dumps(
         {"buckets": buckets, "n_docs": meta["n_docs"] + n,
          "sum_dl": meta["sum_dl"] + sdl,
          "postings_schema": post.schema.json(),
-         "dfs_schema": new_dfs.schema.json()}))
+         "dfs_schema": new_dfs.schema.json(),
+         "last_batch": bid}))
+    os.replace(meta_tmp, meta_p)
+    delete_dataset(spark, dfs_p + "_old")
+    pend_p.unlink()
 
 
 def bm25_search_index(spark, path: str, query: str,
@@ -352,6 +421,9 @@ def bm25_search_index(spark, path: str, query: str,
     from pathlib import Path
 
     meta = json.loads(Path(path, "_bm25_meta.json").read_text())
+    from .store import heal_dataset
+
+    heal_dataset(spark, str(Path(path) / "dfs"), "bm25_search_index")
     terms = _query_terms(query)
     if not terms:
         raise ValueError("query has no terms after normalization")

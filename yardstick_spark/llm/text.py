@@ -1708,6 +1708,10 @@ def update_dsir_store(new_docs: DataFrame, path: str,
 
     meta = json.loads(Path(path, "_dsir_meta.json").read_text())
     spark = new_docs.sparkSession
+    from .store import heal_dataset
+
+    heal_dataset(spark, str(Path(path) / "buckets"),
+                 "update_dsir_store")
     batch = _dsir_bucket_counts(new_docs, meta["target_cond"],
                                 meta["n_buckets"], text_col,
                                 meta.get("hash_impl", "md5"))
@@ -1738,6 +1742,10 @@ def dsir_score_with_store(docs: DataFrame, path: str,
 
     meta = json.loads(Path(path, "_dsir_meta.json").read_text())
     spark = docs.sparkSession
+    from .store import heal_dataset
+
+    heal_dataset(spark, str(Path(path) / "buckets"),
+                 "dsir_score_with_store")
     counts = spark.read.parquet(str(Path(path) / "buckets"))
     lrs = _dsir_lr(counts, alpha, meta["n_buckets"])
     return _dsir_score(docs, lrs, meta["n_buckets"], text_col, id_col,
