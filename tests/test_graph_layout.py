@@ -60,6 +60,32 @@ def test_pagerank_matches_power_iteration(spark):
         assert got[nm] == pytest.approx(r[idx[nm]], abs=1e-12)
 
 
+def test_pagerank_driver_gate_matches_distributed(spark):
+    """The gated small-graph numpy fast path and the distributed join
+    loop must agree to 6-dp rounding (the grain every caller uses) on
+    a graph with parallel edges, weights, and a dangling node — and
+    the gate must actually select the intended path each way."""
+    from yardstick_spark.operators import pagerank
+
+    rows = [("a", "b", 2.0), ("a", "c", 1.0), ("b", "c", 1.0),
+            ("c", "a", 1.0), ("d", "a", 3.0), ("a", "b", 0.5)]
+    e = _edges(spark, rows)
+    fast = {r.node: round(r.rank, 6)
+            for r in pagerank(e, iterations=8).collect()}
+    slow = {r.node: round(r.rank, 6)
+            for r in pagerank(e, iterations=8,
+                              driver_max_edges=0).collect()}
+    assert fast == slow
+    assert sum(fast.values()) == pytest.approx(1.0, abs=1e-6)
+    # symmetrize flows through the gate identically on both paths
+    fs = {r.node: round(r.rank, 6)
+          for r in pagerank(e, iterations=6, symmetrize=True).collect()}
+    ss = {r.node: round(r.rank, 6)
+          for r in pagerank(e, iterations=6, symmetrize=True,
+                            driver_max_edges=0).collect()}
+    assert fs == ss
+
+
 def test_pagerank_sql_twin_matches(spark):
     """The unrolled-CTE oracle generator reproduces the Spark result
     on DuckDB bit-for-bit at 6 decimals."""

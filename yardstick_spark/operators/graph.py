@@ -50,6 +50,8 @@ def pagerank(
     dst: str = "dst",
     weight: str | None = None,
     symmetrize: bool = False,
+    checkpoint_interval: int = 2,
+    driver_max_edges: int = 1_000_000,
 ) -> DataFrame:
     """Weighted PageRank over `edges` → (node, rank) with
     sum(rank) = 1.  Nodes are the distinct union of endpoints.
@@ -67,7 +69,34 @@ def pagerank(
     near-dup pair tables), this halves edge-subtree evaluations vs
     the caller unioning `edges` with its own swap (each union leg is
     a separate Catalyst subtree and evaluates independently).
-    """
+
+    `checkpoint_interval` fuses that many supersteps into one lazy
+    plan between eager materializations.  The VALUES are identical at
+    any interval (each iteration evaluates the same expressions —
+    only plan-tree granularity changes); what changes is fixed cost:
+    at small scale the per-superstep localCheckpoint job dominates
+    (~0.35 s of scheduling each at sf0.1), so interval=2 halves the
+    floor multiplier, while the plan tree stays depth-bounded (each
+    lazy round references the previous rank table twice, so trees
+    grow ~2^interval — interval=2 keeps Catalyst analysis trivial;
+    the unbounded-lazy version OOMs analysis around 8 rounds, see
+    module docstring).  Interval must stay small relative to executor
+    lineage limits at cluster scale; 2 is the measured sweet spot.
+
+    `driver_max_edges`: graphs whose COLLAPSED edge count is at or
+    under this bound power-iterate in numpy on the driver instead of
+    running the join loop — same explicit-gate pattern as the
+    union-find fallback in `llm/cluster.py` (there 1M edges, same
+    default here).  The iteration floor is the whole cost of the
+    distributed loop on a small graph (each superstep is a multi-stage
+    Spark job scheduling a few hundred rows), while a ≤1M-edge
+    collect is ~25 MB and the numpy loop is microseconds; at data
+    scale the gate fails after one cheap count on the already-
+    materialized edge checkpoint and the loop below runs unchanged.
+    The driver path accumulates in a DETERMINISTIC sorted edge order,
+    and both paths compute the identical per-iteration expressions, so
+    results agree to float-sum reassociation (~1e-15; callers round
+    to 6 dp).  Set `driver_max_edges=0` to force the distributed loop."""
     from ..llm.dedup import _cache, _register  # shared cache registry —
     # released by llm.clear_dedup_caches() like every other barrier
 
@@ -109,6 +138,9 @@ def pagerank(
     # would set a checkpoint dir and use reliable .checkpoint() instead.
     e = _register(e.groupBy("src", "dst").agg(F.sum("w").alias("w"))
                   .localCheckpoint(eager=True))
+    # gated small-graph fast path — one cheap count on the checkpoint
+    if driver_max_edges and e.count() <= driver_max_edges:
+        return _pagerank_driver(e, iterations, damping)
     outw = e.groupBy("src").agg(F.sum("w").alias("outw"))
     e = e.join(outw, "src").withColumn("p", F.col("w") / F.col("outw"))
     e = _cache(e.select("src", "dst", "p").repartition("src"))
@@ -127,7 +159,7 @@ def pagerank(
     # joins below are NAME-based (`on="col"`), never `df1.c == df2.c`:
     # ranks/nodes/e all share lineage, so attribute-id equality
     # conditions would silently degenerate (classic self-join trap)
-    for _ in range(iterations):
+    for it in range(iterations):
         contrib = (
             ranks.withColumnRenamed("node", "src")
             .join(e, "src")
@@ -157,9 +189,58 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        # eager per-superstep materialization — see module docstring
-        ranks = ranks.localCheckpoint(eager=True)
+        # eager materialization every `checkpoint_interval` supersteps
+        # (and always after the last) — see the parameter docstring
+        if (it + 1) % max(1, checkpoint_interval) == 0 \
+                or it + 1 == iterations:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def _pagerank_driver(e: DataFrame, iterations: int,
+                     damping: float) -> DataFrame:
+    """numpy power iteration over a gate-checked small edge table —
+    the small-graph half of `pagerank` (see its docstring for the
+    gate rationale).  `e` is the collapsed (src, dst, w) relation.
+
+    Exactly the textbook update the distributed loop evaluates:
+      rank' = (1-d)/n + d * (contrib + dangling_mass / n)
+    with contributions accumulated by `np.add.at` over edges sorted by
+    (dst, src) — a fixed sequential order, so the result is
+    bit-reproducible run to run (float reassociation vs the
+    distributed path stays ~1e-15, absorbed by callers' 6-dp rounds
+    and pinned by test_pagerank_driver_gate_matches_distributed)."""
+    import numpy as np
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    spark = e.sparkSession
+    out_schema = StructType([
+        StructField("node", e.schema["src"].dataType),
+        StructField("rank", DoubleType()),
+    ])
+    pdf = e.toPandas()
+    if len(pdf) == 0:
+        return spark.createDataFrame([], out_schema)
+    nodes = sorted(set(pdf["src"]) | set(pdf["dst"]))
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    src_i = pdf["src"].map(idx).to_numpy(dtype=np.int64)
+    dst_i = pdf["dst"].map(idx).to_numpy(dtype=np.int64)
+    w = pdf["w"].to_numpy(dtype=np.float64)
+    order = np.lexsort((src_i, dst_i))  # deterministic edge order
+    src_i, dst_i, w = src_i[order], dst_i[order], w[order]
+    outw = np.zeros(n)
+    np.add.at(outw, src_i, w)
+    p = w / outw[src_i]
+    has_out = outw > 0
+    ranks = np.full(n, 1.0 / n)
+    for _ in range(iterations):
+        contrib = np.zeros(n)
+        np.add.at(contrib, dst_i, ranks[src_i] * p)
+        dmass = float(ranks[~has_out].sum())
+        ranks = (1.0 - damping) / n + damping * (contrib + dmass / n)
+    return spark.createDataFrame(
+        [(v, float(r)) for v, r in zip(nodes, ranks)], out_schema)
 
 
 def pagerank_sql(
