@@ -1814,6 +1814,30 @@ def _q_mm_decode_real(spark, sf_dir):
     )
 
 
+def _q_mm_decode_png(spark, sf_dir):
+    # encode docs as REAL zlib-compressed PNGs whose scanline filter
+    # cycles through all five standard types, then really decode them
+    # (chunk walk + inflate + unfilter, pure numpy/stdlib — llm/
+    # multimodal.py parse_png).  The pixel content is the same
+    # analytic gradient as mm_resize's fixture, so the oracle checks
+    # the whole compress->filter->inflate->unfilter->featurize path
+    # against a CLOSED-FORM sum (sum over p of (p+id)%251 has a
+    # cycles+remainder closed form) — per the determinism contract the
+    # comparison rides the exact integer grid (sum_px), not a float
+    # mean.
+    from pyspark.sql import functions as F
+
+    from yardstick_spark.llm import decode_media, synth_png_media
+
+    media = synth_png_media(_docs(spark, sf_dir))
+    out = decode_media(media, n_features=8, fake=False)
+    return out.select(
+        "media_id", "kind", "width", "height", "n_samples",
+        F.expr("CAST(round(mean_val * n_samples * 255) AS BIGINT)")
+        .alias("sum_px"),
+    )
+
+
 def _q_mm_resize(spark, sf_dir):
     # gradient PPMs -> real nearest-neighbor resize to 16x16 -> real
     # decode; the gradient makes the resized mean depend on the NN index
@@ -2448,6 +2472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_simhash_pairs": _q_dedup_simhash_pairs,
             "dedup_clusters": _q_dedup_clusters,
             "mm_decode_real": _q_mm_decode_real,
+            "mm_decode_png": _q_mm_decode_png,
             "mm_resize": _q_mm_resize,
             "dedup_embedding": _q_dedup_embedding,
             "sim_knn_bruteforce": _q_knn,
@@ -3899,6 +3924,21 @@ def oracle_sql() -> dict[str, str]:
           ROUND(CASE WHEN doc_id % 2 = 0 THEN (doc_id % 251) / 255.0
                 ELSE abs(doc_id % 1000 - 500) / 32768.0 END, 6) AS mean_val
         FROM documents"""
+    o["mm_decode_png"] = """
+        WITH g AS (SELECT doc_id, doc_id % 13 + 3 AS w,
+                          doc_id % 7 + 2 AS h, doc_id % 251 AS s
+                   FROM documents),
+        c AS (SELECT doc_id, w, h, w * h AS n, s FROM g)
+        SELECT doc_id AS media_id, 'png' AS kind,
+               CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+               CAST(w * h * 3 AS BIGINT) AS n_samples,
+               -- sum over p in [0,n) of (p+s) % 251, closed form:
+               -- f(t) = (t//251)*31375 + r(r-1)/2 with r = t%251,
+               -- s < 251 so f(s) = s(s-1)/2; tripled for RGB
+               CAST(3 * ( ((s + n) // 251) * 31375
+                        + ((s + n) % 251) * ((s + n) % 251 - 1) // 2
+                        - s * (s - 1) // 2 ) AS BIGINT) AS sum_px
+        FROM c"""
     o["mm_resize"] = """
         WITH g AS (SELECT doc_id, doc_id % 13 + 3 AS w, doc_id % 7 + 2 AS h
                    FROM documents),

@@ -185,6 +185,78 @@ def test_ppm_wav_roundtrip_and_errors():
         parse_wav(b"RIFFxxxxWAVE")  # no data chunk
 
 
+def test_png_roundtrip_all_filters_and_rejects():
+    """write_png/parse_png round-trip every (shape, channels) corner
+    against every scanline filter type — including width 1, height 1
+    and per-row filter mixes — and a hand-assembled filter-0 PNG built
+    from raw zlib/struct validates the chunk layout independently of
+    the encoder.  Unsupported containers (16-bit, palette, Adam7)
+    raise ValueError instead of decoding garbage."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from yardstick_spark.llm import parse_png, write_png
+    from yardstick_spark.llm.multimodal import PNG_SIG
+
+    rng = np.random.default_rng(7)
+    for (w, h, ch) in [(13, 9, 3), (1, 5, 3), (7, 1, 1), (16, 16, 4),
+                       (3, 2, 1)]:
+        px = rng.integers(0, 256, size=w * h * ch,
+                          dtype=np.uint8).tobytes()
+        for filt in [0, 1, 2, 3, 4,
+                     [(y * 3 + 1) % 5 for y in range(h)]]:
+            got = parse_png(write_png(w, h, px, channels=ch,
+                                      filters=filt))
+            assert got[:3] == (w, h, ch)
+            assert got[3].tobytes() == px, (w, h, ch, filt)
+
+    def chunk(t, d):
+        return (struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
+
+    raw = bytes([0, 10, 20, 30, 40, 50, 60, 0, 70, 80, 90, 100, 110, 120])
+    png = (PNG_SIG + chunk(b"IHDR",
+                           struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    assert parse_png(png)[3].tolist() == [10, 20, 30, 40, 50, 60, 70,
+                                          80, 90, 100, 110, 120]
+    for depth, color, inter in [(16, 2, 0), (8, 3, 0), (8, 2, 1)]:
+        bad = (PNG_SIG
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, depth,
+                                            color, 0, 0, inter))
+               + chunk(b"IDAT", zlib.compress(raw)))
+        with _pytest.raises(ValueError):
+            parse_png(bad)
+    with _pytest.raises(ValueError):
+        parse_png(b"not a png")
+
+
+def test_decode_media_handles_png_alongside_ppm_wav(spark):
+    """decode_media(fake=False) on a batch mixing all three real
+    containers: the PNG rows decode to the gradient's exact closed-form
+    mean and width/height, next to untouched PPM/WAV rows."""
+    from pyspark.sql import functions as F
+
+    from yardstick_spark.llm import (decode_media, synth_media,
+                                     synth_png_media)
+
+    docs = spark.range(0, 24).withColumnRenamed("id", "doc_id")
+    mixed = synth_png_media(docs).unionByName(synth_media(
+        docs.select((F.col("doc_id") + 100).alias("doc_id"))))
+    rows = {r["media_id"]: r for r in decode_media(
+        mixed, n_features=4, fake=False).collect()}
+    assert len(rows) == 48
+    r = rows[5]  # png, w=5%13+3=8, h=5%7+2=0? 5%7=5 -> h=7
+    assert (r["kind"], r["width"], r["height"]) == ("png", 8, 7)
+    n = 8 * 7
+    want_sum = sum((p + 5) % 251 for p in range(n)) * 3
+    assert round(r["mean_val"] * r["n_samples"] * 255) == want_sum
+    assert rows[104]["kind"] == "ppm" and rows[105]["kind"] == "wav"
+
+
 def test_decode_media_real_path(spark):
     import numpy as np
 

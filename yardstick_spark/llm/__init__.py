@@ -54,6 +54,7 @@ from .multimodal import (  # noqa: F401
     decode_media,
     frame_sample,
     media_stats,
+    parse_png,
     parse_ppm,
     parse_wav,
     audio_fingerprint,
@@ -63,9 +64,11 @@ from .multimodal import (  # noqa: F401
     scene_cuts,
     synth_video,
     synth_gradient_media,
+    synth_png_media,
     synth_square_wav,
     synth_textured_media,
     synth_media,
+    write_png,
     write_ppm,
     write_wav,
 )

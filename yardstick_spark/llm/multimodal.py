@@ -151,6 +151,166 @@ def parse_ppm(payload: bytes):
     return w, h, arr
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def write_png(width: int, height: int, pixels: bytes,
+              channels: int = 3, filters=None) -> bytes:
+    """PNG encoder in pure numpy + stdlib zlib: 8-bit grayscale / RGB
+    / RGBA, no interlace, one IDAT chunk.  `filters` selects the
+    per-scanline filter type (int for all rows, or a per-row list) —
+    all five standard filters (None/Sub/Up/Average/Paeth, PNG spec
+    §4.5.4) are implemented so fixtures can exercise the decoder's
+    whole unfilter matrix; decoded pixels are filter-invariant.
+
+    The encoder vectorizes every filter (unlike decoding, filtering
+    reads only already-known RECONSTRUCTED neighbors, so Paeth's
+    predictor is a plain elementwise where())."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixels must be width*height*channels bytes")
+    try:
+        color = {1: 0, 3: 2, 4: 6}[channels]
+    except KeyError:
+        raise ValueError("channels must be 1 (gray), 3 (RGB) or "
+                         "4 (RGBA)") from None
+    stride = width * channels
+    arr = np.frombuffer(pixels, np.uint8).reshape(height, stride) \
+        .astype(np.int16)
+    if filters is None:
+        filters = [0] * height
+    elif isinstance(filters, int):
+        filters = [filters] * height
+    bpp = channels
+    out = bytearray()
+    prev = np.zeros(stride, np.int16)
+    zero = np.zeros(bpp, np.int16)
+    for y in range(height):
+        row = arr[y]
+        f = int(filters[y]) % 5
+        left = np.concatenate([zero, row[:-bpp]]) if stride > bpp \
+            else np.zeros(stride, np.int16)
+        ul = np.concatenate([zero, prev[:-bpp]]) if stride > bpp \
+            else np.zeros(stride, np.int16)
+        if f == 0:
+            filt = row
+        elif f == 1:
+            filt = row - left
+        elif f == 2:
+            filt = row - prev
+        elif f == 3:
+            filt = row - (left + prev) // 2
+        else:
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, prev, ul))
+            filt = row - pred
+        out.append(f)
+        out += (filt % 256).astype(np.uint8).tobytes()
+        prev = row
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    return (PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(out)))
+            + chunk(b"IEND", b""))
+
+
+def parse_png(payload: bytes):
+    """-> (width, height, channels, uint8 ndarray of samples, row-
+    major, channel-interleaved).  Pure numpy + stdlib zlib: walks the
+    chunk stream, inflates the concatenated IDATs, and reverses the
+    per-scanline filters (PNG spec §4.5.4).  Supports 8-bit grayscale
+    (color 0) / RGB (2) / RGBA (6), non-interlaced; palette, 16-bit
+    and Adam7 payloads raise ValueError (reference parity: the
+    reference ships library-backed decoders; this repo implements the
+    container publicly documented enough to decode by hand, see
+    LIMITATIONS §5).
+
+    Unfiltering is sequential by definition (each byte's predictor
+    reads reconstructed neighbors), but three of five filters still
+    vectorize per row: None and Up are elementwise, Sub is a
+    per-channel cumsum mod 256; only Average and Paeth walk the row."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    off = 8
+    idat = bytearray()
+    w = h = channels = None
+    while off + 8 <= len(payload):
+        ln, typ = struct.unpack(">I4s", payload[off:off + 8])
+        data = payload[off + 8:off + 8 + ln]
+        if typ == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = \
+                struct.unpack(">IIBBBBB", data)
+            if depth != 8:
+                raise ValueError("only 8-bit PNG supported")
+            if color not in (0, 2, 6):
+                raise ValueError(
+                    "only grayscale/RGB/RGBA PNG supported (no palette)")
+            if interlace:
+                raise ValueError("interlaced (Adam7) PNG not supported")
+            channels = {0: 1, 2: 3, 6: 4}[color]
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        off += 12 + ln
+    if w is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
+    stride = w * channels
+    if raw.size != h * (stride + 1):
+        raise ValueError("scanline data does not match dimensions")
+    raw = raw.reshape(h, stride + 1)
+    ftypes = raw[:, 0]
+    rows = raw[:, 1:].astype(np.int16)
+    bpp = channels
+    recon = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int16)
+    for y in range(h):
+        f, row = int(ftypes[y]), rows[y]
+        if f == 0:
+            cur = row
+        elif f == 1:  # Sub: per-channel cumsum mod 256
+            cur = (np.cumsum(row.reshape(-1, bpp), axis=0,
+                             dtype=np.int64) % 256).reshape(stride) \
+                .astype(np.int16)
+        elif f == 2:  # Up
+            cur = (row + prev) % 256
+        elif f == 3:  # Average
+            cur = np.empty(stride, np.int16)
+            cur[:bpp] = (row[:bpp] + prev[:bpp] // 2) % 256
+            for x in range(bpp, stride):
+                cur[x] = (row[x] + (cur[x - bpp] + prev[x]) // 2) % 256
+        elif f == 4:  # Paeth
+            cur = np.empty(stride, np.int16)
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) \
+                    else (b if pb <= pc else c)
+                cur[x] = (int(row[x]) + pred) % 256
+        else:
+            raise ValueError(f"invalid PNG filter type {f}")
+        recon[y] = cur.astype(np.uint8)
+        prev = cur.astype(np.int16)
+    return w, h, channels, recon.reshape(-1)
+
+
 def write_wav(samples, sample_rate: int = 16000) -> bytes:
     """Mono 16-bit PCM WAV (RIFF/WAVE with fmt + data chunks)."""
     import struct
@@ -269,6 +429,52 @@ def synth_gradient_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         F.lit("image").alias("media_type"),
         F.expr(f"to_binary({ppm_hex}, 'hex')").alias("payload"),
     )
+
+
+def synth_png_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """PNG payloads carrying the SAME per-pixel gradient as
+    `synth_gradient_media` (v(p) = (p + id) % 251 on all three
+    channels, w = id%13+3, h = id%7+2), zlib-compressed through
+    `write_png` with the scanline filter CYCLING through all five
+    standard types (filter_y = (id + y) % 5).  Decoded pixels are
+    filter-invariant, so a SQL oracle can verify the whole
+    compress->filter->inflate->unfilter->featurize path against the
+    closed-form gradient sum without ever touching zlib.
+
+    Unlike the PPM/WAV generators (JVM-side hex assembly), PNG needs
+    zlib, so this synth stage is one Arrow `mapInPandas` hop with the
+    per-row-cost partition floor (`_spread_by_bytes(rows_per_part=)` —
+    the compress cost is per payload, not per byte)."""
+    import pandas as pd
+
+    schema = StructType([
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("payload", BinaryType()),
+    ])
+
+    def gen(batches: Iterator) -> Iterator:
+        import numpy as np
+
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                w, h = i % 13 + 3, i % 7 + 2
+                v = ((np.arange(w * h, dtype=np.int64) + i) % 251) \
+                    .astype(np.uint8)
+                payloads.append(write_png(
+                    w, h, np.repeat(v, 3).tobytes(), channels=3,
+                    filters=[(i + y) % 5 for y in range(h)]))
+            yield pd.DataFrame({
+                "media_id": ids,
+                "media_type": "image",
+                "payload": payloads,
+            })
+
+    return _spread_by_bytes(docs.select(id_col), rows_per_part=512) \
+        .mapInPandas(gen, schema=schema)
 
 
 def synth_textured_media(docs: DataFrame, id_col: str = "doc_id",
@@ -401,6 +607,12 @@ def decode_media(media: DataFrame, n_features: int = 8,
                         kinds.append("ppm")
                         widths.append(w)
                         heights.append(h)
+                    elif b[:8] == PNG_SIG:
+                        w, h, _ch, arr = parse_png(b)
+                        norms.append(arr.astype(np.float64) / 255.0)
+                        kinds.append("png")
+                        widths.append(w)
+                        heights.append(h)
                     elif b[:4] == b"RIFF":
                         pcm = parse_wav(b)
                         norms.append(
@@ -410,8 +622,8 @@ def decode_media(media: DataFrame, n_features: int = 8,
                         heights.append(None)
                     else:
                         raise ValueError(
-                            "unsupported payload (PPM P6 or PCM WAV only); "
-                            "use fake=True for opaque formats"
+                            "unsupported payload (PPM P6, PNG or PCM "
+                            "WAV only); use fake=True for opaque formats"
                         )
                 lengths = np.array([v.size for v in norms], dtype=np.int64)
                 flat = (np.concatenate(norms) if norms
