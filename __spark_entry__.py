@@ -2168,6 +2168,22 @@ def _q_sim_knn_pq(spark, sf_dir):
     return pq_knn(codes, cb, emb.filter("vec_id < 5"), k=10)
 
 
+def _q_sim_knn_pq_trained(spark, sf_dir):
+    # ADC top-k over codes from a TRAINED codebook: the md5-seeded
+    # book initializes 2 Lloyd rounds run jointly over all subspaces
+    # on the exact 1e-6 integer grid (llm/pq.py _pq_train), so the
+    # oracle unrolls training as plain CTEs — seed cells, two
+    # assignment+mean rounds with BIGINT distances, then the same
+    # encode/LUT/ADC chain as sim_knn_pq over the trained centroids.
+    from yardstick_spark.llm import pq_codebook, pq_encode, pq_knn
+
+    _ys(spark, sf_dir)
+    emb = spark.table("embeddings")
+    cb = pq_codebook(emb, m=8, ks=16, train=True, iters=2)
+    codes = pq_encode(emb, cb)
+    return pq_knn(codes, cb, emb.filter("vec_id < 5"), k=10)
+
+
 def _q_emb_outliers(spark, sf_dir):
     # per-label distance-to-prototype z-scores — the cheap mislabel
     # screen; broadcast centroid table, scan-side fold, label windows
@@ -2372,6 +2388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangles": _q_graph_triangles,
         "emb_pq": _q_emb_pq,
         "sim_knn_pq": _q_sim_knn_pq,
+        "sim_knn_pq_trained": _q_sim_knn_pq_trained,
         "emb_outliers": _q_emb_outliers,
         "graph_communities": _q_graph_communities,
         "sim_mmr": _q_sim_mmr,
@@ -5066,6 +5083,80 @@ def oracle_sql() -> dict[str, str]:
         SELECT id AS vec_id, sub, CAST(code AS INT) AS code FROM best"""
     o["sim_knn_pq"] = f"""
         WITH {_PQ_CB},
+        lut AS (SELECT q.id AS query_id, cb.sub, cb.code,
+                ROUND(list_sum(list_transform(
+                    list_zip(q.arr[cb.sub * 8 + 1 : cb.sub * 8 + 8],
+                             cb.centroid),
+                    t -> (t[1] - t[2]) * (t[1] - t[2]))), 6) AS pdist
+                FROM v q CROSS JOIN cb WHERE q.id < 5),
+        ad AS (SELECT lut.query_id, b.id AS neighbor_id,
+                      ROUND(SUM(pdist), 6) AS adist
+               FROM best b
+               JOIN lut ON b.sub = lut.sub AND b.code = lut.code
+               GROUP BY 1, 2)
+        SELECT query_id, neighbor_id, adist, rank FROM (
+          SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY adist, neighbor_id) AS INT) AS rank
+          FROM ad) WHERE rank <= 10"""
+    # trained PQ: the md5 seed cells initialize 2 unrolled Lloyd
+    # rounds on the exact 1e-6 integer grid (BIGINT distances, the
+    # kmeans-oracle mean idiom), then the same encode/LUT/ADC chain
+    # runs over the trained centroids (x / 1e6 — the identical double
+    # on both engines)
+    _PQ_LLOYD = "\n".join(
+        f"""
+        a{t} AS (SELECT sub, code, sq FROM (
+                SELECT vq.id, vq.sub, c.code, vq.sq,
+                       list_sum([(vq.sq[j] - c.cq[j])
+                                 * (vq.sq[j] - c.cq[j])
+                                 for j in range(1, 9)]) AS dist
+                FROM vq JOIN cq{t - 1} AS c USING (sub))
+               QUALIFY row_number() OVER (PARTITION BY id, sub
+                        ORDER BY dist, code) = 1),
+        u{t} AS (SELECT sub, code, t.j AS d, SUM(sq[t.j]) AS s,
+                        COUNT(*) AS n
+                FROM a{t}, generate_series(1, 8) AS t(j)
+                GROUP BY sub, code, t.j),
+        cq{t} AS (SELECT sub, code,
+                 list(CAST(round(s / CAST(n AS DOUBLE)) AS BIGINT)
+                      ORDER BY d) AS cq
+                 FROM u{t} GROUP BY sub, code),"""
+        for t in (1, 2))
+    o["sim_knn_pq_trained"] = f"""
+        WITH
+        v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS arr
+              FROM embeddings
+              WHERE embedding IS NOT NULL AND len(embedding) > 0),
+        subs AS (SELECT CAST(unnest(range(0, 8)) AS INT) AS sub),
+        cells AS (SELECT sub,
+                  CAST(CONCAT('0x', SUBSTRING(md5(CAST(sub AS VARCHAR)
+                       || ':' || CAST(id AS VARCHAR)), 1, 15)) AS BIGINT)
+                  % 16 AS code,
+                  MIN(id) AS id
+                  FROM v CROSS JOIN subs GROUP BY sub, 2),
+        vq AS (SELECT v.id, subs.sub,
+               list_transform(v.arr[subs.sub * 8 + 1 : subs.sub * 8 + 8],
+                 x -> CAST(round(x * 1000000.0) AS BIGINT)) AS sq
+               FROM v CROSS JOIN subs),
+        cq0 AS (SELECT cells.sub, cells.code,
+                list_transform(v.arr[cells.sub * 8 + 1
+                                     : cells.sub * 8 + 8],
+                  x -> CAST(round(x * 1000000.0) AS BIGINT)) AS cq
+                FROM cells JOIN v USING (id)),
+        {_PQ_LLOYD}
+        cb AS (SELECT sub, code,
+               list_transform(cq, x -> x / 1000000.0) AS centroid
+               FROM cq2),
+        enc AS (SELECT v.id, cb.sub, cb.code,
+                ROUND(list_sum(list_transform(
+                    list_zip(v.arr[cb.sub * 8 + 1 : cb.sub * 8 + 8],
+                             cb.centroid),
+                    t -> (t[1] - t[2]) * (t[1] - t[2]))), 6) AS dist
+                FROM v CROSS JOIN cb),
+        best AS (SELECT id, sub, code FROM (
+                 SELECT *, row_number() OVER (PARTITION BY id, sub
+                          ORDER BY dist, code) AS rn FROM enc)
+                 WHERE rn = 1),
         lut AS (SELECT q.id AS query_id, cb.sub, cb.code,
                 ROUND(list_sum(list_transform(
                     list_zip(q.arr[cb.sub * 8 + 1 : cb.sub * 8 + 8],

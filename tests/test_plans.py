@@ -681,6 +681,8 @@ def test_inventory_plan_lint_no_cartesian_products(spark):
     # share / pool-table) broadcast build side, audited individually
     BNLJ_OK = {
         "ret_bm25", "ret_rrf", "ret_hybrid", "sim_knn_pq",
+        "sim_knn_pq_trained",  # same bounded queries x codebook LUT
+                               # cross join as sim_knn_pq
         "text_unigram_logprob", "emb_hard_negatives",
         "text_vocab_coverage", "dedup_source_matrix", "m_star_join",
         "m_at_set_const", "m_derived_at_all", "m_at_all_share",

@@ -145,6 +145,135 @@ def test_pq_empty_cells_are_skipped(spark):
             assert (s, c) in valid
 
 
+def _round_half_away(x: float) -> int:
+    import math
+
+    return int(math.floor(abs(x) + 0.5)) * (1 if x >= 0 else -1)
+
+
+def _numpy_trained(X, m, ks, iters):
+    """Driver-free twin of pq_codebook(train=True): md5-seeded cells,
+    then Lloyd on the 1e-6 integer grid with half-away means and
+    ties-to-lower-code assignment — the exact spec the Spark and
+    DuckDB sides implement."""
+    Q = 1_000_000
+    book, sd = _numpy_codebook(X, m, ks)
+    Xq = np.array([[_round_half_away(float(v) * Q)
+                    for v in row.astype(np.float64)] for row in X],
+                  dtype=np.int64)
+    cents = {k: np.array([_round_half_away(float(v) * Q) for v in c],
+                         dtype=np.int64) for k, c in book.items()}
+    n = X.shape[0]
+    for _ in range(iters):
+        members: dict = {}
+        for i in range(n):
+            for s in range(m):
+                sq = Xq[i, s * sd:(s + 1) * sd]
+                best = min((int(((sq - c) ** 2).sum()), code)
+                           for (ss, code), c in cents.items() if ss == s)
+                members.setdefault((s, best[1]), []).append(sq)
+        cents = {}
+        for key, rows in members.items():
+            S = np.stack(rows).astype(np.int64).sum(axis=0)
+            cents[key] = np.array(
+                [_round_half_away(float(t) / len(rows)) for t in S],
+                dtype=np.int64)
+    return {k: [v / Q for v in c] for k, c in cents.items()}, sd
+
+
+@pytest.fixture(scope="module")
+def blobs():
+    """Planted subspace structure: every subspace slice is one of 8
+    well-separated prototypes plus small jitter — the regime where a
+    trained codebook should crush a seeded one (seeded donors can
+    duplicate one blob and leave another codeless)."""
+    rng = np.random.RandomState(11)
+    m, sd = 4, 4
+    protos = rng.randn(m, 8, sd) * 4.0
+    X = np.zeros((160, m * sd), dtype=np.float32)
+    for i in range(160):
+        for s in range(m):
+            X[i, s * sd:(s + 1) * sd] = \
+                protos[s, (i * 7 + s) % 8] + rng.randn(sd) * 1.5
+    return X
+
+
+def test_pq_trained_codebook_matches_numpy(spark, blobs):
+    """pq_codebook(train=True) equals an independent numpy
+    reimplementation of the integer-grid Lloyd spec, centroid for
+    centroid (exact — every value lives on the 1e-6 grid)."""
+    from yardstick_spark.llm import clear_dedup_caches, pq_codebook
+
+    m, ks, iters = 4, 8, 2
+    df = _vecs(spark, blobs)
+    got = {(r.sub, r.code): [round(v * 1e6) for v in r.centroid]
+           for r in pq_codebook(df, m=m, ks=ks, train=True,
+                                iters=iters).collect()}
+    want_book, _ = _numpy_trained(blobs, m, ks, iters)
+    want = {k: [round(v * 1e6) for v in c] for k, c in want_book.items()}
+    clear_dedup_caches()
+    assert got == want
+
+
+def test_pq_trained_beats_seeded_recall_and_distortion(spark, blobs):
+    """Against the exact scorer on the planted-blob fixture (every
+    query's true top-20 is exactly its 20 same-blob-signature
+    classmates): the trained book must (a) strictly cut total
+    quantization distortion — Lloyd monotonicity from the seed — and
+    (b) reach near-perfect class recall@20, beating the seeded book
+    whose donor cells duplicate some blobs and leave others codeless.
+    recall@20 rather than @10 because a codebook that quantizes a
+    whole class to one codeword ties all 20 members at equal adist —
+    @10 would measure tie-breaking luck, not retrieval quality."""
+    from yardstick_spark.llm import (brute_force_knn, clear_dedup_caches,
+                                     pq_codebook, pq_encode, pq_knn)
+
+    df = _vecs(spark, blobs)
+    queries = df.filter("vec_id < 10")
+    exact = {(r.query_id, r.neighbor_id)
+             for r in brute_force_knn(df, queries, k=20).collect()}
+
+    def measure(cb):
+        codes = pq_encode(df, cb)
+        approx = {(r.query_id, r.neighbor_id)
+                  for r in pq_knn(codes, cb, queries, k=20).collect()}
+        book = {(r.sub, r.code): np.array(r.centroid)
+                for r in cb.collect()}
+        cd = {r.vec_id: r.codes for r in codes.collect()}
+        m, sd = 4, 4
+        dist = sum(
+            float(((blobs[i, s * sd:(s + 1) * sd].astype(np.float64)
+                    - book[(s, cd[i][s])]) ** 2).sum())
+            for i in range(blobs.shape[0]) for s in range(m))
+        return len(approx & exact) / len(exact), dist
+
+    s_rec, s_dist = measure(pq_codebook(df, m=4, ks=8))
+    t_rec, t_dist = measure(pq_codebook(df, m=4, ks=8, train=True,
+                                        iters=2))
+    clear_dedup_caches()
+    assert t_dist < s_dist * 0.9, (s_dist, t_dist)
+    assert t_rec > s_rec, (s_rec, t_rec)
+    assert t_rec >= 0.9, (s_rec, t_rec)
+
+
+def test_pq_trained_repartition_stable(spark, blobs):
+    """The trained book is bit-identical under any input layout (the
+    integer grid makes every centroid update order-independent)."""
+    from yardstick_spark.llm import clear_dedup_caches, pq_codebook
+
+    ref = None
+    for n in (1, 3, 8):
+        df = _vecs(spark, blobs).repartition(n)
+        got = sorted((r.sub, r.code, tuple(r.centroid))
+                     for r in pq_codebook(df, m=4, ks=8, train=True,
+                                          iters=2).collect())
+        clear_dedup_caches()
+        if ref is None:
+            ref = got
+        else:
+            assert got == ref
+
+
 def test_pq_encode_literal_equals_arrow(spark, corpus):
     """The pure-JVM literal argmin and the Arrow closure path produce
     identical codes (same rounding grid, same tie rule)."""

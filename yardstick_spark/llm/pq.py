@@ -62,13 +62,31 @@ def _hash_cell(sub_col: str, id_col: str, ks: int) -> str:
 
 def pq_codebook(corpus: DataFrame, m: int = 8, ks: int = 16,
                 id_col: str = "vec_id",
-                vec_col: str = "embedding") -> DataFrame:
-    """Seeded codebook: (sub, code, centroid array<double> of d/m).
+                vec_col: str = "embedding",
+                train: bool = False, iters: int = 2) -> DataFrame:
+    """Codebook (sub, code, centroid array<double> of d/m).
 
-    Per subspace, ids hash into ks cells; each cell's min-id vector
+    Default (`train=False`): SEEDED — per subspace, ids hash into ks
+    cells via the portable md5 bucket; each cell's min-id vector
     donates its subspace slice.  Cells that catch no vector (possible
     when ks approaches the corpus size) simply have no row — encode
-    argmins over the codes that exist."""
+    argmins over the codes that exist.
+
+    `train=True`: the seeded book initializes `iters` Lloyd rounds run
+    JOINTLY over all m subspaces (one broadcast-join + map-side-
+    combined groupBy per round, never m separate jobs) on the exact
+    1e-6 integer grid — the kmeans.py determinism recipe, so both
+    engines' centroid updates are bit-identical and the DuckDB oracle
+    unrolls training as plain CTEs.  Trained centroids land back on
+    the grid (cq / 1e6 — the same double on both engines), and
+    encode/search are codebook-agnostic, so the trained book drops
+    into `pq_encode`/`pq_knn` unchanged.  Empty cells drop out of
+    later rounds (standard Lloyd handling).  Per round the driver
+    collects m * ks * (d/m) update rows — bounded by the codebook,
+    never the corpus (the kmeans_assign precedent).  At 100 TB you
+    train on a corpus SAMPLE (standard PQ practice; the assignment
+    pass shuffles corpus×m rows) and encode the full corpus with the
+    fixed book."""
     clean = corpus.filter(
         F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)
         # vectors whose length m doesn't divide can't donate slices;
@@ -95,7 +113,7 @@ def pq_codebook(corpus: DataFrame, m: int = 8, ks: int = 16,
     # clear_dedup_caches() releases it like every other barrier)
     from .dedup import _cache
 
-    return _cache(
+    seeded = _cache(
         clean.join(F.broadcast(cells), "id")
         .select(
             "sub", "code",
@@ -103,6 +121,76 @@ def pq_codebook(corpus: DataFrame, m: int = 8, ks: int = 16,
             .alias("centroid"),
         )
     )
+    if not train:
+        return seeded
+    return _pq_train(clean, seeded, m, iters)
+
+
+_PQ_Q = 1_000_000  # 1e-6 training grid, shared with the oracle SQL
+
+
+def _pq_train(clean: DataFrame, seeded: DataFrame, m: int,
+              iters: int) -> DataFrame:
+    """Joint-subspace Lloyd on the integer grid (see pq_codebook).
+
+    Fully declarative: the centroid table stays a (broadcast)
+    DataFrame through every round — no per-round driver collect, so
+    the whole training lineage materializes in ONE job when the book
+    is consumed (measured 5.5 s -> 2.6 s for the sf0.1 entry vs the
+    collect-per-round variant).  Per round: one broadcast join +
+    map-side-combined (id, sub) argmin + per-dim mean — m*ks*(d/m)
+    result rows.  Assumes a fixed-dimension corpus like the seeded
+    path (`_codebook_rows` raises on mixed widths when the book is
+    consumed)."""
+    from .dedup import _cache
+
+    sd = f"CAST(size(arr) / {m} AS INT)"
+    vq = _cache(
+        clean.select(
+            "id", F.explode(F.expr(f"sequence(0, {m - 1})")).alias("sub"),
+            "arr")
+        .select("id", "sub", F.expr(
+            f"transform(slice(arr, sub * {sd} + 1, {sd}), "
+            f"x -> CAST(round(x * {_PQ_Q}) AS BIGINT))").alias("sq"))
+    )
+    cents = seeded.select(
+        "sub", "code",
+        F.expr(f"transform(centroid, x -> CAST(round(x * {_PQ_Q}) "
+               "AS BIGINT))").alias("cq"))
+    for _ in range(iters):
+        assigned = (
+            vq.join(F.broadcast(cents), "sub")
+            .select("id", "sub", "code", "sq", F.expr(
+                "aggregate(zip_with(sq, cq, (x, y) -> (x - y) * (x - y)), "
+                "0L, (a, b) -> a + b)").alias("d"))
+            # struct-min = (d asc, code asc): ties to the lower code,
+            # matching the oracle's ROW_NUMBER ORDER BY dist, code
+            .groupBy("id", "sub")
+            .agg(F.min(F.struct("d", "code")).alias("mc"),
+                 F.first("sq").alias("sq"))  # sq constant per group
+        )
+        cents = (
+            assigned
+            .select("sub", F.col("mc.code").alias("code"),
+                    F.posexplode("sq").alias("dim", "x"))
+            .groupBy("sub", "code", "dim")
+            # the kmeans.py exact-integer mean: BIGINT sum, one double
+            # division, round-half-away — identical on both engines
+            .agg(F.expr("CAST(round(sum(x) / CAST(count(1) AS DOUBLE)) "
+                        "AS BIGINT)").alias("c"))
+            # reassemble the centroid array in dim order (struct sort
+            # is lexicographic and dims are distinct: deterministic)
+            .groupBy("sub", "code")
+            .agg(F.expr("transform(array_sort(collect_list("
+                        "struct(dim, c))), s -> s.c)").alias("cq"))
+        )
+    # cache barrier like the seeded book: encode AND every ADC search
+    # collect the codebook (_codebook_rows); without it each collect
+    # would re-run the whole training lineage
+    return _cache(cents.select(
+        "sub", "code",
+        F.expr(f"transform(cq, x -> x / CAST({_PQ_Q} AS DOUBLE))")
+        .alias("centroid")))
 
 
 def _codebook_rows(codebook: DataFrame) -> tuple[int, int, dict]:
