@@ -1596,6 +1596,28 @@ def _q_text_dsir_sample(spark, sf_dir):
                        n_buckets=1024, alpha=1.0)
 
 
+def _q_text_dsir_xxh(spark, sf_dir):
+    # the DSIR PRODUCTION hash path (hash_impl="xxhash64", struct
+    # grams, no bigram string — 0.43x DuckDB at 100x vs 2.6x for the
+    # md5 portability default, SCALING.md).  DuckDB has no xxhash64
+    # twin, so the driver records a rows-only check here BY DESIGN;
+    # the value-level pin is local and independent instead: a
+    # pure-Python XXH64 reference (tests/xxh64_ref.py, validated
+    # bit-for-bit against Spark's expression incl. struct chaining +
+    # NULL-skip) recomputes the exact integer bucket-count table on
+    # the same corpus (tests/test_text_ops.py::
+    # test_dsir_xxhash64_bucket_counts_match_python_reference).  The
+    # md5 entries (text_dsir_weights/sample/incremental) stay the
+    # cross-engine value-hash contract for everything downstream of
+    # the bucket hash.  Vacuous value-dependent filter: see
+    # _q_text_dsir_weights.
+    from yardstick_spark.llm import dsir_weights
+
+    return dsir_weights(_docs(spark, sf_dir), "lang = 'en'",
+                        n_buckets=1024, alpha=1.0,
+                        hash_impl="xxhash64").filter("logw > -1e15")
+
+
 def _q_text_dsir_incremental(spark, sf_dir):
     # persisted-store DSIR: fit the bucket statistic on two thirds of
     # the corpus, fold the rest in with update_dsir_store (integer
@@ -2495,6 +2517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "sim_knn_bruteforce": _q_knn,
             "text_dsir_weights": _q_text_dsir_weights,
             "text_dsir_sample": _q_text_dsir_sample,
+            "text_dsir_xxh": _q_text_dsir_xxh,
             "emb_kmeans": _q_emb_kmeans,
             "emb_cluster_sample": _q_emb_cluster_sample,
             "text_dsir_incremental": _q_text_dsir_incremental,

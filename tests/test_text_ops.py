@@ -530,6 +530,106 @@ def test_semantic_dedup_within_cell_complete(spark):
     assert got == want and got
 
 
+def test_semantic_dedup_boundary_probe_recovers_split_pair(spark):
+    """Planted boundary pair: two blobs sit exactly at (10,0,..) and
+    (0,10,..) (donor-engineered so each of the n_lists=2 seed cells is
+    one blob), and a near-dup pair straddles the bisecting hyperplane
+    (cos 0.9996, margin ratio 0.02).  Single assignment splits the
+    pair across cells and misses it — the LIMITATIONS §12 recall loss
+    — while boundary_eps=0.05 probes the runner-up cell and recovers
+    it.  Recall vs the exact all-pairs scorer goes below-1 -> 1.0, the
+    multi-probe output is a strict SUPERSET of single assignment, and
+    eps=0 remains bit-identical to the default path (the oracled
+    dedup_semantic contract)."""
+    import hashlib
+
+    from yardstick_spark.llm import semantic_dedup_pairs
+
+    n_lists, dim, n = 2, 4, 40
+
+    def bucket(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15],
+                   16) % n_lists
+
+    donors = {}
+    for i in range(n):
+        donors.setdefault(bucket(i), i)
+    assert len(donors) == 2  # both cells seeded
+    # the bucket-0 donor's blob is A, the other blob B — so the two
+    # seed centroids are exactly the two blob points
+    blob_of = {b: k for k, b in enumerate(sorted(donors))}
+    A = [10.0, 0.0] + [0.0] * (dim - 2)
+    B = [0.0, 10.0] + [0.0] * (dim - 2)
+    rows = [(i, A if blob_of[bucket(i)] == 0 else B) for i in range(n)]
+    d = 0.05
+    rows += [(1000, [5.0 + d, 5.0 - d] + [0.0] * (dim - 2)),
+             (1001, [5.0 - d, 5.0 + d] + [0.0] * (dim - 2))]
+    # ids 1000/1001 exceed every existing id, so donor (= min-id per
+    # bucket) selection — and therefore the centroids — are unchanged
+    emb = spark.createDataFrame(rows,
+                                "vec_id long, embedding array<float>")
+
+    single = {(r.id_a, r.id_b) for r in semantic_dedup_pairs(
+        emb, threshold=0.9, n_lists=n_lists).collect()}
+    probed = {(r.id_a, r.id_b) for r in semantic_dedup_pairs(
+        emb, threshold=0.9, n_lists=n_lists,
+        boundary_eps=0.05).collect()}
+    # exact reference: all-pairs cosine >= 0.9.  Blob-internal pairs
+    # are identical vectors (sim 1); cross-blob pairs are orthogonal
+    # (sim 0); planted-vs-blob is cos ~ 0.71 < 0.9; the planted pair
+    # itself is cos (25 - d^2)/(25 + d^2) ~ 0.9998 >= 0.9
+    ids_a = sorted(i for i, v in rows if i < n and v[0] > v[1])
+    ids_b = sorted(i for i, v in rows if i < n and v[0] < v[1])
+    exact = {(x, y) for grp in (ids_a, ids_b)
+             for x in grp for y in grp if x < y}
+    exact.add((1000, 1001))
+    assert (1000, 1001) not in single  # the documented recall loss
+    assert (1000, 1001) in probed      # recovered by the probe
+    assert single < probed             # strict superset, nothing lost
+    assert len(probed & exact) / len(exact) == 1.0
+    assert len(single & exact) / len(exact) < 1.0
+    # eps=0 is bit-identical to the default single-assignment path
+    z = {(r.cell, r.id_a, r.id_b, r.sim) for r in semantic_dedup_pairs(
+        emb, threshold=0.9, n_lists=n_lists, boundary_eps=0.0).collect()}
+    w = {(r.cell, r.id_a, r.id_b, r.sim) for r in semantic_dedup_pairs(
+        emb, threshold=0.9, n_lists=n_lists).collect()}
+    assert z == w
+
+
+def test_assign_cells_boundary_literal_equals_arrow(spark, monkeypatch):
+    """The SQL-literal and Arrow paths of assign_cells_boundary agree
+    cell-for-cell (same (d2, cell) tie rule, same relative margin) —
+    the literal path is currently dormant (_LITERAL_CENTROID_LIMIT=0,
+    the Arrow-everywhere decision) but must stay correct for any
+    future re-raise of the limit.  Includes a NULL vector and an
+    exact-tie (margin 0) vector."""
+    from pyspark.sql import functions as F
+
+    import yardstick_spark.llm.ivf as ivf
+
+    cents = spark.createDataFrame(
+        [(0, [10.0, 0.0]), (1, [0.0, 10.0]), (2, [-10.0, 0.0])],
+        "cell int, centroid array<double>")
+    vecs = spark.createDataFrame(
+        [(1, [9.0, 1.0]), (2, [5.05, 4.95]), (3, [5.0, 5.0]),
+         (4, None), (5, [0.0, 0.0])],
+        "id long, arr array<double>")
+    arrow = {r.id: r.cells and list(r.cells) for r in
+             ivf.assign_cells_boundary(vecs, cents, 3, 0.05).collect()}
+    monkeypatch.setattr(ivf, "_LITERAL_CENTROID_LIMIT", 64)
+    lit = {r.id: r.cells and [c for c in r.cells if c is not None]
+           for r in ivf.assign_cells_boundary(vecs, cents, 3,
+                                              0.05).collect()}
+    # normalize the two NULL conventions (Arrow: NULL array; literal:
+    # array with one NULL element) to "no placeable cells"
+    norm = lambda v: v or []  # noqa: E731
+    assert {k: norm(v) for k, v in arrow.items()} \
+        == {k: norm(v) for k, v in lit.items()}
+    assert arrow[3] == [0, 1]  # exact tie: margin 0 probes both
+    assert arrow[2] == [0, 1]  # boundary vector probes runner-up
+    assert arrow[1] == [0]     # interior vector stays single
+
+
 def test_semantic_dedup_verdicts_min_id_priority(spark):
     from yardstick_spark.llm import (
         semantic_dedup_pairs, semantic_dedup_verdicts,
@@ -1159,6 +1259,59 @@ def test_dsir_hash_impl_fast_path(spark):
     assert again == sorted((k, *v) for k, v in b.items())
     with pytest.raises(ValueError):
         dsir_weights(docs, "lang = 'en'", hash_impl="sha1").collect()
+
+
+def test_spark_xxhash64_matches_python_reference(spark):
+    """Spark's xxhash64 — single string, struct chaining, NULL-skip,
+    all length classes (sub-4, 4-7, 8-31, >=32 bytes), non-ASCII —
+    equals the pure-Python XXH64 reference bit-for-bit.  This is the
+    independent pin for the DSIR production hash that no DuckDB
+    oracle can provide (LIMITATIONS §6)."""
+    from xxh64_ref import spark_xxhash64
+
+    rows = [("a", None), ("abc", "x"), ("hello", "world"),
+            ("", "y"), ("eightby!", None),
+            ("long string exceeding thirty two bytes for stripes!",
+             "tail"), ("émoji ✓ utf8", None), ("\x00\x01", "\x7f")]
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = df.selectExpr("a", "b", "xxhash64(a, b) AS h",
+                        "xxhash64(a) AS ha").collect()
+    for r in got:
+        assert r.h == spark_xxhash64(r.a, r.b), (r.a, r.b)
+        assert r.ha == spark_xxhash64(r.a), r.a
+
+
+def test_dsir_xxhash64_bucket_counts_match_python_reference(spark):
+    """The xxhash64 DSIR fit on the REAL sf0.001 documents equals a
+    Python recomputation: gram structs (shared with the md5-oracled
+    path, so gram extraction is already cross-engine-verified) are
+    re-bucketed with the reference XXH64 and re-counted — the exact
+    integer (bucket, c_raw, c_target) table must match row for row.
+    This gives the production hash path a true independent oracle
+    even though the driver's DuckDB check can only be rows-only."""
+    from pyspark.sql import functions as F
+
+    from xxh64_ref import spark_xxhash64
+    from yardstick_spark.llm.text import (_dsir_bucket_counts,
+                                          _dsir_gram_structs)
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+    n_buckets = 256
+    got = {r["bucket"]: (r["c_raw"], r["c_target"])
+           for r in _dsir_bucket_counts(
+               docs, "lang = 'en'", n_buckets, "text",
+               "xxhash64").collect()}
+    grams = docs.select(
+        F.expr("CAST((lang = 'en') AS INT)").alias("t"),
+        F.explode(F.expr(_dsir_gram_structs("text"))).alias("g"),
+    ).collect()
+    want: dict = {}
+    for r in grams:
+        b = spark_xxhash64(r["g"]["a"], r["g"]["b"]) % n_buckets
+        raw, tgt = want.get(b, (0, 0))
+        want[b] = (raw + 1, tgt + int(r["t"]))
+    assert got == want
 
 
 def test_dsir_sample_prefers_target_and_is_deterministic(spark):

@@ -73,8 +73,8 @@ from .multimodal import (  # noqa: F401
     write_wav,
 )
 from .ivf import (  # noqa: F401
-    build_ivf_index, ivf_knn, ivf_knn_seeded, ivf_query_index,
-    load_ivf_index, save_ivf_index, seed_centroids,
+    assign_cells_boundary, build_ivf_index, ivf_knn, ivf_knn_seeded,
+    ivf_query_index, load_ivf_index, save_ivf_index, seed_centroids,
     semantic_pairs_against_index,
 )
 from .retrieval import (  # noqa: F401

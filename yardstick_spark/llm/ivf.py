@@ -279,6 +279,90 @@ def assign_cells(vectors: DataFrame, cent_df: DataFrame, n_lists: int,
     return vectors.withColumn("cell", F.expr(assign))
 
 
+def assign_cells_boundary(vectors: DataFrame, cent_df: DataFrame,
+                          n_lists: int, boundary_eps: float,
+                          vec_col: str = "arr") -> DataFrame:
+    """`vectors` plus a `cells` ARRAY column: the nearest centroid's
+    cell, PLUS the second-nearest when the vector sits within the
+    relative boundary margin — (d2 - d1) <= eps * (d1 + d2), the
+    symmetric normalized margin, 0 exactly on the bisecting
+    hyperplane.  The SemDeDup multi-probe: a near-dup pair straddling
+    a cluster boundary splits across cells under single assignment
+    (the recall loss LIMITATIONS §12 documents); probing the runner-up
+    cell for boundary vectors bounds that loss at the cost of a
+    <= (1 + boundary_fraction) membership blow-up — still one scan,
+    no extra shuffle beyond the slightly larger group-by.
+
+    Ordering is (d, cell) lexicographic on both paths (ties to the
+    lower cell id), the same rule as `assign_cells`; NULL/empty
+    vectors yield a NULL-only array (dropped by callers' NotNull
+    filter after the explode)."""
+    if n_lists > _LITERAL_CENTROID_LIMIT:
+        cells, mat = _centroid_matrix(cent_df)
+        return vectors.withColumn(
+            "cells",
+            _assign_cells_boundary_udf(cells, mat, boundary_eps)(
+                F.col(vec_col)))
+    cent_lits = _centroid_literals(cent_df)
+    srt = (f"array_sort(transform(array({cent_lits}), s -> "
+           f"struct({_D2.format(v=vec_col)} AS d, s.cell AS cell)))")
+    pick = (f"IF(size(__srt) >= 2 AND __srt[1].d - __srt[0].d <= "
+            f"{boundary_eps}D * (__srt[0].d + __srt[1].d), "
+            "array(__srt[0].cell, __srt[1].cell), "
+            "array(__srt[0].cell))")
+    return (
+        vectors.withColumn(
+            "__srt",
+            F.expr(f"IF({vec_col} IS NULL OR size({vec_col}) = 0, "
+                   f"NULL, {srt})"))
+        .withColumn(
+            "cells",
+            F.expr(f"IF(__srt IS NULL, array(CAST(NULL AS INT)), "
+                   f"{pick})"))
+        .drop("__srt")
+    )
+
+
+def _assign_cells_boundary_udf(cells, mat, eps: float):
+    """Arrow twin of the literal boundary-probe expression (closure-
+    carried centroid matrix, same (d2, cell) lexsort tie rule)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from .similarity import _length_groups
+
+    mat_sq = (mat * mat).sum(axis=1)
+
+    @pandas_udf("array<bigint>")
+    def assign(arr: pd.Series) -> pd.Series:
+        import numpy as np
+
+        vs = arr.to_numpy()
+        out = np.empty(len(vs), dtype=object)
+        out[:] = None
+        for dm, sel in _length_groups(vs):
+            if dm != mat.shape[1]:
+                continue
+            A = np.vstack(vs[sel]).astype(np.float64)
+            for s in range(0, len(A), _CHUNK_ROWS):
+                chunk = A[s:s + _CHUNK_ROWS]
+                # _sq_dists drops the per-row ||x||^2 constant (argmin
+                # doesn't need it) — the relative-margin DENOMINATOR
+                # does, so restore it to get true squared distances
+                d2 = (_sq_dists(chunk, mat, mat_sq)
+                      + (chunk * chunk).sum(axis=1, keepdims=True))
+                for j, row in zip(sel[s:s + _CHUNK_ROWS], d2):
+                    order = np.lexsort((cells, row))
+                    picked = [int(cells[order[0]])]
+                    if (len(order) >= 2
+                            and row[order[1]] - row[order[0]]
+                            <= eps * (row[order[0]] + row[order[1]])):
+                        picked.append(int(cells[order[1]]))
+                    out[j] = picked
+        return pd.Series(out)
+
+    return assign
+
+
 def _ivf_key_closure(cells, mat):
     """Worker-side nearest-centroid key for the folded IVF path — the
     same `_sq_dists` matmul identity and first-argmin (lowest cell)

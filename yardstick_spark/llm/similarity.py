@@ -652,7 +652,8 @@ def embedding_dedup_pairs(corpus: DataFrame, id_col: str = "vec_id",
 def semantic_dedup_pairs(corpus: DataFrame, id_col: str = "vec_id",
                          vec_col: str = "embedding",
                          threshold: float = 0.4,
-                         n_lists: int = 8) -> DataFrame:
+                         n_lists: int = 8,
+                         boundary_eps: float = 0.0) -> DataFrame:
     """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space, then verify
     all-pairs cosine WITHIN each cluster only — the scalable
@@ -667,6 +668,17 @@ def semantic_dedup_pairs(corpus: DataFrame, id_col: str = "vec_id",
     shuffle is 1 × corpus instead of bands × corpus.  Use this when
     duplicates are *semantic neighborhoods* (clustered structure);
     use the LSH operator for worst-case scattered near-dups.
+
+    `boundary_eps > 0` turns on MULTI-PROBE assignment: a vector
+    within the relative margin (d2 - d1) <= eps * (d1 + d2) of its
+    runner-up centroid is ALSO a member of that cell
+    (`ivf.assign_cells_boundary`), so a near-dup pair straddling a
+    cluster boundary — the recall loss single assignment suffers,
+    LIMITATIONS §12 — meets in at least one shared cell.  Membership
+    grows by at most the boundary fraction (shuffle stays O(corpus));
+    a pair found in both shared cells deduplicates to its smallest
+    cell id.  The default 0.0 is exact single assignment (the
+    bit-oracled `dedup_semantic` contract).
 
     100 TB shape: centroid assignment is scan-side (SQL literal or
     Arrow-UDF closure — `ivf.assign_cells`), the only shuffle is the
@@ -686,32 +698,54 @@ def semantic_dedup_pairs(corpus: DataFrame, id_col: str = "vec_id",
     # UDF could not place) are dropped BEFORE the group-by: they carry
     # nothing verifiable, and a NULL-cell group would reach the
     # verifier as one giant pseudo-bucket
-    assigned = assign_cells(vectors, cent_df, n_lists).filter(
-        F.col("cell").isNotNull()
-    ).select("cell", "id", F.col("arr").alias("v"))
+    if boundary_eps > 0:
+        from .ivf import assign_cells_boundary
+
+        assigned = (
+            assign_cells_boundary(vectors, cent_df, n_lists,
+                                  boundary_eps)
+            .select(F.explode("cells").alias("cell"), "id",
+                    F.col("arr").alias("v"))
+            .filter(F.col("cell").isNotNull())
+        )
+    else:
+        assigned = assign_cells(vectors, cent_df, n_lists).filter(
+            F.col("cell").isNotNull()
+        ).select("cell", "id", F.col("arr").alias("v"))
     pairs = assigned.groupBy("cell").applyInPandas(
         _allpairs_verifier(threshold, group_col="cell"),
         schema="cell BIGINT, id_a BIGINT, id_b BIGINT, sim DOUBLE",
     )
-    return (
+    out = (
         pairs.select("cell", "id_a", "id_b",
                      F.round("sim", 4).alias("sim"))
         .filter(F.col("sim") >= threshold)
     )
+    if boundary_eps > 0:
+        # a boundary pair sharing BOTH probed cells verifies twice
+        # with an identical sim (same fold over the same two vectors)
+        # — collapse to the smallest cell id
+        out = (out.groupBy("id_a", "id_b")
+               .agg(F.min("cell").alias("cell"),
+                    F.min("sim").alias("sim"))
+               .select("cell", "id_a", "id_b", "sim"))
+    return out
 
 
 def semantic_dedup_verdicts(corpus: DataFrame, id_col: str = "vec_id",
                             vec_col: str = "embedding",
                             threshold: float = 0.4,
-                            n_lists: int = 8) -> DataFrame:
+                            n_lists: int = 8,
+                            boundary_eps: float = 0.0) -> DataFrame:
     """Per-vector keep/drop verdicts from `semantic_dedup_pairs` under
     the SemDeDup keep-one rule with min-id priority: a vector is a
     duplicate iff some LOWER-id vector in its cell is within the
     cosine threshold.  One anti-joinable drop-list — no connected
     components needed, because the priority order makes the rule
-    local to each pair."""
+    local to each pair.  `boundary_eps` passes through to the pair
+    generator's multi-probe assignment."""
     drops = (semantic_dedup_pairs(corpus, id_col, vec_col,
-                                  threshold, n_lists)
+                                  threshold, n_lists, boundary_eps)
              .select(F.col("id_b").alias("__drop_id")).distinct())
     return corpus.join(
         drops, F.col(id_col) == F.col("__drop_id"), "left"
