@@ -174,6 +174,14 @@ def main() -> None:
         "dedup_containment": 2,
         "graph_doc_rank": 2,
         "graph_communities": 2,
+        # r10 drift adjudication of the r9 ops_split_leakage outlier:
+        # isolated single-JVM reps measured 16.7 -> 4.8 -> 4.3 -> 4.1 s
+        # (steady), i.e. the 11-12 s driver rows were min-of-2 landing
+        # BEFORE the shingle-join chain reached C2 steady state —
+        # per-JVM warm-up bimodality, not a plan change (SCALING.md).
+        # Same chain underneath both leakage entries.
+        "ops_split_leakage": 3,
+        "ops_leakage_safe_split": 3,
     }
     # The warm reps are TIMED too (free samples): min over warms+timed
     # reps.  A 100-query run drifts — heap fragmentation and worker
