@@ -2527,13 +2527,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     full = dict(r4_new)
     full.update({k: v for k, v in out.items() if k not in full})
-    lead = [k for k in (*_R9_LEAD, *_R8_LEAD, *_R7_LEAD, *_R6_LEAD,
-                        *_R5_NEW, *_R5_STALE_R2, *_R5_STALE_R3)
+    lead = [k for k in (*_R10_LEAD, *_R9_LEAD, *_R8_LEAD, *_R7_LEAD,
+                        *_R6_LEAD, *_R5_NEW, *_R5_STALE_R2,
+                        *_R5_STALE_R3)
             if k in full]
     seen = set()
     lead = [k for k in lead if not (k in seen or seen.add(k))]
     return {k: full[k] for k in (*lead, *(k for k in full
                                           if k not in seen))}
+
+
+# Round-10 driver-window rotation (the driver checks the FIRST 50
+# entries): (1) the 16 entries whose last driver row dates from round
+# 5 — the stalest block, deferred from the r9 window exactly as its
+# comment promised; (2) the 3 round-10 additions, never
+# driver-oracled (mm_decode_png, sim_knn_pq_trained oracled;
+# text_dsir_xxh rows-only BY DESIGN — no DuckDB xxhash64 twin, the
+# value pin is the local pure-Python XXH64 bucket-count test); (3)
+# the 8 entries whose Spark-side code changed this round — the
+# pagerank driver gate (graph_pagerank, graph_doc_rank), the pq.py
+# train refactor's seeded-path consumers (sim_knn_pq, emb_pq), the
+# similarity.py boundary-probe threading (dedup_semantic, default
+# path bit-identical but edited), the BM25 crash-safe update +
+# read-time heal (ret_bm25_incremental, ret_bm25_indexed), the DSIR
+# store heal (text_dsir_incremental), and the PNG branch in
+# decode_real (mm_decode_real); (4) the 23 stalest round-6 rows fill
+# the remaining slots to exactly 50.  The other 17 r6-stale entries
+# (the densely corpus-replayed m_* block) lead the r11 window.
+_R10_LEAD: list[str] = [
+    # last driver row round 5 (stalest — all 16)
+    "ops_zorder", "events_pivot", "ops_benford", "mm_audio_fp",
+    "emb_jl_project", "emb_pq", "text_zipf", "mm_scene_cuts",
+    "text_lang_confusion", "events_transitions", "events_anomaly",
+    "text_sample_weighted", "emb_prototypes", "text_char_entropy",
+    "ops_gap_fill", "text_stratified",
+    # round-10 additions — never driver-oracled
+    "mm_decode_png", "sim_knn_pq_trained", "text_dsir_xxh",
+    # changed this round — must re-green in the driver
+    "graph_pagerank", "graph_doc_rank", "sim_knn_pq",
+    "dedup_semantic", "ret_bm25_incremental", "ret_bm25_indexed",
+    "text_dsir_incremental", "mm_decode_real",
+    # last driver row round 6 (22 of 40; the rest lead r11)
+    "ops_asof_forward", "ops_window_distinct", "sim_knn_lsh_persisted",
+    "ops_skew_report", "text_bigram_logprob", "dedup_lines",
+    "text_token_budget", "dedup_lines_incremental", "text_mojibake",
+    "events_dedup_window", "text_repetition", "text_source_quota",
+    "text_tfidf", "text_split", "mm_stats", "text_pack", "events_json",
+    "text_fp_overlap", "text_corpus_report", "events_funnel",
+    "emb_stats", "events_retention", "tpch_q12",
+]
 
 
 # Round-9 driver-window rotation (the driver checks the FIRST 50
