@@ -1860,6 +1860,29 @@ def _q_mm_decode_png(spark, sf_dir):
     )
 
 
+def _q_mm_decode_jpeg(spark, sf_dir):
+    # REAL baseline-JPEG decode (marker walk, canonical-Huffman scan
+    # decode with DC prediction + bit-unstuffing, dequantize, IDCT —
+    # llm/multimodal.py parse_jpeg, pure numpy/stdlib).  The fixture
+    # pixels are constant per 8x8 tile, so the lossy DCT path has a
+    # CLOSED FORM per tile: only the DC coefficient survives, decoded
+    # value = round(8(v-128)/Q00)*Q00/8 + 128 on the deterministic
+    # rounding grid — the oracle computes it per tile and sums, never
+    # touching a bitstream.  Integer-grid comparison (sum_px), per the
+    # determinism contract.
+    from pyspark.sql import functions as F
+
+    from yardstick_spark.llm import decode_media, synth_jpeg_media
+
+    media = synth_jpeg_media(_docs(spark, sf_dir))
+    out = decode_media(media, n_features=8, fake=False)
+    return out.select(
+        "media_id", "kind", "width", "height", "n_samples",
+        F.expr("CAST(round(mean_val * n_samples * 255) AS BIGINT)")
+        .alias("sum_px"),
+    )
+
+
 def _q_mm_resize(spark, sf_dir):
     # gradient PPMs -> real nearest-neighbor resize to 16x16 -> real
     # decode; the gradient makes the resized mean depend on the NN index
@@ -2512,6 +2535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_clusters": _q_dedup_clusters,
             "mm_decode_real": _q_mm_decode_real,
             "mm_decode_png": _q_mm_decode_png,
+            "mm_decode_jpeg": _q_mm_decode_jpeg,
             "mm_resize": _q_mm_resize,
             "dedup_embedding": _q_dedup_embedding,
             "sim_knn_bruteforce": _q_knn,
@@ -2562,7 +2586,8 @@ _R10_LEAD: list[str] = [
     "text_sample_weighted", "emb_prototypes", "text_char_entropy",
     "ops_gap_fill", "text_stratified",
     # round-10 additions — never driver-oracled
-    "mm_decode_png", "sim_knn_pq_trained", "text_dsir_xxh",
+    "mm_decode_png", "mm_decode_jpeg", "sim_knn_pq_trained",
+    "text_dsir_xxh",
     # changed this round — must re-green in the driver
     "graph_pagerank", "graph_doc_rank", "sim_knn_pq",
     "dedup_semantic", "ret_bm25_incremental", "ret_bm25_indexed",
@@ -2574,7 +2599,9 @@ _R10_LEAD: list[str] = [
     "events_dedup_window", "text_repetition", "text_source_quota",
     "text_tfidf", "text_split", "mm_stats", "text_pack", "events_json",
     "text_fp_overlap", "text_corpus_report", "events_funnel",
-    "emb_stats", "events_retention", "tpch_q12",
+    "emb_stats", "events_retention",
+    # (tpch_q12 yields its slot to mm_decode_jpeg; it leads r11 with
+    # the m_* block)
 ]
 
 
@@ -4021,6 +4048,27 @@ def oracle_sql() -> dict[str, str]:
                         + ((s + n) % 251) * ((s + n) % 251 - 1) // 2
                         - s * (s - 1) // 2 ) AS BIGINT) AS sum_px
         FROM c"""
+    o["mm_decode_jpeg"] = """
+        WITH g AS (SELECT doc_id, (doc_id % 3 + 2) AS tw,
+                          (doc_id % 2 + 2) AS th
+                   FROM documents),
+        tiles AS (SELECT doc_id, tw, th,
+                         unnest(range(0, tw * th)) AS t FROM g),
+        px AS (SELECT doc_id, tw, th,
+                      -- constant 8x8 tile v -> only DC survives:
+                      -- decoded = round(8(v-128)/Q00)*Q00/8 + 128,
+                      -- Q00 = 16 (flat table), clamped + half-away
+                      CAST(FLOOR(LEAST(255.0, GREATEST(0.0, ROUND(
+                        ROUND(8.0 * (((t + doc_id) % 251) - 128)
+                              / 16.0) * 16.0 / 8.0 + 128.0, 6)))
+                        + 0.5) AS BIGINT) AS v
+               FROM tiles)
+        SELECT doc_id AS media_id, 'jpeg' AS kind,
+               CAST(MAX(tw) * 8 AS INT) AS width,
+               CAST(MAX(th) * 8 AS INT) AS height,
+               CAST(MAX(tw) * MAX(th) * 64 AS BIGINT) AS n_samples,
+               CAST(SUM(64 * v) AS BIGINT) AS sum_px
+        FROM px GROUP BY doc_id"""
     o["mm_resize"] = """
         WITH g AS (SELECT doc_id, doc_id % 13 + 3 AS w, doc_id % 7 + 2 AS h
                    FROM documents),

@@ -234,6 +234,61 @@ def test_png_roundtrip_all_filters_and_rejects():
         parse_png(b"not a png")
 
 
+def test_jpeg_roundtrip_closed_form_and_rejects():
+    """Baseline JPEG codec: (a) every constant-block value 0..255
+    decodes to the exact DC-only closed form (the lossy path is
+    analytic for constant tiles — the mm_decode_jpeg oracle's
+    foundation), including the 63.5-style quantization ties the
+    two-stage rounding grid protects; (b) general images round-trip
+    within the flat-16 quantization error bound; (c) zigzag is the
+    standard T.81 order; (d) non-multiple-of-8 dims pad and crop;
+    (e) progressive/multi-component/non-JPEG payloads raise."""
+    import numpy as np
+    import pytest as _pytest
+
+    from yardstick_spark.llm import parse_jpeg, write_jpeg
+    from yardstick_spark.llm.multimodal import _JPEG_Q00, _jpeg_zigzag
+
+    assert _jpeg_zigzag()[:10] == [0, 1, 8, 16, 9, 2, 3, 10, 17, 24]
+
+    def closed(v):
+        dc = np.sign(8 * (v - 128) / _JPEG_Q00) * np.floor(
+            abs(8 * (v - 128) / _JPEG_Q00) + 0.5)
+        return int(np.floor(np.clip(
+            np.round(dc * _JPEG_Q00 / 8.0 + 128, 6), 0, 255) + 0.5))
+
+    for v in range(0, 256, 7):
+        img = np.full((8, 16), v, np.uint8)
+        jw, jh, dec = parse_jpeg(write_jpeg(16, 8, img.tobytes()))
+        assert (jw, jh) == (16, 8)
+        assert (dec == closed(v)).all(), v
+    # ties: v=255 -> 63.5 quant boundary; v=1 -> -63.5
+    for v in (255, 1):
+        _, _, dec = parse_jpeg(write_jpeg(8, 8,
+                                          bytes([v] * 64)))
+        assert (dec == closed(v)).all(), v
+    # general content: lossy but bounded under the flat-16 table
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(24, 40), dtype=np.uint8)
+    _, _, dec = parse_jpeg(write_jpeg(40, 24, img.tobytes()))
+    err = np.abs(dec.reshape(24, 40).astype(int) - img.astype(int))
+    assert err.max() <= 40 and err.mean() <= 8
+    # padding + crop (13x10 is not a block multiple)
+    img3 = np.full((10, 13), 77, np.uint8)
+    jw, jh, dec3 = parse_jpeg(write_jpeg(13, 10, img3.tobytes()))
+    assert (jw, jh) == (13, 10) and (dec3 == closed(77)).all()
+    # rejects
+    j = bytearray(write_jpeg(8, 8, bytes(64)))
+    i = j.find(b"\xff\xc0")
+    j[i + 1] = 0xC2  # forge progressive SOF2
+    with _pytest.raises(ValueError):
+        parse_jpeg(bytes(j))
+    with _pytest.raises(ValueError):
+        parse_jpeg(b"not a jpeg")
+    with _pytest.raises(ValueError):
+        parse_jpeg(write_jpeg(8, 8, bytes(64))[:40])  # truncated
+
+
 def test_decode_media_handles_png_alongside_ppm_wav(spark):
     """decode_media(fake=False) on a batch mixing all three real
     containers: the PNG rows decode to the gradient's exact closed-form

@@ -54,6 +54,7 @@ from .multimodal import (  # noqa: F401
     decode_media,
     frame_sample,
     media_stats,
+    parse_jpeg,
     parse_png,
     parse_ppm,
     parse_wav,
@@ -64,10 +65,12 @@ from .multimodal import (  # noqa: F401
     scene_cuts,
     synth_video,
     synth_gradient_media,
+    synth_jpeg_media,
     synth_png_media,
     synth_square_wav,
     synth_textured_media,
     synth_media,
+    write_jpeg,
     write_png,
     write_ppm,
     write_wav,

@@ -311,6 +311,354 @@ def parse_png(payload: bytes):
     return w, h, channels, recon.reshape(-1)
 
 
+# --------------------------------------------------------------------------
+# Baseline JPEG (ITU T.81 sequential DCT, JFIF container) in pure
+# numpy + stdlib — grayscale, 8-bit, no subsampling.  The encoder
+# emits its OWN canonical Huffman tables in DHT (fixed-length canonical
+# codes: 12 DC size symbols at 4 bits, the standard 162-symbol AC
+# alphabet at 8 bits) and a flat quantization table in DQT, so neither
+# side depends on hand-transcribed spec constants; the zigzag order is
+# generated by the diagonal walk, reproducing the standard table.
+# Block-constant images make the whole lossy path ANALYTIC: a constant
+# 8x8 block has only a DC coefficient, so the decoded value is
+# round(8*(v-128)/Q00)*Q00/8 + 128 on the deterministic rounding grid
+# — the closed form the mm_decode_jpeg oracle computes in SQL.
+# --------------------------------------------------------------------------
+
+_JPEG_Q00 = 16  # flat luminance quant table: every entry _JPEG_Q00
+
+
+def _jpeg_zigzag():
+    """Standard 8x8 zigzag order via the diagonal walk (no table):
+    odd diagonals run top-right -> bottom-left, even ones the
+    reverse — reproducing T.81 Figure 5 exactly (head pinned in
+    tests: 0, 1, 8, 16, 9, 2, ...)."""
+    order = []
+    for d in range(15):
+        rng = range(d + 1) if d < 8 else range(d - 7, 8)
+        diag = [(d - j, j) for j in rng]  # high row -> low row
+        order.extend(diag[::-1] if d % 2 == 1 else diag)
+    return [r * 8 + c for (r, c) in order]
+
+
+def _jpeg_tables():
+    """(dc_bits, dc_vals, ac_bits, ac_vals, dc_codes, ac_codes):
+    canonical Huffman tables — DC sizes 0..11 at 4 bits, the 162
+    standard AC symbols (EOB, ZRL, (run<<4)|size for run 0..15, size
+    1..10) at 8 bits.  Canonical assignment means decode rebuilds the
+    identical codes from the DHT (BITS, HUFFVAL) segment."""
+    dc_vals = list(range(12))
+    dc_bits = [0] * 16
+    dc_bits[3] = 12  # BITS index 4 (1-based) = twelve 4-bit codes
+    ac_vals = sorted([0x00, 0xF0] + [(r << 4) | s
+                                     for r in range(16)
+                                     for s in range(1, 11)])
+    ac_bits = [0] * 16
+    ac_bits[7] = len(ac_vals)  # all at 8 bits (162 <= 255, no all-1s)
+    def canonical(bits, vals):
+        codes, code, k = {}, 0, 0
+        for ln in range(1, 17):
+            for _ in range(bits[ln - 1]):
+                codes[vals[k]] = (ln, code)
+                code += 1
+                k += 1
+            code <<= 1
+        return codes
+    return (dc_bits, dc_vals, ac_bits, ac_vals,
+            canonical(dc_bits, dc_vals), canonical(ac_bits, ac_vals))
+
+
+def _jpeg_dct_mat():
+    import numpy as np
+
+    x = np.arange(8)
+    u = x[:, None]
+    m = 0.5 * np.cos((2 * x[None, :] + 1) * u * np.pi / 16)
+    m[0, :] = 0.5 / np.sqrt(2.0)
+    return m
+
+
+def _half_away(a):
+    """Elementwise round-half-away-from-zero (np.round is banker's —
+    ties would diverge from both engines' ROUND)."""
+    import numpy as np
+
+    return np.sign(a) * np.floor(np.abs(a) + 0.5)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, bits: int, length: int) -> None:
+        self.acc = (self.acc << length) | (bits & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.put((1 << (8 - self.n)) - 1, 8 - self.n)  # pad with 1s
+        return bytes(self.out)
+
+
+def write_jpeg(width: int, height: int, gray: bytes) -> bytes:
+    """Baseline sequential JFIF encoder (grayscale, 8-bit, flat quant
+    table, self-emitted canonical Huffman tables).  Edge-replicates to
+    8x8 block multiples; SOF0 carries the true dimensions."""
+    import struct
+
+    import numpy as np
+
+    if len(gray) != width * height:
+        raise ValueError("gray payload must be width*height bytes")
+    img = np.frombuffer(gray, np.uint8).reshape(height, width) \
+        .astype(np.float64)
+    ph, pw = -(-height // 8) * 8, -(-width // 8) * 8
+    img = np.pad(img, ((0, ph - height), (0, pw - width)), mode="edge")
+    zz = _jpeg_zigzag()
+    m = _jpeg_dct_mat()
+    (dc_bits, dc_vals, ac_bits, ac_vals, dc_codes,
+     ac_codes) = _jpeg_tables()
+    bw = _BitWriter()
+    pred = 0
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            blk = img[by:by + 8, bx:bx + 8] - 128.0
+            # 6-dp pre-round before quantization: matmul noise at an
+            # exact quantization tie (e.g. 1016/16 = 63.5) must not
+            # flip the half-away round — the same two-stage grid as
+            # the decoder and the determinism contract
+            coef = _half_away(
+                np.round(m @ blk @ m.T, 6) / _JPEG_Q00
+            ).astype(np.int64)
+            seq = coef.reshape(-1)[zz]
+            diff = int(seq[0]) - pred
+            pred = int(seq[0])
+            size = int(diff).bit_length() if diff else 0
+            ln, code = dc_codes[size]
+            bw.put(code, ln)
+            if size:
+                bw.put(diff if diff > 0 else diff + (1 << size) - 1,
+                       size)
+            run = 0
+            last = max((i for i in range(1, 64) if seq[i]), default=0)
+            for i in range(1, last + 1):
+                v = int(seq[i])
+                if v == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    ln, code = ac_codes[0xF0]  # ZRL
+                    bw.put(code, ln)
+                    run -= 16
+                s = abs(v).bit_length()
+                ln, code = ac_codes[(run << 4) | s]
+                bw.put(code, ln)
+                bw.put(v if v > 0 else v + (1 << s) - 1, s)
+                run = 0
+            if last < 63:
+                ln, code = ac_codes[0x00]  # EOB
+                bw.put(code, ln)
+    scan = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    qt = bytes([_JPEG_Q00] * 64)
+    out = b"\xff\xd8"  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, b"\x00" + qt)  # DQT: 8-bit, table 0
+    out += seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 1)
+               + bytes([1, 0x11, 0]))  # SOF0: 1 comp, 1x1, qtable 0
+    out += seg(0xFFC4, b"\x00" + bytes(dc_bits) + bytes(dc_vals))
+    out += seg(0xFFC4, b"\x10" + bytes(ac_bits) + bytes(ac_vals))
+    out += seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return out + scan + b"\xff\xd9"  # EOI
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG scan data truncated")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:  # unstuff / marker
+                if self.pos >= len(self.data):
+                    raise ValueError("JPEG scan data truncated")
+                nxt = self.data[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1
+                elif nxt == 0xD9:  # EOI reached mid-read
+                    raise ValueError("JPEG scan hit EOI early")
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_decode(br: _BitReader, table: dict) -> int:
+    ln, code = 0, 0
+    while ln < 16:
+        code = (code << 1) | br.bit()
+        ln += 1
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(bits: int, size: int) -> int:
+    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+
+
+def parse_jpeg(payload: bytes):
+    """-> (width, height, uint8 ndarray) for a baseline sequential
+    JFIF grayscale JPEG: marker walk, canonical-Huffman scan decode
+    with DC prediction, dequantize, IDCT, level shift, crop.  Rejects
+    progressive (SOF2), arithmetic coding, multi-component scans and
+    subsampling — the baseline-decoder scope LIMITATIONS §5 documents.
+
+    Rounding is the two-stage deterministic grid from the determinism
+    contract: IDCT output rounds to 6 dp (killing matmul float noise)
+    before the final half-away integer round, so DC-only blocks decode
+    to the exact closed form round(8(v-128)/Q00)*Q00/8 + 128 the SQL
+    oracle computes."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (no SOI)")
+    pos = 2
+    qt = {}
+    huff = {}
+    w = h = None
+    comp_q = None
+    scan_start = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        ln = struct.unpack(">H", payload[pos + 2:pos + 4])[0]
+        body = payload[pos + 4:pos + 2 + ln]
+        if marker == 0xDB:  # DQT (possibly several tables per seg)
+            o = 0
+            while o < len(body):
+                pq, tq = body[o] >> 4, body[o] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                qt[tq] = np.array(list(body[o + 1:o + 65]),
+                                  dtype=np.float64)
+                o += 65
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
+                        0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "only baseline sequential JPEG (SOF0) supported")
+        elif marker == 0xC0:  # SOF0
+            prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise ValueError("only 8-bit JPEG supported")
+            if ncomp != 1:
+                raise ValueError(
+                    "only single-component (grayscale) JPEG supported")
+            if body[7] != 0x11:
+                raise ValueError("subsampled JPEG unsupported")
+            comp_q = body[8]
+        elif marker == 0xC4:  # DHT (possibly several tables per seg)
+            o = 0
+            while o < len(body):
+                tc, th = body[o] >> 4, body[o] & 0xF
+                bits = list(body[o + 1:o + 17])
+                nv = sum(bits)
+                vals = list(body[o + 17:o + 17 + nv])
+                codes, code, k = {}, 0, 0
+                for bl in range(1, 17):
+                    for _ in range(bits[bl - 1]):
+                        codes[(bl, code)] = vals[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                huff[(tc, th)] = codes
+                o += 17 + nv
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            if ns != 1:
+                raise ValueError("multi-component scan unsupported")
+            dc_id, ac_id = body[2] >> 4, body[2] & 0xF
+            scan_start = pos + 2 + ln
+            break
+        pos += 2 + ln
+    if w is None or scan_start is None:
+        raise ValueError("missing SOF0/SOS segment")
+    if comp_q not in qt or (0, dc_id) not in huff \
+            or (1, ac_id) not in huff:
+        raise ValueError("missing DQT/DHT tables")
+    q = qt[comp_q]
+    dc_t, ac_t = huff[(0, dc_id)], huff[(1, ac_id)]
+    zz = _jpeg_zigzag()
+    m = _jpeg_dct_mat()
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    out = np.empty((ph, pw), dtype=np.uint8)
+    br = _BitReader(payload[scan_start:])
+    pred = 0
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            seq = np.zeros(64, dtype=np.float64)
+            size = _huff_decode(br, dc_t)
+            pred += _extend(br.bits(size), size) if size else 0
+            seq[0] = pred
+            i = 1
+            while i < 64:
+                sym = _huff_decode(br, ac_t)
+                if sym == 0x00:  # EOB
+                    break
+                if sym == 0xF0:  # ZRL
+                    i += 16
+                    continue
+                i += sym >> 4
+                s = sym & 0xF
+                if i > 63:
+                    raise ValueError("AC coefficient index overflow")
+                seq[i] = _extend(br.bits(s), s)
+                i += 1
+            # DQT rides in zigzag order (spec), like the coefficients:
+            # dequantize in zigzag space, then scatter to the natural
+            # raster grid
+            flat = np.zeros(64, dtype=np.float64)
+            flat[zz] = seq * q
+            blk = flat.reshape(8, 8)
+            rec = m.T @ blk @ m + 128.0
+            rec = np.clip(np.round(rec, 6), 0.0, 255.0)
+            out[by:by + 8, bx:bx + 8] = np.floor(rec + 0.5) \
+                .astype(np.uint8)
+            # (floor(x + .5) on the clamped, 6-dp-rounded value is
+            # round-half-away for the non-negative range)
+    return w, h, out[:h, :w].reshape(-1)
+
+
 def write_wav(samples, sample_rate: int = 16000) -> bytes:
     """Mono 16-bit PCM WAV (RIFF/WAVE with fmt + data chunks)."""
     import struct
@@ -429,6 +777,51 @@ def synth_gradient_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         F.lit("image").alias("media_type"),
         F.expr(f"to_binary({ppm_hex}, 'hex')").alias("payload"),
     )
+
+
+def synth_jpeg_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Baseline-JPEG payloads whose pixels are CONSTANT per 8x8 tile
+    (tile t of doc i carries v = (t + i) % 251, w = (i%3+2)*8,
+    h = (i%2+2)*8): a constant block survives the lossy DCT path in
+    closed form — only the DC coefficient is nonzero, so the decoded
+    tile value is round(8(v-128)/Q00)*Q00/8 + 128 on the deterministic
+    rounding grid — which makes the whole huffman-encode ->
+    bit-unstuff -> huffman-decode -> dequantize -> IDCT pipeline
+    SQL-oracle-able without a SQL DCT (the mm_resize trick, one level
+    deeper).  One Arrow hop like `synth_png_media` (entropy coding
+    needs Python)."""
+    import pandas as pd
+
+    schema = StructType([
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("payload", BinaryType()),
+    ])
+
+    def gen(batches: Iterator) -> Iterator:
+        import numpy as np
+
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                tw, th = i % 3 + 2, i % 2 + 2
+                img = np.zeros((th * 8, tw * 8), dtype=np.uint8)
+                for t in range(tw * th):
+                    ty, tx = divmod(t, tw)
+                    img[ty * 8:(ty + 1) * 8, tx * 8:(tx + 1) * 8] = \
+                        (t + i) % 251
+                payloads.append(write_jpeg(tw * 8, th * 8,
+                                           img.tobytes()))
+            yield pd.DataFrame({
+                "media_id": ids,
+                "media_type": "image",
+                "payload": payloads,
+            })
+
+    return _spread_by_bytes(docs.select(id_col), rows_per_part=256) \
+        .mapInPandas(gen, schema=schema)
 
 
 def synth_png_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -613,6 +1006,12 @@ def decode_media(media: DataFrame, n_features: int = 8,
                         kinds.append("png")
                         widths.append(w)
                         heights.append(h)
+                    elif b[:2] == b"\xff\xd8":
+                        w, h, arr = parse_jpeg(b)
+                        norms.append(arr.astype(np.float64) / 255.0)
+                        kinds.append("jpeg")
+                        widths.append(w)
+                        heights.append(h)
                     elif b[:4] == b"RIFF":
                         pcm = parse_wav(b)
                         norms.append(
@@ -622,8 +1021,9 @@ def decode_media(media: DataFrame, n_features: int = 8,
                         heights.append(None)
                     else:
                         raise ValueError(
-                            "unsupported payload (PPM P6, PNG or PCM "
-                            "WAV only); use fake=True for opaque formats"
+                            "unsupported payload (PPM P6, PNG, baseline "
+                            "JPEG or PCM WAV only); use fake=True for "
+                            "opaque formats"
                         )
                 lengths = np.array([v.size for v in norms], dtype=np.int64)
                 flat = (np.concatenate(norms) if norms
