@@ -3,6 +3,8 @@ corpus top-terms operators (oracle parity is covered by oracle_diff)."""
 
 from __future__ import annotations
 
+import pytest
+
 
 def _docs(spark, rows):
     return spark.createDataFrame(rows, "doc_id bigint, text string")
@@ -1361,6 +1363,94 @@ def test_dsir_store_xxhash64_incremental_equals_refit(spark, tmp_path):
         docs, "lang = 'en'", n_buckets=256,
         hash_impl="xxhash64").collect()))
     assert got == want, "xxhash64 store incremental must equal refit"
+
+
+_DSIR_CRASH_POINTS = [
+    ("parquet", 1, True),    # crash after buckets_tmp write
+    ("rename", 1, True),     # crash after buckets -> buckets_old
+    ("rename", 2, True),     # crash after tmp -> buckets (pre-commit)
+    ("replace", 1, False),   # crash just before the meta commit
+    ("replace", 1, True),    # crash after meta commit, before cleanup
+]
+
+
+@pytest.mark.parametrize("target,nth,after", _DSIR_CRASH_POINTS)
+def test_dsir_update_crash_then_rerun(spark, tmp_path, monkeypatch,
+                                      target, nth, after):
+    """Kill update_dsir_store at every protocol step boundary, then
+    rerun the SAME batch naively: the store must converge to
+    exactly-once (scores equal a full refit — no double-counted
+    grams), and a further rerun must be a residue-free no-op.  The
+    same guarantee makes the foreachBatch streaming twin retry-safe
+    (Structured Streaming re-delivers failed micro-batches)."""
+    import os as _os
+
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    from yardstick_spark.llm import (dsir_score_with_store, dsir_weights,
+                                     save_dsir_store, update_dsir_store)
+    from yardstick_spark.llm import store as ysstore
+
+    class _Boom(RuntimeError):
+        pass
+
+    def crash_on(real, n, aft):
+        state = {"i": 0}
+
+        def wrap(*a, **k):
+            state["i"] += 1
+            if state["i"] == n:
+                if aft:
+                    real(*a, **k)
+                raise _Boom("injected")
+            return real(*a, **k)
+
+        return wrap
+
+    docs = _dsir_docs(spark)
+    path = str(tmp_path / "dsir_store")
+    save_dsir_store(docs.filter("doc_id % 2 = 0"), "lang = 'en'", path,
+                    n_buckets=256)
+    new = docs.filter("doc_id % 2 = 1")
+    with monkeypatch.context() as m:
+        if target == "parquet":
+            m.setattr(DataFrameWriter, "parquet",
+                      crash_on(DataFrameWriter.parquet, nth, after))
+        elif target == "rename":
+            m.setattr(ysstore, "rename_dataset",
+                      crash_on(ysstore.rename_dataset, nth, after))
+        else:
+            m.setattr(_os, "replace",
+                      crash_on(_os.replace, nth, after))
+        with pytest.raises(_Boom):
+            update_dsir_store(new, path)
+    update_dsir_store(new, path)  # naive rerun of the same batch
+    update_dsir_store(new, path)  # and again: applied-batch no-op
+    inc = sorted(map(tuple, dsir_score_with_store(docs, path).collect()))
+    full = sorted(map(tuple, dsir_weights(
+        docs, "lang = 'en'", n_buckets=256).collect()))
+    assert inc == full
+    assert not (tmp_path / "dsir_store" / "_dsir_pending.json").exists()
+    assert not (tmp_path / "dsir_store" / "buckets_old").exists()
+    assert not (tmp_path / "dsir_store" / "buckets_tmp").exists()
+
+
+def test_dsir_update_distinct_batches_still_apply(spark, tmp_path):
+    """The batch fingerprint must not eat a genuinely new batch: two
+    different batches applied back-to-back equal a full refit."""
+    from yardstick_spark.llm import (dsir_score_with_store, dsir_weights,
+                                     save_dsir_store, update_dsir_store)
+
+    docs = _dsir_docs(spark)
+    path = str(tmp_path / "s")
+    save_dsir_store(docs.filter("doc_id % 3 = 0"), "lang = 'en'", path,
+                    n_buckets=256)
+    update_dsir_store(docs.filter("doc_id % 3 = 1"), path)
+    update_dsir_store(docs.filter("doc_id % 3 = 2"), path)
+    inc = sorted(map(tuple, dsir_score_with_store(docs, path).collect()))
+    full = sorted(map(tuple, dsir_weights(
+        docs, "lang = 'en'", n_buckets=256).collect()))
+    assert inc == full
 
 
 def test_dsir_store_stream_twin_equals_batch(spark, tmp_path):

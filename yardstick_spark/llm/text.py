@@ -1697,37 +1697,78 @@ def update_dsir_store(new_docs: DataFrame, path: str,
     """Fold a batch of NEW documents into a `save_dsir_store` dataset
     — O(batch) scan work plus an O(n_buckets) merge, never a corpus
     refit.  Same caller contract as the other incremental stores:
-    batches contain only unseen documents (re-ingesting double-counts
-    their grams).  The merged table rewrites via a temp dataset + the
-    crash-recoverable rename-aside swap (`store.swap_dataset`: a crash
-    at any point leaves a complete copy at `buckets` or
-    `buckets_old`); reading and overwriting the same parquet path in
-    one plan is not safe, hence the temp dataset."""
+    batches contain only unseen documents.
+
+    CRASH SAFETY — idempotent like `update_bm25_index` (r10): a batch
+    content fingerprint (row count + order-independent XOR of text
+    hashes, one O(batch) aggregate) is stamped into the meta sidecar
+    at an atomic-rename commit AFTER the bucket swap.  Rerunning the
+    same batch after a crash at any point converges to exactly-once:
+    before the commit a pending marker triggers full rollback (restore
+    `buckets_old`, drop `buckets_tmp`); after it the rerun is a no-op
+    plus residue cleanup.  This also makes the foreachBatch streaming
+    twin (`streaming.start_dsir_store_ingest`) RETRY-SAFE — Structured
+    Streaming re-delivers a failed micro-batch, which previously
+    double-counted its grams.  Pinned by
+    tests/test_text_ops.py::test_dsir_update_crash_then_rerun."""
     import json
+    import os
     from pathlib import Path
 
-    meta = json.loads(Path(path, "_dsir_meta.json").read_text())
-    spark = new_docs.sparkSession
-    from .store import heal_dataset
+    from .store import (_dataset_exists, delete_dataset, heal_dataset,
+                        rename_dataset)
 
-    heal_dataset(spark, str(Path(path) / "buckets"),
-                 "update_dsir_store")
+    meta_p = Path(path, "_dsir_meta.json")
+    pend_p = Path(path, "_dsir_pending.json")
+    meta = json.loads(meta_p.read_text())
+    spark = new_docs.sparkSession
+    dst_p = str(Path(path) / "buckets")
+    tmp_p = str(Path(path) / "buckets_tmp")
+    stats = new_docs.agg(
+        F.count("*").alias("n"),
+        # xxhash64(NULL) yields the seed's hash (a constant), so NULL
+        # texts fingerprint deterministically and differently from ''
+        F.coalesce(F.expr(f"bit_xor(xxhash64({text_col}))"),
+                   F.lit(0)).alias("xh"),
+    ).collect()[0]
+    bid = f"{int(stats['n'])}:{int(stats['xh'])}"
+    if meta.get("last_batch") == bid:
+        # fully applied by a run that crashed after the meta commit
+        delete_dataset(spark, dst_p + "_old")
+        delete_dataset(spark, tmp_p)
+        pend_p.unlink(missing_ok=True)
+        return
+    if pend_p.exists():
+        # a previous update died before its meta commit: roll back
+        if _dataset_exists(spark, dst_p + "_old"):
+            delete_dataset(spark, dst_p)
+            rename_dataset(spark, dst_p + "_old", dst_p,
+                           "update_dsir_store")
+        delete_dataset(spark, tmp_p)
+        pend_p.unlink()
+    heal_dataset(spark, dst_p, "update_dsir_store")  # legacy mid-swap
+    pend_p.write_text(json.dumps({"batch": bid}))
     batch = _dsir_bucket_counts(new_docs, meta["target_cond"],
                                 meta["n_buckets"], text_col,
                                 meta.get("hash_impl", "md5"))
     merged = (
-        spark.read.parquet(str(Path(path) / "buckets"))
+        spark.read.parquet(dst_p)
         .unionByName(batch)
         .groupBy("bucket")
         .agg(F.sum("c_raw").alias("c_raw"),
              F.sum("c_target").cast("bigint").alias("c_target"))
     )
-    tmp_p = str(Path(path) / "buckets_tmp")
+    # rename-aside swap inlined (not store.swap_dataset): buckets_old
+    # must OUTLIVE the swap until the meta commit so rollback can
+    # always restore the pre-batch table
     merged.write.mode("overwrite").parquet(tmp_p)
-    from .store import swap_dataset
-
-    swap_dataset(spark, tmp_p, str(Path(path) / "buckets"),
-                 "update_dsir_store")
+    rename_dataset(spark, dst_p, dst_p + "_old", "update_dsir_store")
+    rename_dataset(spark, tmp_p, dst_p, "update_dsir_store")
+    meta_tmp = Path(path, "_dsir_meta.json.tmp")
+    meta_tmp.write_text(json.dumps({**meta, "last_batch": bid}))
+    os.replace(meta_tmp, meta_p)
+    delete_dataset(spark, dst_p + "_old")
+    pend_p.unlink()
 
 
 def dsir_score_with_store(docs: DataFrame, path: str,

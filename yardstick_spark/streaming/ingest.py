@@ -397,8 +397,13 @@ def start_bm25_index_ingest(new_docs: DataFrame, spark, index_path: str,
     `test_bm25_index_incremental_equals_rebuild`); queries via
     `bm25_search_index` between triggers see a consistent index (the
     df swap is the one non-append step and is last — see the batch
-    operator's crash-ordering note).  Same caller contract as every
-    ingest here: batches carry only unseen doc ids."""
+    operator's crash-ordering note).  RETRY-SAFE (r10): Structured
+    Streaming re-delivers a failed micro-batch, and the batch
+    operator's content fingerprint + pending-marker protocol makes the
+    redelivery converge to exactly-once instead of double-appending
+    postings (tests/test_retrieval.py::test_bm25_update_crash_*).
+    Same caller contract as every ingest here: batches carry only
+    unseen doc ids."""
     from ..llm.retrieval import update_bm25_index
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
@@ -422,8 +427,12 @@ def start_dsir_store_ingest(new_docs: DataFrame, spark, store_path: str,
     store after any batch split equals a full refit (pinned by
     test_dsir_store_incremental_equals_refit).  Scoring via
     `dsir_score_with_store` between triggers sees a consistent table
-    (the bucket rewrite swaps via FileSystem rename).  Same caller
-    contract as every ingest here: batches carry only unseen docs."""
+    (the bucket rewrite swaps via FileSystem rename).  RETRY-SAFE
+    (r10): a re-delivered micro-batch no-ops via the batch content
+    fingerprint instead of double-counting its grams
+    (tests/test_text_ops.py::test_dsir_update_crash_then_rerun).
+    Same caller contract as every ingest here: batches carry only
+    unseen docs."""
     from ..llm.text import update_dsir_store
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
