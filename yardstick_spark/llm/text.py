@@ -1351,6 +1351,10 @@ def bigram_logprob(docs: DataFrame, text_col: str = "text",
     big = ("transform(sequence(2, size(__ws)), i -> "
            "struct(element_at(__ws, i - 1) AS v, "
            "element_at(__ws, i) AS w))")
+    # (no cache barrier on the doc-bigram table: measured at sf0.1,
+    # AQE exchange reuse already dedupes the explode+aggregate subtree
+    # across the bcf and score consumers — a cache added memory
+    # pressure and zero steady-state win, r10 measurement)
     tf2 = (
         wl.select("id", F.explode(F.expr(
             f"IF(size(__ws) >= 2, {big}, array())")).alias("b"))
