@@ -289,6 +289,50 @@ def test_jpeg_roundtrip_closed_form_and_rejects():
         parse_jpeg(write_jpeg(8, 8, bytes(64))[:40])  # truncated
 
 
+def test_png_jpeg_degenerate_payloads():
+    """Codec edge cases: truncated IDAT, scanline/dimension mismatch,
+    1x1 images, and zero-byte input all fail loudly or round-trip —
+    never garbage."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from yardstick_spark.llm import (parse_jpeg, parse_png, write_jpeg,
+                                     write_png)
+    from yardstick_spark.llm.multimodal import PNG_SIG
+
+    # 1x1 round-trips for both codecs (the all-padding corner)
+    assert parse_png(write_png(1, 1, b"\x42", channels=1))[3] \
+        .tolist() == [0x42]
+    w, h, dec = parse_jpeg(write_jpeg(1, 1, b"\x42"))
+    assert (w, h, dec.size) == (1, 1, 1)
+
+    def chunk(t, d):
+        return (struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
+
+    # PNG whose inflated scanlines don't match IHDR dims
+    bad = (PNG_SIG
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(b"\x00" * 5)))
+    with _pytest.raises(ValueError):
+        parse_png(bad)
+    # PNG with a truncated (undecompressable) IDAT stream
+    good = write_png(4, 4, bytes(range(48)), channels=3)
+    with _pytest.raises(Exception):
+        parse_png(good[:len(good) - 20])
+    with _pytest.raises(ValueError):
+        parse_png(b"")
+    with _pytest.raises(ValueError):
+        parse_jpeg(b"")
+    # JPEG with the scan cut mid-block
+    j = write_jpeg(16, 16, np.arange(256, dtype=np.uint8).tobytes())
+    with _pytest.raises(ValueError):
+        parse_jpeg(j[:len(j) // 2])
+
+
 def test_decode_media_handles_png_alongside_ppm_wav(spark):
     """decode_media(fake=False) on a batch mixing all three real
     containers: the PNG rows decode to the gradient's exact closed-form

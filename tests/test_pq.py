@@ -274,6 +274,32 @@ def test_pq_trained_repartition_stable(spark, blobs):
             assert got == ref
 
 
+def test_pq_trained_degenerate_inputs(spark):
+    """Trained codebooks on hostile inputs: a corpus smaller than ks
+    trains fine over its sparse seeded cells (empty cells drop, codes
+    stay valid); an empty corpus raises the empty-codebook error at
+    consume time rather than producing garbage."""
+    from yardstick_spark.llm import (clear_dedup_caches, pq_codebook,
+                                     pq_encode)
+
+    X = np.arange(5 * 8, dtype=np.float32).reshape(5, 8)
+    df = _vecs(spark, X)
+    cb = pq_codebook(df, m=2, ks=64, train=True, iters=2)
+    assert cb.count() <= 2 * 5  # at most one cell per (sub, vector)
+    rows = pq_encode(df, cb).collect()
+    valid = {(r.sub, r.code) for r in cb.collect()}
+    assert len(rows) == 5
+    for r in rows:
+        for s, c in enumerate(r.codes):
+            assert (s, c) in valid
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>")
+    with pytest.raises(Exception, match="empty codebook"):
+        pq_encode(empty, pq_codebook(empty, m=2, ks=4,
+                                     train=True)).collect()
+    clear_dedup_caches()
+
+
 def test_pq_encode_literal_equals_arrow(spark, corpus):
     """The pure-JVM literal argmin and the Arrow closure path produce
     identical codes (same rounding grid, same tie rule)."""

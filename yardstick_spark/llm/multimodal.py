@@ -563,6 +563,8 @@ def parse_jpeg(payload: bytes):
         if marker == 0xD9:
             break
         ln = struct.unpack(">H", payload[pos + 2:pos + 4])[0]
+        if pos + 2 + ln > len(payload):
+            raise ValueError("JPEG segment truncated")
         body = payload[pos + 4:pos + 2 + ln]
         if marker == 0xDB:  # DQT (possibly several tables per seg)
             o = 0
