@@ -1883,6 +1883,28 @@ def _q_mm_decode_jpeg(spark, sf_dir):
     )
 
 
+def _q_mm_decode_jpeg_color(spark, sf_dir):
+    # COLOR (4:4:4 YCbCr) baseline-JPEG decode with genuinely colored
+    # constant tiles: the oracle recomputes the full RGB -> YCbCr ->
+    # DC-quantize -> YCbCr -> RGB chain in closed form per tile, every
+    # step on the shared two-stage rounding grid (ROUND(ROUND(x,6)) =
+    # half-away of the 6-dp value — what the codec's
+    # clip(half_away(round6)) computes).  Exercises the 3-block MCU
+    # interleave + per-component DC predictors + color reconstruction
+    # that mm_decode_jpeg (grayscale) does not.
+    from pyspark.sql import functions as F
+
+    from yardstick_spark.llm import decode_media, synth_jpeg_media
+
+    media = synth_jpeg_media(_docs(spark, sf_dir), color=True)
+    out = decode_media(media, n_features=8, fake=False)
+    return out.select(
+        "media_id", "kind", "width", "height", "n_samples",
+        F.expr("CAST(round(mean_val * n_samples * 255) AS BIGINT)")
+        .alias("sum_px"),
+    )
+
+
 def _q_mm_resize(spark, sf_dir):
     # gradient PPMs -> real nearest-neighbor resize to 16x16 -> real
     # decode; the gradient makes the resized mean depend on the NN index
@@ -2536,6 +2558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "mm_decode_real": _q_mm_decode_real,
             "mm_decode_png": _q_mm_decode_png,
             "mm_decode_jpeg": _q_mm_decode_jpeg,
+            "mm_decode_jpeg_color": _q_mm_decode_jpeg_color,
             "mm_resize": _q_mm_resize,
             "dedup_embedding": _q_dedup_embedding,
             "sim_knn_bruteforce": _q_knn,
@@ -2586,8 +2609,8 @@ _R10_LEAD: list[str] = [
     "text_sample_weighted", "emb_prototypes", "text_char_entropy",
     "ops_gap_fill", "text_stratified",
     # round-10 additions — never driver-oracled
-    "mm_decode_png", "mm_decode_jpeg", "sim_knn_pq_trained",
-    "text_dsir_xxh",
+    "mm_decode_png", "mm_decode_jpeg", "mm_decode_jpeg_color",
+    "sim_knn_pq_trained", "text_dsir_xxh",
     # changed this round — must re-green in the driver
     "graph_pagerank", "graph_doc_rank", "sim_knn_pq",
     "dedup_semantic", "ret_bm25_incremental", "ret_bm25_indexed",
@@ -2599,9 +2622,9 @@ _R10_LEAD: list[str] = [
     "events_dedup_window", "text_repetition", "text_source_quota",
     "text_tfidf", "text_split", "mm_stats", "text_pack", "events_json",
     "text_fp_overlap", "text_corpus_report", "events_funnel",
-    "emb_stats", "events_retention",
-    # (tpch_q12 yields its slot to mm_decode_jpeg; it leads r11 with
-    # the m_* block)
+    "emb_stats",
+    # (tpch_q12 and events_retention yield their slots to the two
+    # JPEG entries; they lead r11 with the m_* block)
 ]
 
 
@@ -4069,6 +4092,52 @@ def oracle_sql() -> dict[str, str]:
                CAST(MAX(tw) * MAX(th) * 64 AS BIGINT) AS n_samples,
                CAST(SUM(64 * v) AS BIGINT) AS sum_px
         FROM px GROUP BY doc_id"""
+    o["mm_decode_jpeg_color"] = """
+        WITH g AS (SELECT doc_id, (doc_id % 3 + 2) AS tw,
+                          (doc_id % 2 + 2) AS th
+                   FROM documents),
+        tiles AS (SELECT doc_id, tw, th,
+                         unnest(range(0, tw * th)) AS t FROM g),
+        rgb AS (SELECT doc_id, tw, th,
+                       (t + doc_id) % 251 AS r,
+                       (2 * t + doc_id) % 251 AS gg,
+                       (3 * t + doc_id) % 251 AS b
+                FROM tiles),
+        -- encoder: RGB -> YCbCr on the two-stage grid
+        -- (clip(half_away(round6(x))) == LEAST/GREATEST(ROUND(ROUND)))
+        ycc AS (SELECT doc_id, tw, th,
+          LEAST(255, GREATEST(0, ROUND(ROUND(
+            0.299 * r + 0.587 * gg + 0.114 * b, 6)))) AS y,
+          LEAST(255, GREATEST(0, ROUND(ROUND(
+            -0.168736 * r - 0.331264 * gg + 0.5 * b + 128, 6)))) AS cb,
+          LEAST(255, GREATEST(0, ROUND(ROUND(
+            0.5 * r - 0.418688 * gg - 0.331264 * b + 128, 6)))) AS cr
+          FROM rgb),
+        -- per-channel DC closed form (constant block, Q00 = 16)
+        dec AS (SELECT doc_id, tw, th,
+          LEAST(255, GREATEST(0,
+            ROUND(8.0 * (y - 128) / 16.0) * 2 + 128)) AS y2,
+          LEAST(255, GREATEST(0,
+            ROUND(8.0 * (cb - 128) / 16.0) * 2 + 128)) AS cb2,
+          LEAST(255, GREATEST(0,
+            ROUND(8.0 * (cr - 128) / 16.0) * 2 + 128)) AS cr2
+          FROM ycc),
+        -- decoder: YCbCr -> RGB, same grid
+        out AS (SELECT doc_id, tw, th,
+          LEAST(255, GREATEST(0, ROUND(ROUND(
+            y2 + 1.402 * (cr2 - 128), 6)))) AS r2,
+          LEAST(255, GREATEST(0, ROUND(ROUND(
+            y2 - 0.344136 * (cb2 - 128)
+               - 0.714136 * (cr2 - 128), 6)))) AS g2,
+          LEAST(255, GREATEST(0, ROUND(ROUND(
+            y2 + 1.772 * (cb2 - 128), 6)))) AS b2
+          FROM dec)
+        SELECT doc_id AS media_id, 'jpeg' AS kind,
+               CAST(MAX(tw) * 8 AS INT) AS width,
+               CAST(MAX(th) * 8 AS INT) AS height,
+               CAST(MAX(tw) * MAX(th) * 64 * 3 AS BIGINT) AS n_samples,
+               CAST(SUM(64 * (r2 + g2 + b2)) AS BIGINT) AS sum_px
+        FROM out GROUP BY doc_id"""
     o["mm_resize"] = """
         WITH g AS (SELECT doc_id, doc_id % 13 + 3 AS w, doc_id % 7 + 2 AS h
                    FROM documents),

@@ -259,24 +259,24 @@ def test_jpeg_roundtrip_closed_form_and_rejects():
 
     for v in range(0, 256, 7):
         img = np.full((8, 16), v, np.uint8)
-        jw, jh, dec = parse_jpeg(write_jpeg(16, 8, img.tobytes()))
-        assert (jw, jh) == (16, 8)
+        jw, jh, ch, dec = parse_jpeg(write_jpeg(16, 8, img.tobytes()))
+        assert (jw, jh, ch) == (16, 8, 1)
         assert (dec == closed(v)).all(), v
     # ties: v=255 -> 63.5 quant boundary; v=1 -> -63.5
     for v in (255, 1):
-        _, _, dec = parse_jpeg(write_jpeg(8, 8,
-                                          bytes([v] * 64)))
+        _, _, _, dec = parse_jpeg(write_jpeg(8, 8,
+                                             bytes([v] * 64)))
         assert (dec == closed(v)).all(), v
     # general content: lossy but bounded under the flat-16 table
     rng = np.random.default_rng(3)
     img = rng.integers(0, 256, size=(24, 40), dtype=np.uint8)
-    _, _, dec = parse_jpeg(write_jpeg(40, 24, img.tobytes()))
+    _, _, _, dec = parse_jpeg(write_jpeg(40, 24, img.tobytes()))
     err = np.abs(dec.reshape(24, 40).astype(int) - img.astype(int))
     assert err.max() <= 40 and err.mean() <= 8
     # padding + crop (13x10 is not a block multiple)
     img3 = np.full((10, 13), 77, np.uint8)
-    jw, jh, dec3 = parse_jpeg(write_jpeg(13, 10, img3.tobytes()))
-    assert (jw, jh) == (13, 10) and (dec3 == closed(77)).all()
+    jw, jh, ch3, dec3 = parse_jpeg(write_jpeg(13, 10, img3.tobytes()))
+    assert (jw, jh, ch3) == (13, 10, 1) and (dec3 == closed(77)).all()
     # rejects
     j = bytearray(write_jpeg(8, 8, bytes(64)))
     i = j.find(b"\xff\xc0")
@@ -287,6 +287,52 @@ def test_jpeg_roundtrip_closed_form_and_rejects():
         parse_jpeg(b"not a jpeg")
     with _pytest.raises(ValueError):
         parse_jpeg(write_jpeg(8, 8, bytes(64))[:40])  # truncated
+
+
+def test_jpeg_color_closed_form_and_roundtrip():
+    """4:4:4 color JPEG: constant RGB tiles decode to the full
+    RGB -> YCbCr -> DC-quantize -> YCbCr -> RGB closed form on the
+    two-stage rounding grid (the mm_decode_jpeg_color oracle's
+    foundation), including chroma values that clamp; general color
+    content round-trips lossily but bounded."""
+    import numpy as np
+
+    from yardstick_spark.llm import parse_jpeg, write_jpeg
+    from yardstick_spark.llm.multimodal import _JPEG_Q00
+
+    def ha(x):
+        return np.sign(x) * np.floor(np.abs(x) + 0.5)
+
+    def grid(x):
+        return np.clip(ha(np.round(x, 6)), 0, 255)
+
+    def chan(c):
+        dc = ha(8 * (c - 128) / _JPEG_Q00)
+        return np.floor(np.clip(np.round(
+            dc * _JPEG_Q00 / 8.0 + 128, 6), 0, 255) + 0.5)
+
+    for (r, g, b) in [(10, 200, 30), (0, 250, 250), (0, 0, 0),
+                      (255, 255, 255), (123, 45, 67), (250, 0, 0)]:
+        img = np.zeros((8, 8, 3), np.uint8)
+        img[..., 0], img[..., 1], img[..., 2] = r, g, b
+        w, h, ch, arr = parse_jpeg(write_jpeg(8, 8, img.tobytes(),
+                                              channels=3))
+        assert (w, h, ch) == (8, 8, 3)
+        y = grid(0.299 * r + 0.587 * g + 0.114 * b)
+        cb = grid(-0.168736 * r - 0.331264 * g + 0.5 * b + 128)
+        cr = grid(0.5 * r - 0.418688 * g - 0.331264 * b + 128)
+        y2, cb2, cr2 = chan(y), chan(cb), chan(cr)
+        want = (int(grid(y2 + 1.402 * (cr2 - 128))),
+                int(grid(y2 - 0.344136 * (cb2 - 128)
+                         - 0.714136 * (cr2 - 128))),
+                int(grid(y2 + 1.772 * (cb2 - 128))))
+        assert (arr.reshape(-1, 3) == want).all(), ((r, g, b), want)
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(16, 24, 3), dtype=np.uint8)
+    _, _, _, arr = parse_jpeg(write_jpeg(24, 16, img.tobytes(),
+                                         channels=3))
+    err = np.abs(arr.reshape(16, 24, 3).astype(int) - img.astype(int))
+    assert err.mean() <= 40  # lossy chroma on noise, but sane
 
 
 def test_png_jpeg_degenerate_payloads():
@@ -306,8 +352,8 @@ def test_png_jpeg_degenerate_payloads():
     # 1x1 round-trips for both codecs (the all-padding corner)
     assert parse_png(write_png(1, 1, b"\x42", channels=1))[3] \
         .tolist() == [0x42]
-    w, h, dec = parse_jpeg(write_jpeg(1, 1, b"\x42"))
-    assert (w, h, dec.size) == (1, 1, 1)
+    w, h, ch, dec = parse_jpeg(write_jpeg(1, 1, b"\x42"))
+    assert (w, h, ch, dec.size) == (1, 1, 1, 1)
 
     def chunk(t, d):
         return (struct.pack(">I", len(d)) + t + d

@@ -409,78 +409,125 @@ class _BitWriter:
         return bytes(self.out)
 
 
-def write_jpeg(width: int, height: int, gray: bytes) -> bytes:
-    """Baseline sequential JFIF encoder (grayscale, 8-bit, flat quant
-    table, self-emitted canonical Huffman tables).  Edge-replicates to
-    8x8 block multiples; SOF0 carries the true dimensions."""
+def _rgb_to_ycbcr(img):
+    """JFIF RGB -> YCbCr on the two-stage rounding grid (6-dp
+    pre-round, half-away, clamp) — the order the SQL oracle mirrors."""
+    import numpy as np
+
+    r, g, b = (img[..., 0], img[..., 1], img[..., 2])
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.331264 * b + 128.0
+    return [np.clip(_half_away(np.round(c, 6)), 0.0, 255.0)
+            for c in (y, cb, cr)]
+
+
+def _ycbcr_to_rgb(y, cb, cr):
+    """JFIF YCbCr -> RGB, same rounding grid as `_rgb_to_ycbcr`."""
+    import numpy as np
+
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return [np.clip(_half_away(np.round(c, 6)), 0.0, 255.0)
+            for c in (r, g, b)]
+
+
+def _jpeg_encode_block(bw, blk, pred, zz, m, dc_codes, ac_codes):
+    """Forward-DCT + quantize + entropy-code one 8x8 level-shifted
+    block; returns the new DC predictor.  6-dp pre-round before
+    quantization: matmul noise at an exact quantization tie (e.g.
+    1016/16 = 63.5) must not flip the half-away round — the same
+    two-stage grid as the decoder and the determinism contract."""
+    import numpy as np
+
+    coef = _half_away(np.round(m @ blk @ m.T, 6) / _JPEG_Q00) \
+        .astype(np.int64)
+    seq = coef.reshape(-1)[zz]
+    diff = int(seq[0]) - pred
+    size = int(diff).bit_length() if diff else 0
+    ln, code = dc_codes[size]
+    bw.put(code, ln)
+    if size:
+        bw.put(diff if diff > 0 else diff + (1 << size) - 1, size)
+    run = 0
+    last = max((i for i in range(1, 64) if seq[i]), default=0)
+    for i in range(1, last + 1):
+        v = int(seq[i])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            ln, code = ac_codes[0xF0]  # ZRL
+            bw.put(code, ln)
+            run -= 16
+        s = abs(v).bit_length()
+        ln, code = ac_codes[(run << 4) | s]
+        bw.put(code, ln)
+        bw.put(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last < 63:
+        ln, code = ac_codes[0x00]  # EOB
+        bw.put(code, ln)
+    return int(seq[0])
+
+
+def write_jpeg(width: int, height: int, pixels: bytes,
+               channels: int = 1) -> bytes:
+    """Baseline sequential JFIF encoder (8-bit, flat quant table,
+    self-emitted canonical Huffman tables).  `channels=1`: grayscale;
+    `channels=3`: interleaved RGB, converted to YCbCr and coded 4:4:4
+    (one Y + Cb + Cr block per MCU, per-component DC predictors, all
+    components sharing the emitted tables — legal, since DHT/DQT are
+    ours).  Edge-replicates to 8x8 block multiples; SOF0 carries the
+    true dimensions."""
     import struct
 
     import numpy as np
 
-    if len(gray) != width * height:
-        raise ValueError("gray payload must be width*height bytes")
-    img = np.frombuffer(gray, np.uint8).reshape(height, width) \
-        .astype(np.float64)
+    if channels not in (1, 3):
+        raise ValueError("channels must be 1 (gray) or 3 (RGB)")
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixels must be width*height*channels bytes")
+    img = np.frombuffer(pixels, np.uint8) \
+        .reshape(height, width, channels).astype(np.float64)
     ph, pw = -(-height // 8) * 8, -(-width // 8) * 8
-    img = np.pad(img, ((0, ph - height), (0, pw - width)), mode="edge")
+    img = np.pad(img, ((0, ph - height), (0, pw - width), (0, 0)),
+                 mode="edge")
+    planes = ([img[..., 0]] if channels == 1
+              else _rgb_to_ycbcr(img))
     zz = _jpeg_zigzag()
     m = _jpeg_dct_mat()
     (dc_bits, dc_vals, ac_bits, ac_vals, dc_codes,
      ac_codes) = _jpeg_tables()
     bw = _BitWriter()
-    pred = 0
+    preds = [0] * channels
     for by in range(0, ph, 8):
         for bx in range(0, pw, 8):
-            blk = img[by:by + 8, bx:bx + 8] - 128.0
-            # 6-dp pre-round before quantization: matmul noise at an
-            # exact quantization tie (e.g. 1016/16 = 63.5) must not
-            # flip the half-away round — the same two-stage grid as
-            # the decoder and the determinism contract
-            coef = _half_away(
-                np.round(m @ blk @ m.T, 6) / _JPEG_Q00
-            ).astype(np.int64)
-            seq = coef.reshape(-1)[zz]
-            diff = int(seq[0]) - pred
-            pred = int(seq[0])
-            size = int(diff).bit_length() if diff else 0
-            ln, code = dc_codes[size]
-            bw.put(code, ln)
-            if size:
-                bw.put(diff if diff > 0 else diff + (1 << size) - 1,
-                       size)
-            run = 0
-            last = max((i for i in range(1, 64) if seq[i]), default=0)
-            for i in range(1, last + 1):
-                v = int(seq[i])
-                if v == 0:
-                    run += 1
-                    continue
-                while run >= 16:
-                    ln, code = ac_codes[0xF0]  # ZRL
-                    bw.put(code, ln)
-                    run -= 16
-                s = abs(v).bit_length()
-                ln, code = ac_codes[(run << 4) | s]
-                bw.put(code, ln)
-                bw.put(v if v > 0 else v + (1 << s) - 1, s)
-                run = 0
-            if last < 63:
-                ln, code = ac_codes[0x00]  # EOB
-                bw.put(code, ln)
+            for c, plane in enumerate(planes):
+                preds[c] = _jpeg_encode_block(
+                    bw, plane[by:by + 8, bx:bx + 8] - 128.0,
+                    preds[c], zz, m, dc_codes, ac_codes)
     scan = bw.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">HH", marker, len(body) + 2) + body
 
     qt = bytes([_JPEG_Q00] * 64)
+    ncomp = channels
+    sof = struct.pack(">BHHB", 8, height, width, ncomp)
+    sos = bytes([ncomp])
+    for cid in range(1, ncomp + 1):
+        sof += bytes([cid, 0x11, 0])  # 1x1 sampling, qtable 0
+        sos += bytes([cid, 0x00])     # DC table 0, AC table 0
+    sos += bytes([0, 63, 0])
     out = b"\xff\xd8"  # SOI
     out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     out += seg(0xFFDB, b"\x00" + qt)  # DQT: 8-bit, table 0
-    out += seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 1)
-               + bytes([1, 0x11, 0]))  # SOF0: 1 comp, 1x1, qtable 0
+    out += seg(0xFFC0, sof)
     out += seg(0xFFC4, b"\x00" + bytes(dc_bits) + bytes(dc_vals))
     out += seg(0xFFC4, b"\x10" + bytes(ac_bits) + bytes(ac_vals))
-    out += seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out += seg(0xFFDA, sos)
     return out + scan + b"\xff\xd9"  # EOI
 
 
@@ -533,11 +580,13 @@ def _extend(bits: int, size: int) -> int:
 
 
 def parse_jpeg(payload: bytes):
-    """-> (width, height, uint8 ndarray) for a baseline sequential
-    JFIF grayscale JPEG: marker walk, canonical-Huffman scan decode
-    with DC prediction, dequantize, IDCT, level shift, crop.  Rejects
-    progressive (SOF2), arithmetic coding, multi-component scans and
-    subsampling — the baseline-decoder scope LIMITATIONS §5 documents.
+    """-> (width, height, channels, uint8 ndarray — interleaved RGB
+    when channels=3) for a baseline sequential JFIF JPEG: marker walk,
+    canonical-Huffman scan decode with per-component DC prediction,
+    dequantize, IDCT, level shift, YCbCr -> RGB for 3-component
+    images, crop.  Rejects progressive (SOF2), arithmetic coding and
+    subsampling (non-1x1) — the baseline-decoder scope LIMITATIONS §5
+    documents.
 
     Rounding is the two-stage deterministic grid from the determinism
     contract: IDCT output rounds to 6 dp (killing matmul float noise)
@@ -583,12 +632,15 @@ def parse_jpeg(payload: bytes):
             prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise ValueError("only 8-bit JPEG supported")
-            if ncomp != 1:
+            if ncomp not in (1, 3):
                 raise ValueError(
-                    "only single-component (grayscale) JPEG supported")
-            if body[7] != 0x11:
-                raise ValueError("subsampled JPEG unsupported")
-            comp_q = body[8]
+                    "only 1- (gray) or 3-component (YCbCr) JPEG "
+                    "supported")
+            comp_q = []
+            for c in range(ncomp):
+                if body[7 + 3 * c] != 0x11:
+                    raise ValueError("subsampled JPEG unsupported")
+                comp_q.append(body[8 + 3 * c])
         elif marker == 0xC4:  # DHT (possibly several tables per seg)
             o = 0
             while o < len(body):
@@ -607,58 +659,68 @@ def parse_jpeg(payload: bytes):
                 o += 17 + nv
         elif marker == 0xDA:  # SOS
             ns = body[0]
-            if ns != 1:
-                raise ValueError("multi-component scan unsupported")
-            dc_id, ac_id = body[2] >> 4, body[2] & 0xF
+            if ns != len(comp_q or []):
+                raise ValueError("scan/SOF0 component count mismatch")
+            comp_t = [(body[2 + 2 * c] >> 4, body[2 + 2 * c] & 0xF)
+                      for c in range(ns)]
             scan_start = pos + 2 + ln
             break
         pos += 2 + ln
     if w is None or scan_start is None:
         raise ValueError("missing SOF0/SOS segment")
-    if comp_q not in qt or (0, dc_id) not in huff \
-            or (1, ac_id) not in huff:
-        raise ValueError("missing DQT/DHT tables")
-    q = qt[comp_q]
-    dc_t, ac_t = huff[(0, dc_id)], huff[(1, ac_id)]
+    ncomp = len(comp_q)
+    for c in range(ncomp):
+        if comp_q[c] not in qt or (0, comp_t[c][0]) not in huff \
+                or (1, comp_t[c][1]) not in huff:
+            raise ValueError("missing DQT/DHT tables")
     zz = _jpeg_zigzag()
     m = _jpeg_dct_mat()
     ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    out = np.empty((ph, pw), dtype=np.uint8)
+    planes = [np.empty((ph, pw), dtype=np.float64)
+              for _ in range(ncomp)]
     br = _BitReader(payload[scan_start:])
-    pred = 0
+    preds = [0] * ncomp
     for by in range(0, ph, 8):
         for bx in range(0, pw, 8):
-            seq = np.zeros(64, dtype=np.float64)
-            size = _huff_decode(br, dc_t)
-            pred += _extend(br.bits(size), size) if size else 0
-            seq[0] = pred
-            i = 1
-            while i < 64:
-                sym = _huff_decode(br, ac_t)
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    i += 16
-                    continue
-                i += sym >> 4
-                s = sym & 0xF
-                if i > 63:
-                    raise ValueError("AC coefficient index overflow")
-                seq[i] = _extend(br.bits(s), s)
-                i += 1
-            # DQT rides in zigzag order (spec), like the coefficients:
-            # dequantize in zigzag space, then scatter to the natural
-            # raster grid
-            flat = np.zeros(64, dtype=np.float64)
-            flat[zz] = seq * q
-            blk = flat.reshape(8, 8)
-            rec = m.T @ blk @ m + 128.0
-            rec = np.clip(np.round(rec, 6), 0.0, 255.0)
-            out[by:by + 8, bx:bx + 8] = np.floor(rec + 0.5) \
-                .astype(np.uint8)
-            # (floor(x + .5) on the clamped, 6-dp-rounded value is
-            # round-half-away for the non-negative range)
-    return w, h, out[:h, :w].reshape(-1)
+            for c in range(ncomp):
+                q = qt[comp_q[c]]
+                dc_t = huff[(0, comp_t[c][0])]
+                ac_t = huff[(1, comp_t[c][1])]
+                seq = np.zeros(64, dtype=np.float64)
+                size = _huff_decode(br, dc_t)
+                preds[c] += _extend(br.bits(size), size) if size else 0
+                seq[0] = preds[c]
+                i = 1
+                while i < 64:
+                    sym = _huff_decode(br, ac_t)
+                    if sym == 0x00:  # EOB
+                        break
+                    if sym == 0xF0:  # ZRL
+                        i += 16
+                        continue
+                    i += sym >> 4
+                    s = sym & 0xF
+                    if i > 63:
+                        raise ValueError(
+                            "AC coefficient index overflow")
+                    seq[i] = _extend(br.bits(s), s)
+                    i += 1
+                # DQT rides in zigzag order (spec), like the
+                # coefficients: dequantize in zigzag space, then
+                # scatter to the natural raster grid
+                flat = np.zeros(64, dtype=np.float64)
+                flat[zz] = seq * q
+                rec = m.T @ flat.reshape(8, 8) @ m + 128.0
+                rec = np.clip(np.round(rec, 6), 0.0, 255.0)
+                # floor(x + .5) on the clamped, 6-dp-rounded value is
+                # round-half-away for the non-negative range —
+                # components round to their integer grid BEFORE any
+                # color conversion, like the SQL oracle
+                planes[c][by:by + 8, bx:bx + 8] = np.floor(rec + 0.5)
+    if ncomp == 3:
+        planes = _ycbcr_to_rgb(*planes)
+    out = np.stack(planes, axis=-1).astype(np.uint8)
+    return w, h, ncomp, out[:h, :w].reshape(-1)
 
 
 def write_wav(samples, sample_rate: int = 16000) -> bytes:
@@ -781,17 +843,25 @@ def synth_gradient_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-def synth_jpeg_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def synth_jpeg_media(docs: DataFrame, id_col: str = "doc_id",
+                     color: bool = False) -> DataFrame:
     """Baseline-JPEG payloads whose pixels are CONSTANT per 8x8 tile
-    (tile t of doc i carries v = (t + i) % 251, w = (i%3+2)*8,
-    h = (i%2+2)*8): a constant block survives the lossy DCT path in
-    closed form — only the DC coefficient is nonzero, so the decoded
-    tile value is round(8(v-128)/Q00)*Q00/8 + 128 on the deterministic
-    rounding grid — which makes the whole huffman-encode ->
-    bit-unstuff -> huffman-decode -> dequantize -> IDCT pipeline
-    SQL-oracle-able without a SQL DCT (the mm_resize trick, one level
-    deeper).  One Arrow hop like `synth_png_media` (entropy coding
-    needs Python)."""
+    (w = (i%3+2)*8, h = (i%2+2)*8): a constant block survives the
+    lossy DCT path in closed form — only the DC coefficient is
+    nonzero, so the decoded tile value is
+    round(8(v-128)/Q00)*Q00/8 + 128 on the deterministic rounding grid
+    — which makes the whole huffman-encode -> bit-unstuff ->
+    huffman-decode -> dequantize -> IDCT pipeline SQL-oracle-able
+    without a SQL DCT (the mm_resize trick, one level deeper).
+
+    `color=False`: grayscale, tile t carries v = (t + i) % 251.
+    `color=True`: 4:4:4 RGB with tile (r, g, b) =
+    ((t+i)%251, (2t+i)%251, (3t+i)%251) — genuinely colored tiles, so
+    the oracle additionally recomputes the RGB->YCbCr->quantize->
+    YCbCr->RGB chain in closed form (per-channel DC closed form on the
+    converted constants, then the decode-side color reconstruction on
+    the same rounding grid).  One Arrow hop like `synth_png_media`
+    (entropy coding needs Python)."""
     import pandas as pd
 
     schema = StructType([
@@ -809,13 +879,20 @@ def synth_jpeg_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             for i in ids:
                 i = int(i)
                 tw, th = i % 3 + 2, i % 2 + 2
-                img = np.zeros((th * 8, tw * 8), dtype=np.uint8)
+                ch = 3 if color else 1
+                img = np.zeros((th * 8, tw * 8, ch), dtype=np.uint8)
                 for t in range(tw * th):
                     ty, tx = divmod(t, tw)
-                    img[ty * 8:(ty + 1) * 8, tx * 8:(tx + 1) * 8] = \
-                        (t + i) % 251
+                    tile = img[ty * 8:(ty + 1) * 8,
+                               tx * 8:(tx + 1) * 8]
+                    if color:
+                        tile[..., 0] = (t + i) % 251
+                        tile[..., 1] = (2 * t + i) % 251
+                        tile[..., 2] = (3 * t + i) % 251
+                    else:
+                        tile[..., 0] = (t + i) % 251
                 payloads.append(write_jpeg(tw * 8, th * 8,
-                                           img.tobytes()))
+                                           img.tobytes(), channels=ch))
             yield pd.DataFrame({
                 "media_id": ids,
                 "media_type": "image",
@@ -1009,7 +1086,7 @@ def decode_media(media: DataFrame, n_features: int = 8,
                         widths.append(w)
                         heights.append(h)
                     elif b[:2] == b"\xff\xd8":
-                        w, h, arr = parse_jpeg(b)
+                        w, h, _ch, arr = parse_jpeg(b)
                         norms.append(arr.astype(np.float64) / 255.0)
                         kinds.append("jpeg")
                         widths.append(w)
