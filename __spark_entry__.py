@@ -1932,6 +1932,30 @@ def _q_mm_resize(spark, sf_dir):
     )
 
 
+def _q_mm_resize_png(spark, sf_dir):
+    # the same NN-resample verification as mm_resize, but through the
+    # COMPRESSED container: gradient PNGs -> inflate/unfilter -> NN
+    # resize -> PNG re-encode -> inflate/unfilter again -> featurize.
+    # synth_png_media carries the identical per-pixel gradient
+    # v(p) = (p + id) % 251 as the PPM fixture (with every scanline
+    # filter type exercised on the first decode), so the oracle is the
+    # mm_resize index-map recomputation with RGB tripling — two full
+    # zlib round-trips sit between the two ends.
+    from pyspark.sql import functions as F
+
+    from yardstick_spark.llm import (decode_media, resize_media,
+                                     synth_png_media)
+
+    media = synth_png_media(_docs(spark, sf_dir))
+    out = decode_media(resize_media(media, 16, 16), n_features=4,
+                       fake=False)
+    return out.select(
+        "media_id", "kind", "width", "height", "n_samples",
+        F.expr("CAST(round(mean_val * n_samples * 255) AS BIGINT)")
+        .alias("sum_px"),
+    )
+
+
 def _q_mm_stats(spark, sf_dir):
     # gradient PPMs (even ids) + constant-sample WAVs (odd ids): every
     # statistic — channel mean/min/max/RMS, audio zero-crossing rate —
@@ -2560,6 +2584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "mm_decode_jpeg": _q_mm_decode_jpeg,
             "mm_decode_jpeg_color": _q_mm_decode_jpeg_color,
             "mm_resize": _q_mm_resize,
+            "mm_resize_png": _q_mm_resize_png,
             "dedup_embedding": _q_dedup_embedding,
             "sim_knn_bruteforce": _q_knn,
             "text_dsir_weights": _q_text_dsir_weights,
@@ -2610,7 +2635,7 @@ _R10_LEAD: list[str] = [
     "ops_gap_fill", "text_stratified",
     # round-10 additions — never driver-oracled
     "mm_decode_png", "mm_decode_jpeg", "mm_decode_jpeg_color",
-    "sim_knn_pq_trained", "text_dsir_xxh",
+    "mm_resize_png", "sim_knn_pq_trained", "text_dsir_xxh",
     # changed this round — must re-green in the driver
     "graph_pagerank", "graph_doc_rank", "sim_knn_pq",
     "dedup_semantic", "ret_bm25_incremental", "ret_bm25_indexed",
@@ -2622,9 +2647,8 @@ _R10_LEAD: list[str] = [
     "events_dedup_window", "text_repetition", "text_source_quota",
     "text_tfidf", "text_split", "mm_stats", "text_pack", "events_json",
     "text_fp_overlap", "text_corpus_report", "events_funnel",
-    "emb_stats",
-    # (tpch_q12 and events_retention yield their slots to the two
-    # JPEG entries; they lead r11 with the m_* block)
+    # (tpch_q12, events_retention and emb_stats yield their slots to
+    # the round-10 media entries; they lead r11 with the m_* block)
 ]
 
 
@@ -4150,6 +4174,21 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id AS media_id, CAST(16 AS INT) AS width,
                CAST(16 AS INT) AS height,
+               CAST(768 AS BIGINT) AS n_samples,
+               CAST(SUM(v) * 3 AS BIGINT) AS sum_px
+        FROM px GROUP BY doc_id"""
+    o["mm_resize_png"] = """
+        WITH g AS (SELECT doc_id, doc_id % 13 + 3 AS w, doc_id % 7 + 2 AS h
+                   FROM documents),
+        px AS (
+          SELECT doc_id,
+                 (((tx.x2 * w) // 16) + ((ty.y2 * h) // 16) * w + doc_id)
+                   % 251 AS v
+          FROM g, generate_series(0, 15) AS tx(x2),
+                  generate_series(0, 15) AS ty(y2)
+        )
+        SELECT doc_id AS media_id, 'png' AS kind,
+               CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
                CAST(768 AS BIGINT) AS n_samples,
                CAST(SUM(v) * 3 AS BIGINT) AS sum_px
         FROM px GROUP BY doc_id"""

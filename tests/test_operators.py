@@ -662,6 +662,36 @@ def test_streaming_watermark_drops_late_rows(spark, tmp_path):
     assert "late" not in types, "row behind the watermark must be dropped"
 
 
+def test_resize_media_png_and_jpeg_passthrough(spark):
+    """resize_media on a PNG payload inflates, NN-resamples with the
+    same index map as the PPM path, and re-encodes as PNG; JPEG
+    payloads pass through unchanged (a lossy format would re-quantize
+    on re-encode)."""
+    import numpy as np
+
+    from yardstick_spark.llm import (parse_png, resize_media,
+                                     write_jpeg, write_png)
+
+    img = np.arange(4 * 2 * 3, dtype=np.uint8).reshape(2, 4, 3)
+    jpg = write_jpeg(8, 8, bytes(range(64)))
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(write_png(4, 2, img.tobytes(),
+                                          channels=3, filters=2))),
+         (2, "image", bytearray(jpg))],
+        "media_id BIGINT, media_type STRING, payload BINARY",
+    )
+    rows = {r["media_id"]: r
+            for r in resize_media(media, 2, 3).collect()}
+    w, h, ch, arr = parse_png(bytes(rows[1]["payload"]))
+    assert (w, h, ch) == (2, 3, 3) \
+        == (rows[1]["width"], rows[1]["height"], 3)
+    expected = img[np.array([0, 0, 1])[:, None],
+                   np.array([0, 2])[None, :], :]
+    assert arr.tobytes() == expected.tobytes()
+    assert bytes(rows[2]["payload"]) == jpg  # lossy: pass-through
+    assert rows[2]["width"] is None
+
+
 def test_media_stats_known_values(spark):
     # hand-built payloads: a 2x1 PPM with pixels (0, 255) per channel
     # and a 4-sample WAV crossing zero twice

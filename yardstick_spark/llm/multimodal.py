@@ -992,27 +992,30 @@ def synth_textured_media(docs: DataFrame, id_col: str = "doc_id",
 
 
 def resize_media(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
-    """Nearest-neighbor resize of PPM image payloads to (out_w, out_h):
-    source row/col for output pixel (x2, y2) is (floor(y2*h/out_h),
-    floor(x2*w/out_w)) — the standard NN index map.  Non-PPM payloads
-    pass through unchanged (width/height NULL).
+    """Nearest-neighbor resize of PPM and PNG image payloads to
+    (out_w, out_h): source row/col for output pixel (x2, y2) is
+    (floor(y2*h/out_h), floor(x2*w/out_w)) — the standard NN index
+    map.  PNG output re-encodes as PNG with the source's channel
+    count; other payloads (WAV, JPEG — a lossy format would
+    re-quantize on re-encode) pass through unchanged (width/height
+    NULL).
 
-    Output rows are (media_id, media_type, payload, width, height) with
-    the payload re-encoded as PPM, so the result composes with
-    `decode_media(fake=False)` and any downstream media operator.
-    Arrow-batched mapInPandas, embarrassingly parallel per partition —
-    the same shape a library-backed (pillow) resize would use at scale.
-    """
+    Output rows are (media_id, media_type, payload, width, height),
+    composing with `decode_media(fake=False)` and any downstream media
+    operator.  Arrow-batched mapInPandas, embarrassingly parallel per
+    partition — the same shape a library-backed (pillow) resize would
+    use at scale."""
 
     def rz(batches: Iterator) -> Iterator:
         import numpy as np
         import pandas as pd
 
         for pdf in batches:
-            # group payloads by source (w, h) and resample each group as
-            # one stacked (g, h, w, 3) gather — the NN index maps depend
-            # only on the source shape, so same-shape images share one
-            # vectorized fancy-index instead of a per-row resize
+            # group payloads by source (kind, w, h, channels) and
+            # resample each group as one stacked (g, h, w, ch) gather —
+            # the NN index maps depend only on the source shape, so
+            # same-shape images share one vectorized fancy-index
+            # instead of a per-row resize
             n_rows = len(pdf)
             out_payload = [None] * n_rows
             out_wh = [(None, None)] * n_rows
@@ -1021,19 +1024,28 @@ def resize_media(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
                 b = bytes(payload or b"")
                 if b[:2] == b"P6":
                     w, h, arr = parse_ppm(b)
-                    groups.setdefault((w, h), []).append((pos, arr))
+                    groups.setdefault(("ppm", w, h, 3), []) \
+                        .append((pos, arr))
+                elif b[:8] == PNG_SIG:
+                    w, h, ch, arr = parse_png(b)
+                    groups.setdefault(("png", w, h, ch), []) \
+                        .append((pos, arr))
                 else:
                     out_payload[pos] = b
             header = b"P6\n%d %d\n255\n" % (out_w, out_h)
-            for (w, h), members in groups.items():
+            for (kind, w, h, ch), members in groups.items():
                 imgs = np.stack([a for _, a in members]).reshape(
-                    len(members), h, w, 3)
+                    len(members), h, w, ch)
                 ys = (np.arange(out_h, dtype=np.int64) * h) // out_h
                 xs = (np.arange(out_w, dtype=np.int64) * w) // out_w
                 out = imgs[:, ys[:, None], xs[None, :], :].reshape(
                     len(members), -1)
                 for (pos, _), flat in zip(members, out):
-                    out_payload[pos] = header + flat.tobytes()
+                    if kind == "ppm":
+                        out_payload[pos] = header + flat.tobytes()
+                    else:
+                        out_payload[pos] = write_png(
+                            out_w, out_h, flat.tobytes(), channels=ch)
                     out_wh[pos] = (out_w, out_h)
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
