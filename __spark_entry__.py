@@ -2599,14 +2599,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     full = dict(r4_new)
     full.update({k: v for k, v in out.items() if k not in full})
-    lead = [k for k in (*_R10_LEAD, *_R9_LEAD, *_R8_LEAD, *_R7_LEAD,
-                        *_R6_LEAD, *_R5_NEW, *_R5_STALE_R2,
+    lead = [k for k in (*_R11_LEAD, *_R10_LEAD, *_R9_LEAD, *_R8_LEAD,
+                        *_R7_LEAD, *_R6_LEAD, *_R5_NEW, *_R5_STALE_R2,
                         *_R5_STALE_R3)
             if k in full]
     seen = set()
     lead = [k for k in lead if not (k in seen or seen.add(k))]
     return {k: full[k] for k in (*lead, *(k for k in full
                                           if k not in seen))}
+
+
+# Round-11 driver-window rotation (the driver checks the FIRST 50
+# entries): (1) the 20 entries whose last driver row dates from round
+# 6 — the stalest block, exactly the set the r10 comment promised
+# (tpch_q12, events_retention, emb_stats, and the densely
+# corpus-replayed m_* measure block + tpch_q1/q3/q5/q6/q4); (2) the
+# 5 entries whose Spark-side code changed this round — the JPEG
+# codec (Cr blue coefficient fixed to the BT.601 -0.081312, restart
+# markers now rejected loudly: mm_decode_jpeg, mm_decode_jpeg_color)
+# and the three consumers of the store-update protocol fix
+# (committed-batch pending markers no longer trigger a destructive
+# rollback; DSIR fingerprint gains an id-hash term:
+# ret_bm25_incremental, ret_bm25_indexed, text_dsir_incremental);
+# (3) 25 of the 33 round-7-stale entries fill the remaining slots.
+# The 8 deferred r7 entries (tpch_q2/q9/q11/q16/q20/q21 — the most
+# heavily locally-oracled block — plus pipeline_curation and
+# text_topterms) lead the r12 window.  Every inventory entry
+# additionally gets a local ORACLE_SWEEP_r11 row.
+_R11_LEAD: list[str] = [
+    # last driver row round 6 (stalest — all 20)
+    "tpch_q12", "events_retention", "emb_stats", "m_having",
+    "m_multifact", "m_fanout_immunity", "m_nd_count_distinct",
+    "m_nd_median", "m_nd_at_all", "m_cte", "m_groupby_all", "m_topk",
+    "m_rollup", "m_window_measure", "m_row_level_listing12",
+    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q4",
+    # changed this round — must re-green in the driver
+    "mm_decode_jpeg", "mm_decode_jpeg_color",
+    "ret_bm25_incremental", "ret_bm25_indexed", "text_dsir_incremental",
+    # last driver row round 7 (25 of 33; the rest lead r12)
+    "dedup_embedding", "emb_covariance", "events_attribution",
+    "events_rollup_daily", "events_sessionize", "events_sliding",
+    "events_tumbling", "mm_decode", "mm_frame_sample", "ops_asof_join",
+    "ops_range_join", "ops_topk_per_group", "sim_knn_bruteforce",
+    "sim_knn_ivf", "sim_knn_lsh", "sim_knn_lsh_multiprobe",
+    "text_chunks", "text_decontaminate", "text_fingerprint",
+    "text_gopher", "text_langid", "text_mixture", "text_pii",
+    "text_quality", "text_tokens",
+]
 
 
 # Round-10 driver-window rotation (the driver checks the FIRST 50
@@ -4135,7 +4174,7 @@ def oracle_sql() -> dict[str, str]:
           LEAST(255, GREATEST(0, ROUND(ROUND(
             -0.168736 * r - 0.331264 * gg + 0.5 * b + 128, 6)))) AS cb,
           LEAST(255, GREATEST(0, ROUND(ROUND(
-            0.5 * r - 0.418688 * gg - 0.331264 * b + 128, 6)))) AS cr
+            0.5 * r - 0.418688 * gg - 0.081312 * b + 128, 6)))) AS cr
           FROM rgb),
         -- per-channel DC closed form (constant block, Q00 = 16)
         dec AS (SELECT doc_id, tw, th,

@@ -287,6 +287,19 @@ def test_jpeg_roundtrip_closed_form_and_rejects():
         parse_jpeg(b"not a jpeg")
     with _pytest.raises(ValueError):
         parse_jpeg(write_jpeg(8, 8, bytes(64))[:40])  # truncated
+    # DRI segment in the marker walk: loud reject, not garbage decode
+    j = bytearray(write_jpeg(8, 8, bytes(64)))
+    i = j.find(b"\xff\xda")
+    j[i:i] = b"\xff\xdd\x00\x04\x00\x08"  # DRI, interval 8
+    with _pytest.raises(ValueError, match="restart"):
+        parse_jpeg(bytes(j))
+    # RSTn byte pair mid-scan: loud reject, not a plain data byte
+    j = bytearray(write_jpeg(8, 8, bytes(64)))
+    i = j.find(b"\xff\xda")
+    sos_len = int.from_bytes(j[i + 2:i + 4], "big")
+    j[i + 2 + sos_len:i + 2 + sos_len] = b"\xff\xd0"  # RST0 at scan start
+    with _pytest.raises(ValueError, match="restart|marker"):
+        parse_jpeg(bytes(j))
 
 
 def test_jpeg_color_closed_form_and_roundtrip():
@@ -320,7 +333,7 @@ def test_jpeg_color_closed_form_and_roundtrip():
         assert (w, h, ch) == (8, 8, 3)
         y = grid(0.299 * r + 0.587 * g + 0.114 * b)
         cb = grid(-0.168736 * r - 0.331264 * g + 0.5 * b + 128)
-        cr = grid(0.5 * r - 0.418688 * g - 0.331264 * b + 128)
+        cr = grid(0.5 * r - 0.418688 * g - 0.081312 * b + 128)
         y2, cb2, cr2 = chan(y), chan(cb), chan(cr)
         want = (int(grid(y2 + 1.402 * (cr2 - 128))),
                 int(grid(y2 - 0.344136 * (cb2 - 128)

@@ -359,6 +359,59 @@ def test_bm25_update_crash_then_rerun(spark, tmp_path, monkeypatch,
     assert not (tmp_path / "inc_idx" / "dfs_tmp").exists()
 
 
+def test_bm25_crash_after_commit_then_different_batch(spark, tmp_path,
+                                                      monkeypatch):
+    """A crash BETWEEN the meta commit and residue cleanup leaves a
+    pending marker for a batch that DID commit.  The next invocation
+    with a DIFFERENT batch (not a retry) must clean the residue, NOT
+    roll back — the old rollback deleted the committed batch's posting
+    files and restored the pre-batch dfs while meta kept the committed
+    n_docs/sum_dl, a silently inconsistent index (r10 ADVICE,
+    retrieval.py:347)."""
+    import os as _os
+
+    from yardstick_spark.llm import (bm25_scores, bm25_search_index,
+                                     clear_dedup_caches,
+                                     save_bm25_index, update_bm25_index)
+
+    rows = [(i, f"alpha beta {'gamma ' * (i % 5)}delta "
+                f"{'alpha ' * (i % 3)}") for i in range(90)]
+    full = spark.createDataFrame(rows, "doc_id long, text string")
+    inc = str(tmp_path / "inc")
+    save_bm25_index(full.filter("doc_id < 30"), inc, buckets=8)
+
+    state = {"i": 0}
+    real = _os.replace
+
+    def crash_after_first(*a, **k):
+        state["i"] += 1
+        real(*a, **k)   # the meta commit lands
+        if state["i"] == 1:
+            raise _Boom("injected")
+
+    with monkeypatch.context() as m:
+        m.setattr(_os, "replace", crash_after_first)
+        with pytest.raises(_Boom):
+            update_bm25_index(
+                full.filter("doc_id >= 30 and doc_id < 60"), inc)
+    # DIFFERENT batch next — not a retry of the crashed one
+    update_bm25_index(full.filter("doc_id >= 60"), inc)
+
+    reb = str(tmp_path / "reb")
+    save_bm25_index(full, reb, buckets=8)
+    q = "alpha gamma"
+    got = [(r.doc_id, r.bm25) for r in
+           bm25_search_index(spark, inc, q, top_k=40).collect()]
+    want = [(r.doc_id, r.bm25) for r in
+            bm25_search_index(spark, reb, q, top_k=40).collect()]
+    scan = [(r.doc_id, r.bm25) for r in
+            bm25_scores(full, q, top_k=40).collect()]
+    clear_dedup_caches()
+    assert got == want == scan, "committed batch must survive"
+    assert not (tmp_path / "inc" / "_bm25_pending.json").exists()
+    assert not (tmp_path / "inc" / "dfs_old").exists()
+
+
 def test_bm25_update_distinct_batches_still_apply(spark, tmp_path):
     """The batch-id dedup must not eat a GENUINELY new batch: two
     different batches applied back-to-back both land (equals a full

@@ -1453,6 +1453,76 @@ def test_dsir_update_distinct_batches_still_apply(spark, tmp_path):
     assert inc == full
 
 
+def test_dsir_crash_after_commit_then_different_batch(spark, tmp_path,
+                                                      monkeypatch):
+    """A crash BETWEEN the meta commit and residue cleanup leaves a
+    pending marker for a batch that DID commit.  The next invocation
+    with a DIFFERENT batch must clean the residue, NOT roll back the
+    committed batch (which would silently desync the bucket table from
+    the committed meta counts — r10 ADVICE, retrieval.py:347 twin)."""
+    import os as _os
+
+    from yardstick_spark.llm import (dsir_score_with_store, dsir_weights,
+                                     save_dsir_store, update_dsir_store)
+
+    class _Boom(RuntimeError):
+        pass
+
+    docs = _dsir_docs(spark)
+    path = str(tmp_path / "s")
+    save_dsir_store(docs.filter("doc_id % 3 = 0"), "lang = 'en'", path,
+                    n_buckets=256)
+
+    state = {"i": 0}
+    real = _os.replace
+
+    def crash_after_first(*a, **k):
+        state["i"] += 1
+        real(*a, **k)   # the meta commit lands
+        if state["i"] == 1:
+            raise _Boom("injected")
+
+    with monkeypatch.context() as m:
+        m.setattr(_os, "replace", crash_after_first)
+        with pytest.raises(_Boom):
+            update_dsir_store(docs.filter("doc_id % 3 = 1"), path)
+    # DIFFERENT batch next — not a retry of the crashed one
+    update_dsir_store(docs.filter("doc_id % 3 = 2"), path)
+    inc = sorted(map(tuple, dsir_score_with_store(docs, path).collect()))
+    full = sorted(map(tuple, dsir_weights(
+        docs, "lang = 'en'", n_buckets=256).collect()))
+    assert inc == full, "committed batch must survive the next update"
+    assert not (tmp_path / "s" / "_dsir_pending.json").exists()
+    assert not (tmp_path / "s" / "buckets_old").exists()
+
+
+def test_dsir_duplicate_text_batches_dont_collide(spark, tmp_path):
+    """Duplicate texts XOR-cancel pairwise in the text-hash term, so
+    two distinct batches each made of duplicated texts would collide
+    on a text-only fingerprint ({t,t} and {u,u} both '2:0') and the
+    second would be silently skipped.  The id-hash term (ids unique by
+    contract) must keep them distinct (r10 ADVICE, text.py:1735)."""
+    from yardstick_spark.llm import (dsir_score_with_store, dsir_weights,
+                                     save_dsir_store, update_dsir_store)
+
+    rows = ([(i, f"the quick brown fox {i}", "en") for i in range(10)]
+            + [(100, "the lazy dog sleeps", "en"),
+               (101, "the lazy dog sleeps", "en"),
+               (200, "der faule hund schlaeft", "de"),
+               (201, "der faule hund schlaeft", "de")])
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string")
+    path = str(tmp_path / "s")
+    save_dsir_store(docs.filter("doc_id < 100"), "lang = 'en'", path,
+                    n_buckets=256)
+    update_dsir_store(docs.filter("doc_id IN (100, 101)"), path)
+    update_dsir_store(docs.filter("doc_id IN (200, 201)"), path)
+    inc = sorted(map(tuple, dsir_score_with_store(docs, path).collect()))
+    full = sorted(map(tuple, dsir_weights(
+        docs, "lang = 'en'", n_buckets=256).collect()))
+    assert inc == full, "second duplicated-text batch must still apply"
+
+
 def test_dsir_store_stream_twin_equals_batch(spark, tmp_path):
     from yardstick_spark.llm import (dsir_score_with_store, dsir_weights,
                                      save_dsir_store)

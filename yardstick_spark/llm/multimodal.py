@@ -417,7 +417,7 @@ def _rgb_to_ycbcr(img):
     r, g, b = (img[..., 0], img[..., 1], img[..., 2])
     y = 0.299 * r + 0.587 * g + 0.114 * b
     cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-    cr = 0.5 * r - 0.418688 * g - 0.331264 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
     return [np.clip(_half_away(np.round(c, 6)), 0.0, 255.0)
             for c in (y, cb, cr)]
 
@@ -552,6 +552,13 @@ class _BitReader:
                     self.pos += 1
                 elif nxt == 0xD9:  # EOI reached mid-read
                     raise ValueError("JPEG scan hit EOI early")
+                else:
+                    # 0xFF + anything else mid-scan (e.g. RSTn from a
+                    # DRI-using stream) is outside the baseline scope —
+                    # fail loudly like the other unsupported paths
+                    # instead of decoding the marker byte as data.
+                    raise ValueError(
+                        "JPEG restart/embedded markers unsupported")
             self.acc = b
             self.n = 8
         self.n -= 1
@@ -628,6 +635,8 @@ def parse_jpeg(payload: bytes):
                         0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 "only baseline sequential JPEG (SOF0) supported")
+        elif marker == 0xDD:  # DRI — restart intervals out of scope
+            raise ValueError("JPEG restart markers (DRI) unsupported")
         elif marker == 0xC0:  # SOF0
             prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
             if prec != 8:

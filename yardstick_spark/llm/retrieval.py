@@ -345,21 +345,32 @@ def update_bm25_index(new_docs: DataFrame, path: str,
         pend_p.unlink(missing_ok=True)
         return
     if pend_p.exists():
-        # a previous update (this batch or another) died mid-apply and
-        # never reached its meta commit: roll it back completely
         pend = json.loads(pend_p.read_text())
-        # dfs_old exists only between the rename-aside and the meta
-        # commit; whatever sits at dfs then (nothing mid-swap, the NEW
-        # merged table post-swap) must yield to the pre-batch copy
-        fs_old = dfs_p + "_old"
-        if _dataset_exists(spark, fs_old):
-            delete_dataset(spark, dfs_p)
-            rename_dataset(spark, fs_old, dfs_p, "update_bm25_index")
-        delete_dataset_files(spark, post_p,
-                             set(pend["postings_files"]),
-                             "update_bm25_index")
-        delete_dataset(spark, tmp_p)
-        pend_p.unlink()
+        if pend.get("batch") == meta.get("last_batch"):
+            # the marked batch DID reach its meta commit (the crash was
+            # between commit and residue cleanup) and a DIFFERENT batch
+            # is now being applied: the index is consistent — clean the
+            # residue, never roll back a committed batch
+            delete_dataset(spark, dfs_p + "_old")
+            delete_dataset(spark, tmp_p)
+            pend_p.unlink()
+        else:
+            # a previous update (this batch or another) died mid-apply
+            # before its meta commit: roll it back completely
+            # dfs_old exists only between the rename-aside and the meta
+            # commit; whatever sits at dfs then (nothing mid-swap, the
+            # NEW merged table post-swap) must yield to the pre-batch
+            # copy
+            fs_old = dfs_p + "_old"
+            if _dataset_exists(spark, fs_old):
+                delete_dataset(spark, dfs_p)
+                rename_dataset(spark, fs_old, dfs_p,
+                               "update_bm25_index")
+            delete_dataset_files(spark, post_p,
+                                 set(pend["postings_files"]),
+                                 "update_bm25_index")
+            delete_dataset(spark, tmp_p)
+            pend_p.unlink()
     # stage: record the batch id and the pre-append postings listing;
     # everything after this line is covered by rollback-on-rerun
     pend_p.write_text(json.dumps(

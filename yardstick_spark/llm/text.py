@@ -1697,15 +1697,18 @@ def save_dsir_store(docs: DataFrame, target_cond: str, path: str,
 
 
 def update_dsir_store(new_docs: DataFrame, path: str,
-                      text_col: str = "text") -> None:
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> None:
     """Fold a batch of NEW documents into a `save_dsir_store` dataset
     — O(batch) scan work plus an O(n_buckets) merge, never a corpus
     refit.  Same caller contract as the other incremental stores:
     batches contain only unseen documents.
 
     CRASH SAFETY — idempotent like `update_bm25_index` (r10): a batch
-    content fingerprint (row count + order-independent XOR of text
-    hashes, one O(batch) aggregate) is stamped into the meta sidecar
+    content fingerprint (row count + order-independent XORs of text
+    hashes AND id hashes — the id term prevents XOR-cancel collisions
+    between batches of duplicated texts; one O(batch) aggregate) is
+    stamped into the meta sidecar
     at an atomic-rename commit AFTER the bucket swap.  Rerunning the
     same batch after a crash at any point converges to exactly-once:
     before the commit a pending marker triggers full rollback (restore
@@ -1734,8 +1737,15 @@ def update_dsir_store(new_docs: DataFrame, path: str,
         # texts fingerprint deterministically and differently from ''
         F.coalesce(F.expr(f"bit_xor(xxhash64({text_col}))"),
                    F.lit(0)).alias("xh"),
+        # id-based term: duplicate texts XOR-cancel pairwise, so two
+        # distinct batches of duplicated texts (legal — the unseen-docs
+        # contract is per doc id) would collide on the text XOR alone;
+        # ids are unique by contract, like update_bm25_index's hash
+        F.coalesce(
+            F.expr(f"bit_xor(xxhash64(CAST({id_col} AS STRING)))"),
+            F.lit(0)).alias("xi"),
     ).collect()[0]
-    bid = f"{int(stats['n'])}:{int(stats['xh'])}"
+    bid = f"{int(stats['n'])}:{int(stats['xh'])}:{int(stats['xi'])}"
     if meta.get("last_batch") == bid:
         # fully applied by a run that crashed after the meta commit
         delete_dataset(spark, dst_p + "_old")
@@ -1743,13 +1753,23 @@ def update_dsir_store(new_docs: DataFrame, path: str,
         pend_p.unlink(missing_ok=True)
         return
     if pend_p.exists():
-        # a previous update died before its meta commit: roll back
-        if _dataset_exists(spark, dst_p + "_old"):
-            delete_dataset(spark, dst_p)
-            rename_dataset(spark, dst_p + "_old", dst_p,
-                           "update_dsir_store")
-        delete_dataset(spark, tmp_p)
-        pend_p.unlink()
+        pend = json.loads(pend_p.read_text())
+        if pend.get("batch") == meta.get("last_batch"):
+            # the marked batch DID reach its meta commit (crash fell
+            # between commit and residue cleanup) and this is a
+            # DIFFERENT batch: store is consistent — clean residue,
+            # never roll back a committed batch
+            delete_dataset(spark, dst_p + "_old")
+            delete_dataset(spark, tmp_p)
+            pend_p.unlink()
+        else:
+            # a previous update died before its meta commit: roll back
+            if _dataset_exists(spark, dst_p + "_old"):
+                delete_dataset(spark, dst_p)
+                rename_dataset(spark, dst_p + "_old", dst_p,
+                               "update_dsir_store")
+            delete_dataset(spark, tmp_p)
+            pend_p.unlink()
     heal_dataset(spark, dst_p, "update_dsir_store")  # legacy mid-swap
     pend_p.write_text(json.dumps({"batch": bid}))
     batch = _dsir_bucket_counts(new_docs, meta["target_cond"],

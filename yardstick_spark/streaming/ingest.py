@@ -417,7 +417,8 @@ def start_bm25_index_ingest(new_docs: DataFrame, spark, index_path: str,
 
 
 def start_dsir_store_ingest(new_docs: DataFrame, spark, store_path: str,
-                            text_col: str = "text", **stream_opts):
+                            text_col: str = "text",
+                            id_col: str = "doc_id", **stream_opts):
     """foreachBatch twin of `llm.text.update_dsir_store` for a
     document stream: each micro-batch's gram-bucket counts fold into
     the persisted DSIR sufficient statistic — O(batch) scan work plus
@@ -438,7 +439,8 @@ def start_dsir_store_ingest(new_docs: DataFrame, spark, store_path: str,
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        update_dsir_store(batch_df, store_path, text_col=text_col)
+        update_dsir_store(batch_df, store_path, text_col=text_col,
+                          id_col=id_col)
 
     return (new_docs.writeStream.foreachBatch(_process)
             .options(**stream_opts).start())
