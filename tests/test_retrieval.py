@@ -412,6 +412,57 @@ def test_bm25_crash_after_commit_then_different_batch(spark, tmp_path,
     assert not (tmp_path / "inc" / "dfs_old").exists()
 
 
+def test_bm25_concurrent_writer_fails_loudly(spark, tmp_path):
+    """Single-writer contract: a second update that finds a pending
+    marker stamped by a LIVE process must raise instead of rolling
+    back the in-flight writer's work; once that process is dead the
+    marker is a normal crashed-writer residue and recovery proceeds."""
+    import json
+    import socket
+    import subprocess
+    import sys as _sys
+
+    from yardstick_spark.llm import (bm25_search_index,
+                                     clear_dedup_caches,
+                                     save_bm25_index, update_bm25_index)
+    from yardstick_spark.llm.store import list_dataset_files
+
+    rows = [(i, f"alpha beta {'gamma ' * (i % 5)}") for i in range(60)]
+    full = spark.createDataFrame(rows, "doc_id long, text string")
+    inc = str(tmp_path / "inc")
+    save_bm25_index(full.filter("doc_id < 30"), inc, buckets=8)
+    # forge the marker another live writer would have left: its pid is
+    # a real, running process that is NOT this one
+    other = subprocess.Popen(
+        [_sys.executable, "-c", "import time; time.sleep(300)"])
+    pend = {"batch": "somebody-elses-batch",
+            "postings_files": list_dataset_files(spark,
+                                                 inc + "/postings"),
+            "pid": other.pid, "host": socket.gethostname()}
+    (tmp_path / "inc" / "_bm25_pending.json").write_text(
+        json.dumps(pend))
+    try:
+        with pytest.raises(RuntimeError, match="single-writer"):
+            update_bm25_index(full.filter("doc_id >= 30"), inc)
+    finally:
+        other.kill()
+        other.wait()
+    # writer is dead now -> the same marker reads as a crashed run and
+    # the update recovers + applies normally
+    update_bm25_index(full.filter("doc_id >= 30"), inc)
+    reb = str(tmp_path / "reb")
+    save_bm25_index(full, reb, buckets=8)
+    got = [(r.doc_id, r.bm25) for r in
+           bm25_search_index(spark, inc, "alpha gamma",
+                             top_k=40).collect()]
+    want = [(r.doc_id, r.bm25) for r in
+            bm25_search_index(spark, reb, "alpha gamma",
+                              top_k=40).collect()]
+    clear_dedup_caches()
+    assert got == want
+    assert not (tmp_path / "inc" / "_bm25_pending.json").exists()
+
+
 def test_bm25_update_distinct_batches_still_apply(spark, tmp_path):
     """The batch-id dedup must not eat a GENUINELY new batch: two
     different batches applied back-to-back both land (equals a full

@@ -1523,6 +1523,42 @@ def test_dsir_duplicate_text_batches_dont_collide(spark, tmp_path):
     assert inc == full, "second duplicated-text batch must still apply"
 
 
+def test_dsir_concurrent_writer_fails_loudly(spark, tmp_path):
+    """Single-writer contract twin of the BM25 test: a pending marker
+    stamped by a live foreign pid must make update_dsir_store raise;
+    after that pid dies, the marker reads as crashed-writer residue
+    and the update recovers + applies."""
+    import json
+    import socket
+    import subprocess
+    import sys as _sys
+
+    from yardstick_spark.llm import (dsir_score_with_store, dsir_weights,
+                                     save_dsir_store, update_dsir_store)
+
+    docs = _dsir_docs(spark)
+    path = str(tmp_path / "s")
+    save_dsir_store(docs.filter("doc_id % 2 = 0"), "lang = 'en'", path,
+                    n_buckets=256)
+    other = subprocess.Popen(
+        [_sys.executable, "-c", "import time; time.sleep(300)"])
+    (tmp_path / "s" / "_dsir_pending.json").write_text(json.dumps(
+        {"batch": "in-flight", "pid": other.pid,
+         "host": socket.gethostname()}))
+    try:
+        with pytest.raises(RuntimeError, match="single-writer"):
+            update_dsir_store(docs.filter("doc_id % 2 = 1"), path)
+    finally:
+        other.kill()
+        other.wait()
+    update_dsir_store(docs.filter("doc_id % 2 = 1"), path)
+    inc = sorted(map(tuple, dsir_score_with_store(docs, path).collect()))
+    full = sorted(map(tuple, dsir_weights(
+        docs, "lang = 'en'", n_buckets=256).collect()))
+    assert inc == full
+    assert not (tmp_path / "s" / "_dsir_pending.json").exists()
+
+
 def test_dsir_store_stream_twin_equals_batch(spark, tmp_path):
     from yardstick_spark.llm import (dsir_score_with_store, dsir_weights,
                                      save_dsir_store)

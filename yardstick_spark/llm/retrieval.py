@@ -325,11 +325,16 @@ def update_bm25_index(new_docs: DataFrame, path: str,
 
     from .store import (_dataset_exists, delete_dataset,
                         delete_dataset_files, list_dataset_files,
-                        rename_dataset)
+                        raise_if_live_writer, rename_dataset,
+                        writer_stamp)
 
     meta_p = Path(path, "_bm25_meta.json")
     pend_p = Path(path, "_bm25_pending.json")
     meta = json.loads(meta_p.read_text())
+    if pend_p.exists():
+        # single-writer contract: refuse to recover over a LIVE writer
+        raise_if_live_writer(json.loads(pend_p.read_text()),
+                             "update_bm25_index")
     buckets = meta["buckets"]
     tf, new_dfs, n, sdl, bid = _bm25_batch_parts(
         new_docs, text_col, id_col, buckets, tokens_col)
@@ -375,7 +380,8 @@ def update_bm25_index(new_docs: DataFrame, path: str,
     # everything after this line is covered by rollback-on-rerun
     pend_p.write_text(json.dumps(
         {"batch": bid,
-         "postings_files": list_dataset_files(spark, post_p)}))
+         "postings_files": list_dataset_files(spark, post_p),
+         **writer_stamp()}))
     post = tf.select("term", "id", "tf", "dl", "bucket")
     (post.repartition(F.col("bucket"))
      .write.mode("append").partitionBy("bucket").parquet(post_p))

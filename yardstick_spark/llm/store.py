@@ -152,3 +152,41 @@ def delete_dataset_files(spark, path: str, keep: set[str],
             raise RuntimeError(f"{what}: rollback delete {f} failed")
     fs.delete(jvm_path(root_uri + "/_temporary"), True)
     return len(doomed)
+
+
+def writer_stamp() -> dict:
+    """pid + host fields a store writer folds into its pending marker,
+    so a LATER writer can tell a crashed run (pid dead -> recover) from
+    a live concurrent one (pid alive -> raise).  Best-effort and
+    same-host only — across hosts the single-writer contract remains
+    the caller's responsibility (there is no distributed lock here by
+    design; these stores are driver-coordinated)."""
+    import os
+    import socket
+
+    return {"pid": os.getpid(), "host": socket.gethostname()}
+
+
+def raise_if_live_writer(pend: dict, what: str) -> None:
+    """Loudly reject a concurrent update: if the pending marker was
+    stamped by a DIFFERENT, still-alive process on this host, a second
+    writer is mid-update and running recovery now would roll back its
+    in-flight work (silent store corruption under the declared
+    single-writer contract).  A dead pid (the normal crashed-writer
+    case), a marker from another host, a legacy marker without a pid,
+    or our own pid (same-process retry after an injected crash) all
+    fall through to the existing recovery logic."""
+    import os
+    import socket
+
+    pid, host = pend.get("pid"), pend.get("host")
+    if not pid or host != socket.gethostname() or pid == os.getpid():
+        return
+    try:
+        os.kill(pid, 0)
+    except OSError:
+        return  # process is gone: a crashed writer, recovery may run
+    raise RuntimeError(
+        f"{what}: another writer (pid {pid} on {host}) holds the "
+        f"pending marker — this store is single-writer; wait for that "
+        f"update to finish (or kill it) before retrying")

@@ -1723,11 +1723,16 @@ def update_dsir_store(new_docs: DataFrame, path: str,
     from pathlib import Path
 
     from .store import (_dataset_exists, delete_dataset, heal_dataset,
-                        rename_dataset)
+                        raise_if_live_writer, rename_dataset,
+                        writer_stamp)
 
     meta_p = Path(path, "_dsir_meta.json")
     pend_p = Path(path, "_dsir_pending.json")
     meta = json.loads(meta_p.read_text())
+    if pend_p.exists():
+        # single-writer contract: refuse to recover over a LIVE writer
+        raise_if_live_writer(json.loads(pend_p.read_text()),
+                             "update_dsir_store")
     spark = new_docs.sparkSession
     dst_p = str(Path(path) / "buckets")
     tmp_p = str(Path(path) / "buckets_tmp")
@@ -1771,7 +1776,7 @@ def update_dsir_store(new_docs: DataFrame, path: str,
             delete_dataset(spark, tmp_p)
             pend_p.unlink()
     heal_dataset(spark, dst_p, "update_dsir_store")  # legacy mid-swap
-    pend_p.write_text(json.dumps({"batch": bid}))
+    pend_p.write_text(json.dumps({"batch": bid, **writer_stamp()}))
     batch = _dsir_bucket_counts(new_docs, meta["target_cond"],
                                 meta["n_buckets"], text_col,
                                 meta.get("hash_impl", "md5"))
