@@ -531,55 +531,90 @@ def write_jpeg(width: int, height: int, pixels: bytes,
     return out + scan + b"\xff\xd9"  # EOI
 
 
-class _BitReader:
-    def __init__(self, data: bytes):
-        self.data = data
-        self.pos = 0
-        self.acc = 0
-        self.n = 0
+_HUFF_LUT_CACHE: dict = {}
 
-    def bit(self) -> int:
-        if self.n == 0:
-            if self.pos >= len(self.data):
-                raise ValueError("JPEG scan data truncated")
-            b = self.data[self.pos]
-            self.pos += 1
-            if b == 0xFF:  # unstuff / marker
-                if self.pos >= len(self.data):
-                    raise ValueError("JPEG scan data truncated")
-                nxt = self.data[self.pos]
-                if nxt == 0x00:
-                    self.pos += 1
-                elif nxt == 0xD9:  # EOI reached mid-read
-                    raise ValueError("JPEG scan hit EOI early")
-                else:
-                    # 0xFF + anything else mid-scan (e.g. RSTn from a
-                    # DRI-using stream) is outside the baseline scope —
-                    # fail loudly like the other unsupported paths
-                    # instead of decoding the marker byte as data.
-                    raise ValueError(
-                        "JPEG restart/embedded markers unsupported")
-            self.acc = b
-            self.n = 8
-        self.n -= 1
-        return (self.acc >> self.n) & 1
+
+def _huff_lut(codes: dict) -> list:
+    """Flat 2^16 peek table for a canonical Huffman table: the entry at
+    any 16-bit window whose prefix is code c of length L holds
+    (sym<<5)|L; -1 marks invalid prefixes.  One Python list lookup PER
+    SYMBOL at decode time instead of a dict probe per BIT (the entropy
+    decode was 81% of parse_jpeg under cProfile, dominated by per-bit
+    calls).  Cached by table content: write_jpeg emits one canonical
+    DHT, so all payloads in an Arrow batch share a single build."""
+    key = tuple(sorted(codes.items()))
+    lut = _HUFF_LUT_CACHE.get(key)
+    if lut is None:
+        lut = [-1] * 65536
+        for (ln, code), sym in codes.items():
+            start = code << (16 - ln)
+            lut[start:start + (1 << (16 - ln))] = \
+                [(sym << 5) | ln] * (1 << (16 - ln))
+        if len(_HUFF_LUT_CACHE) > 64:  # foreign tables can't pile up
+            _HUFF_LUT_CACHE.clear()
+        _HUFF_LUT_CACHE[key] = lut
+    return lut
+
+
+class _BitReader:
+    """Entropy-scan reader over a pre-unstuffed bitstream with 16-bit
+    sliding windows precomputed (numpy) into plain Python ints.  Same
+    observable contract as the per-bit walk it replaces: FF00 unstuffs
+    to FF, FFD9 ends the scan data, any other FF-marker pair mid-scan
+    raises (restart markers are outside the baseline scope — fail
+    loudly like the other unsupported-feature paths instead of
+    decoding the marker byte as data), and reading past the end raises
+    truncated."""
+
+    def __init__(self, data: bytes):
+        import numpy as np
+
+        arr = np.frombuffer(data, dtype=np.uint8)
+        eoi = len(arr)
+        drop = []
+        for j in np.flatnonzero(arr == 0xFF).tolist():
+            if j + 1 >= len(arr):
+                eoi = min(eoi, j)  # trailing FF with no pair byte
+                break
+            nxt = arr[j + 1]
+            if nxt == 0x00:
+                drop.append(j + 1)
+            elif nxt == 0xD9:
+                eoi = j  # EOI: scan data ends here
+                break
+            else:
+                raise ValueError(
+                    "JPEG restart/embedded markers unsupported")
+        arr = arr[:eoi]
+        if drop:
+            arr = np.delete(arr, [d for d in drop if d < eoi])
+        bits = np.unpackbits(arr)
+        self.nbits = int(bits.size)
+        pad = np.concatenate(
+            [bits.astype(np.uint32), np.zeros(16, np.uint32)])
+        win = np.zeros(self.nbits + 1, dtype=np.uint32)
+        for i in range(16):
+            win += pad[i:i + self.nbits + 1] << np.uint32(15 - i)
+        self.win = win.tolist()  # list indexing beats numpy scalars
+        self.pos = 0
 
     def bits(self, k: int) -> int:
-        v = 0
-        for _ in range(k):
-            v = (v << 1) | self.bit()
+        if k == 0:
+            return 0
+        v = self.win[self.pos] >> (16 - k)
+        self.pos += k
+        if self.pos > self.nbits:
+            raise ValueError("JPEG scan data truncated")
         return v
 
-
-def _huff_decode(br: _BitReader, table: dict) -> int:
-    ln, code = 0, 0
-    while ln < 16:
-        code = (code << 1) | br.bit()
-        ln += 1
-        sym = table.get((ln, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid JPEG Huffman code")
+    def huff(self, lut: list) -> int:
+        v = lut[self.win[self.pos]]
+        if v < 0:
+            raise ValueError("invalid JPEG Huffman code")
+        self.pos += v & 31
+        if self.pos > self.nbits:
+            raise ValueError("JPEG scan data truncated")
+        return v >> 5
 
 
 def _extend(bits: int, size: int) -> int:
@@ -689,43 +724,71 @@ def parse_jpeg(payload: bytes):
               for _ in range(ncomp)]
     br = _BitReader(payload[scan_start:])
     preds = [0] * ncomp
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
-            for c in range(ncomp):
-                q = qt[comp_q[c]]
-                dc_t = huff[(0, comp_t[c][0])]
-                ac_t = huff[(1, comp_t[c][1])]
-                seq = np.zeros(64, dtype=np.float64)
-                size = _huff_decode(br, dc_t)
-                preds[c] += _extend(br.bits(size), size) if size else 0
-                seq[0] = preds[c]
-                i = 1
-                while i < 64:
-                    sym = _huff_decode(br, ac_t)
-                    if sym == 0x00:  # EOB
-                        break
-                    if sym == 0xF0:  # ZRL
-                        i += 16
-                        continue
-                    i += sym >> 4
-                    s = sym & 0xF
-                    if i > 63:
-                        raise ValueError(
-                            "AC coefficient index overflow")
-                    seq[i] = _extend(br.bits(s), s)
-                    i += 1
-                # DQT rides in zigzag order (spec), like the
-                # coefficients: dequantize in zigzag space, then
-                # scatter to the natural raster grid
-                flat = np.zeros(64, dtype=np.float64)
-                flat[zz] = seq * q
-                rec = m.T @ flat.reshape(8, 8) @ m + 128.0
-                rec = np.clip(np.round(rec, 6), 0.0, 255.0)
-                # floor(x + .5) on the clamped, 6-dp-rounded value is
-                # round-half-away for the non-negative range —
-                # components round to their integer grid BEFORE any
-                # color conversion, like the SQL oracle
-                planes[c][by:by + 8, bx:bx + 8] = np.floor(rec + 0.5)
+    comp_qt = [qt[comp_q[c]] for c in range(ncomp)]
+    dc_luts = [_huff_lut(huff[(0, comp_t[c][0])]) for c in range(ncomp)]
+    ac_luts = [_huff_lut(huff[(1, comp_t[c][1])]) for c in range(ncomp)]
+    # hot loop: the reader's window/cursor are inlined as locals (the
+    # method-call version spent ~1/3 of decode in call overhead); a
+    # cursor past the padded window end surfaces as IndexError below
+    win, pos = br.win, 0
+    try:
+        for by in range(0, ph, 8):
+            for bx in range(0, pw, 8):
+                for c in range(ncomp):
+                    q = comp_qt[c]
+                    ac_lut = ac_luts[c]
+                    seq = np.zeros(64, dtype=np.float64)
+                    v = dc_luts[c][win[pos]]
+                    if v < 0:
+                        raise ValueError("invalid JPEG Huffman code")
+                    pos += v & 31
+                    size = v >> 5
+                    if size:
+                        d = win[pos] >> (16 - size)
+                        pos += size
+                        preds[c] += d if d >= 1 << (size - 1) \
+                            else d - (1 << size) + 1
+                    seq[0] = preds[c]
+                    i = 1
+                    while i < 64:
+                        v = ac_lut[win[pos]]
+                        if v < 0:
+                            raise ValueError(
+                                "invalid JPEG Huffman code")
+                        pos += v & 31
+                        sym = v >> 5
+                        if sym == 0x00:  # EOB
+                            break
+                        if sym == 0xF0:  # ZRL
+                            i += 16
+                            continue
+                        i += sym >> 4
+                        s = sym & 0xF
+                        if i > 63:
+                            raise ValueError(
+                                "AC coefficient index overflow")
+                        d = win[pos] >> (16 - s)
+                        pos += s
+                        seq[i] = d if d >= 1 << (s - 1) \
+                            else d - (1 << s) + 1
+                        i += 1
+                    # DQT rides in zigzag order (spec), like the
+                    # coefficients: dequantize in zigzag space, then
+                    # scatter to the natural raster grid
+                    flat = np.zeros(64, dtype=np.float64)
+                    flat[zz] = seq * q
+                    rec = m.T @ flat.reshape(8, 8) @ m + 128.0
+                    rec = np.clip(np.round(rec, 6), 0.0, 255.0)
+                    # floor(x + .5) on the clamped, 6-dp-rounded value
+                    # is round-half-away for the non-negative range —
+                    # components round to their integer grid BEFORE any
+                    # color conversion, like the SQL oracle
+                    planes[c][by:by + 8, bx:bx + 8] = \
+                        np.floor(rec + 0.5)
+    except IndexError:
+        raise ValueError("JPEG scan data truncated") from None
+    if pos > br.nbits:  # final read ran into the zero padding
+        raise ValueError("JPEG scan data truncated")
     if ncomp == 3:
         planes = _ycbcr_to_rgb(*planes)
     out = np.stack(planes, axis=-1).astype(np.uint8)
