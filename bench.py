@@ -171,7 +171,13 @@ def main() -> None:
         # checkpointed graph supersteps also want the fresh-JVM slot
         "dedup_fuzzy": 2,          # gets 7 min-samples, not 5
         "dedup_fuzzy_clusters": 2,
-        "dedup_containment": 2,
+        # r11 drift adjudication of the two beyond-band r10 driver
+        # rows: isolated single-JVM series 29.7 -> 11.3 -> 9.8 ->
+        # 10.1 -> 9.4 s (containment) and 5.6 -> 2.9 -> 2.6 -> 2.7 s
+        # (cluster_sample) — the same pre-steady min-of-too-few
+        # lottery as ops_split_leakage, so both get more warm reps
+        "dedup_containment": 3,
+        "emb_cluster_sample": 2,
         "graph_doc_rank": 2,
         "graph_communities": 2,
         # r10 drift adjudication of the r9 ops_split_leakage outlier:

@@ -444,16 +444,23 @@ def _jpeg_encode_block(bw, blk, pred, zz, m, dc_codes, ac_codes):
     coef = _half_away(np.round(m @ blk @ m.T, 6) / _JPEG_Q00) \
         .astype(np.int64)
     seq = coef.reshape(-1)[zz]
-    diff = int(seq[0]) - pred
-    size = int(diff).bit_length() if diff else 0
+    nz = np.flatnonzero(seq[1:])
+    last = int(nz[-1]) + 1 if nz.size else 0
+    vals = seq.tolist()  # python ints once, not a numpy scalar per op
+    diff = vals[0] - pred
+    size = abs(diff).bit_length()
     ln, code = dc_codes[size]
-    bw.put(code, ln)
     if size:
-        bw.put(diff if diff > 0 else diff + (1 << size) - 1, size)
+        # code immediately followed by the value bits is one MSB-first
+        # put — bitstream-identical to two puts, half the calls
+        bw.put((code << size)
+               | (diff if diff > 0 else diff + (1 << size) - 1),
+               ln + size)
+    else:
+        bw.put(code, ln)
     run = 0
-    last = max((i for i in range(1, 64) if seq[i]), default=0)
     for i in range(1, last + 1):
-        v = int(seq[i])
+        v = vals[i]
         if v == 0:
             run += 1
             continue
@@ -463,13 +470,13 @@ def _jpeg_encode_block(bw, blk, pred, zz, m, dc_codes, ac_codes):
             run -= 16
         s = abs(v).bit_length()
         ln, code = ac_codes[(run << 4) | s]
-        bw.put(code, ln)
-        bw.put(v if v > 0 else v + (1 << s) - 1, s)
+        bw.put((code << s) | (v if v > 0 else v + (1 << s) - 1),
+               ln + s)
         run = 0
     if last < 63:
         ln, code = ac_codes[0x00]  # EOB
         bw.put(code, ln)
-    return int(seq[0])
+    return vals[0]
 
 
 def write_jpeg(width: int, height: int, pixels: bytes,
@@ -737,7 +744,6 @@ def parse_jpeg(payload: bytes):
                 for c in range(ncomp):
                     q = comp_qt[c]
                     ac_lut = ac_luts[c]
-                    seq = np.zeros(64, dtype=np.float64)
                     v = dc_luts[c][win[pos]]
                     if v < 0:
                         raise ValueError("invalid JPEG Huffman code")
@@ -748,8 +754,8 @@ def parse_jpeg(payload: bytes):
                         pos += size
                         preds[c] += d if d >= 1 << (size - 1) \
                             else d - (1 << size) + 1
-                    seq[0] = preds[c]
-                    i = 1
+                    seq = None  # allocated lazily: DC-only blocks
+                    i = 1       # (EOB straight away) never need it
                     while i < 64:
                         v = ac_lut[win[pos]]
                         if v < 0:
@@ -769,9 +775,27 @@ def parse_jpeg(payload: bytes):
                                 "AC coefficient index overflow")
                         d = win[pos] >> (16 - s)
                         pos += s
+                        if seq is None:
+                            seq = np.zeros(64, dtype=np.float64)
                         seq[i] = d if d >= 1 << (s - 1) \
                             else d - (1 << s) + 1
                         i += 1
+                    if seq is None:
+                        # DC-only block: the IDCT of a lone [0,0]
+                        # coefficient is the constant (c*flat00)*c
+                        # with c = m[0,0] — exactly the per-cell
+                        # product the matmul path produces (its other
+                        # 7 dot terms are exact 0.0 adds), so this is
+                        # bit-identical on the same rounding grid.
+                        # Constant-tile corpora (the closed-form
+                        # oracle fixtures) take this path every block.
+                        flat00 = np.float64(preds[c]) * q[0]
+                        rv = (m[0, 0] * flat00) * m[0, 0] + 128.0
+                        rv = min(max(np.round(rv, 6), 0.0), 255.0)
+                        planes[c][by:by + 8, bx:bx + 8] = \
+                            np.floor(rv + 0.5)
+                        continue
+                    seq[0] = preds[c]
                     # DQT rides in zigzag order (spec), like the
                     # coefficients: dequantize in zigzag space, then
                     # scatter to the natural raster grid
