@@ -302,6 +302,49 @@ def test_jpeg_roundtrip_closed_form_and_rejects():
         parse_jpeg(bytes(j))
 
 
+def test_ycbcr_coefficients_derive_from_bt601():
+    """Pin the codec's color-transform constants to a first-principles
+    BT.601 derivation (Kr=0.299, Kb=0.114; Cb=(B-Y)/(2(1-Kb)),
+    Cr=(R-Y)/(2(1-Kr))) instead of to themselves.  The r10 ADVICE
+    found the Cr blue coefficient copied wrong into codec AND oracle
+    AND test — a self-confirming triple no in-repo check could catch;
+    this derivation is the independent witness."""
+    import numpy as np
+
+    from yardstick_spark.llm.multimodal import (_rgb_to_ycbcr,
+                                                _ycbcr_to_rgb)
+
+    kr, kb = 0.299, 0.114
+    kg = 1 - kr - kb
+    want_fwd = np.array([
+        [kr, kg, kb],
+        [-kr / (2 * (1 - kb)), -kg / (2 * (1 - kb)), 0.5],
+        [0.5, -kg / (2 * (1 - kr)), -kb / (2 * (1 - kr))],
+    ])
+    # probe the implementation's linear part with unit impulses: the
+    # transform is affine (offset 0/128/128), so column j of the
+    # matrix is f(e_j) - f(0).  Use scaled impulses to dodge the
+    # integer-grid rounding the codec applies at the 255 grain.
+    got = np.empty((3, 3))
+    base = np.zeros((1, 1, 3))
+    for j in range(3):
+        e = np.zeros((1, 1, 3))
+        e[..., j] = 255.0
+        fe = np.array([float(x) for x in _rgb_to_ycbcr(e)])
+        f0 = np.array([float(x) for x in _rgb_to_ycbcr(base)])
+        got[:, j] = (fe - f0) / 255.0
+    assert np.allclose(got, np.round(want_fwd, 6), atol=2e-3), got
+    # inverse: round-tripping the derived matrix must be ~identity on
+    # mid-range colors (quantization-grid tolerance)
+    for rgb in ((64, 128, 192), (200, 50, 90), (10, 100, 200)):
+        arr = np.zeros((1, 1, 3))
+        arr[0, 0] = rgb
+        y, cb, cr = _rgb_to_ycbcr(arr)
+        r2, g2, b2 = _ycbcr_to_rgb(y, cb, cr)
+        back = np.array([float(r2), float(g2), float(b2)])
+        assert np.abs(back - np.array(rgb)).max() <= 2.0, (rgb, back)
+
+
 def test_jpeg_color_closed_form_and_roundtrip():
     """4:4:4 color JPEG: constant RGB tiles decode to the full
     RGB -> YCbCr -> DC-quantize -> YCbCr -> RGB closed form on the
