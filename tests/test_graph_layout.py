@@ -577,6 +577,32 @@ def test_lpa_matches_duckdb_unrolled(spark):
     assert got == want
 
 
+def test_lpa_driver_gate_matches_distributed(spark):
+    """The gated small-graph dict fast path and the distributed
+    superstep loop must agree exactly (both are integer label
+    arithmetic with the same (count desc, label asc) tie contract),
+    and string node ids flow through the gate's schema handling."""
+    from yardstick_spark.operators import label_propagation
+
+    edges = [(i, (i * 7 + 3) % 23) for i in range(23)] + [(1, 17), (4, 9)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    fast = {r.node: r.community
+            for r in label_propagation(df, iterations=4).collect()}
+    slow = {r.node: r.community
+            for r in label_propagation(df, iterations=4,
+                                       driver_max_edges=0).collect()}
+    assert fast == slow
+    sdf = spark.createDataFrame(
+        [(f"n{a}", f"n{b}") for a, b in edges], "src string, dst string")
+    sfast = {r.node: r.community
+             for r in label_propagation(sdf, iterations=3).collect()}
+    sslow = {r.node: r.community
+             for r in label_propagation(sdf, iterations=3,
+                                        driver_max_edges=0).collect()}
+    assert sfast == sslow
+
+
 # ---------------------------------------------------------------------------
 # Embedding outliers
 # ---------------------------------------------------------------------------

@@ -500,7 +500,9 @@ def _hint_sets(df: DataFrame, force: bool | None) -> DataFrame:
     return F.broadcast(df) if force else df
 
 
-def _rarity_sid_table(sh: DataFrame) -> tuple[DataFrame, int]:
+def _rarity_sid_table(sh: DataFrame,
+                      freq0: DataFrame | None = None,
+                      universe: int | None = None) -> tuple[DataFrame, int]:
     """Dense global rarity ranking of distinct shingles: returns
     ((sh, sid) mapping, universe size) with sid ordered by (df asc,
     value asc) — the consistent total order every prefix-filter join
@@ -518,9 +520,13 @@ def _rarity_sid_table(sh: DataFrame) -> tuple[DataFrame, int]:
     # re-evaluates the child, which would re-run the explode+groupBy.
     # NULL shingles can't rank (the driver-side sort would compare
     # None vs str) and never join back anyway — drop them up front.
-    freq0 = _cache(sh.filter(F.col("sh").isNotNull())
-                   .groupBy("sh").agg(F.count("*").alias("df")))
-    universe = freq0.count()
+    # (`_sid_sets` passes its already-cached freq0/universe through so
+    # the distinct-shingle aggregation is never built twice.)
+    if freq0 is None:
+        freq0 = _cache(sh.filter(F.col("sh").isNotNull())
+                       .groupBy("sh").agg(F.count("*").alias("df")))
+    if universe is None:
+        universe = freq0.count()
     if universe <= 200_000:
         order = sorted((r["df"], r["sh"]) for r in freq0.collect())
         mapping = [(sh_, i + 1) for i, (_, sh_) in enumerate(order)]
@@ -556,6 +562,97 @@ def _rarity_sid_table(sh: DataFrame) -> tuple[DataFrame, int]:
     return freq, universe
 
 
+def _sid_sets(sets0: DataFrame) -> tuple[DataFrame, int]:
+    """(id, sids, n_sh) per document with the rarity-ordered int sid
+    set, plus the universe size — the shared front half of the
+    Jaccard/containment prefix joins.
+
+    Small universes (the `_rarity_sid_table` ≤200k driver-ranked case)
+    skip the explode → broadcast-join → collect_list → sort_array
+    re-aggregation entirely: the ranking was ALREADY built on the
+    driver, so the sh → sid mapping rides an Arrow stage's closure and
+    each document's cached shingle array maps to its sorted sid array
+    in one vectorized pass — no second explode of the corpus, no
+    ObjectHashAggregate exchange (measured ~20 s of executor time and
+    one keyed shuffle per sf0.1 query).  Document rows with an EMPTY
+    shingle set emit no row, exactly like the explode they replace.
+    Above 200k shingles the distributed ranked-join path runs
+    unchanged."""
+    sh = sets0.select("id", F.explode("shs").alias("sh"))
+    freq0 = _cache(sh.filter(F.col("sh").isNotNull())
+                   .groupBy("sh").agg(F.count("*").alias("df")))
+    universe = freq0.count()
+    if universe <= 200_000:
+        order = sorted((r["df"], r["sh"]) for r in freq0.collect())
+        mapping = {s: i + 1 for i, (_, s) in enumerate(order)}
+        id_type = sets0.schema["id"].dataType.simpleString()
+
+        def _map_batches(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                ids, sid_col, n_col = [], [], []
+                for did, arr in zip(pdf["id"], pdf["shs"]):
+                    if arr is None or len(arr) == 0:
+                        continue
+                    sids = sorted(mapping[x] for x in arr)
+                    ids.append(did)
+                    sid_col.append(sids)
+                    n_col.append(len(sids))
+                # object dtype: an empty batch would otherwise infer
+                # float64 columns, which Arrow cannot cast to the
+                # declared list type
+                yield pd.DataFrame(
+                    {"id": pd.Series(ids, dtype="object"),
+                     "sids": pd.Series(sid_col, dtype="object"),
+                     "n_sh": pd.Series(n_col, dtype="object")})
+
+        return sets0.mapInPandas(
+            _map_batches,
+            f"id {id_type}, sids array<bigint>, n_sh int"), universe
+    freq, universe = _rarity_sid_table(sh, freq0, universe)
+    return (
+        sh.join(F.broadcast(freq.select("sh", "sid")), "sh")
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list("sid")).alias("sids"))
+        .withColumn("n_sh", F.size("sids"))
+    ), universe
+
+
+def _intersect_repr(isets: DataFrame, universe: int):
+    """(vsets, common_expr) for exact per-candidate set intersection —
+    shared by the Jaccard and containment verifiers.
+
+    Hot-vocab corpora (few distinct shingles — every shingle is
+    common) defeat the prefix filter: candidates blow up while true
+    pairs stay rare, and array_intersect's per-pair hash-set build
+    dominates (measured 2.4M candidates for 256 pairs on the Jaccard
+    path and 8.8M candidates for the containment path at sf0.1).
+    With a small universe the EXACT same intersection is a fixed
+    bit_count pass over dense bitmaps: sid-1 indexes a bit, common =
+    sum(bit_count(a & b)) — ~wordcount ops per pair, no per-pair
+    allocation.  universe was counted once off the cached freq
+    table; big-vocab corpora keep the sorted-array path."""
+    if universe <= 4096:
+        nw = (universe + 63) // 64
+        bits = F.expr(
+            f"aggregate(sids, array_repeat(CAST(0 AS BIGINT), {nw}), "
+            f"(acc, s) -> transform(acc, (v, i) -> "
+            f"IF(i = CAST((s - 1) DIV 64 AS INT), "
+            f"v | shiftleft(CAST(1 AS BIGINT), CAST((s - 1) % 64 AS INT)), "
+            f"v)))"
+        )
+        vsets = isets.select("id", "n_sh", bits.alias("vs"))
+        common = F.expr(
+            "aggregate(zip_with(vs_a, vs_b, (x, y) -> bit_count(x & y)), "
+            "0, (a, x) -> a + x)"
+        )
+    else:
+        vsets = isets.select("id", "n_sh", F.col("sids").alias("vs"))
+        common = F.size(F.array_intersect("vs_a", "vs_b"))
+    return vsets, common
+
+
 def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 5,
                         threshold: float = 0.8,
@@ -584,25 +681,18 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     # order is consistent and (b) verification intersects int arrays,
     # not strings
     sets0 = _shingled(docs, text_col, id_col, k)
-    sh = sets0.select("id", F.explode("shs").alias("sh"))
-    freq, universe = _rarity_sid_table(sh)
+    sid_sets, universe = _sid_sets(sets0)
     # identical shingle SETS collapse to one representative before the
     # prefix join (see _family_collapse): exact copies and boilerplate
     # families otherwise inflate every candidate bucket quadratically
     # (measured: 10x-replicated corpus took the sf0.1 ppjoin from
     # 6.8 s to 582 s; collapsed it is pair-OUTPUT-bound).  Pairs are
     # re-expanded by _family_expand with bit-identical jaccard values.
-    isets, members = _family_collapse(
-        # no caller-side _cache: _family_collapse reads this exactly
-        # once to build its cached `tagged` frame — the tagged cache IS
-        # the barrier, a second cache here would only double the
-        # persisted footprint
-        sh.join(F.broadcast(freq.select("sh", "sid")), "sh")
-        .groupBy("id")
-        .agg(F.sort_array(F.collect_list("sid")).alias("sids"))
-        .withColumn("n_sh", F.size("sids")),
-        "sids",
-    )
+    # (no caller-side _cache: _family_collapse reads sid_sets exactly
+    # once to build its cached `tagged` frame — the tagged cache IS
+    # the barrier, a second cache here would only double the
+    # persisted footprint)
+    isets, members = _family_collapse(sid_sets, "sids")
     # ppjoin asymmetric prefixes over the rarity-sorted arrays (no
     # window over the big exploded table).  For a size-ordered pair
     # n_a <= n_b with J >= t, the required overlap is
@@ -669,32 +759,7 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     # table; the measured-small pair list is the broadcast side (see
     # _pairs_hint), so the set table never shuffles
     cand = _pairs_hint(cand, max_broadcast_pairs)
-    # Hot-vocab corpora (few distinct shingles — every shingle is
-    # common) defeat the prefix filter: candidates blow up while true
-    # pairs stay rare, and array_intersect's per-pair hash-set build
-    # dominates (measured 2.4M candidates for 256 pairs at sf0.1).
-    # With a small universe the EXACT same intersection is a fixed
-    # bit_count pass over dense bitmaps: sid-1 indexes a bit, common =
-    # sum(bit_count(a & b)) — ~wordcount ops per pair, no per-pair
-    # allocation.  universe was counted once off the cached freq
-    # table; big-vocab corpora keep the sorted-array path.
-    if universe <= 4096:
-        nw = (universe + 63) // 64
-        bits = F.expr(
-            f"aggregate(sids, array_repeat(CAST(0 AS BIGINT), {nw}), "
-            f"(acc, s) -> transform(acc, (v, i) -> "
-            f"IF(i = CAST((s - 1) DIV 64 AS INT), "
-            f"v | shiftleft(CAST(1 AS BIGINT), CAST((s - 1) % 64 AS INT)), "
-            f"v)))"
-        )
-        vsets = isets.select("id", "n_sh", bits.alias("vs"))
-        common = F.expr(
-            "aggregate(zip_with(vs_a, vs_b, (x, y) -> bit_count(x & y)), "
-            "0, (a, x) -> a + x)"
-        )
-    else:
-        vsets = isets.select("id", "n_sh", F.col("sids").alias("vs"))
-        common = F.size(F.array_intersect("vs_a", "vs_b"))
+    vsets, common = _intersect_repr(isets, universe)
     rep_pairs = (
         cand.join(_hint_sets(vsets.select(F.col("id").alias("id_a"),
                                           F.col("vs").alias("vs_a"),
@@ -751,24 +816,13 @@ def ngram_containment_pairs(docs: DataFrame, text_col: str = "text",
     the full-set side's fan-out per sid is that shingle's df, which
     the rarity order keeps minimal."""
     sets0 = _shingled(docs, text_col, id_col, k)
-    sh = sets0.select("id", F.explode("shs").alias("sh"))
-    freq, _ = _rarity_sid_table(sh)
+    sid_sets, universe = _sid_sets(sets0)
     # identical shingle sets collapse before the prefix join — same
     # quadratic-bucket argument and bit-identical re-expansion as
     # ngram_jaccard_pairs (containment of identical sets is exactly
     # 1.0, and cross-family containment is a pure function of the
     # representatives' sets)
-    isets, members = _family_collapse(
-        # no caller-side _cache: _family_collapse reads this exactly
-        # once to build its cached `tagged` frame — the tagged cache IS
-        # the barrier, a second cache here would only double the
-        # persisted footprint
-        sh.join(F.broadcast(freq.select("sh", "sid")), "sh")
-        .groupBy("id")
-        .agg(F.sort_array(F.collect_list("sid")).alias("sids"))
-        .withColumn("n_sh", F.size("sids")),
-        "sids",
-    )
+    isets, members = _family_collapse(sid_sets, "sids")
     plen = (
         F.col("n_sh")
         - F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-9)) + 1
@@ -810,7 +864,13 @@ def ngram_containment_pairs(docs: DataFrame, text_col: str = "text",
         .select("id_a", "id_b")
     )
     cand = _pairs_hint(cand, max_broadcast_pairs)
-    vsets = isets.select("id", "n_sh", F.col("sids").alias("vs"))
+    # same hot-vocab dense-bitmap verification as the Jaccard path
+    # (see _intersect_repr): the containment candidate set is even
+    # larger than Jaccard's on such corpora because no length filter
+    # exists, so the per-candidate intersection cost dominates —
+    # measured 8.8M candidates at sf0.1 with `common` via
+    # array_intersect as ~80% of the query's executor time
+    vsets, common = _intersect_repr(isets, universe)
     rep_pairs = (
         cand.join(_hint_sets(vsets.select(F.col("id").alias("id_a"),
                                           F.col("vs").alias("vs_a"),
@@ -822,7 +882,7 @@ def ngram_containment_pairs(docs: DataFrame, text_col: str = "text",
                                       F.col("n_sh").alias("n_b")),
                          broadcast_sets),
               "id_b")
-        .withColumn("common", F.size(F.array_intersect("vs_a", "vs_b")))
+        .withColumn("common", common)
         .withColumn(
             "containment",
             F.round(F.col("common") / F.least("n_a", "n_b"), 6),
@@ -852,21 +912,77 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
     md5 calls (~30x cheaper; md5 dominated the profile).  Scan-only, no
     shuffle; identical arithmetic is reproducible in the DuckDB oracle.
     """
-    base = f"transform(shs, s -> pmod({_portable_hash('s')}, {_MH_P}))"
-    sig = (
-        f"transform(sequence(0, {num_hashes - 1}), i -> "
-        f"array_min(transform(__ys_sh_h, "
-        f"h -> pmod((2 * i + 1) * h + i * 40503 + 1, {_MH_P}))))"
-    )
-    # cache() is a materialization BARRIER, not just reuse: without it
-    # Catalyst collapses the projections and inlines the md5 base-hash
-    # expression into all num_hashes lambda bodies — re-hashing every
-    # shingle 32x (measured 92s -> 8s at sf0.1)
-    hashed = _cache(
-        _shingled(docs, text_col, id_col, k)
-        .select("id", F.expr(base).alias("__ys_sh_h"))
-    )
-    return hashed.select("id", F.expr(sig).alias("signature"))
+    # One Arrow stage computes shingle-set -> md5 base hash -> all
+    # num_hashes permutation minima in vectorized numpy (guide §4.2):
+    # the previous all-JVM chain needed TWO cache materialization
+    # barriers (shingle strings, base hashes) purely to stop Catalyst
+    # re-inlining expressions into HOF lambda bodies, and its 32
+    # interpreted `transform` passes measured ~15 s of executor time
+    # per sf0.1 query.  The mapInPandas boundary is opaque to Catalyst,
+    # so no barrier (and no persisted footprint) is needed at all, and
+    # the md5/permutation arithmetic is one numpy broadcast per doc.
+    #
+    # Bit-exactness: normalization stays JVM-side (_norm_text — Java
+    # and Python regex/lower semantics are not interchangeable);
+    # shingling is pure code-point slicing, identical in Spark's
+    # substring and Python str slicing; md5 runs over the same UTF-8
+    # bytes; the permutation is exact int64 arithmetic (max operand
+    # ~2^37).  NULL text -> all-NULL signature, empty text -> the
+    # one-shingle [''] set, exactly as the SQL chain produced.
+    src = _spread(
+        docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+    ).select("id", F.expr(_norm_text("__t")).alias("__norm"))
+    id_type = src.schema["id"].dataType.simpleString()
+
+    def _sig_batches(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        idx = np.arange(num_hashes, dtype=np.int64)
+        mult = 2 * idx + 1
+        add = idx * 40503 + 1
+        null_sig = [None] * num_hashes
+        # per-task base-hash memo: shingles repeat heavily across the
+        # documents of a partition (the sf0.1 corpus has 2,041 distinct
+        # shingles across ~1M (doc, shingle) rows), so hashing each
+        # DISTINCT shingle once per task replaces ~99.8% of the md5
+        # calls with dict hits.  Bounded (~25 MB) and cleared on
+        # overflow so a huge-vocabulary corpus at scale degrades to
+        # plain per-shingle hashing, never to unbounded worker memory.
+        memo: dict = {}
+        md5 = hashlib.md5
+        for pdf in batches:
+            sigs = []
+            for s in pdf["__norm"]:
+                if s is None:
+                    sigs.append(null_sig)
+                    continue
+                hs_l = []
+                for x in {s[i:i + k]
+                          for i in range(max(1, len(s) - (k - 1)))}:
+                    h = memo.get(x)
+                    if h is None:
+                        if len(memo) >= 262_144:
+                            memo.clear()
+                        h = int(md5(x.encode("utf-8")).hexdigest()[:15],
+                                16) % _MH_P
+                        memo[x] = h
+                    hs_l.append(h)
+                hs = np.asarray(hs_l, dtype=np.int64)
+                sigs.append(
+                    ((hs[:, None] * mult + add) % _MH_P).min(axis=0)
+                    .tolist())
+            # object dtype so empty batches don't infer a float64
+            # column Arrow cannot cast to array<bigint>
+            yield pd.DataFrame(
+                {"id": pdf["id"],
+                 "signature": pd.Series(sigs, dtype="object",
+                                        index=pdf.index)})
+
+    return src.mapInPandas(
+        _sig_batches, f"id {id_type}, signature array<bigint>")
 
 
 def _cap_buckets(banded: DataFrame, keys: list[str],

@@ -72,9 +72,71 @@ def _assign(vq: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
     )
 
 
+def _fit_driver(rows, k: int, iters: int) -> list[tuple[int, list[int]]]:
+    """Seeding + Lloyd over a gate-checked collected (id, xq) list —
+    the small-corpus half of `kmeans_assign` (see its docstring for
+    the gate rationale).  Bit-identical to the distributed fit:
+
+    - distances are exact int64 sums on the grid (order-independent);
+    - the centroid mean replays Spark's exact semantics: IEEE double
+      division of the exact integer sum, then `round()`'s
+      shortest-decimal-representation HALF_UP (java BigDecimal.valueOf
+      == Python repr(), both shortest round-trip), then truncate-cast;
+    - argmin/argmax tie-breaks (smaller cell / smaller id) match the
+      array_sort / orderBy orderings expression for expression.
+    """
+    import decimal
+
+    import numpy as np
+
+    ids = [r["id"] for r in rows]
+    # NULLS FIRST, like Spark's default ascending orderBy
+    order = sorted(range(len(ids)),
+                   key=lambda i: (ids[i] is not None, ids[i]))
+    x = np.asarray([rows[i]["xq"] for i in order], dtype=np.int64)
+    n, dim = x.shape
+    cents = [(0, [int(v) for v in x[0]])]
+    dmin = None
+    for s in range(1, k):
+        # min distance to the chosen set; only the newest seed is new
+        d_new = (np.square(
+            x - np.asarray(cents[-1][1], dtype=np.int64))).sum(axis=1)
+        dmin = d_new if dmin is None else np.minimum(dmin, d_new)
+        # argmax with ties to the smaller id: x is already id-sorted,
+        # so numpy's first-max IS the tie contract
+        cents.append((s, [int(v) for v in x[int(np.argmax(dmin))]]))
+    cents.sort()
+    half_up = decimal.Decimal(1)
+    for _ in range(iters):
+        carr = np.asarray([c for _, c in cents], dtype=np.int64)
+        cell_ids = np.asarray([cid for cid, _ in cents], dtype=np.int64)
+        # exact integer squared distances to every centroid; argmin
+        # ties to the smaller cell id (cents is cell-sorted, numpy
+        # argmin takes the first minimum)
+        d = (np.square(x[:, None, :] - carr[None, :, :])).sum(axis=2)
+        assigned = cell_ids[np.argmin(d, axis=1)]
+        nxt = []
+        for cid in cell_ids:
+            mask = assigned == cid
+            cnt = int(mask.sum())
+            if cnt == 0:  # empty cells drop out (Lloyd convention)
+                continue
+            sums = x[mask].sum(axis=0)  # exact int64 column sums
+            cnt_d = float(cnt)
+            mean = [
+                int(decimal.Decimal(repr(float(s_) / cnt_d))
+                    .quantize(half_up, rounding=decimal.ROUND_HALF_UP))
+                for s_ in sums.tolist()
+            ]
+            nxt.append((int(cid), mean))
+        cents = sorted(nxt)
+    return cents
+
+
 def kmeans_assign(vecs: DataFrame, k: int = 8, iters: int = 3,
                   vec_col: str = "embedding",
-                  id_col: str = "vec_id") -> DataFrame:
+                  id_col: str = "vec_id",
+                  driver_max_vectors: int = 200_000) -> DataFrame:
     """Fit k-means with `iters` Lloyd updates and return the final
     assignment (id_col, cell, dist_q) — dist_q is the exact integer
     squared distance on the 1e-6 grid (grid units squared).
@@ -83,13 +145,43 @@ def kmeans_assign(vecs: DataFrame, k: int = 8, iters: int = 3,
     cluster handling), so fewer than k cells may appear.  Ragged
     corpora: vectors shorter than a centroid zip to the shorter
     length; callers with mixed dims should pre-filter (the testdata
-    corpus is fixed-dim)."""
+    corpus is fixed-dim).
+
+    `driver_max_vectors`: corpora at or under this row count fit the
+    centroids driver-side in numpy instead of running k - 1 seeding
+    scans plus one collect per Lloyd round — the same explicit-gate
+    pattern as `pagerank` / `connected_components`.  The fit loop is
+    otherwise ~2k + iters sequential tiny Spark jobs whose scheduling
+    floor dwarfs the arithmetic on a small corpus (measured: 18 jobs
+    summing 0.9 s of job time inside a 2.9 s sf0.1 query), while the
+    gate bound keeps the collect ≤ ~100 MB (200k rows × dim 64 int64).
+    At data scale the gate fails after one count on the cached
+    quantized projection (which the seeding scan materializes anyway)
+    and the distributed fit below runs unchanged.  The driver fit
+    replays the exact integer-grid arithmetic (see `_fit_driver`), so
+    the centroids — and therefore the returned assignment, which is
+    computed by the SAME distributed literal-centroid scan either way
+    — are bit-identical; `test_kmeans_driver_gate_matches_distributed`
+    pins this.  Set `driver_max_vectors=0` to force the distributed
+    fit."""
     if k > _MAX_K:
         raise ValueError(f"k={k} exceeds the literal-centroid ceiling "
                          f"{_MAX_K}; use the IVF Arrow path for wide k")
     from .dedup import _cache  # shared registry, clear_dedup_caches()
 
     vq = _cache(_quantized(vecs, vec_col, id_col))
+    if driver_max_vectors and vq.count() <= driver_max_vectors:
+        rows = vq.collect()
+        if not rows:
+            return vq.select(F.col("id").alias(id_col),
+                             F.lit(None).cast("int").alias("cell"),
+                             F.lit(None).cast("bigint").alias("dist_q"))
+        cents = _fit_driver(rows, k, iters)
+        return (
+            _assign(vq, cents)
+            .select(F.col("id").alias(id_col),
+                    F.col("cell").cast("int").alias("cell"), "dist_q")
+        )
     # farthest-first seeding (Gonzalez 1985): seed 0 is the min-id
     # vector; each next seed maximizes its exact integer distance to
     # the chosen set (ties to the smaller id).  Deterministic, covers

@@ -298,8 +298,45 @@ def pagerank_sql(
     return "\n".join(sql)
 
 
+def _lpa_driver(e: DataFrame, iterations: int) -> DataFrame:
+    """Synchronous LPA over a gate-checked small edge table — the
+    small-graph half of `label_propagation` (same gate pattern as
+    `pagerank`'s `_pagerank_driver`).  `e` is the distinct symmetrized
+    (src, dst) relation; the update replays the distributed rounds
+    exactly: count neighbor labels per dst, adopt the most frequent,
+    ties to the SMALLEST label — all integer/dict arithmetic, so the
+    result is identical by construction (pinned by
+    test_lpa_driver_gate_matches_distributed)."""
+    from pyspark.sql.types import StructField, StructType
+
+    spark = e.sparkSession
+    pdf = e.toPandas()
+    adj: dict = {}
+    # .tolist() materializes Python scalars (np.int64 rows would trip
+    # createDataFrame's type inference below)
+    for s, d in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
+        adj.setdefault(d, []).append(s)
+    labels = {n: n for n in adj}
+    for _ in range(iterations):
+        nxt = {}
+        for d, srcs in adj.items():
+            cnt: dict = {}
+            for s in srcs:
+                lab = labels[s]
+                cnt[lab] = cnt.get(lab, 0) + 1
+            # max count, ties to smallest label
+            nxt[d] = min(cnt, key=lambda lab: (-cnt[lab], lab))
+        labels = nxt
+    id_type = e.schema["src"].dataType
+    return spark.createDataFrame(
+        sorted(labels.items()),
+        StructType([StructField("node", id_type),
+                    StructField("community", id_type)]))
+
+
 def label_propagation(edges: DataFrame, iterations: int = 4,
-                      src: str = "src", dst: str = "dst") -> DataFrame:
+                      src: str = "src", dst: str = "dst",
+                      driver_max_edges: int = 1_000_000) -> DataFrame:
     """Community detection by synchronous label propagation (Raghavan
     et al. 2007) over the undirected graph of `edges`: (node,
     community).  Each round, every node adopts the most frequent label
@@ -342,6 +379,17 @@ def label_propagation(edges: DataFrame, iterations: int = 4,
         .repartition("src")
         .localCheckpoint(eager=True)
     )
+    # gated small-graph fast path — one cheap count on the checkpoint
+    # (the `pagerank` / `connected_components` gate pattern; see
+    # _lpa_driver).  The distributed loop below is iterations × a
+    # 3-job superstep (join + argmax window + checkpoint) whose
+    # scheduling floor is the whole cost on a near-dup-pair graph,
+    # while a ≤1M-edge collect is ~25 MB and the dict rounds are
+    # milliseconds.  At data scale the gate fails after the one count
+    # and the loop runs unchanged.  driver_max_edges=0 forces the
+    # distributed loop.
+    if driver_max_edges and e.count() <= driver_max_edges:
+        return _lpa_driver(e, iterations)
     labels = e.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label"))
     from pyspark.sql import Window
