@@ -418,6 +418,41 @@ def test_simhash_bucket_cap_wiring(spark):
     assert simhash_pairs(boiler, max_bucket_size=10).count() == 0
 
 
+def test_verify_arrow_matches_join_verifier(spark):
+    """The gated numpy-popcount verifier and the join-based verifier
+    must produce identical pair sets AND identical rounded similarity
+    values (same IEEE ratio, same shortest-repr HALF_UP rounding) for
+    both metrics.  The corpus is hot-vocab (tiny shingle universe) so
+    the Arrow gate fires on the default path; the join path is forced
+    by monkeypatching the gate off."""
+    from yardstick_spark.llm import (clear_dedup_caches,
+                                     ngram_containment_pairs,
+                                     ngram_jaccard_pairs)
+    from yardstick_spark.llm import dedup as D
+
+    rows = [(i, "abcde" * (3 + i % 5) + "fghij" * (i % 3)
+             + "klmno" * (i % 4)) for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def run(fn, col):
+        out = {(r.id_a, r.id_b): r[col]
+               for r in fn(docs, k=5, threshold=0.5).collect()}
+        clear_dedup_caches()
+        return out
+
+    fast_c = run(ngram_containment_pairs, "containment")
+    fast_j = run(ngram_jaccard_pairs, "jaccard")
+    real = D._verify_pairs_arrow
+    D._verify_pairs_arrow = lambda *a, **k: None
+    try:
+        slow_c = run(ngram_containment_pairs, "containment")
+        slow_j = run(ngram_jaccard_pairs, "jaccard")
+    finally:
+        D._verify_pairs_arrow = real
+    assert fast_c == slow_c and len(fast_c) > 0
+    assert fast_j == slow_j and len(fast_j) > 0
+
+
 def test_family_collapse_null_text_stays_unpaired(spark):
     """NULL-text docs must NOT pair with each other (regression for
     the family-collapse NULL hole): the uncollapsed band/prefix joins

@@ -653,6 +653,100 @@ def _intersect_repr(isets: DataFrame, universe: int):
     return vsets, common
 
 
+def _verify_pairs_arrow(cand: DataFrame, isets: DataFrame, universe: int,
+                        threshold: float, metric: str) -> DataFrame | None:
+    """Vectorized candidate verification for hot-vocabulary corpora —
+    returns rep-level (id_a, id_b, <metric>) pairs, or None when the
+    gate does not apply (caller falls back to the join verifiers).
+
+    The hot-vocab regime (universe ≤ 4096 distinct shingles) defeats
+    every prefix/position bound: at sf0.1 the containment join yields
+    8.8M candidates out of 12.4M possible pairs, so the per-pair
+    intersection IS the query.  Per-pair JVM options all failed the
+    hot path: array_intersect builds a hash set per pair (measured
+    151 s executor time), the HOF bitmap aggregate is CodegenFallback
+    (interpreted per pair — bimodal 47 s / 1100 s depending on C2),
+    and an unrolled bit_count sum generates a method HotSpot refuses
+    to JIT (stable 540 s).  Here the candidate stream crosses ONE
+    Arrow boundary carrying only (id_a, id_b, n_a, n_b) — never the
+    sets — and each batch resolves intersections as numpy popcounts
+    against a dense rep-bitmap matrix shipped once per executor as a
+    Spark broadcast (the `decontaminate` closure precedent, made
+    explicit because the matrix can reach tens of MB).
+
+    Gate: universe ≤ 4096 (bitmaps ≤ 64 words) AND the collapsed rep
+    count keeps the matrix ≤ 64 MB.  Both sides were already driver-
+    known (universe from the freq0 count; the rep count is one cheap
+    job on the family-collapse cache).  Above the gate: None.
+
+    Exactness: popcount intersection = |A ∩ B| exactly; the metric
+    ratio and ≥-threshold comparison are the same IEEE doubles the
+    SQL path computes; survivors round via shortest-repr HALF_UP
+    decimals — Spark's round() semantics
+    (`test_verify_arrow_matches_join_verifier` pins both metrics'
+    pair sets and values against the join verifier)."""
+    if universe > 4096:
+        return None
+    nw = (universe + 63) // 64
+    max_reps = (64 << 20) // (nw * 8)
+    if isets.count() > max_reps:
+        return None
+    bits = F.expr(
+        f"aggregate(sids, array_repeat(CAST(0 AS BIGINT), {nw}), "
+        f"(acc, s) -> transform(acc, (v, i) -> "
+        f"IF(i = CAST((s - 1) DIV 64 AS INT), "
+        f"v | shiftleft(CAST(1 AS BIGINT), CAST((s - 1) % 64 AS INT)), "
+        f"v)))"
+    )
+    import numpy as np
+
+    rows = isets.select("id", bits.alias("vs")).collect()
+    idx = {r["id"]: i for i, r in enumerate(rows)}
+    mat = np.asarray([r["vs"] for r in rows], dtype=np.int64).view(np.uint64)
+    mat = mat.reshape(len(rows), nw)
+    bc = cand.sparkSession.sparkContext.broadcast((idx, mat))
+    id_type = isets.schema["id"].dataType.simpleString()
+
+    def _verify(batches):
+        import decimal
+
+        import numpy as np
+        import pandas as pd
+
+        lookup, m = bc.value
+        lut = np.array([bin(i).count("1") for i in range(1 << 16)],
+                       dtype=np.uint16)
+        q6 = decimal.Decimal("0.000001")
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ia = pdf["id_a"].map(lookup).to_numpy(dtype=np.int64)
+            ib = pdf["id_b"].map(lookup).to_numpy(dtype=np.int64)
+            inter = (m[ia] & m[ib]).view(np.uint16)
+            common = lut[inter].sum(axis=1).astype(np.float64)
+            n_a = pdf["n_a"].to_numpy(dtype=np.float64)
+            n_b = pdf["n_b"].to_numpy(dtype=np.float64)
+            if metric == "containment":
+                denom = np.minimum(n_a, n_b)
+            else:
+                denom = n_a + n_b - common
+            ratio = common / denom
+            keep = ratio >= threshold
+            vals = [
+                float(decimal.Decimal(repr(float(r)))
+                      .quantize(q6, rounding=decimal.ROUND_HALF_UP))
+                for r in ratio[keep]
+            ]
+            yield pd.DataFrame(
+                {"id_a": pdf["id_a"][keep],
+                 "id_b": pdf["id_b"][keep],
+                 metric: pd.Series(vals, dtype="float64",
+                                   index=pdf.index[keep])})
+
+    return cand.mapInPandas(
+        _verify, f"id_a {id_type}, id_b {id_type}, {metric} double")
+
+
 def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 5,
                         threshold: float = 0.8,
@@ -753,12 +847,18 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
                       F.col("n_b") - F.col("pmax_b") - 1)
             >= alpha
         )
-        .select("id_a", "id_b")
+        .select("id_a", "id_b", "n_a", "n_b")
     )
+    ver = _verify_pairs_arrow(cand, isets, universe, threshold, "jaccard")
+    if ver is not None:
+        rep_pairs = ver.select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"), "jaccard")
+        return _family_expand(rep_pairs, members, "jaccard", threshold)
     # verification: join the candidate pairs back to the per-doc set
     # table; the measured-small pair list is the broadcast side (see
     # _pairs_hint), so the set table never shuffles
-    cand = _pairs_hint(cand, max_broadcast_pairs)
+    cand = _pairs_hint(cand.select("id_a", "id_b"), max_broadcast_pairs)
     vsets, common = _intersect_repr(isets, universe)
     rep_pairs = (
         cand.join(_hint_sets(vsets.select(F.col("id").alias("id_a"),
@@ -861,15 +961,21 @@ def ngram_containment_pairs(docs: DataFrame, text_col: str = "text",
                       F.col("n_b") - F.col("pmax_b") - 1)
             >= need
         )
-        .select("id_a", "id_b")
+        .select("id_a", "id_b", "n_a", "n_b")
     )
-    cand = _pairs_hint(cand, max_broadcast_pairs)
-    # same hot-vocab dense-bitmap verification as the Jaccard path
-    # (see _intersect_repr): the containment candidate set is even
-    # larger than Jaccard's on such corpora because no length filter
-    # exists, so the per-candidate intersection cost dominates —
-    # measured 8.8M candidates at sf0.1 with `common` via
-    # array_intersect as ~80% of the query's executor time
+    # the containment candidate set is even larger than Jaccard's on
+    # hot-vocab corpora because no length filter exists, so the
+    # per-candidate intersection cost dominates — measured 8.8M
+    # candidates at sf0.1 with array_intersect as ~80% of the query's
+    # executor time; see _verify_pairs_arrow
+    ver = _verify_pairs_arrow(cand, isets, universe, threshold,
+                              "containment")
+    if ver is not None:
+        rep_pairs = ver.select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"), "containment")
+        return _family_expand(rep_pairs, members, "containment", threshold)
+    cand = _pairs_hint(cand.select("id_a", "id_b"), max_broadcast_pairs)
     vsets, common = _intersect_repr(isets, universe)
     rep_pairs = (
         cand.join(_hint_sets(vsets.select(F.col("id").alias("id_a"),
