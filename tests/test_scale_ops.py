@@ -453,6 +453,41 @@ def test_verify_arrow_matches_join_verifier(spark):
     assert fast_j == slow_j and len(fast_j) > 0
 
 
+def test_slim_candidates_match_position_filter_path(spark):
+    """The slim candidate path (no ppjoin position bookkeeping, used
+    in the Arrow-verify regime) must produce identical final pairs to
+    the full position-filter + join-verifier path: verification is
+    exact, so the candidate superset may differ but the output cannot.
+    The big-vocab path is forced by monkeypatching `_arrow_gate` off,
+    which disables BOTH the slim candidates and the Arrow verifier."""
+    from yardstick_spark.llm import (clear_dedup_caches,
+                                     ngram_containment_pairs,
+                                     ngram_jaccard_pairs)
+    from yardstick_spark.llm import dedup as D
+
+    rows = [(i, "abcde" * (3 + i % 5) + "fghij" * (i % 3)
+             + "klmno" * (i % 4) + "pqrst" * (i % 2)) for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def run(fn, col):
+        out = {(r.id_a, r.id_b): r[col]
+               for r in fn(docs, k=5, threshold=0.5).collect()}
+        clear_dedup_caches()
+        return out
+
+    slim_c = run(ngram_containment_pairs, "containment")
+    slim_j = run(ngram_jaccard_pairs, "jaccard")
+    real = D._arrow_gate
+    D._arrow_gate = lambda *a, **k: False
+    try:
+        full_c = run(ngram_containment_pairs, "containment")
+        full_j = run(ngram_jaccard_pairs, "jaccard")
+    finally:
+        D._arrow_gate = real
+    assert slim_c == full_c and len(slim_c) > 0
+    assert slim_j == full_j and len(slim_j) > 0
+
+
 def test_family_collapse_null_text_stays_unpaired(spark):
     """NULL-text docs must NOT pair with each other (regression for
     the family-collapse NULL hole): the uncollapsed band/prefix joins

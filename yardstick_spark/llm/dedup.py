@@ -653,8 +653,21 @@ def _intersect_repr(isets: DataFrame, universe: int):
     return vsets, common
 
 
+def _arrow_gate(universe: int, n_reps: int) -> bool:
+    """Shared admission test for `_verify_pairs_arrow`: universe fits
+    64-word bitmaps AND the dense rep-bitmap matrix stays ≤ 64 MB.
+    Split out so the ppjoin builders can decide the CANDIDATE shape
+    from the same facts before any join is constructed (see the slim
+    candidate path in `ngram_jaccard_pairs`)."""
+    if universe > 4096:
+        return False
+    nw = (universe + 63) // 64
+    return n_reps <= (64 << 20) // (nw * 8)
+
+
 def _verify_pairs_arrow(cand: DataFrame, isets: DataFrame, universe: int,
-                        threshold: float, metric: str) -> DataFrame | None:
+                        threshold: float, metric: str,
+                        n_reps: int | None = None) -> DataFrame | None:
     """Vectorized candidate verification for hot-vocabulary corpora —
     returns rep-level (id_a, id_b, <metric>) pairs, or None when the
     gate does not apply (caller falls back to the join verifiers).
@@ -687,10 +700,11 @@ def _verify_pairs_arrow(cand: DataFrame, isets: DataFrame, universe: int,
     pair sets and values against the join verifier)."""
     if universe > 4096:
         return None
-    nw = (universe + 63) // 64
-    max_reps = (64 << 20) // (nw * 8)
-    if isets.count() > max_reps:
+    if n_reps is None:
+        n_reps = isets.count()
+    if not _arrow_gate(universe, n_reps):
         return None
+    nw = (universe + 63) // 64
     bits = F.expr(
         f"aggregate(sids, array_repeat(CAST(0 AS BIGINT), {nw}), "
         f"(acc, s) -> transform(acc, (v, i) -> "
@@ -798,8 +812,25 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     # symmetric prefix join.  The tiny epsilon inside ceil() guards
     # against float round-up (a too-short prefix would DROP pairs;
     # epsilon can only lengthen it).
+    # In the Arrow-verify regime (hot vocab, `_arrow_gate`) the ppjoin
+    # position filter is pure overhead: the hot vocabulary defeats the
+    # bound (measured at sf0.1: it killed ~0 % of collision rows) while
+    # its pos column and max(pos) aggregates dominate the candidate
+    # exchange.  Verification is EXACT, so any candidate superset that
+    # keeps pairs distinct is result-identical — the slim path explodes
+    # prefixes without positions and dedups with a keys-only aggregate.
+    # Big-vocab corpora (the 100 TB shape) keep the position filter:
+    # there it prunes candidates ~20x before verification.
+    n_reps = isets.count() if universe <= 4096 else None
+    slim = n_reps is not None and _arrow_gate(universe, n_reps)
+
     def _prefix(frac_expr):
         plen = (F.col("n_sh") - F.ceil(frac_expr - F.lit(1e-9)) + 1).cast("int")
+        if slim:
+            return isets.select(
+                "id", "n_sh",
+                F.explode(F.slice("sids", F.lit(1), plen)).alias("sid"),
+            )
         return isets.select(
             "id", "n_sh",
             F.posexplode(F.slice("sids", F.lit(1), plen)).alias("pos", "sid"),
@@ -820,36 +851,43 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
         (F.lit(threshold / (1 + threshold))
          * (F.col("n_a") + F.col("n_b"))) - F.lit(1e-9)
     )
-    cand = (
-        prefix_mid.alias("a")
-        .join(
-            prefix_full.alias("b"),
-            (F.col("a.sid") == F.col("b.sid"))
-            # size-ordered orientation: a is the smaller-set doc
-            & ((F.col("a.n_sh") < F.col("b.n_sh"))
-               | ((F.col("a.n_sh") == F.col("b.n_sh"))
-                  & (F.col("a.id") < F.col("b.id"))))
-            # length filter: J >= t requires n_a >= t*n_b
-            & (F.col("b.n_sh") * F.lit(threshold) <= F.col("a.n_sh")),
-        )
-        .groupBy(
+    joined = prefix_mid.alias("a").join(
+        prefix_full.alias("b"),
+        (F.col("a.sid") == F.col("b.sid"))
+        # size-ordered orientation: a is the smaller-set doc
+        & ((F.col("a.n_sh") < F.col("b.n_sh"))
+           | ((F.col("a.n_sh") == F.col("b.n_sh"))
+              & (F.col("a.id") < F.col("b.id"))))
+        # length filter: J >= t requires n_a >= t*n_b
+        & (F.col("b.n_sh") * F.lit(threshold) <= F.col("a.n_sh")),
+    )
+    if slim:
+        cand = joined.select(
             F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
             F.col("a.n_sh").alias("n_a"), F.col("b.n_sh").alias("n_b"),
+        ).distinct()
+    else:
+        cand = (
+            joined
+            .groupBy(
+                F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.col("a.n_sh").alias("n_a"), F.col("b.n_sh").alias("n_b"),
+            )
+            .agg(
+                F.count("*").alias("c"),
+                F.max("a.pos").alias("pmax_a"),
+                F.max("b.pos").alias("pmax_b"),
+            )
+            .filter(
+                F.col("c")
+                + F.least(F.col("n_a") - F.col("pmax_a") - 1,
+                          F.col("n_b") - F.col("pmax_b") - 1)
+                >= alpha
+            )
+            .select("id_a", "id_b", "n_a", "n_b")
         )
-        .agg(
-            F.count("*").alias("c"),
-            F.max("a.pos").alias("pmax_a"),
-            F.max("b.pos").alias("pmax_b"),
-        )
-        .filter(
-            F.col("c")
-            + F.least(F.col("n_a") - F.col("pmax_a") - 1,
-                      F.col("n_b") - F.col("pmax_b") - 1)
-            >= alpha
-        )
-        .select("id_a", "id_b", "n_a", "n_b")
-    )
-    ver = _verify_pairs_arrow(cand, isets, universe, threshold, "jaccard")
+    ver = _verify_pairs_arrow(cand, isets, universe, threshold, "jaccard",
+                              n_reps=n_reps)
     if ver is not None:
         rep_pairs = ver.select(
             F.least("id_a", "id_b").alias("id_a"),
@@ -927,49 +965,71 @@ def ngram_containment_pairs(docs: DataFrame, text_col: str = "text",
         F.col("n_sh")
         - F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-9)) + 1
     ).cast("int")
-    prefix = isets.select(
-        "id", "n_sh",
-        F.posexplode(F.slice("sids", F.lit(1), plen)).alias("pos", "sid"),
-    )
-    full = isets.select(
-        "id", "n_sh",
-        F.posexplode("sids").alias("pos", "sid"),
-    )
-    need = F.ceil(F.lit(threshold) * F.col("n_a") - F.lit(1e-9))
-    cand = (
-        prefix.alias("a")
-        .join(
-            full.alias("b"),
-            (F.col("a.sid") == F.col("b.sid"))
-            # orientation: the prefix side is the SMALLER of the pair
-            & ((F.col("a.n_sh") < F.col("b.n_sh"))
-               | ((F.col("a.n_sh") == F.col("b.n_sh"))
-                  & (F.col("a.id") < F.col("b.id")))),
+    # slim candidates in the Arrow-verify regime — same argument as
+    # ngram_jaccard_pairs, and containment is where it bites hardest:
+    # the position filter measured 2 killed rows out of 29 M collision
+    # rows at sf0.1 while the pos/max(pos)/count bookkeeping dominated
+    # the 8.8 M-group candidate exchange.  Exact verification keeps the
+    # result identical; big vocabularies retain the position filter.
+    n_reps = isets.count() if universe <= 4096 else None
+    slim = n_reps is not None and _arrow_gate(universe, n_reps)
+    if slim:
+        prefix = isets.select(
+            "id", "n_sh",
+            F.explode(F.slice("sids", F.lit(1), plen)).alias("sid"),
         )
-        .groupBy(
+        full = isets.select(
+            "id", "n_sh", F.explode("sids").alias("sid"))
+    else:
+        prefix = isets.select(
+            "id", "n_sh",
+            F.posexplode(F.slice("sids", F.lit(1), plen)).alias("pos", "sid"),
+        )
+        full = isets.select(
+            "id", "n_sh",
+            F.posexplode("sids").alias("pos", "sid"),
+        )
+    need = F.ceil(F.lit(threshold) * F.col("n_a") - F.lit(1e-9))
+    joined = prefix.alias("a").join(
+        full.alias("b"),
+        (F.col("a.sid") == F.col("b.sid"))
+        # orientation: the prefix side is the SMALLER of the pair
+        & ((F.col("a.n_sh") < F.col("b.n_sh"))
+           | ((F.col("a.n_sh") == F.col("b.n_sh"))
+              & (F.col("a.id") < F.col("b.id")))),
+    )
+    if slim:
+        cand = joined.select(
             F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
             F.col("a.n_sh").alias("n_a"), F.col("b.n_sh").alias("n_b"),
+        ).distinct()
+    else:
+        cand = (
+            joined
+            .groupBy(
+                F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.col("a.n_sh").alias("n_a"), F.col("b.n_sh").alias("n_b"),
+            )
+            .agg(
+                F.count("*").alias("c"),
+                F.max("a.pos").alias("pmax_a"),
+                F.max("b.pos").alias("pmax_b"),
+            )
+            .filter(
+                F.col("c")
+                + F.least(F.col("n_a") - F.col("pmax_a") - 1,
+                          F.col("n_b") - F.col("pmax_b") - 1)
+                >= need
+            )
+            .select("id_a", "id_b", "n_a", "n_b")
         )
-        .agg(
-            F.count("*").alias("c"),
-            F.max("a.pos").alias("pmax_a"),
-            F.max("b.pos").alias("pmax_b"),
-        )
-        .filter(
-            F.col("c")
-            + F.least(F.col("n_a") - F.col("pmax_a") - 1,
-                      F.col("n_b") - F.col("pmax_b") - 1)
-            >= need
-        )
-        .select("id_a", "id_b", "n_a", "n_b")
-    )
     # the containment candidate set is even larger than Jaccard's on
     # hot-vocab corpora because no length filter exists, so the
     # per-candidate intersection cost dominates — measured 8.8M
     # candidates at sf0.1 with array_intersect as ~80% of the query's
     # executor time; see _verify_pairs_arrow
     ver = _verify_pairs_arrow(cand, isets, universe, threshold,
-                              "containment")
+                              "containment", n_reps=n_reps)
     if ver is not None:
         rep_pairs = ver.select(
             F.least("id_a", "id_b").alias("id_a"),
