@@ -982,6 +982,18 @@ def test_folded_knn_matches_join_path(spark):
             emb.repartition(n), q, k=10).collect()))
         ref = sorted(map(tuple, brute_force_knn(emb, q, k=10).collect()))
         assert alt == ref, f"repartition({n}) changed brute_force_knn"
+    # the work-adaptive fan-out (big query sets against a few-split
+    # scan) must not change results either: force it by shrinking the
+    # per-partition work budget to one byte
+    from yardstick_spark.llm import similarity as S
+
+    saved = S._FOLD_WORK_PER_PART
+    S._FOLD_WORK_PER_PART = 1
+    try:
+        fanned = sorted(map(tuple, brute_force_knn(emb, q, k=10).collect()))
+    finally:
+        S._FOLD_WORK_PER_PART = saved
+    assert fanned == ref, "forced fold fan-out changed brute_force_knn"
 
 
 def test_folded_knn_edge_cases(spark):

@@ -406,6 +406,47 @@ def _query_matrix_from_rows(id_vec_rows, keep_null_vecs):
     return qids, Q, _np_seq_norm(Q)
 
 
+# Per-partition work budget for the fold fan-out: (corpus file bytes ×
+# queries) per task.  Calibrated so a sub-MB single-file corpus folded
+# against thousands of queries (the margin-mining shape: one task was
+# doing a 6M-row score+sort, measured 13 s) fans to full parallelism,
+# while the handful-of-queries kNN entries keep their single cheap task
+# (each mapInPandas task pays a Python-runner handshake that is partly
+# serialized through the worker daemon — see dedup._spread_by_bytes).
+_FOLD_WORK_PER_PART = 16 << 20
+
+
+def _fan_out_for_queries(df: DataFrame, nq: int) -> DataFrame:
+    """Round-robin fan-OUT of a few-split corpus scan before the fold
+    when per-task score work (~input bytes × query count) would pin a
+    few cores.  Never shrinks partitioning, and inputs whose size is
+    unknown (mid-pipeline, remote FS) are left alone — at cluster
+    scale the scan already has >= defaultParallelism splits and this
+    is a no-op, so the 100 TB plan shape is unchanged."""
+    import os
+
+    sc = df.sparkSession.sparkContext
+    cores = sc.defaultParallelism
+    cur = df.rdd.getNumPartitions()
+    if cur >= cores:
+        return df
+    total = 0
+    try:
+        for f in df.inputFiles():
+            p = f.removeprefix("file:")
+            if not p.startswith("/"):
+                return df
+            total += os.path.getsize(p)
+    except Exception:  # noqa: BLE001
+        return df
+    if total <= 0:
+        return df
+    target = min(cores, 1 + total * max(nq, 1) // _FOLD_WORK_PER_PART)
+    if target > cur:
+        return df.repartition(int(target))
+    return df
+
+
 def _knn_result_schema(corpus: DataFrame, queries: DataFrame,
                        id_col: str):
     from pyspark.sql.types import (
@@ -506,10 +547,12 @@ def _folded_knn(corpus: DataFrame, queries: DataFrame, k: int,
     # NULL corpus ids: the join path's `query_id != neighbor_id` is
     # three-valued SQL (NULL -> dropped); pandas `!=` would keep them,
     # so filter here to stay bit-identical on dirty data
-    cand = corpus.select(
-        F.col(id_col).alias("__nid"),
-        F.expr(_as_double(vec_col)).alias("__cv"),
-    ).filter(F.col("__nid").isNotNull()).mapInPandas(
+    cand = _fan_out_for_queries(
+        corpus.select(
+            F.col(id_col).alias("__nid"),
+            F.expr(_as_double(vec_col)).alias("__cv"),
+        ).filter(F.col("__nid").isNotNull()), len(qids)
+    ).mapInPandas(
         score,
         "query_id {}, neighbor_id {}, sim double".format(
             schema["query_id"].dataType.simpleString(),
