@@ -1040,3 +1040,46 @@ def test_folded_knn_null_ids_match_join(spark):
                                       strategy="join").collect()))
     assert fold == join
     assert all(r[1] is not None for r in fold)
+
+
+def test_dsir_arrow_matches_jvm_chain(spark):
+    """The Arrow gram-hash stages (fit partials + per-doc bucket
+    counts) must reproduce the JVM md5 expression chain exactly —
+    weights, n_grams, AND the raw count table including c_target
+    NULLness — on a corpus covering NULL text, empty text, single
+    words, duplicate grams, non-ASCII, whitespace runs and NULL
+    target flags."""
+    from yardstick_spark.llm import dsir_weights
+    from yardstick_spark.llm import text as T
+
+    rows = [
+        (0, "The  quick  brown fox", "en"),
+        (1, None, "en"),
+        (2, "", "de"),
+        (3, "héllo wörld héllo wörld héllo", "de"),
+        (4, "one", "en"),
+        (5, "a b a b a b a b", None),
+        (6, "  trailing and LEADING  spaces  ", "en"),
+        (7, "The quick brown fox", "de"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string")
+
+    def run():
+        w = sorted(map(tuple, dsir_weights(
+            docs, "lang = 'en'", n_buckets=64).collect()))
+        c = sorted(map(tuple, T._dsir_bucket_counts(
+            docs, "lang = 'en'", 64, "text").collect()))
+        return w, c
+
+    orig = T._DSIR_ARROW
+    try:
+        T._DSIR_ARROW = True
+        fast = run()
+        T._DSIR_ARROW = False
+        slow = run()
+    finally:
+        T._DSIR_ARROW = orig
+    assert fast == slow
+    # NULL-target docs leave their buckets' c_target NULL, not 0
+    assert any(r[2] is None for r in fast[1])

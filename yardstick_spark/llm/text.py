@@ -1437,6 +1437,50 @@ def _dsir_grams(text_col: str) -> str:
 
 _DSIR_SCALE = 1_000_000  # 1e-6 quantization grid for log-ratios
 
+# The md5 gram-hash chain runs in one Arrow stage (guide §4.2) instead
+# of per-gram JVM expressions; tests monkeypatch this off to pin the
+# two paths equal (test_dsir_arrow_matches_jvm_chain).
+_DSIR_ARROW = True
+
+
+def _dsir_words_expr(text_col: str) -> str:
+    """The normalized word array both gram representations derive from.
+    Normalization and word splitting stay JVM-side: Java and Python
+    regex/lower semantics are not interchangeable (the minhash-port
+    rule), while bigram assembly IS portable — `concat_ws(' ', a, b)`
+    over non-NULL strings equals Python `a + ' ' + b` code point for
+    code point."""
+    norm = _NORM.format(c=text_col)
+    return f"filter(split({norm}, ' '), t -> t <> '')"
+
+
+def _dsir_gram_buckets(words, n_buckets: int, memo: dict):
+    """Bucket-count dict for one document's word array under the md5
+    bucket hash — the Python twin of explode(_dsir_grams) +
+    _dsir_bucket_expr, used by the Arrow fit/score stages.  Buckets
+    reproduce pmod(CAST(conv(substring(md5(g),1,15),16,10) AS BIGINT),
+    n_buckets) exactly: hexdigest()[:15] is the same 15 lowercase hex
+    chars, its integer value < 2^60, both operands non-negative.  The
+    bounded per-task memo hashes each DISTINCT gram once (the minhash
+    memo precedent; cleared on overflow so a huge-vocabulary corpus
+    degrades to plain hashing, never to unbounded worker memory)."""
+    import hashlib
+
+    md5 = hashlib.md5
+    loc: dict = {}
+    ws = list(words)
+    for g in ws if len(ws) < 2 else ws + [
+            a + " " + b for a, b in zip(ws, ws[1:])]:
+        b = memo.get(g)
+        if b is None:
+            if len(memo) >= 262_144:
+                memo.clear()
+            b = int(md5(g.encode("utf-8")).hexdigest()[:15],
+                    16) % n_buckets
+            memo[g] = b
+        loc[b] = loc.get(b, 0) + 1
+    return loc
+
 
 def _dsir_bucket_expr(col: str, n_buckets: int, hash_impl: str) -> str:
     """Gram -> bucket SQL under the chosen hash.
@@ -1503,6 +1547,57 @@ def _dsir_bucket_counts(docs: DataFrame, target_cond: str,
     refit."""
     from .dedup import _spread  # single-file inputs must not pin 1 core
 
+    if hash_impl == "md5" and _DSIR_ARROW:
+        # One Arrow stage replaces the per-gram md5 expression chain
+        # (guide §4.2): per task it accumulates the complete bucket
+        # histogram (≤ n_buckets rows, the same partial grain the JVM
+        # hash aggregate combined to) and yields it once, so the
+        # bucket-grain exchange carries identical bytes while the
+        # per-gram string materialization + md5/conv/substring chain
+        # (the measured dominant cost, see _dsir_bucket_expr) becomes
+        # one memoized dict probe per gram occurrence.
+        src = _spread(docs).select(
+            F.expr(f"CAST(({target_cond}) AS INT)").alias("__t"),
+            F.expr(_dsir_words_expr(text_col)).alias("__w"))
+
+        def _fit(batches):
+            import pandas as pd
+
+            memo: dict = {}
+            c_raw: dict = {}
+            c_tgt: dict = {}
+            t_seen: set = set()  # buckets with ≥1 non-NULL target flag:
+            # F.sum over an all-NULL group is NULL, not 0 — preserved
+            # so the persisted counts store is byte-identical
+            for pdf in batches:
+                for t, ws in zip(pdf["__t"], pdf["__w"]):
+                    if ws is None or len(ws) == 0:
+                        continue
+                    t_ok = t is not None and t == t
+                    tt = int(t) if t_ok else 0
+                    for b, c in _dsir_gram_buckets(
+                            ws, n_buckets, memo).items():
+                        c_raw[b] = c_raw.get(b, 0) + c
+                        if t_ok:
+                            c_tgt[b] = c_tgt.get(b, 0) + c * tt
+                            t_seen.add(b)
+            buckets = sorted(c_raw)
+            yield pd.DataFrame({
+                "bucket": pd.Series(buckets, dtype="object"),
+                "c_raw": pd.Series([c_raw[b] for b in buckets],
+                                   dtype="object"),
+                "c_target": pd.Series(
+                    [c_tgt.get(b, 0) if b in t_seen else None
+                     for b in buckets], dtype="object"),
+            })
+
+        return (
+            src.mapInPandas(
+                _fit, "bucket bigint, c_raw bigint, c_target bigint")
+            .groupBy("bucket")
+            .agg(F.sum("c_raw").alias("c_raw"),
+                 F.sum("c_target").cast("bigint").alias("c_target"))
+        )
     grams = _dsir_gram_src(text_col, hash_impl)
     bucket = _dsir_bucket_expr("__g", n_buckets, hash_impl)
     return (
@@ -1584,6 +1679,63 @@ def _dsir_score(docs: DataFrame, lrs: DataFrame, n_buckets: int,
     else:
         sent = "CAST(NULL AS STRING)"
         empty = "CAST(array() AS ARRAY<STRING>)"
+    if hash_impl == "md5" and _DSIR_ARROW:
+        # Arrow gram hashing (see _dsir_bucket_counts): the scan side
+        # emits per-doc (bucket, cnt) rows — ≤ distinct-buckets rows
+        # per doc instead of one exploded JVM row per gram occurrence,
+        # with no md5 expression chain.  The broadcast INNER join over
+        # the complete bucket domain and the doc-grain aggregate are
+        # unchanged (the plan contract: bucket table broadcasts, ≤2
+        # keyed exchanges, fit subplan un-prunable by count()); the
+        # sentinel (-1, 0) row keeps gram-less docs in the aggregate
+        # exactly as the unioned sentinel gram did, and cnt*lr_q /
+        # IF(bucket>=0, cnt, 0) are the same exact BIGINT sums.
+        src = _spread(docs).select(
+            F.col(id_col).alias("__id"),
+            F.expr(_dsir_words_expr(text_col)).alias("__w"))
+        id_type = src.schema["__id"].dataType.simpleString()
+
+        def _grams(batches):
+            import pandas as pd
+
+            memo: dict = {}
+            for pdf in batches:
+                ids: list = []
+                bks: list = []
+                cns: list = []
+                for i, ws in zip(pdf["__id"], pdf["__w"]):
+                    if ws is None or len(ws) == 0:
+                        ids.append(i)
+                        bks.append(-1)
+                        cns.append(0)
+                        continue
+                    for b, c in _dsir_gram_buckets(
+                            ws, n_buckets, memo).items():
+                        ids.append(i)
+                        bks.append(b)
+                        cns.append(c)
+                # object dtype: an empty batch would otherwise infer
+                # float64 columns Arrow cannot cast to bigint
+                yield pd.DataFrame(
+                    {"__id": pd.Series(ids, dtype="object"),
+                     "bucket": pd.Series(bks, dtype="object"),
+                     "cnt": pd.Series(cns, dtype="object")})
+
+        return (
+            src.mapInPandas(
+                _grams, f"__id {id_type}, bucket bigint, cnt bigint")
+            .join(F.broadcast(rel), "bucket")
+            .groupBy("__id")
+            .agg(F.sum(F.expr("IF(bucket >= 0, cnt, 0L)"))
+                 .cast("bigint").alias("n_grams"),
+                 F.sum(F.expr("cnt * lr_q")).alias("__wq"))
+            .select(
+                F.col("__id").alias(id_col),
+                F.col("n_grams").alias("n_grams"),
+                F.expr(f"round(__wq / {_DSIR_SCALE}.0D, 6) + 0.0D")
+                .alias("logw"),
+            )
+        )
     grams = (f"concat(array({sent}), "
              f"coalesce({_dsir_gram_src(text_col, hash_impl)}, {empty}))")
     bucket = (f"coalesce({_dsir_bucket_expr('__g', n_buckets, hash_impl)}"
