@@ -665,6 +665,152 @@ def _arrow_gate(universe: int, n_reps: int) -> bool:
     return n_reps <= (64 << 20) // (nw * 8)
 
 
+# In the hot-vocab regime the prefix join is pure candidate ENUMERATION
+# (measured at sf0.1: 8.8M candidates out of 12.4M possible pairs) —
+# when the rep count is small enough that enumerating every pair
+# directly is cheaper than exploding prefixes through a join + distinct
+# exchange, skip the join entirely.  Tests monkeypatch this off to pin
+# the two paths equal (test_allpairs_matches_prefix_join_path).
+_ALLPAIRS_ARROW = True
+# Work cap for direct enumeration: R*(R-1)/2 pairs x nw bitmap words of
+# vectorized AND+popcount.  2^33 word-ops spread over the cluster is a
+# few seconds at local scale; above it the prefix join's pruning (or
+# its exchange) is worth its cost again and the ppjoin path runs
+# unchanged — at 100 TB the universe gate alone already routes there.
+_ALLPAIRS_WORD_BUDGET = 1 << 33
+
+
+def _allpairs_arrow(isets: DataFrame, universe: int, threshold: float,
+                    metric: str, n_reps: int | None) -> DataFrame | None:
+    """Direct rep-pair enumeration + popcount scoring for hot-vocab
+    corpora — returns rep-level (id_a, id_b, <metric>) pairs, or None
+    when the gate does not admit (caller builds the prefix join).
+
+    Replaces prefix-explode -> self-join -> keys-only distinct ->
+    Arrow verify with: collect the (already-gated ≤64 MB) rep bitmap
+    matrix once, broadcast it, and score every (i, j) pair in
+    vectorized numpy blocks driven by a spark.range of row-blocks —
+    no candidate exchange, no distinct hash-aggregate, no per-pair
+    Arrow transfer (the 31 MB candidate shuffle and its 8.8M-group
+    aggregate at sf0.1 disappear outright; guide §2.4 "remove shuffles
+    outright").
+
+    Result-identical to the join path because verification was always
+    exact and every join-path predicate is replayed in the same IEEE
+    arithmetic: the size-ordered orientation (equal-size pairs require
+    comparable unequal ids — NULL or duplicate ids pair only across
+    sizes, as SQL `<` dictated), the Jaccard length filter
+    (max(n)*t <= min(n), same float multiply), and the ratio >=
+    threshold keep with the same shortest-repr HALF_UP rounding as
+    `_verify_pairs_arrow`.  Pairs sharing no shingle score ratio 0 and
+    are dropped by any threshold > 0 (the gate requires it), so the
+    enumerated superset of the prefix-join candidates changes nothing.
+    """
+    if universe > 4096 or threshold <= 0 or not _ALLPAIRS_ARROW:
+        return None
+    if n_reps is None:
+        n_reps = isets.count()
+    if not _arrow_gate(universe, n_reps):
+        return None
+    nw = (universe + 63) // 64
+    if n_reps * (n_reps - 1) // 2 * nw > _ALLPAIRS_WORD_BUDGET:
+        return None
+    import numpy as np
+
+    bits = F.expr(
+        f"aggregate(sids, array_repeat(CAST(0 AS BIGINT), {nw}), "
+        f"(acc, s) -> transform(acc, (v, i) -> "
+        f"IF(i = CAST((s - 1) DIV 64 AS INT), "
+        f"v | shiftleft(CAST(1 AS BIGINT), CAST((s - 1) % 64 AS INT)), "
+        f"v)))"
+    )
+    rows = isets.select("id", "n_sh", bits.alias("vs")).collect()
+    # id-sorted (None first) so equal ids form adjacent runs: the
+    # equal-size orientation check needs "ids comparable and unequal"
+    rows.sort(key=lambda r: (r["id"] is not None, r["id"]))
+    R = len(rows)
+    ids = [r["id"] for r in rows]
+    none_mask = np.array([i is None for i in ids], dtype=bool)
+    # run_end[i] = smallest j > i with ids[j] != ids[i] (same-id runs
+    # are adjacent after the sort)
+    run_end = np.empty(R, dtype=np.int64)
+    j = R
+    for i in range(R - 1, -1, -1):
+        if i + 1 == R or ids[i + 1] != ids[i]:
+            j = i + 1
+        run_end[i] = j
+    ns = np.array([r["n_sh"] for r in rows], dtype=np.float64)
+    mat = (np.asarray([r["vs"] for r in rows], dtype=np.int64)
+           .view(np.uint64).reshape(R, nw)) if R else np.zeros(
+               (0, nw), dtype=np.uint64)
+    spark = isets.sparkSession
+    bc = spark.sparkContext.broadcast((ids, none_mask, run_end, ns, mat))
+    id_type = isets.schema["id"].dataType.simpleString()
+    blk = 64  # rows per block: blk*R*nw word-ops per task unit
+    n_blocks = max(1, (R + blk - 1) // blk)
+    par = spark.sparkContext.defaultParallelism
+    blocks = spark.range(n_blocks).repartition(min(n_blocks, max(par, 1)))
+
+    def _score(batches):
+        import decimal
+
+        import numpy as np
+        import pandas as pd
+
+        ids, none_mask, run_end, ns, m = bc.value
+        R = len(ids)
+        lut = np.array([bin(i).count("1") for i in range(1 << 16)],
+                       dtype=np.uint16)
+        q6 = decimal.Decimal("0.000001")
+        for pdf in batches:
+            out_a: list = []
+            out_b: list = []
+            out_v: list = []
+            for b0 in pdf["id"]:
+                lo = int(b0) * blk
+                hi = min(lo + blk, R)
+                for i in range(lo, hi):
+                    if i + 1 >= R:
+                        continue
+                    inter = (m[i] & m[i + 1:]).view(np.uint16)
+                    common = lut[inter].reshape(R - i - 1, -1).sum(
+                        axis=1).astype(np.float64)
+                    nj = ns[i + 1:]
+                    if metric == "containment":
+                        denom = np.minimum(ns[i], nj)
+                    else:
+                        denom = ns[i] + nj - common
+                    ratio = common / denom
+                    keep = ratio >= threshold
+                    if metric != "containment":
+                        # ppjoin length filter, same float arithmetic
+                        keep &= (np.maximum(ns[i], nj) * threshold
+                                 <= np.minimum(ns[i], nj))
+                    eq = nj == ns[i]
+                    if eq.any():
+                        # equal sizes order by id: NULL or duplicate
+                        # ids cannot satisfy SQL `<`, so those pairs
+                        # never existed in the join path
+                        disallowed = (none_mask[i + 1:] | none_mask[i]
+                                      | (np.arange(i + 1, R)
+                                         < run_end[i]))
+                        keep &= ~(eq & disallowed)
+                    for t in np.nonzero(keep)[0]:
+                        out_a.append(ids[i])
+                        out_b.append(ids[i + 1 + t])
+                        out_v.append(float(
+                            decimal.Decimal(repr(float(ratio[t])))
+                            .quantize(q6,
+                                      rounding=decimal.ROUND_HALF_UP)))
+            yield pd.DataFrame(
+                {"id_a": pd.Series(out_a, dtype="object"),
+                 "id_b": pd.Series(out_b, dtype="object"),
+                 metric: pd.Series(out_v, dtype="float64")})
+
+    return blocks.mapInPandas(
+        _score, f"id_a {id_type}, id_b {id_type}, {metric} double")
+
+
 def _verify_pairs_arrow(cand: DataFrame, isets: DataFrame, universe: int,
                         threshold: float, metric: str,
                         n_reps: int | None = None) -> DataFrame | None:
@@ -823,6 +969,18 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     # there it prunes candidates ~20x before verification.
     n_reps = isets.count() if universe <= 4096 else None
     slim = n_reps is not None and _arrow_gate(universe, n_reps)
+    if slim:
+        # hot vocab + small rep count: enumerate rep pairs directly
+        # instead of exploding prefixes through a join + distinct
+        # (see _allpairs_arrow; falls through when over budget)
+        ap = _allpairs_arrow(isets, universe, threshold, "jaccard",
+                             n_reps)
+        if ap is not None:
+            rep_pairs = ap.select(
+                F.least("id_a", "id_b").alias("id_a"),
+                F.greatest("id_a", "id_b").alias("id_b"), "jaccard")
+            return _family_expand(rep_pairs, members, "jaccard",
+                                  threshold)
 
     def _prefix(frac_expr):
         plen = (F.col("n_sh") - F.ceil(frac_expr - F.lit(1e-9)) + 1).cast("int")
@@ -973,6 +1131,18 @@ def ngram_containment_pairs(docs: DataFrame, text_col: str = "text",
     # result identical; big vocabularies retain the position filter.
     n_reps = isets.count() if universe <= 4096 else None
     slim = n_reps is not None and _arrow_gate(universe, n_reps)
+    if slim:
+        # same direct-enumeration gate as ngram_jaccard_pairs — and
+        # containment is where it bites hardest (no length filter, so
+        # the prefix join yielded 8.8M of 12.4M possible pairs)
+        ap = _allpairs_arrow(isets, universe, threshold, "containment",
+                             n_reps)
+        if ap is not None:
+            rep_pairs = ap.select(
+                F.least("id_a", "id_b").alias("id_a"),
+                F.greatest("id_a", "id_b").alias("id_b"), "containment")
+            return _family_expand(rep_pairs, members, "containment",
+                                  threshold)
     if slim:
         prefix = isets.select(
             "id", "n_sh",
