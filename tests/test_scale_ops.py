@@ -1124,3 +1124,44 @@ def test_allpairs_matches_prefix_join_path(spark):
         ._jdf.queryExecution().executedPlan().toString()
     clear_dedup_caches()
     assert "Range (0" in plan
+
+
+def test_minhash_allpairs_matches_banded_join(spark):
+    """The direct signature-pair enumeration must replay the banded
+    LSH join exactly: band collision (slice equality), est rounding,
+    the rounded >= threshold filter, and `a.id < b.id` orientation
+    (NULL text / NULL-signature and duplicate-id rows never pair at
+    the rep level).  Checked across thresholds incl. 0.0, where
+    output still requires a band collision."""
+    from yardstick_spark.llm import clear_dedup_caches, minhash_lsh_pairs
+    from yardstick_spark.llm import dedup as D
+
+    rows = [(i, "abcde" * (3 + i % 5) + "fghij" * (i % 3)
+             + "klmno" * (i % 4)) for i in range(40)]
+    rows += [(100, "abcde abcde xyzzy"), (101, "abcde abcde xyzzy"),
+             (102, "qqqqq wwwww abcde"), (102, "qqqqq wwwww vwxyz"),
+             (103, None), (104, None), (105, "")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def run(th):
+        p = sorted((r.id_a, r.id_b, r.est_jaccard)
+                   for r in minhash_lsh_pairs(
+                       docs, k=5, threshold=th).collect())
+        clear_dedup_caches()
+        return p
+
+    for th in (0.0, 0.5, 0.9):
+        fast = run(th)
+        D._ALLPAIRS_ARROW = False
+        try:
+            slow = run(th)
+        finally:
+            D._ALLPAIRS_ARROW = True
+        assert fast == slow and (len(fast) > 0 or th == 0.9), th
+    # a bucket-size cap must route back to the join path (dropped
+    # buckets are a property of real buckets)
+    capped = minhash_lsh_pairs(docs, k=5, threshold=0.5,
+                               max_bucket_size=3)
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    clear_dedup_caches()
+    assert "Range (0" not in plan

@@ -271,8 +271,54 @@ def _spread(df: DataFrame) -> DataFrame:
     the CPU-heavy normalize/shingle/hash chain would pin a single core
     (measured 6.2s -> 0.6s for minhash signatures at sf0.1).  At scale
     the scan already has >= defaultParallelism splits and this is a
-    no-op; the shuffled columns are only (id, text)."""
-    target = df.sparkSession.sparkContext.defaultParallelism
+    no-op; the shuffled columns are only (id, text).
+
+    The partition-count decision is STATIC whenever the frame is
+    local-file backed: `df.rdd.getNumPartitions()` under AQE
+    materializes every query stage upstream of the frame, so probing a
+    MID-PIPELINE frame (the curation chain feeds filtered joins into
+    its stages) executed the upstream subtree once per operator at
+    plan-build time (measured ~3 s of javaToPython stages inside one
+    pipeline_curation_full build).  Files totalling < cores * 32 MB
+    cannot yield >= cores scan splits under any maxPartitionBytes >=
+    32 MB, so the repartition decision needs no job there; the result
+    is partition-layout independent either way (the package-wide
+    determinism contract), and bigger or non-file inputs keep the
+    exact probe (free on scan-only frames)."""
+    import os
+
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+        total = 0
+        for f in files:
+            p = f.removeprefix("file:")
+            if not p.startswith("/"):
+                total = -1
+                break
+            total += os.path.getsize(p)
+        if files and total >= 0:
+            try:
+                raw = spark.conf.get(
+                    "spark.sql.files.maxPartitionBytes").lower().rstrip("b")
+                mult = 1
+                if raw and raw[-1] in "kmg":
+                    mult = {"k": 1 << 10, "m": 1 << 20,
+                            "g": 1 << 30}[raw[-1]]
+                    raw = raw[:-1]
+                mpb = int(raw) * mult
+            except Exception:  # noqa: BLE001
+                mpb = 128 << 20
+            est_splits = 1 + total // max(mpb, 1)
+            if est_splits < target:
+                return df.repartition(target)
+            # the scan alone yields >= cores splits (and any upstream
+            # shuffle only adds partitions) — executing the frame just
+            # to read a partition count would double real work at scale
+            return df
+    except Exception:  # noqa: BLE001
+        pass
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
@@ -1349,6 +1395,116 @@ def _cap_buckets(banded: DataFrame, keys: list[str],
     )
 
 
+def _minhash_allpairs(sigs: DataFrame, num_hashes: int, bands: int,
+                      threshold: float) -> DataFrame | None:
+    """Direct rep-pair enumeration for the banded minhash self-join —
+    returns rep-level (id_a, id_b, est_jaccard) pairs, or None when
+    the gate does not admit (caller builds the bucket join).
+
+    LSH band collision is a PURE FUNCTION of the two signatures (band
+    b collides iff positions [b*rows, (b+1)*rows) are all equal), so
+    when the collapsed rep count is small enough that the signature
+    matrix broadcasts and the pairwise comparison fits the word-op
+    budget, the banded explode -> (band, bhash) self-join -> pair
+    distinct -> two signature join-backs -> interpreted zip_with
+    estimate all collapse into one vectorized numpy pass driven by a
+    Range scan of row blocks (same scheme as `_allpairs_arrow`; the
+    sf0.1 chain this replaces measured ~19 s executor time across two
+    exchanges plus ~10 AQE job rounds of driver latency).
+
+    Result-identical to the join path: the collision test replays
+    slice equality (the join matches md5(slice) — equal slices hash
+    equal; an md5 collision of UNEQUAL slices is the usual 2^-64
+    non-event), est = matches/num_hashes is the same IEEE division
+    with the same HALF_UP 6 dp rounding, the rounded value compares
+    >= threshold exactly as the SQL filter, and pair orientation is
+    SQL `a.id < b.id` (NULL or duplicate ids never pair).  All-NULL
+    signatures emit no bucket rows in the join path and are excluded
+    from the matrix here.  Above the gate (or with a bucket-size cap,
+    whose dropped-bucket semantics need real buckets) the join path
+    runs unchanged — the 100 TB shape."""
+    if not _ALLPAIRS_ARROW:
+        return None
+    nn = sigs.filter(F.element_at(F.col("signature"), 1).isNotNull()) \
+             .filter(F.col("id").isNotNull())
+    # one driver job, not count-then-collect: collect at most
+    # r_max + 1 rows (bounded: r_max derives from the word budget and
+    # the 64 MB matrix cap, ≤ ~8 MB of signatures) and bail when the
+    # limit is hit — a second AQE job round per consumer query is
+    # exactly the fixed cost this path exists to remove
+    r_max = min(int((2 * _ALLPAIRS_WORD_BUDGET / num_hashes) ** 0.5),
+                (64 << 20) // (num_hashes * 8))
+    import numpy as np
+
+    rows = nn.select("id", "signature").limit(r_max + 1).collect()
+    if len(rows) > r_max:
+        return None
+    rows.sort(key=lambda r: r["id"])
+    R = len(rows)
+    ids = [r["id"] for r in rows]
+    run_end = np.empty(R, dtype=np.int64)  # smallest j > i with
+    j = R                                  # ids[j] != ids[i]
+    for i in range(R - 1, -1, -1):
+        if i + 1 == R or ids[i + 1] != ids[i]:
+            j = i + 1
+        run_end[i] = j
+    sig_mat = (np.asarray([r["signature"] for r in rows],
+                          dtype=np.int64).reshape(R, num_hashes)
+               if R else np.zeros((0, num_hashes), dtype=np.int64))
+    spark = sigs.sparkSession
+    bc = spark.sparkContext.broadcast((ids, run_end, sig_mat))
+    id_type = sigs.schema["id"].dataType.simpleString()
+    band_rows = num_hashes // bands
+    blk = 64
+    n_blocks = max(1, (R + blk - 1) // blk)
+    par = spark.sparkContext.defaultParallelism
+    blocks = spark.range(n_blocks).repartition(min(n_blocks, max(par, 1)))
+
+    def _score(batches):
+        import decimal
+
+        import numpy as np
+        import pandas as pd
+
+        ids, run_end, S = bc.value
+        R = len(ids)
+        q6 = decimal.Decimal("0.000001")
+        for pdf in batches:
+            out_a: list = []
+            out_b: list = []
+            out_v: list = []
+            for b0 in pdf["id"]:
+                lo = int(b0) * blk
+                hi = min(lo + blk, R)
+                for i in range(lo, hi):
+                    if i + 1 >= R:
+                        continue
+                    eq = S[i] == S[i + 1:]
+                    est = eq.sum(axis=1) / float(num_hashes)
+                    coll = (eq.reshape(-1, bands, band_rows)
+                            .all(axis=2).any(axis=1))
+                    # prefilter with margin, then decide on the same
+                    # HALF_UP-rounded value the SQL filter compares
+                    pre = coll & (est >= threshold - 1e-6)
+                    pre[:run_end[i] - i - 1] = False  # duplicate ids
+                    for t in np.nonzero(pre)[0]:
+                        r6 = float(
+                            decimal.Decimal(repr(float(est[t])))
+                            .quantize(q6,
+                                      rounding=decimal.ROUND_HALF_UP))
+                        if r6 >= threshold:
+                            out_a.append(ids[i])
+                            out_b.append(ids[i + 1 + t])
+                            out_v.append(r6)
+            yield pd.DataFrame(
+                {"id_a": pd.Series(out_a, dtype="object"),
+                 "id_b": pd.Series(out_b, dtype="object"),
+                 "est_jaccard": pd.Series(out_v, dtype="float64")})
+
+    return blocks.mapInPandas(
+        _score, f"id_a {id_type}, id_b {id_type}, est_jaccard double")
+
+
 def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", k: int = 5,
                       num_hashes: int = 32, bands: int = 8,
@@ -1379,6 +1535,13 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
         minhash_signatures(docs, text_col, id_col, k, num_hashes),
         "signature",
     )
+    if max_bucket_size is None:
+        # small rep count: enumerate rep pairs directly instead of the
+        # banded bucket self-join (see _minhash_allpairs; a bucket-size
+        # cap needs real buckets, so capped calls keep the join)
+        ap = _minhash_allpairs(sigs, num_hashes, bands, threshold)
+        if ap is not None:
+            return _family_expand(ap, members, "est_jaccard", threshold)
     banded = _cap_buckets(
         _banded_buckets(sigs, num_hashes, bands),
         ["band", "bhash"], max_bucket_size,
