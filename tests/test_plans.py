@@ -145,7 +145,11 @@ def test_dedup_verification_join_broadcast_policy(spark):
     # side unconditionally: by default the static plan is a shuffle
     # join (the shape a billion-doc corpus needs; AQE broadcasts the
     # genuinely-small side at runtime); the measured-pair-count hint
-    # and forced set broadcast remain opt-in
+    # and forced set broadcast remain opt-in.  These knobs describe
+    # the JOIN path — the hot-vocab direct enumeration has no
+    # verification join to hint (it ignores them, like the ppjoin slim
+    # path), so pin the join path for the policy assertions.
+    from yardstick_spark.llm import dedup as D
     from yardstick_spark.llm import minhash_lsh_pairs
     from yardstick_spark.plans import explain_str
 
@@ -158,6 +162,7 @@ def test_dedup_verification_join_broadcast_policy(spark):
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        D._ALLPAIRS_ARROW = False
         # default: no static hint — the static plan is a shuffle join
         # (AQE demotes to broadcast at runtime from observed sizes)
         assert "BroadcastHashJoin" not in explain_str(
@@ -172,6 +177,7 @@ def test_dedup_verification_join_broadcast_policy(spark):
             minhash_lsh_pairs(docs, broadcast_sets=True)
         )
     finally:
+        D._ALLPAIRS_ARROW = True
         for k, v in saved.items():
             if v is None:
                 spark.conf.unset(k)
