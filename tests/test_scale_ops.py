@@ -1165,3 +1165,91 @@ def test_minhash_allpairs_matches_banded_join(spark):
     plan = capped._jdf.queryExecution().executedPlan().toString()
     clear_dedup_caches()
     assert "Range (0" not in plan
+
+
+def test_incremental_allpairs_matches_probe_join(spark):
+    """The direct batch-matrix probe must replay the bucket-probe join
+    exactly: id-grain candidate collision on BOTH sides (duplicate-id
+    rows OR their collisions, output fans back out per signature row),
+    est rounding, SQL `c.id != n.id`, NULL text / NULL id exclusion."""
+    from yardstick_spark.llm import (clear_dedup_caches,
+                                     incremental_minhash_pairs)
+    from yardstick_spark.llm import dedup as D
+
+    base = [(i, "abcde" * (3 + i % 5) + "fghij" * (i % 3)
+             + "klmno" * (i % 4)) for i in range(30)]
+    corpus = spark.createDataFrame(
+        base[6:] + [(200, "abcde abcde xyzzy"),
+                    (200, "zzzzz abcde abcde xyzzy"),  # dup corpus id
+                    (201, None), (None, "abcde" * 4), (202, ""),
+                    (5, "abcde" * 8)],  # id also in the batch
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        base[:6] + [(300, "abcde abcde xyzzy"),
+                    (300, "abcde abcde xyzzy qqqqq"),  # dup batch id
+                    (301, None), (None, "abcde" * 4)],
+        "doc_id long, text string")
+
+    def run(th):
+        out = sorted((r.new_id, r.corpus_id, r.est_jaccard)
+                     for r in incremental_minhash_pairs(
+                         new, corpus, threshold=th).collect())
+        clear_dedup_caches()
+        return out
+
+    for th in (0.2, 0.5, 0.9):
+        fast = run(th)
+        D._ALLPAIRS_ARROW = False
+        try:
+            slow = run(th)
+        finally:
+            D._ALLPAIRS_ARROW = True
+        assert fast == slow and (len(fast) > 0 or th == 0.9), th
+    # the direct path really engaged: no banded bucket join
+    plan = incremental_minhash_pairs(
+        new, corpus, threshold=0.5
+    )._jdf.queryExecution().executedPlan().toString()
+    clear_dedup_caches()
+    assert "bhash" not in plan
+    # a corpus bucket cap routes back to the join path
+    plan = incremental_minhash_pairs(
+        new, corpus, threshold=0.5, max_bucket_size=3
+    )._jdf.queryExecution().executedPlan().toString()
+    clear_dedup_caches()
+    assert "bhash" in plan
+
+
+def test_incremental_allpairs_corpus_dup_id_window(spark):
+    """Surgical pin of the id-grain OR on the CORPUS side: a corpus id
+    with one row that collides (but scores below threshold) and one
+    row that scores above threshold (but does not collide) must emit
+    the scoring row — the join path's candidate DISTINCT + join-back
+    fan-out does exactly that, and the Arrow path's tombstone window
+    must replay it.  A lone above-threshold non-colliding row (id 11)
+    must NOT emit on either path."""
+    from yardstick_spark.llm import clear_dedup_caches
+    from yardstick_spark.llm import dedup as D
+    from yardstick_spark.llm.dedup import _banded_buckets, _probe_and_verify
+
+    n1 = [1, 2, 3, 4, 5, 6, 7, 8]
+    c_score = [1, 99, 3, 98, 5, 97, 7, 96]   # est 0.5, no full band
+    c_coll = [1, 2, 90, 91, 92, 93, 94, 95]  # band 0 equal, est 0.25
+    corp = spark.createDataFrame(
+        [(10, c_score), (10, c_coll), (11, c_score)],
+        "id long, signature array<bigint>")
+    new = spark.createDataFrame([(1, n1)], "id long, signature array<bigint>")
+
+    def run():
+        out = sorted(tuple(r) for r in _probe_and_verify(
+            new, corp, _banded_buckets(corp, 8, 4), 8, 4, 0.5, True
+        ).collect())
+        clear_dedup_caches()
+        return out
+
+    fast = run()
+    D._ALLPAIRS_ARROW = False
+    try:
+        slow = run()
+    finally:
+        D._ALLPAIRS_ARROW = True
+    assert fast == slow == [(1, 10, 0.5)]

@@ -1724,10 +1724,169 @@ def _banded_buckets(sigs: DataFrame, num_hashes: int,
     ).select("id", "bb.band", "bb.bhash")
 
 
+def _incremental_allpairs(new_sigs: DataFrame, corp_sigs: DataFrame,
+                          num_hashes: int, bands: int,
+                          threshold: float) -> DataFrame | None:
+    """Direct batch-matrix probe for the incremental-dedup shape —
+    returns (new_id, corpus_id, est_jaccard) rows, or None when the
+    gate does not admit (caller builds the bucket-probe join).
+
+    The batch side is ingest-sized BY CONTRACT, so its signatures fit
+    one bounded limit-collect (≤ 8 MB matrix; the same single-driver-
+    job pattern as `_minhash_allpairs`).  With the matrix broadcast,
+    the whole join chain — new-side bucket explode, corpus bucket
+    explode/scan, broadcast bucket probe, candidate DISTINCT exchange,
+    and BOTH signature join-backs — collapses into ONE pass over the
+    corpus signatures: each Arrow batch compares its corpus rows
+    against the full batch matrix in vectorized numpy (band collision
+    is slice equality; the join matched md5(slice), equal up to the
+    usual 2^-64 md5-collision non-event).
+
+    Result-identical to the join path, which is id-grain in the
+    candidate step (bucket rows carry only ids, and candidates pass a
+    DISTINCT before the signature join-backs fan them back out per
+    signature row):
+
+      * batch-side duplicate ids: a batch id is a candidate for a
+        corpus id iff ANY of its rows' bands collide — the whole batch
+        is in memory, so the OR folds here (grouped reduceat);
+      * corpus-side duplicate ids: the OR spans corpus rows in other
+        partitions, so each row also emits colliding combinations
+        below threshold as tombstones and a window over the (small,
+        matches-only) output resolves max(collide) per id pair before
+        the final filter — one tiny exchange instead of the candidate
+        DISTINCT + two join-backs;
+      * est = matches/num_hashes is the same IEEE division with the
+        same shortest-repr HALF_UP 6 dp rounding, compared >= threshold
+        exactly as the SQL filter, per (batch row, corpus row)
+        combination — duplicate ids fan out exactly as the join-backs
+        did;
+      * NULL ids never pair (SQL `c.id != n.id`), equal ids never pair,
+        NULL-signature rows emit no bucket rows and NULL est — both
+        excluded, as in the join path.
+
+    Signature length is num_hashes by construction
+    (`minhash_signatures` / `save_dedup_signatures`); rows of any
+    other length contribute nothing in the join path (their est is
+    NULL) and are skipped here.  threshold <= 0 keeps the join (the
+    est-passes-everything regime would make every combination a
+    tombstone; the join's collision requirement is the cheaper shape
+    there), as does a capped bucket table (dropped-bucket semantics
+    belong to real buckets — the caller passes buckets_canonical=False).
+    At 100 TB the corpus side stays one shuffle-free scan either way;
+    the batch gate routes oversized batches back to the join."""
+    if not _ALLPAIRS_ARROW or threshold <= 0:
+        return None
+    nid_type = new_sigs.schema["id"].dataType.simpleString()
+    cid_type = corp_sigs.schema["id"].dataType.simpleString()
+    if nid_type != cid_type:
+        return None  # the join would resolve a cast; keep it
+    b_max = min(4096, (8 << 20) // (num_hashes * 8))
+    rows = (
+        new_sigs.filter(F.col("id").isNotNull())
+        .filter(F.element_at(F.col("signature"), 1).isNotNull())
+        .filter(F.size("signature") == num_hashes)
+        .select("id", "signature").limit(b_max + 1).collect())
+    if len(rows) > b_max:
+        return None
+    import numpy as np
+
+    # id-sorted so duplicate-id groups are contiguous (reduceat OR)
+    rows.sort(key=lambda r: r["id"])
+    B = len(rows)
+    new_ids = [r["id"] for r in rows]
+    nsig = (np.asarray([r["signature"] for r in rows], dtype=np.int64)
+            .reshape(B, num_hashes) if B else
+            np.zeros((0, num_hashes), dtype=np.int64))
+    starts = [i for i in range(B) if i == 0 or new_ids[i] != new_ids[i - 1]]
+    counts = np.diff(starts + [B]) if B else np.zeros(0, dtype=np.int64)
+    spark = new_sigs.sparkSession
+    bc = spark.sparkContext.broadcast((new_ids, nsig, starts, counts))
+    band_rows = num_hashes // bands
+    src = (
+        corp_sigs.filter(F.col("id").isNotNull())
+        .filter(F.element_at(F.col("signature"), 1).isNotNull())
+        .filter(F.size("signature") == num_hashes)
+        .select("id", "signature"))
+
+    def _score(batches):
+        import decimal
+
+        import numpy as np
+        import pandas as pd
+
+        new_ids, S, starts, counts = bc.value
+        B = len(new_ids)
+        q6 = decimal.Decimal("0.000001")
+        chunk = max(1, (4 << 20) // max(1, B * num_hashes))
+        for pdf in batches:
+            out_n: list = []
+            out_c: list = []
+            out_v: list = []
+            out_ok: list = []
+            out_coll: list = []
+            if B == 0 or len(pdf) == 0:
+                yield pd.DataFrame(
+                    {"new_id": pd.Series(out_n, dtype="object"),
+                     "corpus_id": pd.Series(out_c, dtype="object"),
+                     "est_jaccard": pd.Series(out_v, dtype="float64"),
+                     "__ok": pd.Series(out_ok, dtype="bool"),
+                     "__coll": pd.Series(out_coll, dtype="bool")})
+                continue
+            cids = pdf["id"].tolist()
+            csig = np.array(pdf["signature"].tolist(), dtype=np.int64)
+            for lo in range(0, len(pdf), chunk):
+                hi = min(lo + chunk, len(pdf))
+                eq = csig[lo:hi, None, :] == S[None, :, :]
+                est = eq.sum(axis=2) / float(num_hashes)
+                coll = (eq.reshape(hi - lo, B, bands, band_rows)
+                        .all(axis=3).any(axis=2))
+                if len(starts) != B:
+                    # batch-side duplicate ids: candidate collision is
+                    # an OR over the id's rows (contiguous after sort)
+                    gor = np.maximum.reduceat(coll, starts, axis=1)
+                    coll = np.repeat(gor, counts, axis=1).astype(bool)
+                emit = coll | (est >= threshold - 1e-6)
+                for ci, t in zip(*np.nonzero(emit)):
+                    cid = cids[lo + ci]
+                    if new_ids[t] == cid:
+                        continue  # SQL c.id != n.id
+                    r6 = float(
+                        decimal.Decimal(repr(float(est[ci, t])))
+                        .quantize(q6, rounding=decimal.ROUND_HALF_UP))
+                    ok = r6 >= threshold
+                    if not (ok or coll[ci, t]):
+                        continue
+                    out_n.append(new_ids[t])
+                    out_c.append(cid)
+                    out_v.append(r6)
+                    out_ok.append(ok)
+                    out_coll.append(bool(coll[ci, t]))
+            yield pd.DataFrame(
+                {"new_id": pd.Series(out_n, dtype="object"),
+                 "corpus_id": pd.Series(out_c, dtype="object"),
+                 "est_jaccard": pd.Series(out_v, dtype="float64"),
+                 "__ok": pd.Series(out_ok, dtype="bool"),
+                 "__coll": pd.Series(out_coll, dtype="bool")})
+
+    scored = src.mapInPandas(
+        _score,
+        f"new_id {nid_type}, corpus_id {cid_type}, est_jaccard double, "
+        f"__ok boolean, __coll boolean")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("new_id", "corpus_id")
+    return (
+        scored.withColumn("__any", F.max("__coll").over(w))
+        .filter(F.col("__ok") & F.col("__any"))
+        .select("new_id", "corpus_id", "est_jaccard"))
+
+
 def _probe_and_verify(new_sigs: DataFrame, corp_sigs: DataFrame,
                       corp_buckets: DataFrame, num_hashes: int,
                       bands: int, threshold: float,
-                      broadcast_new: bool) -> DataFrame:
+                      broadcast_new: bool,
+                      buckets_canonical: bool = True) -> DataFrame:
     """Shared scorer for the incremental-dedup family: probe the
     corpus bucket rows with the (cached) new-batch signatures' banded
     buckets, then estimate jaccard on the distinct candidates.  The
@@ -1737,7 +1896,19 @@ def _probe_and_verify(new_sigs: DataFrame, corp_sigs: DataFrame,
     public entry points (`incremental_minhash_pairs`,
     `incremental_pairs_against_store`) and the foreachBatch streaming
     path run exactly this plan, so a threshold/estimate change lands
-    in every incremental consumer at once."""
+    in every incremental consumer at once.
+
+    `buckets_canonical` asserts corp_buckets ARE
+    `_banded_buckets(corp_sigs, num_hashes, bands)` with no bucket-size
+    cap (true for both public entry points under their existing
+    save-time == probe-time parameter contract); only then may the
+    direct batch-matrix probe (`_incremental_allpairs`) replace the
+    bucket join, since it replays collisions from the signatures."""
+    if buckets_canonical:
+        ap = _incremental_allpairs(new_sigs, corp_sigs, num_hashes,
+                                   bands, threshold)
+        if ap is not None:
+            return ap
     nb = _banded_buckets(new_sigs, num_hashes, bands)
     hint = F.broadcast if broadcast_new else (lambda df: df)
     cand = (
@@ -1804,7 +1975,8 @@ def incremental_minhash_pairs(new_docs: DataFrame, corpus: DataFrame,
         ["band", "bhash"], max_bucket_size,
     )
     return _probe_and_verify(new_sigs, corp_sigs, cb, num_hashes, bands,
-                             threshold, broadcast_new)
+                             threshold, broadcast_new,
+                             buckets_canonical=max_bucket_size is None)
 
 
 def save_dedup_signatures(sigs: DataFrame, path: str,
