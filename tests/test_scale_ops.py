@@ -1167,6 +1167,28 @@ def test_minhash_allpairs_matches_banded_join(spark):
     assert "Range (0" not in plan
 
 
+def test_sid_bitmap_matches_hof(spark):
+    """The numpy-scattered `vs` bitmap `_sid_sets` emits for hot-vocab
+    universes must be word-for-word identical to the interpreted HOF
+    aggregate it replaces (including the signed top-bit view)."""
+    from yardstick_spark.llm import clear_dedup_caches
+    from yardstick_spark.llm.dedup import _bits_col, _shingled, _sid_sets
+
+    rows = [(i, "abcde" * (3 + i % 5) + "wxyz" * (i % 7))
+            for i in range(25)] + [(99, None), (98, "")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sid_sets, universe = _sid_sets(_shingled(docs, "text", "doc_id", 5))
+    assert universe <= 4096 and "vs" in sid_sets.columns
+    got = {r["id"]: r["vs"] for r in sid_sets.select("id", "vs").collect()}
+    no_vs = sid_sets.drop("vs")
+    ref = {r["id"]: r["vs"] for r in
+           no_vs.select("id", _bits_col(no_vs, universe)).collect()}
+    clear_dedup_caches()
+    assert got == ref and len(got) > 0
+    # the top bit exercises the signed int64 view when universe >= 64
+    assert any(any(w < 0 for w in v) for v in got.values()) or universe < 64
+
+
 def test_incremental_allpairs_matches_probe_join(spark):
     """The direct batch-matrix probe must replay the bucket-probe join
     exactly: id-grain candidate collision on BOTH sides (duplicate-id

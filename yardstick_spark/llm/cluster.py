@@ -47,8 +47,11 @@ def connected_components(pairs: DataFrame, src_col: str = "id_a",
     driver-side union-find over the collected edge list — microseconds
     of CPU versus several iterative shuffle rounds.  Larger graphs (or
     local_threshold=0) take the distributed min-label-propagation path.
-    The edge count is read from the localCheckpoint materialization the
-    distributed path needs anyway, so the gate costs no extra pass.
+    The gate is ONE bounded limit-collect against the localCheckpoint
+    materialization the distributed path needs anyway (collect at most
+    threshold+1 rows and bail when the limit is hit) — not a count job
+    followed by a second collect job; the saved driver round is pure
+    fixed cost on every verdict-layer consumer.
     """
     # materialize the pair list ONCE up front: nodes/edges construction
     # references it several times (src ∪ dst, both directions, self
@@ -57,7 +60,9 @@ def connected_components(pairs: DataFrame, src_col: str = "id_a",
     edges_fwd = pairs.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).localCheckpoint()
-    if local_threshold and edges_fwd.count() <= local_threshold:
+    edge_rows = (edges_fwd.limit(local_threshold + 1).collect()
+                 if local_threshold else None)
+    if edge_rows is not None and len(edge_rows) <= local_threshold:
         parent: dict = {}
 
         def find(x):
@@ -68,7 +73,6 @@ def connected_components(pairs: DataFrame, src_col: str = "id_a",
                 parent[x], x = root, parent[x]
             return root
 
-        edge_rows = edges_fwd.collect()
         for row in edge_rows:
             ra, rb = find(row["src"]), find(row["dst"])
             if ra != rb:  # union by min id keeps the canonical label

@@ -632,12 +632,24 @@ def _sid_sets(sets0: DataFrame) -> tuple[DataFrame, int]:
         order = sorted((r["df"], r["sh"]) for r in freq0.collect())
         mapping = {s: i + 1 for i, (_, s) in enumerate(order)}
         id_type = sets0.schema["id"].dataType.simpleString()
+        # hot-vocab universes additionally emit the dense sid BITMAP
+        # (`vs`, 64-bit words, bit sid-1) alongside the sorted array:
+        # every downstream bitmap consumer — the allpairs/verify
+        # collects and `_intersect_repr`'s small-universe branch —
+        # otherwise rebuilds the exact same words through an
+        # interpreted HOF aggregate over the cached arrays (measured
+        # ~12 s executor time per ppjoin query at sf0.1 just to
+        # re-derive what this pass already knows).  numpy uint64
+        # scatter, viewed as int64 — bit-identical to the HOF words.
+        nw = (universe + 63) // 64 if universe <= 4096 else 0
+        vs_schema = ", vs array<bigint>" if nw else ""
 
         def _map_batches(batches):
+            import numpy as np
             import pandas as pd
 
             for pdf in batches:
-                ids, sid_col, n_col = [], [], []
+                ids, sid_col, n_col, vs_col = [], [], [], []
                 for did, arr in zip(pdf["id"], pdf["shs"]):
                     if arr is None or len(arr) == 0:
                         continue
@@ -645,17 +657,28 @@ def _sid_sets(sets0: DataFrame) -> tuple[DataFrame, int]:
                     ids.append(did)
                     sid_col.append(sids)
                     n_col.append(len(sids))
+                    if nw:
+                        s = np.asarray(sids, dtype=np.int64) - 1
+                        w = np.zeros(nw, dtype=np.uint64)
+                        np.bitwise_or.at(
+                            w, s >> 6,
+                            np.left_shift(np.uint64(1),
+                                          (s & 63).astype(np.uint64)))
+                        vs_col.append(w.view(np.int64).tolist())
                 # object dtype: an empty batch would otherwise infer
                 # float64 columns, which Arrow cannot cast to the
                 # declared list type
-                yield pd.DataFrame(
-                    {"id": pd.Series(ids, dtype="object"),
-                     "sids": pd.Series(sid_col, dtype="object"),
-                     "n_sh": pd.Series(n_col, dtype="object")})
+                out = {"id": pd.Series(ids, dtype="object"),
+                       "sids": pd.Series(sid_col, dtype="object"),
+                       "n_sh": pd.Series(n_col, dtype="object")}
+                if nw:
+                    out["vs"] = pd.Series(vs_col, dtype="object")
+                yield pd.DataFrame(out)
 
         return sets0.mapInPandas(
             _map_batches,
-            f"id {id_type}, sids array<bigint>, n_sh int"), universe
+            f"id {id_type}, sids array<bigint>, n_sh int{vs_schema}"
+        ), universe
     freq, universe = _rarity_sid_table(sh, freq0, universe)
     return (
         sh.join(F.broadcast(freq.select("sh", "sid")), "sh")
@@ -680,15 +703,7 @@ def _intersect_repr(isets: DataFrame, universe: int):
     allocation.  universe was counted once off the cached freq
     table; big-vocab corpora keep the sorted-array path."""
     if universe <= 4096:
-        nw = (universe + 63) // 64
-        bits = F.expr(
-            f"aggregate(sids, array_repeat(CAST(0 AS BIGINT), {nw}), "
-            f"(acc, s) -> transform(acc, (v, i) -> "
-            f"IF(i = CAST((s - 1) DIV 64 AS INT), "
-            f"v | shiftleft(CAST(1 AS BIGINT), CAST((s - 1) % 64 AS INT)), "
-            f"v)))"
-        )
-        vsets = isets.select("id", "n_sh", bits.alias("vs"))
+        vsets = isets.select("id", "n_sh", _bits_col(isets, universe))
         common = F.expr(
             "aggregate(zip_with(vs_a, vs_b, (x, y) -> bit_count(x & y)), "
             "0, (a, x) -> a + x)"
@@ -697,6 +712,24 @@ def _intersect_repr(isets: DataFrame, universe: int):
         vsets = isets.select("id", "n_sh", F.col("sids").alias("vs"))
         common = F.size(F.array_intersect("vs_a", "vs_b"))
     return vsets, common
+
+
+def _bits_col(isets: DataFrame, universe: int):
+    """The dense sid-bitmap column for a small-universe sid-set table:
+    the precomputed `vs` when `_sid_sets` emitted it (the hot-vocab
+    fast path), otherwise the interpreted HOF aggregate rebuilding the
+    same words from `sids` (kept for direct callers in tests and any
+    table built by the distributed ranking path)."""
+    if "vs" in isets.columns:
+        return F.col("vs")
+    nw = (universe + 63) // 64
+    return F.expr(
+        f"aggregate(sids, array_repeat(CAST(0 AS BIGINT), {nw}), "
+        f"(acc, s) -> transform(acc, (v, i) -> "
+        f"IF(i = CAST((s - 1) DIV 64 AS INT), "
+        f"v | shiftleft(CAST(1 AS BIGINT), CAST((s - 1) % 64 AS INT)), "
+        f"v)))"
+    ).alias("vs")
 
 
 def _arrow_gate(universe: int, n_reps: int) -> bool:
@@ -726,8 +759,35 @@ _ALLPAIRS_ARROW = True
 _ALLPAIRS_WORD_BUDGET = 1 << 33
 
 
+def _allpairs_r_max(universe: int) -> int:
+    """Largest admissible rep count for direct pair enumeration over a
+    `universe`-bit bitmap matrix: the R²/2·nw word budget and the
+    64 MB broadcast-matrix cap, both driver-known before any job."""
+    nw = (universe + 63) // 64
+    return min(int((2 * _ALLPAIRS_WORD_BUDGET / max(nw, 1)) ** 0.5),
+               (64 << 20) // (nw * 8))
+
+
+def _allpairs_collect(isets: DataFrame,
+                      universe: int) -> tuple[list | None, int | None]:
+    """One bounded limit-collect deciding the direct-enumeration gate
+    AND fetching the rep matrix: returns (rows, n_reps) when the rep
+    count fits `_allpairs_r_max`, else (None, None) — replacing the
+    count-then-collect pair (two driver job rounds) the ppjoin
+    builders previously paid, exactly the `_minhash_allpairs`
+    single-job pattern.  The collect also fills the family-collapse
+    cache, so a fallback `isets.count()` afterwards is a cache read."""
+    r_max = _allpairs_r_max(universe)
+    rows = isets.select("id", "n_sh",
+                        _bits_col(isets, universe)).limit(r_max + 1).collect()
+    if len(rows) > r_max:
+        return None, None
+    return rows, len(rows)
+
+
 def _allpairs_arrow(isets: DataFrame, universe: int, threshold: float,
-                    metric: str, n_reps: int | None) -> DataFrame | None:
+                    metric: str, n_reps: int | None,
+                    rows: list | None = None) -> DataFrame | None:
     """Direct rep-pair enumeration + popcount scoring for hot-vocab
     corpora — returns rep-level (id_a, id_b, <metric>) pairs, or None
     when the gate does not admit (caller builds the prefix join).
@@ -754,26 +814,21 @@ def _allpairs_arrow(isets: DataFrame, universe: int, threshold: float,
     """
     if universe > 4096 or threshold <= 0 or not _ALLPAIRS_ARROW:
         return None
-    if n_reps is None:
-        n_reps = isets.count()
-    if not _arrow_gate(universe, n_reps):
-        return None
     nw = (universe + 63) // 64
-    if n_reps * (n_reps - 1) // 2 * nw > _ALLPAIRS_WORD_BUDGET:
-        return None
+    if rows is None:
+        if n_reps is None:
+            n_reps = isets.count()
+        if not _arrow_gate(universe, n_reps):
+            return None
+        if n_reps * (n_reps - 1) // 2 * nw > _ALLPAIRS_WORD_BUDGET:
+            return None
+        rows = isets.select("id", "n_sh",
+                            _bits_col(isets, universe)).collect()
     import numpy as np
 
-    bits = F.expr(
-        f"aggregate(sids, array_repeat(CAST(0 AS BIGINT), {nw}), "
-        f"(acc, s) -> transform(acc, (v, i) -> "
-        f"IF(i = CAST((s - 1) DIV 64 AS INT), "
-        f"v | shiftleft(CAST(1 AS BIGINT), CAST((s - 1) % 64 AS INT)), "
-        f"v)))"
-    )
-    rows = isets.select("id", "n_sh", bits.alias("vs")).collect()
     # id-sorted (None first) so equal ids form adjacent runs: the
     # equal-size orientation check needs "ids comparable and unequal"
-    rows.sort(key=lambda r: (r["id"] is not None, r["id"]))
+    rows = sorted(rows, key=lambda r: (r["id"] is not None, r["id"]))
     R = len(rows)
     ids = [r["id"] for r in rows]
     none_mask = np.array([i is None for i in ids], dtype=bool)
@@ -897,16 +952,9 @@ def _verify_pairs_arrow(cand: DataFrame, isets: DataFrame, universe: int,
     if not _arrow_gate(universe, n_reps):
         return None
     nw = (universe + 63) // 64
-    bits = F.expr(
-        f"aggregate(sids, array_repeat(CAST(0 AS BIGINT), {nw}), "
-        f"(acc, s) -> transform(acc, (v, i) -> "
-        f"IF(i = CAST((s - 1) DIV 64 AS INT), "
-        f"v | shiftleft(CAST(1 AS BIGINT), CAST((s - 1) % 64 AS INT)), "
-        f"v)))"
-    )
     import numpy as np
 
-    rows = isets.select("id", bits.alias("vs")).collect()
+    rows = isets.select("id", _bits_col(isets, universe)).collect()
     idx = {r["id"]: i for i, r in enumerate(rows)}
     mat = np.asarray([r["vs"] for r in rows], dtype=np.int64).view(np.uint64)
     mat = mat.reshape(len(rows), nw)
@@ -1013,14 +1061,20 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     # prefixes without positions and dedups with a keys-only aggregate.
     # Big-vocab corpora (the 100 TB shape) keep the position filter:
     # there it prunes candidates ~20x before verification.
-    n_reps = isets.count() if universe <= 4096 else None
+    # hot vocab + small rep count: enumerate rep pairs directly
+    # instead of exploding prefixes through a join + distinct — one
+    # bounded limit-collect decides the gate AND fetches the matrix
+    # (`_allpairs_collect`), replacing the count-then-collect pair
+    n_reps = rows = None
+    if universe <= 4096:
+        if _ALLPAIRS_ARROW and threshold > 0:
+            rows, n_reps = _allpairs_collect(isets, universe)
+        if n_reps is None:
+            n_reps = isets.count()  # cache read after the collect
     slim = n_reps is not None and _arrow_gate(universe, n_reps)
-    if slim:
-        # hot vocab + small rep count: enumerate rep pairs directly
-        # instead of exploding prefixes through a join + distinct
-        # (see _allpairs_arrow; falls through when over budget)
+    if rows is not None:
         ap = _allpairs_arrow(isets, universe, threshold, "jaccard",
-                             n_reps)
+                             n_reps, rows=rows)
         if ap is not None:
             rep_pairs = ap.select(
                 F.least("id_a", "id_b").alias("id_a"),
@@ -1175,14 +1229,20 @@ def ngram_containment_pairs(docs: DataFrame, text_col: str = "text",
     # rows at sf0.1 while the pos/max(pos)/count bookkeeping dominated
     # the 8.8 M-group candidate exchange.  Exact verification keeps the
     # result identical; big vocabularies retain the position filter.
-    n_reps = isets.count() if universe <= 4096 else None
+    # same direct-enumeration gate as ngram_jaccard_pairs — and
+    # containment is where it bites hardest (no length filter, so
+    # the prefix join yielded 8.8M of 12.4M possible pairs); one
+    # bounded limit-collect decides the gate AND fetches the matrix
+    n_reps = rows = None
+    if universe <= 4096:
+        if _ALLPAIRS_ARROW and threshold > 0:
+            rows, n_reps = _allpairs_collect(isets, universe)
+        if n_reps is None:
+            n_reps = isets.count()  # cache read after the collect
     slim = n_reps is not None and _arrow_gate(universe, n_reps)
-    if slim:
-        # same direct-enumeration gate as ngram_jaccard_pairs — and
-        # containment is where it bites hardest (no length filter, so
-        # the prefix join yielded 8.8M of 12.4M possible pairs)
+    if rows is not None:
         ap = _allpairs_arrow(isets, universe, threshold, "containment",
-                             n_reps)
+                             n_reps, rows=rows)
         if ap is not None:
             rep_pairs = ap.select(
                 F.least("id_a", "id_b").alias("id_a"),
