@@ -1167,6 +1167,58 @@ def test_minhash_allpairs_matches_banded_join(spark):
     assert "Range (0" not in plan
 
 
+def test_fuzzy_collapse_matches_record_grain(spark):
+    """The identical-string family collapse in fuzzy_dedup_pairs must
+    reproduce the record-grain pair list exactly: same pairs, same
+    edit values, including intra-family edit-0 pairs, the weighted
+    max_block cap (families straddling the cap), NULL/empty strings
+    (never pair), and the unique-id gate (duplicate or NULL ids fall
+    back to the record-grain path)."""
+    from yardstick_spark.llm import fuzzy_dedup_pairs
+    from yardstick_spark.llm import fuzzy as FZ
+    from yardstick_spark.llm.dedup import clear_dedup_caches
+
+    rows = []
+    for i in range(30):
+        rows.append((i, f"acme widget type{i % 3}"))       # 3 families x10
+    rows += [(100, "acme widget typo0"), (101, "acme gadget type0"),
+             (102, None), (103, ""), (104, "   "),
+             (105, "zzz unique name")]
+    docs = spark.createDataFrame(rows, "rid long, name string")
+
+    def run(me, mb):
+        out = sorted(tuple(r) for r in fuzzy_dedup_pairs(
+            docs, "rid", "name", max_edit=me, len_bucket=4,
+            max_block=mb).collect())
+        clear_dedup_caches()
+        return out
+
+    for me, mb in ((0, 10_000), (1, 10_000), (2, 10_000),
+                   (1, 12), (1, 5)):  # 12/5 straddle the family sizes
+        fast = run(me, mb)
+        FZ._FUZZY_COLLAPSE = False
+        try:
+            slow = run(me, mb)
+        finally:
+            FZ._FUZZY_COLLAPSE = True
+        assert fast == slow, (me, mb)
+        assert len(fast) > 0 or mb == 5, (me, mb)
+    # duplicate ids: the gate must fall back, outputs still equal
+    dup = docs.union(spark.createDataFrame(
+        [(0, "acme widget type9")], "rid long, name string"))
+    fast = sorted(tuple(r) for r in fuzzy_dedup_pairs(
+        dup, "rid", "name", max_edit=1).collect())
+    clear_dedup_caches()
+    FZ._FUZZY_COLLAPSE = False
+    try:
+        slow = sorted(tuple(r) for r in fuzzy_dedup_pairs(
+            dup, "rid", "name", max_edit=1).collect())
+        clear_dedup_caches()
+    finally:
+        FZ._FUZZY_COLLAPSE = True
+    assert fast == slow
+
+
 def test_sid_bitmap_matches_hof(spark):
     """The numpy-scattered `vs` bitmap `_sid_sets` emits for hot-vocab
     universes must be word-for-word identical to the interpreted HOF

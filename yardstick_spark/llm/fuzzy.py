@@ -125,10 +125,108 @@ def fuzzy_dedup_pairs(
     the `max_block` cap over summed weights instead of row counts, so
     a family-collapsed input is capped at member grain.
     """
+    if weight_col is None and _FUZZY_COLLAPSE:
+        out = _collapsed_pairs(df, id_col, text_col, max_edit,
+                               len_bucket, max_block)
+        if out is not None:
+            return out
     keyed = _capped_blocks(
         df, id_col, text_col, len_bucket, max_block, weight_col
     )
     return _verify_pairs(keyed, max_edit)
+
+
+# Identical-string family collapse for the pair operator (the
+# `fuzzy_cluster_edges` discipline extended to emit edit values and
+# intra-family pairs).  Tests monkeypatch this off to pin the two
+# paths equal (test_fuzzy_collapse_matches_record_grain).
+_FUZZY_COLLAPSE = True
+
+
+def _collapsed_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_edit: int,
+    len_bucket: int,
+    max_block: int,
+) -> DataFrame | None:
+    """`fuzzy_dedup_pairs` with identical normalized strings collapsed
+    to one representative before the blocked-levenshtein verify —
+    returns the full record-grain pair list, or None when the gate
+    does not admit (caller runs the record-grain path unchanged).
+
+    On repetitive corpora the verify is quadratic in FAMILY sizes
+    while the distinct-string workload is constant: the sf0.1 part
+    table (20k rows, 64 distinct names) pushed ~34M candidate DPs
+    through `levenshtein(s, s, k)` per run, and a 10x replica measured
+    29-95 s for the same 64-name workload.  Collapsed, the verify runs
+    over |distinct strings| rows; the quadratic part of the output is
+    produced by expansion JOINS (it IS the result set), not by
+    re-verifying equal strings.
+
+    Exactness (the `fuzzy_cluster_edges` argument, extended to pair
+    grain): blocking keys are a function of the normalized string
+    alone, so every member of a family holds exactly its rep's blocks;
+    the `max_block` cap is evaluated over family-size WEIGHTED rep
+    counts, which equals the record-grain block size row for row; a
+    cross-family pair exists iff the rep pair shares a surviving block
+    and passes the verify (same `levenshtein(s_a, s_b, k)` call, same
+    value); an intra-family pair (identical strings, edit exactly 0 —
+    what the record path's threshold DP returns for equal strings)
+    exists iff the family kept at least one surviving block.  NULL and
+    empty strings form no blocks on either path, so their families are
+    never `alive` and owe no pairs.
+
+    Gate: ids must be UNIQUE and NON-NULL (one cheap aggregate on the
+    distinct (id, s) projection).  Duplicate or NULL ids make the
+    record path's cap counting and pair-distinct semantics depend on
+    row identity rather than string identity; such inputs (not a
+    well-formed ER table) keep the record-grain path, unchanged."""
+    from pyspark.sql import Window
+
+    from .dedup import _cache
+
+    norm = F.lower(F.trim(F.col(text_col)))
+    fams = df.select(F.col(id_col).alias("id"), norm.alias("s")).distinct()
+    # one aggregate decides the gate: count(*) == count(id) rules out
+    # NULL ids, == countDistinct(id) rules out duplicate ids
+    g = fams.agg(F.count("*").alias("n"),
+                 F.count("id").alias("nn"),
+                 F.count_distinct("id").alias("nd")).first()
+    if not (g["n"] == g["nn"] == g["nd"]):
+        return None
+    w = Window.partitionBy("s")
+    tagged = _cache(fams.withColumn("rid", F.min("id").over(w)))
+    reps = (tagged.groupBy("s", "rid").agg(F.count("*").alias("fam_n")))
+    keyed = _cache(
+        _capped_blocks(reps, "rid", "s", len_bucket, max_block, "fam_n")
+    )
+    rep_pairs = _verify_pairs(keyed, max_edit)
+    members = tagged.select("rid", "id")
+    # families that kept >= 1 block: only these owe intra pairs (the
+    # record path needs a surviving shared block, and identical
+    # strings share ALL their blocks)
+    alive = keyed.select(F.col("id").alias("rid")).distinct()
+    intra = (
+        members.join(alive, "rid")
+        .alias("x")
+        .join(members.alias("y"),
+              (F.col("x.rid") == F.col("y.rid"))
+              & (F.col("x.id") < F.col("y.id")))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"),
+                F.lit(0).cast("int").alias("edit"))
+    )
+    cross = (
+        rep_pairs
+        .join(members.select(F.col("rid").alias("id_a"),
+                             F.col("id").alias("__ma")), "id_a")
+        .join(members.select(F.col("rid").alias("id_b"),
+                             F.col("id").alias("__mb")), "id_b")
+        .select(F.least("__ma", "__mb").alias("id_a"),
+                F.greatest("__ma", "__mb").alias("id_b"), "edit")
+    )
+    return cross.unionByName(intra)
 
 
 def _verify_pairs(keyed: DataFrame, max_edit: int) -> DataFrame:
