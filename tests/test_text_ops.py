@@ -280,8 +280,23 @@ def test_incremental_minhash_finds_cross_corpus_dup(spark):
     pairs = incremental_minhash_pairs(new, corpus, threshold=0.5)
     got = [(r["new_id"], r["corpus_id"]) for r in pairs.collect()]
     assert got == [(100, 1)]
-    # the batch side broadcasts; the corpus side must not
-    assert "BroadcastHashJoin" in explain_str(pairs)
+    # default path: the direct batch-matrix probe — no bucket join at
+    # all (the batch matrix rides a Spark broadcast variable, so the
+    # corpus side is one scan either way)
+    assert "bhash" not in explain_str(pairs)
+    clear_dedup_caches()
+    # join path (oversized batches / capped buckets): the batch side
+    # broadcasts, the corpus side must not
+    from yardstick_spark.llm import dedup as D
+
+    D._ALLPAIRS_ARROW = False
+    try:
+        jpairs = incremental_minhash_pairs(new, corpus, threshold=0.5)
+        jgot = [(r["new_id"], r["corpus_id"]) for r in jpairs.collect()]
+        assert jgot == got
+        assert "BroadcastHashJoin" in explain_str(jpairs)
+    finally:
+        D._ALLPAIRS_ARROW = True
     clear_dedup_caches()
 
 
