@@ -22,13 +22,16 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 
 def _next_round() -> int:
-    """1 + the highest BENCH_r{N}.json already recorded — the round the
-    driver is about to stamp."""
+    """1 + the highest round any BENCH_r{N}[_full].json already
+    records.  _full freezes COUNT here: they are committed round
+    artifacts, and numbering past them is what stops a later run
+    (e.g. the driver's own post-round bench) from silently
+    overwriting a frozen record in the working tree — the exact
+    failure the round-10 verdict flagged."""
     best = 0
     for p in Path(__file__).resolve().parent.glob("BENCH_r*.json"):
-        if p.stem.endswith("_full"):  # our own copies don't count
-            continue
-        digits = "".join(c for c in p.stem[7:] if c.isdigit())
+        stem = p.stem[:-5] if p.stem.endswith("_full") else p.stem
+        digits = "".join(c for c in stem[7:] if c.isdigit())
         if digits:
             best = max(best, int(digits))
     return best + 1
