@@ -28,12 +28,16 @@ def _next_round() -> int:
     (e.g. the driver's own post-round bench) from silently
     overwriting a frozen record in the working tree — the exact
     failure the round-10 verdict flagged."""
+    import re
+
     best = 0
     for p in Path(__file__).resolve().parent.glob("BENCH_r*.json"):
         stem = p.stem[:-5] if p.stem.endswith("_full") else p.stem
-        digits = "".join(c for c in stem[7:] if c.isdigit())
-        if digits:
-            best = max(best, int(digits))
+        # leading digit run ONLY: suffixes like _c8 or _driverlog must
+        # not contribute digits (BENCH_r11_c8 is round 11, not 118)
+        m = re.match(r"\d+", stem[7:])
+        if m:
+            best = max(best, int(m.group()))
     return best + 1
 
 

@@ -388,3 +388,34 @@ def test_mmr_matches_duckdb_unrolled(spark):
     want = {(r[0], r[3]): r[1] for r in con.sql(
         mmr_sql("emb", "id < 4", k=4, pool=10, lam=0.6)).fetchall()}
     assert got == want
+
+
+def test_mmr_pair_bound_falls_back(spark):
+    """_mmr_driver collects BOTH cand and pair (cand x (pool-1) rows):
+    a pool large enough that the pair table would blow the driver
+    collect must route to the distributed loop even when the cand
+    count alone passes the gate — and both paths must agree."""
+    import numpy as np
+
+    from yardstick_spark.llm import mmr_rerank
+    from yardstick_spark.llm import mining as M
+
+    rng = np.random.RandomState(11)
+    X = rng.randn(30, 6).astype(np.float32)
+    df = _vecs(spark, X)
+    q = df.filter("vec_id < 2")
+    # cand = 2 queries x pool 25 = 50 <= 50 passes the old gate, but
+    # pair rows = 50 * 24 = 1200 > 20 * 50 — must NOT hit the driver
+    orig = M._mmr_driver
+
+    def boom(*a, **k):
+        raise AssertionError("driver path must not run")
+
+    M._mmr_driver = boom
+    try:
+        slow = sorted(map(tuple, mmr_rerank(
+            df, q, k=4, pool=25, driver_max_pool_rows=50).collect()))
+    finally:
+        M._mmr_driver = orig
+    fast = sorted(map(tuple, mmr_rerank(df, q, k=4, pool=25).collect()))
+    assert fast == slow and len(fast) == 8

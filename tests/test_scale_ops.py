@@ -1327,3 +1327,79 @@ def test_incremental_allpairs_corpus_dup_id_window(spark):
     finally:
         D._ALLPAIRS_ARROW = True
     assert fast == slow == [(1, 10, 0.5)]
+
+
+def test_minhash_allpairs_non_divisible_bands(spark):
+    """num_hashes % bands != 0: the bucket join's slice() ignores the
+    trailing positions, so the direct enumerations must trim the same
+    way instead of crashing on the reshape (ADVICE r11, reproduced:
+    'cannot reshape array of size 32 into shape (1,1,5,6)')."""
+    from yardstick_spark.llm import (clear_dedup_caches,
+                                     incremental_minhash_pairs,
+                                     minhash_lsh_pairs)
+    from yardstick_spark.llm import dedup as D
+
+    rows = [(i, "abcde" * (3 + i % 5) + "fghij" * (i % 3))
+            for i in range(25)]
+    rows += [(100, "abcde abcde xyzzy"), (101, "abcde abcde xyzzy")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def run_lsh():
+        out = sorted((r.id_a, r.id_b, r.est_jaccard)
+                     for r in minhash_lsh_pairs(
+                         docs, k=5, num_hashes=32, bands=5,
+                         threshold=0.3).collect())
+        clear_dedup_caches()
+        return out
+
+    fast = run_lsh()
+    D._ALLPAIRS_ARROW = False
+    try:
+        slow = run_lsh()
+    finally:
+        D._ALLPAIRS_ARROW = True
+    assert fast == slow and len(fast) > 0
+
+    new = spark.createDataFrame(rows[:5], "doc_id long, text string")
+    corp = spark.createDataFrame(rows[5:], "doc_id long, text string")
+
+    def run_inc():
+        out = sorted((r.new_id, r.corpus_id, r.est_jaccard)
+                     for r in incremental_minhash_pairs(
+                         new, corp, num_hashes=32, bands=5,
+                         threshold=0.3).collect())
+        clear_dedup_caches()
+        return out
+
+    fast = run_inc()
+    D._ALLPAIRS_ARROW = False
+    try:
+        slow = run_inc()
+    finally:
+        D._ALLPAIRS_ARROW = True
+    assert fast == slow and len(fast) > 0
+
+    # bands > num_hashes is degenerate (every band an empty slice, so
+    # the bucket join collides EVERYTHING); the fast path must route
+    # to the join, where those semantics live
+    deg = minhash_lsh_pairs(docs, k=5, num_hashes=4, bands=8,
+                            threshold=0.0)
+    plan = deg._jdf.queryExecution().executedPlan().toString()
+    clear_dedup_caches()
+    assert "Range (0" not in plan
+
+
+def test_allpairs_empty_shingle_universe(spark):
+    """A corpus whose every doc shingles to EMPTY (all-NULL text) has
+    universe == 0 — the ppjoin gates must yield empty pair sets, not
+    ZeroDivisionError (ADVICE r11, _arrow_gate / _allpairs_r_max)."""
+    from yardstick_spark.llm import (clear_dedup_caches,
+                                     ngram_containment_pairs,
+                                     ngram_jaccard_pairs)
+
+    docs = spark.createDataFrame(
+        [(i, None) for i in range(5)], "doc_id long, text string")
+    assert ngram_jaccard_pairs(docs, k=5, threshold=0.5).count() == 0
+    clear_dedup_caches()
+    assert ngram_containment_pairs(docs, k=5, threshold=0.5).count() == 0
+    clear_dedup_caches()

@@ -740,7 +740,10 @@ def _arrow_gate(universe: int, n_reps: int) -> bool:
     candidate path in `ngram_jaccard_pairs`)."""
     if universe > 4096:
         return False
-    nw = (universe + 63) // 64
+    # universe == 0 (every doc shingles to empty) -> nw == 0: admit —
+    # zero-word bitmaps intersect to 0 and any threshold > 0 drops all
+    # pairs, matching the join path's empty result
+    nw = max((universe + 63) // 64, 1)
     return n_reps <= (64 << 20) // (nw * 8)
 
 
@@ -763,8 +766,8 @@ def _allpairs_r_max(universe: int) -> int:
     """Largest admissible rep count for direct pair enumeration over a
     `universe`-bit bitmap matrix: the R²/2·nw word budget and the
     64 MB broadcast-matrix cap, both driver-known before any job."""
-    nw = (universe + 63) // 64
-    return min(int((2 * _ALLPAIRS_WORD_BUDGET / max(nw, 1)) ** 0.5),
+    nw = max((universe + 63) // 64, 1)  # universe == 0 divides by 1
+    return min(int((2 * _ALLPAIRS_WORD_BUDGET / nw) ** 0.5),
                (64 << 20) // (nw * 8))
 
 
@@ -1483,7 +1486,10 @@ def _minhash_allpairs(sigs: DataFrame, num_hashes: int, bands: int,
     from the matrix here.  Above the gate (or with a bucket-size cap,
     whose dropped-bucket semantics need real buckets) the join path
     runs unchanged — the 100 TB shape."""
-    if not _ALLPAIRS_ARROW:
+    if not _ALLPAIRS_ARROW or num_hashes // bands == 0:
+        # bands > num_hashes is degenerate (every band is an empty
+        # slice, so the bucket join collides EVERYTHING); keep the
+        # join so those semantics stay in one place
         return None
     nn = sigs.filter(F.element_at(F.col("signature"), 1).isNotNull()) \
              .filter(F.col("id").isNotNull())
@@ -1541,7 +1547,10 @@ def _minhash_allpairs(sigs: DataFrame, num_hashes: int, bands: int,
                         continue
                     eq = S[i] == S[i + 1:]
                     est = eq.sum(axis=1) / float(num_hashes)
-                    coll = (eq.reshape(-1, bands, band_rows)
+                    # non-divisible bands: the bucket join's slice()
+                    # ignores the trailing num_hashes % bands positions
+                    coll = (eq[:, :bands * band_rows]
+                            .reshape(-1, bands, band_rows)
                             .all(axis=2).any(axis=1))
                     # prefilter with margin, then decide on the same
                     # HALF_UP-rounded value the SQL filter compares
@@ -1835,7 +1844,7 @@ def _incremental_allpairs(new_sigs: DataFrame, corp_sigs: DataFrame,
     belong to real buckets — the caller passes buckets_canonical=False).
     At 100 TB the corpus side stays one shuffle-free scan either way;
     the batch gate routes oversized batches back to the join."""
-    if not _ALLPAIRS_ARROW or threshold <= 0:
+    if not _ALLPAIRS_ARROW or threshold <= 0 or num_hashes // bands == 0:
         return None
     nid_type = new_sigs.schema["id"].dataType.simpleString()
     cid_type = corp_sigs.schema["id"].dataType.simpleString()
@@ -1899,7 +1908,11 @@ def _incremental_allpairs(new_sigs: DataFrame, corp_sigs: DataFrame,
                 hi = min(lo + chunk, len(pdf))
                 eq = csig[lo:hi, None, :] == S[None, :, :]
                 est = eq.sum(axis=2) / float(num_hashes)
-                coll = (eq.reshape(hi - lo, B, bands, band_rows)
+                # non-divisible bands: match the bucket join's slice()
+                # semantics (trailing num_hashes % bands positions are
+                # never part of any band)
+                coll = (eq[:, :, :bands * band_rows]
+                        .reshape(hi - lo, B, bands, band_rows)
                         .all(axis=3).any(axis=2))
                 if len(starts) != B:
                     # batch-side duplicate ids: candidate collision is
@@ -2025,6 +2038,11 @@ def incremental_minhash_pairs(new_docs: DataFrame, corpus: DataFrame,
     atypically large batch and AQE picks the join strategy.
     `max_bucket_size` caps degenerate corpus buckets (see
     `_cap_buckets`).
+
+    NOTE: constructing this DataFrame runs one small EAGER Spark job
+    (the bounded batch-signature limit-collect deciding the direct
+    probe gate) — plan-only consumers (explain/dry-run tooling) pay
+    that job at build time, not at action time.
     """
     new_sigs = _cache(
         minhash_signatures(new_docs, text_col, id_col, k, num_hashes)

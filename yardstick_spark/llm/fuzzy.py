@@ -124,6 +124,11 @@ def fuzzy_dedup_pairs(
     `weight_col` (internal, used by `fuzzy_cluster_edges`): evaluate
     the `max_block` cap over summed weights instead of row counts, so
     a family-collapsed input is capped at member grain.
+
+    NOTE: constructing this DataFrame runs one small EAGER Spark job
+    (the family-collapse gate aggregate) — plan-only consumers
+    (explain/dry-run tooling) pay that job at build time, not at
+    action time.
     """
     if weight_col is None and _FUZZY_COLLAPSE:
         out = _collapsed_pairs(df, id_col, text_col, max_edit,

@@ -312,8 +312,16 @@ def mmr_rerank(corpus: DataFrame, queries: DataFrame, k: int = 5,
     # re-rank (measured 42 jobs inside a 3.7 s sf0.1 query).  The gate
     # count runs on the cached candidate pool the loop needs
     # materialized anyway; above the bound the loop runs unchanged.
-    if driver_max_pool_rows and cand.count() <= driver_max_pool_rows:
-        return _mmr_driver(cand, pair, k, lam, onemlam)
+    # _mmr_driver collects BOTH cand and pair, and pair is cand ×
+    # (pool - 1) rows — so the gate bounds the pair collect too (a
+    # caller-supplied pool of 500 would otherwise push 50M rows
+    # through one collect() behind a gate that reported "small").
+    if driver_max_pool_rows:
+        cand_n = cand.count()
+        pair_rows = cand_n * max(pool - 1, 0)
+        if (cand_n <= driver_max_pool_rows
+                and pair_rows <= 20 * driver_max_pool_rows):
+            return _mmr_driver(cand, pair, k, lam, onemlam)
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id"))
     selected = (
