@@ -984,16 +984,43 @@ def test_folded_knn_matches_join_path(spark):
         assert alt == ref, f"repartition({n}) changed brute_force_knn"
     # the work-adaptive fan-out (big query sets against a few-split
     # scan) must not change results either: force it by shrinking the
-    # per-partition work budget to one byte
+    # per-task cell floor to one cell
     from yardstick_spark.llm import similarity as S
 
-    saved = S._FOLD_WORK_PER_PART
-    S._FOLD_WORK_PER_PART = 1
+    saved = S._FOLD_CELLS_PER_PART
+    S._FOLD_CELLS_PER_PART = 1
     try:
         fanned = sorted(map(tuple, brute_force_knn(emb, q, k=10).collect()))
     finally:
-        S._FOLD_WORK_PER_PART = saved
+        S._FOLD_CELLS_PER_PART = saved
     assert fanned == ref, "forced fold fan-out changed brute_force_knn"
+
+
+def test_fold_fan_out_has_per_task_floor(spark):
+    """The fold fan-out must NOT repartition when per-task work is
+    below the cell floor (each extra Arrow task costs a partly
+    serialized Python-runner handshake — the r11 emb_margin_pairs
+    regression: 32 tasks for a 2M-cell fold ran 2.3x slower than 8),
+    and must fan out when the work genuinely exceeds it."""
+    from yardstick_spark.llm import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = emb.selectExpr("vec_id AS __nid", "embedding AS __cv") \
+        .filter("__nid IS NOT NULL")
+    rows = 500  # sf0.001 embeddings row count (parquet footer)
+    floor = S._FOLD_CELLS_PER_PART
+    # work below one floor unit -> unchanged partitioning
+    small = S._fan_out_for_queries(corpus, max(floor // rows - 1, 1))
+    assert small.rdd.getNumPartitions() == corpus.rdd.getNumPartitions()
+    # work worth ~4 floor units -> fans to 1 + work // floor tasks,
+    # NOT to the core count (the per-task floor IS the target)
+    nq = 4 * floor // rows
+    mid = S._fan_out_for_queries(corpus, nq)
+    assert mid.rdd.getNumPartitions() == 1 + rows * nq // floor >= 4
+    # huge work saturates at defaultParallelism
+    big = S._fan_out_for_queries(corpus, 10_000_000)
+    cores = spark.sparkContext.defaultParallelism
+    assert big.rdd.getNumPartitions() == cores
 
 
 def test_folded_knn_edge_cases(spark):
@@ -1403,3 +1430,4 @@ def test_allpairs_empty_shingle_universe(spark):
     clear_dedup_caches()
     assert ngram_containment_pairs(docs, k=5, threshold=0.5).count() == 0
     clear_dedup_caches()
+

@@ -2120,6 +2120,14 @@ def minhash_estimate_eval(docs: DataFrame, text_col: str = "text",
     pairs = minhash_lsh_pairs(
         docs, text_col=text_col, id_col=id_col, k=k,
         num_hashes=num_hashes, bands=bands, threshold=threshold)
+    # NOTE (r12, measured): a sid-bitmap Arrow port of this exact
+    # verify (the `_verify_pairs_arrow` pattern) was built and
+    # interleave-A/B'd — it LOST at both scales (sf0.1 min 2.15 s join
+    # vs 4.92 s bitmap; 10× replica 6.7 s vs 17.8 s): the join's
+    # array_intersect runs only over the SURVIVING pairs (~23k at
+    # sf0.1), while the bitmap path pays `_sid_sets`' corpus-wide
+    # distinct-shingle aggregation + sid mapping up front.  The join
+    # is the right shape here; see OPTIMIZATION_r12.md.
     sets = _shingled(docs, text_col, id_col, k).select(
         "id", F.col("shs").alias("s"))
     j = (
