@@ -1092,24 +1092,67 @@ def test_dsir_arrow_matches_jvm_chain(spark):
     docs = spark.createDataFrame(
         rows, "doc_id bigint, text string, lang string")
 
-    def run():
+    def run(hi):
         w = sorted(map(tuple, dsir_weights(
-            docs, "lang = 'en'", n_buckets=64).collect()))
+            docs, "lang = 'en'", n_buckets=64, hash_impl=hi).collect()))
         c = sorted(map(tuple, T._dsir_bucket_counts(
-            docs, "lang = 'en'", 64, "text").collect()))
+            docs, "lang = 'en'", 64, "text", hi).collect()))
         return w, c
 
-    orig = T._DSIR_ARROW
-    try:
-        T._DSIR_ARROW = True
-        fast = run()
-        T._DSIR_ARROW = False
-        slow = run()
-    finally:
-        T._DSIR_ARROW = orig
-    assert fast == slow
-    # NULL-target docs leave their buckets' c_target NULL, not 0
-    assert any(r[2] is None for r in fast[1])
+    for hi in ("md5", "xxhash64"):
+        orig = T._DSIR_ARROW
+        try:
+            T._DSIR_ARROW = True
+            fast = run(hi)
+            T._DSIR_ARROW = False
+            slow = run(hi)
+        finally:
+            T._DSIR_ARROW = orig
+        assert fast == slow, hi
+        # NULL-target docs leave their buckets' c_target NULL, not 0
+        assert any(r[2] is None for r in fast[1]), hi
+
+
+def test_xxh64_vectorized_matches_reference():
+    """`_xxh64_fixed` / `_xxh64_many` must equal the pure-Python XXH64
+    reference bit-for-bit across every length class (empty, sub-4,
+    4-7, 8-31, >= 32 incl. multi-stripe) and arbitrary uint64 seeds —
+    including numpy's wraparound arithmetic (run under
+    warnings-as-errors to catch any overflow-warning regression)."""
+    import random
+    import warnings
+
+    import numpy as np
+
+    from xxh64_ref import xxh64
+    from yardstick_spark.llm.text import _xxh64_fixed, _xxh64_many
+
+    rng = random.Random(7)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        for L in list(range(0, 70)) + [100, 1000]:
+            n = 13
+            rows = [bytes(rng.randrange(256) for _ in range(L))
+                    for _ in range(n)]
+            seeds = np.array([rng.randrange(1 << 64) for _ in range(n)],
+                             dtype=np.uint64)
+            M = (np.frombuffer(b"".join(rows), dtype=np.uint8)
+                 .reshape(n, L) if L else np.zeros((n, 0), dtype=np.uint8))
+            got = list(map(int, _xxh64_fixed(M, seeds)))
+            assert got == [xxh64(r, int(s))
+                           for r, s in zip(rows, seeds)], L
+        # mixed lengths through the grouping wrapper, incl. the Spark
+        # field-chaining shape (first hash seeds the second)
+        mixed = [bytes(rng.randrange(256) for _ in range(rng.choice(
+            [0, 1, 3, 5, 8, 17, 33, 64]))) for _ in range(200)]
+        seeds = np.full(200, 42, dtype=np.uint64)
+        h1 = _xxh64_many(mixed, seeds)
+        assert list(map(int, h1)) == [xxh64(b, 42) for b in mixed]
+        tails = [bytes(rng.randrange(256) for _ in range(rng.choice(
+            [1, 4, 9, 40]))) for _ in range(200)]
+        h2 = _xxh64_many(tails, h1)
+        assert list(map(int, h2)) == [
+            xxh64(t, int(s)) for t, s in zip(tails, h1)]
 
 
 def test_allpairs_matches_prefix_join_path(spark):

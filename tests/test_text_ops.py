@@ -1269,8 +1269,9 @@ def test_dsir_hash_impl_fast_path(spark):
                           "Generate")]
 
     # skeleton invariance is a JVM-chain property: compare both hashes
-    # on that chain (md5's default path is the Arrow gram stage, whose
-    # skeleton legitimately drops the Generate — pinned separately by
+    # on that chain (the default path for BOTH hashes is now the Arrow
+    # gram stage, whose skeleton legitimately drops the Generate —
+    # pinned separately by
     # test_dsir_scoring_broadcasts_buckets_two_exchanges and
     # test_dsir_arrow_matches_jvm_chain)
     from yardstick_spark.llm import text as T
@@ -1280,17 +1281,20 @@ def test_dsir_hash_impl_fast_path(spark):
     try:
         md5_jvm = dsir_weights(docs, "lang = 'en'", n_buckets=256)
         md5_jvm.collect()  # AQE: toString doubles up once executed —
-        # xx_df was collected above, so execute this side too before
-        # comparing the printed skeletons
-        assert shape(md5_jvm) == shape(xx_df), \
-            "hash swap must not change the plan skeleton"
+        # execute both sides before comparing the printed skeletons
+        xx_jvm = dsir_weights(docs, "lang = 'en'", n_buckets=256,
+                              hash_impl="xxhash64")
+        xx_jvm.collect()
+        assert shape(md5_jvm) == shape(xx_jvm), \
+            "hash swap must not change the JVM plan skeleton"
     finally:
         T._DSIR_ARROW = orig
-    # the Arrow md5 plan keeps the scoring contract: bucket table
-    # broadcast, no gram-grain Generate/explode
-    md5_plan = md5_df._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in md5_plan
-    assert "Generate" not in md5_plan
+    # the Arrow plans (both hashes) keep the scoring contract: bucket
+    # table broadcast, no gram-grain Generate/explode
+    for df in (md5_df, xx_df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "Generate" not in plan
     again = sorted(map(tuple, dsir_weights(
         docs.repartition(7), "lang = 'en'", n_buckets=256,
         hash_impl="xxhash64").collect()))

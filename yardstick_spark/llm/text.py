@@ -1482,6 +1482,193 @@ def _dsir_gram_buckets(words, n_buckets: int, memo: dict):
     return loc
 
 
+def _xxh64_fixed(M, seeds):
+    """Vectorized XXH64 over n same-length byte rows ((n, L) uint8)
+    with per-row uint64 seeds — the numpy twin of the pure-Python
+    reference in tests/xxh64_ref.py (public algorithm, xxHash spec),
+    validated bit-for-bit against it and against Spark's expression in
+    tests.  All arithmetic wraps in uint64 exactly as the spec's
+    mod-2^64 does."""
+    import numpy as np
+
+    u64 = np.uint64
+    P1 = u64(11400714785074694791)
+    P2 = u64(14029467366897019727)
+    P3 = u64(1609587929392839161)
+    P4 = u64(9650029242287828579)
+    P5 = u64(2870177450012600261)
+
+    def rotl(x, r):
+        return (x << u64(r)) | (x >> u64(64 - r))
+
+    def rnd(acc, lane):
+        return rotl(acc + lane * P2, 31) * P1
+
+    n, L = M.shape
+
+    def w8(i):
+        return np.ascontiguousarray(M[:, i:i + 8]).view("<u8").ravel()
+
+    i = 0
+    if L >= 32:
+        a1 = seeds + P1 + P2
+        a2 = seeds + P2
+        a3 = seeds.copy()
+        a4 = seeds - P1
+        while i + 32 <= L:
+            a1 = rnd(a1, w8(i))
+            a2 = rnd(a2, w8(i + 8))
+            a3 = rnd(a3, w8(i + 16))
+            a4 = rnd(a4, w8(i + 24))
+            i += 32
+        h = rotl(a1, 1) + rotl(a2, 7) + rotl(a3, 12) + rotl(a4, 18)
+        for a in (a1, a2, a3, a4):
+            h = (h ^ rnd(u64(0), a)) * P1 + P4
+    else:
+        h = seeds + P5
+    h = h + u64(L)
+    while i + 8 <= L:
+        h = rotl(h ^ rnd(u64(0), w8(i)), 27) * P1 + P4
+        i += 8
+    if i + 4 <= L:
+        w4 = (np.ascontiguousarray(M[:, i:i + 4]).view("<u4")
+              .ravel().astype(u64))
+        h = rotl(h ^ (w4 * P1), 23) * P2 + P3
+        i += 4
+    while i < L:
+        h = rotl(h ^ (M[:, i].astype(u64) * P5), 11) * P1
+        i += 1
+    h ^= h >> u64(33)
+    h = h * P2
+    h ^= h >> u64(29)
+    h = h * P3
+    h ^= h >> u64(32)
+    return h
+
+
+def _xxh64_many(bs: list, seeds) -> "object":
+    """XXH64 of many variable-length byte strings with per-string
+    seeds: group by length so every group is one `_xxh64_fixed` pass
+    (fixed loop structure per length — fully vectorized)."""
+    import numpy as np
+
+    out = np.empty(len(bs), dtype=np.uint64)
+    lens = np.fromiter((len(b) for b in bs), dtype=np.int64,
+                       count=len(bs))
+    for L in np.unique(lens):
+        sel = np.nonzero(lens == L)[0]
+        if L == 0:
+            M = np.zeros((len(sel), 0), dtype=np.uint8)
+        else:
+            buf = b"".join(bs[i] for i in sel)
+            M = np.frombuffer(buf, dtype=np.uint8).reshape(
+                len(sel), int(L))
+        out[sel] = _xxh64_fixed(M, seeds[sel])
+    return out
+
+
+def _dsir_xxh_buckets_batch(wss, st: tuple, n_buckets: int) -> list:
+    """Per-doc bucket-count dicts for a BATCH of word arrays under the
+    xxhash64 struct-gram hash (unigram = xxh64(w, seed 42), bigram
+    chains the unigram hash as the second word's seed — exactly
+    Spark's `xxhash64(a, b)` field chaining), buckets =
+    pmod(signed64, n_buckets).  Empty/None word arrays map to None.
+
+    Distinct grams of the batch are memo-probed first and only the
+    misses are vector-hashed (`_xxh64_many`), so a repeat-heavy corpus
+    degrades to dict probes while a huge-vocabulary batch stays one
+    numpy pass per string length.  The persistent memos (`st`) follow
+    the md5 memo's bound: cleared before a batch whose misses would
+    push them past ~262k entries (never unbounded worker memory); the
+    batch-local lookup is completed BEFORE the clear so chained seeds
+    never miss."""
+    import numpy as np
+
+    uh, ub, bb = st  # word -> raw hash, word -> bucket, (a,b) -> bucket
+    words: dict = {}
+    bigrams: dict = {}
+    for ws in wss:
+        if ws is None or len(ws) == 0:
+            continue
+        for w in ws:
+            words[w] = None
+        if len(ws) >= 2:
+            for k in zip(ws, ws[1:]):
+                bigrams[k] = None
+    lu_h = {}
+    lu_b = {}
+    miss_w = []
+    for w in words:
+        h = uh.get(w)
+        if h is None:
+            miss_w.append(w)
+        else:
+            lu_h[w] = h
+            lu_b[w] = ub[w]
+    if miss_w:
+        hs = _xxh64_many([w.encode("utf-8") for w in miss_w],
+                         np.full(len(miss_w), 42, dtype=np.uint64))
+        bks = np.remainder(hs.view(np.int64), n_buckets)
+        if len(uh) + len(miss_w) > 262_144:
+            uh.clear()
+            ub.clear()
+        for w, h, b in zip(miss_w, hs, bks):
+            lu_h[w] = uh[w] = h
+            lu_b[w] = ub[w] = int(b)
+    lu_bb = {}
+    miss_b = []
+    for k in bigrams:
+        b = bb.get(k)
+        if b is None:
+            miss_b.append(k)
+        else:
+            lu_bb[k] = b
+    if miss_b:
+        seeds = np.fromiter((lu_h[a] for a, _ in miss_b),
+                            dtype=np.uint64, count=len(miss_b))
+        hs = _xxh64_many([b.encode("utf-8") for _, b in miss_b], seeds)
+        bks = np.remainder(hs.view(np.int64), n_buckets)
+        if len(bb) + len(miss_b) > 262_144:
+            bb.clear()
+        for k, b in zip(miss_b, bks):
+            lu_bb[k] = bb[k] = int(b)
+    out = []
+    for ws in wss:
+        if ws is None or len(ws) == 0:
+            out.append(None)
+            continue
+        loc: dict = {}
+        for w in ws:
+            b = lu_b[w]
+            loc[b] = loc.get(b, 0) + 1
+        if len(ws) >= 2:
+            for k in zip(ws, ws[1:]):
+                b = lu_bb[k]
+                loc[b] = loc.get(b, 0) + 1
+        out.append(loc)
+    return out
+
+
+def _dsir_bucketizer(hash_impl: str, n_buckets: int):
+    """Per-batch (word arrays -> bucket-count dicts) callable for the
+    Arrow fit/score stages, owning its per-task memo state."""
+    if hash_impl == "md5":
+        memo: dict = {}
+
+        def run(wss):
+            return [_dsir_gram_buckets(ws, n_buckets, memo)
+                    if ws is not None and len(ws) else None
+                    for ws in wss]
+
+        return run
+    st = ({}, {}, {})
+
+    def run(wss):
+        return _dsir_xxh_buckets_batch(wss, st, n_buckets)
+
+    return run
+
+
 def _dsir_bucket_expr(col: str, n_buckets: int, hash_impl: str) -> str:
     """Gram -> bucket SQL under the chosen hash.
 
@@ -1547,15 +1734,17 @@ def _dsir_bucket_counts(docs: DataFrame, target_cond: str,
     refit."""
     from .dedup import _spread  # single-file inputs must not pin 1 core
 
-    if hash_impl == "md5" and _DSIR_ARROW:
-        # One Arrow stage replaces the per-gram md5 expression chain
+    if _DSIR_ARROW and hash_impl in ("md5", "xxhash64"):
+        # One Arrow stage replaces the per-gram hash expression chain
         # (guide §4.2): per task it accumulates the complete bucket
         # histogram (≤ n_buckets rows, the same partial grain the JVM
         # hash aggregate combined to) and yields it once, so the
         # bucket-grain exchange carries identical bytes while the
-        # per-gram string materialization + md5/conv/substring chain
-        # (the measured dominant cost, see _dsir_bucket_expr) becomes
-        # one memoized dict probe per gram occurrence.
+        # per-gram string/struct materialization + hash chain (the
+        # measured dominant cost, see _dsir_bucket_expr) becomes one
+        # memoized dict probe per gram occurrence (md5: hashlib per
+        # distinct gram; xxhash64: vectorized numpy XXH64 per distinct
+        # gram — `_dsir_xxh_buckets_batch`).
         src = _spread(docs).select(
             F.expr(f"CAST(({target_cond}) AS INT)").alias("__t"),
             F.expr(_dsir_words_expr(text_col)).alias("__w"))
@@ -1563,20 +1752,20 @@ def _dsir_bucket_counts(docs: DataFrame, target_cond: str,
         def _fit(batches):
             import pandas as pd
 
-            memo: dict = {}
+            bucketize = _dsir_bucketizer(hash_impl, n_buckets)
             c_raw: dict = {}
             c_tgt: dict = {}
             t_seen: set = set()  # buckets with ≥1 non-NULL target flag:
             # F.sum over an all-NULL group is NULL, not 0 — preserved
             # so the persisted counts store is byte-identical
             for pdf in batches:
-                for t, ws in zip(pdf["__t"], pdf["__w"]):
-                    if ws is None or len(ws) == 0:
+                locs = bucketize(list(pdf["__w"]))
+                for t, loc in zip(pdf["__t"], locs):
+                    if loc is None:
                         continue
                     t_ok = t is not None and t == t
                     tt = int(t) if t_ok else 0
-                    for b, c in _dsir_gram_buckets(
-                            ws, n_buckets, memo).items():
+                    for b, c in loc.items():
                         c_raw[b] = c_raw.get(b, 0) + c
                         if t_ok:
                             c_tgt[b] = c_tgt.get(b, 0) + c * tt
@@ -1679,17 +1868,18 @@ def _dsir_score(docs: DataFrame, lrs: DataFrame, n_buckets: int,
     else:
         sent = "CAST(NULL AS STRING)"
         empty = "CAST(array() AS ARRAY<STRING>)"
-    if hash_impl == "md5" and _DSIR_ARROW:
+    if _DSIR_ARROW and hash_impl in ("md5", "xxhash64"):
         # Arrow gram hashing (see _dsir_bucket_counts): the scan side
         # emits per-doc (bucket, cnt) rows — ≤ distinct-buckets rows
         # per doc instead of one exploded JVM row per gram occurrence,
-        # with no md5 expression chain.  The broadcast INNER join over
-        # the complete bucket domain and the doc-grain aggregate are
-        # unchanged (the plan contract: bucket table broadcasts, ≤2
-        # keyed exchanges, fit subplan un-prunable by count()); the
-        # sentinel (-1, 0) row keeps gram-less docs in the aggregate
-        # exactly as the unioned sentinel gram did, and cnt*lr_q /
-        # IF(bucket>=0, cnt, 0) are the same exact BIGINT sums.
+        # with no hash expression chain (md5 memo or vectorized numpy
+        # XXH64).  The broadcast INNER join over the complete bucket
+        # domain and the doc-grain aggregate are unchanged (the plan
+        # contract: bucket table broadcasts, ≤2 keyed exchanges, fit
+        # subplan un-prunable by count()); the sentinel (-1, 0) row
+        # keeps gram-less docs in the aggregate exactly as the unioned
+        # sentinel gram did, and cnt*lr_q / IF(bucket>=0, cnt, 0) are
+        # the same exact BIGINT sums.
         src = _spread(docs).select(
             F.col(id_col).alias("__id"),
             F.expr(_dsir_words_expr(text_col)).alias("__w"))
@@ -1698,19 +1888,19 @@ def _dsir_score(docs: DataFrame, lrs: DataFrame, n_buckets: int,
         def _grams(batches):
             import pandas as pd
 
-            memo: dict = {}
+            bucketize = _dsir_bucketizer(hash_impl, n_buckets)
             for pdf in batches:
                 ids: list = []
                 bks: list = []
                 cns: list = []
-                for i, ws in zip(pdf["__id"], pdf["__w"]):
-                    if ws is None or len(ws) == 0:
+                locs = bucketize(list(pdf["__w"]))
+                for i, loc in zip(pdf["__id"], locs):
+                    if loc is None:
                         ids.append(i)
                         bks.append(-1)
                         cns.append(0)
                         continue
-                    for b, c in _dsir_gram_buckets(
-                            ws, n_buckets, memo).items():
+                    for b, c in loc.items():
                         ids.append(i)
                         bks.append(b)
                         cns.append(c)
